@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.SectionTagger
+import graft.model.{Triple, Turn}
+import graft.operators._
+import graft.sources.TranscriptGen
+
+/** End-to-end dataflow S0→S6 (SURVEY §7.1). Stage functions are pure
+  * Dataset transforms so the checkpointing driver (graft.PipelineMain) can
+  * materialize any prefix and resume from it.
+  */
+object KgPipeline {
+
+  /** S1 — canonical clean chain as one codegen'd projection. */
+  def cleanTurns(turns: Dataset[Turn]): DataFrame =
+    turns.toDF().withColumn("text_clean", CleanText.clean(col("text")))
+
+  /** Training frame for the tagger: generator-labeled turns from a conv-id
+    * region disjoint from any evaluation range (the reference trains on a
+    * separate annotated corpus, SURVEY §2.5).
+    */
+  def taggerTrainingFrame(spark: SparkSession, nConvs: Int = 300,
+      firstConv: Long = 1000000L, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val labeled = spark.range(firstConv, firstConv + nConvs)
+      .flatMap(i => TranscriptGen.labeledTurnsFor(i, seed).map { case (t, c) => (t.text, c) })
+      .toDF("text", "category")
+    labeled.withColumn("text_clean", CleanText.clean(col("text")))
+      .select("text_clean", "category")
+  }
+
+  /** S2-S6 from cleaned turns to triples. */
+  def triplesFromCleaned(cleaned: DataFrame, tagger: SectionTagger.Trained)(
+      implicit spark: SparkSession): Dataset[Triple] = {
+    val tagged = SectionTagger.predict(tagger, cleaned)
+    val extracted = TurnExtract.extract(tagged)
+    val convs = ConvFinalize.run(extracted).cache()
+
+    val convSkills = convs.select(col("conv_id"), explode(col("skills")).as("skill"))
+    val sectors = Scoring.sectors(convSkills)
+    val isco = Scoring.isco3(convSkills)
+    val convLoc = convs.toDF().select(col("conv_id"), col("location"))
+      .filter(col("location").isNotNull)
+    val estimates = Scoring.estimates(isco, convLoc)
+
+    val orgMentions = convs.toDF().select(explode(col("orgs")).as("surface"))
+    val orgCanonical = Linking.canonicalize(orgMentions)
+
+    TripleEmit.run(convs, sectors, estimates, orgCanonical)
+  }
+
+  def computeTriples(turns: Dataset[Turn], tagger: SectionTagger.Trained)(
+      implicit spark: SparkSession): Dataset[Triple] =
+    triplesFromCleaned(cleanTurns(turns), tagger)
+}

@@ -1,0 +1,99 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S2 — section tagger as a Spark ML Pipeline (SURVEY §2.4 M1-M13):
+  * letter-run tokens → 1-gram + 2-gram CountVectorizers (minDF=2, mirrors
+  * sklearn ngram_range=(1,2) min_df=2, ClassificationModelGeneration.py:85-101)
+  * → digit/non-digit token-ratio features (F10) → LogisticRegression.
+  * The fitted PipelineModel replaces the reference's pickled model + saved
+  * feature-name CSVs: vocab and feature order are carried structurally, so
+  * the train/serve alignment hazards of SURVEY §1.3 cannot occur.
+  *
+  * The reference's spaCy POS/NER count features (M3/M4) have no JVM
+  * equivalent; per SURVEY §7.4 the substitution is n-grams + ratio
+  * features, gated by the fixture f1 ≥ 0.8 spec.
+  */
+object SectionTagger {
+
+  /** Ratio features (ClassifyUsingSavedModel.py:191-193) — applied both at
+    * train and serve time.
+    */
+  def prepare(df: DataFrame): DataFrame = {
+    val toks = split(col("text_clean"), " ")
+    val n = greatest(size(toks), lit(1)).cast("double")
+    df.withColumn("digit_ratio",
+        size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("double") / n)
+      .withColumn("word_ratio",
+        size(filter(toks, t => !t.rlike("^[0-9]+$"))).cast("double") / n)
+  }
+
+  /** RandomOverSampler re-expression (M8): upsample every class to the
+    * majority count via per-class with-replacement sampling.
+    */
+  def oversample(df: DataFrame, labelCol: String, seed: Long = 42L): DataFrame = {
+    val counts = df.groupBy(labelCol).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val maxC = counts.values.max
+    counts.foldLeft(df.limit(0)) { case (acc, (cls, cnt)) =>
+      val part = df.filter(col(labelCol) === cls)
+      val extraFraction = (maxC - cnt).toDouble / cnt
+      val extras = if (extraFraction > 0) part.sample(withReplacement = true, extraFraction, seed) else df.limit(0)
+      acc.union(part).union(extras)
+    }
+  }
+
+  final case class Trained(model: PipelineModel, labels: Array[String])
+
+  /** labeled(text_clean, category) -> fitted tagger. 75/25 eval split and
+    * seed 42 mirror the reference (ClassificationModelGeneration.py:225).
+    */
+  def train(labeled: DataFrame, seed: Long = 42L): Trained = {
+    val si = new StringIndexer().setInputCol("category").setOutputCol("label")
+    val siModel = si.fit(labeled)
+    val tok = new RegexTokenizer().setInputCol("text_clean").setOutputCol("tokens")
+      .setPattern("[a-z]+").setGaps(false).setMinTokenLength(1)
+    val ng = new NGram().setN(2).setInputCol("tokens").setOutputCol("bigrams")
+    val cv1 = new CountVectorizer().setInputCol("tokens").setOutputCol("f_uni").setMinDF(2)
+    val cv2 = new CountVectorizer().setInputCol("bigrams").setOutputCol("f_bi").setMinDF(2)
+    val va = new VectorAssembler()
+      .setInputCols(Array("f_uni", "f_bi", "digit_ratio", "word_ratio"))
+      .setOutputCol("features")
+    val lr = new LogisticRegression().setMaxIter(100).setLabelCol("label")
+    val pipe = new Pipeline().setStages(
+      Array[PipelineStage](siModel, tok, ng, cv1, cv2, va, lr))
+    val balanced = oversample(prepare(labeled), "category", seed)
+    Trained(pipe.fit(balanced), siModel.labelsArray(0))
+  }
+
+  /** Adds a string `category` column (model prediction). */
+  def predict(t: Trained, df: DataFrame): DataFrame = {
+    val withPred = t.model.transform(prepare(df))
+    val its = new IndexToString().setInputCol("prediction").setOutputCol("category")
+      .setLabels(t.labels)
+    its.transform(withPred)
+      .drop("tokens", "bigrams", "f_uni", "f_bi", "features", "rawPrediction",
+        "probability", "prediction", "label", "digit_ratio", "word_ratio")
+  }
+
+  /** Weighted f1 over a (category, category_pred) frame — M12 eval. */
+  def weightedF1(labeledPred: DataFrame): Double = {
+    val rows = labeledPred.groupBy("category", "category_pred").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val classes = rows.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct
+    val total = rows.values.sum.toDouble
+    classes.map { c =>
+      val tp = rows.getOrElse((c, c), 0L).toDouble
+      val support = rows.collect { case ((a, _), n) if a == c => n }.sum.toDouble
+      val predicted = rows.collect { case ((_, p), n) if p == c => n }.sum.toDouble
+      val prec = if (predicted > 0) tp / predicted else 0.0
+      val rec = if (support > 0) tp / support else 0.0
+      val f1 = if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0.0
+      f1 * support / total
+    }.sum
+  }
+}

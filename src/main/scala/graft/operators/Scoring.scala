@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.rules.DictRules
+import graft.sources.Dims
+
+/** Taxonomy scoring as broadcast joins (X15 sector, X16 ISCO walk +
+  * salary estimate). The reference walks in-memory trees per posting
+  * (utilities.py:678-742); here the propagated trees are precomputed
+  * weight tables (A8/A9 rollup) broadcast to a join + partial aggregation —
+  * the shape that survives 10^12 rows: explode(skills) is narrow, the
+  * groupBy is a map-side-combined partial agg over ≤ |nodes| rows per conv.
+  */
+object Scoring {
+
+  def naceWeightDf(implicit spark: SparkSession): DataFrame =
+    spark.createDataFrame(DictRules.naceWeightRows).toDF("node", "skill", "w")
+
+  def iscoWeightDf(implicit spark: SparkSession): DataFrame =
+    spark.createDataFrame(DictRules.iscoWeightRows).toDF("level", "node", "skill", "w")
+
+  /** argmax node per conv with the reference's first-max tie-break
+    * (node order = ascending code; utilities.py:698 score.index(max)).
+    */
+  private def argmax(scores: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy(desc("score"), asc("node"))
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** convSkills(conv_id, skill) -> (conv_id, sector). */
+  def sectors(convSkills: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val scored = convSkills
+      .join(broadcast(naceWeightDf), "skill")
+      .groupBy("conv_id", "node").agg(sum("w").as("score"))
+    argmax(scored)
+      .select(col("conv_id"),
+        element_at(typedlit(Dims.naceName), col("node")).as("sector"))
+  }
+
+  /** convSkills -> (conv_id, isco3) via the 3-level prefix-constrained walk. */
+  def isco3(convSkills: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val scored = convSkills
+      .join(broadcast(iscoWeightDf), "skill")
+      .groupBy("conv_id", "level", "node").agg(sum("w").as("score"))
+      .cache()
+    var chosen = argmax(scored.filter(col("level") === 1))
+      .select(col("conv_id"), col("node").as("prefix"))
+    Seq(2, 3).foreach { lvl =>
+      val lvlScores = scored.filter(col("level") === lvl)
+        .join(chosen, "conv_id")
+        .filter(col("node").startsWith(col("prefix")))
+        .select("conv_id", "node", "score")
+      chosen = argmax(lvlScores).select(col("conv_id"), col("node").as("prefix"))
+    }
+    chosen.select(col("conv_id"), col("prefix").as("isco3"))
+  }
+
+  /** Salary-estimate dim: every (country, isco3) pair with the final
+    * EUR-converted, int-truncated yearly estimate (utilities.py:729-740).
+    */
+  def estimateDim(implicit spark: SparkSession): DataFrame = {
+    val rows = for {
+      c <- Dims.countries
+      o <- Dims.occupations
+    } yield (c.name, o.isco3,
+      (Dims.monthlySalary(c.iso2, o.isco3) * 12 * Dims.fxToEur(c.currency)).toInt)
+    spark.createDataFrame(rows).toDF("location", "isco3", "estimated_salary")
+  }
+
+  /** (conv_id, isco3) × (conv_id, location) -> (conv_id, estimated_salary). */
+  def estimates(isco: DataFrame, convLoc: DataFrame)(implicit spark: SparkSession): DataFrame =
+    isco.join(convLoc, "conv_id")
+      .join(broadcast(estimateDim), Seq("location", "isco3"))
+      .select("conv_id", "estimated_salary")
+}

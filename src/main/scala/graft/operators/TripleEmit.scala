@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Triple
+import graft.rules.Rules
+
+final case class ConvFull(
+    conv_id: String,
+    title: String,
+    skills: Seq[String],
+    employment: Option[String],
+    location: Option[String],
+    education: Option[String],
+    sal_values: Seq[Double],
+    currencies: Seq[String],
+    work_hours: Option[Int],
+    tools: Seq[String],
+    sector: Option[String],
+    estimated_salary: Option[Int])
+
+/** S6 — emit the long-form (subj, pred, obj) rows: each non-null cell of
+  * the reference's wide MySQL row (MergeAndExportInfo.py:90) becomes one
+  * triple; orgs go through the entity-linking canonical map first.
+  */
+object TripleEmit {
+
+  def run(
+      convs: Dataset[ConvExtract],
+      sectors: DataFrame,
+      estimates: DataFrame,
+      orgCanonical: DataFrame)(implicit spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+
+    val base = convs.drop("orgs")
+      .join(sectors, Seq("conv_id"), "left")
+      .join(estimates, Seq("conv_id"), "left")
+      .as[ConvFull]
+      .flatMap { c =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Triple]
+        c.employment.foreach(v => out += Triple(c.conv_id, "employment_type", v))
+        c.location.foreach(v => out += Triple(c.conv_id, "job_location", v))
+        c.education.foreach(v => out += Triple(c.conv_id, "education_requirements", v))
+        c.currencies.foreach(v => out += Triple(c.conv_id, "salary_currency", v))
+        if (c.title.nonEmpty) out += Triple(c.conv_id, "job_title", c.title)
+        c.skills.foreach(s => out += Triple(c.conv_id, "skill", s.capitalize))
+        c.sector.foreach(v => out += Triple(c.conv_id, "sector", v))
+        c.estimated_salary.foreach(v => out += Triple(c.conv_id, "estimated_salary", v.toString))
+        if (c.sal_values.nonEmpty) {
+          Rules.yearlySalary(c.sal_values, c.currencies, c.location,
+            c.estimated_salary.map(_.toDouble))
+            .foreach(v => out += Triple(c.conv_id, "base_salary", v.toString))
+        }
+        c.work_hours.foreach(v => out += Triple(c.conv_id, "work_hours", v.toString))
+        c.tools.foreach(t => out += Triple(c.conv_id, "uses_tool", t))
+        out.toSeq
+      }
+
+    val orgTriples = convs.select(col("conv_id"), explode(col("orgs")).as("surface"))
+      .join(orgCanonical, Seq("surface"), "left")
+      .select(col("conv_id").as("subj"), lit("hiring_organization").as("pred"),
+        coalesce(col("canonical"), col("surface")).as("obj"))
+      .distinct()
+      .as[Triple]
+
+    base.union(orgTriples)
+  }
+}

@@ -1,0 +1,464 @@
+package graft.rules
+
+import java.util.regex.Pattern
+
+import graft.sources.Dims
+
+/** Pure, row-local re-expressions of the reference's extraction semantics.
+  *
+  * Every function here is deterministic and side-effect-free so it can be
+  * used (a) inside typed Dataset.map operators on executors, (b) by the
+  * fixture generator to derive golden triples by construction, and (c) in
+  * hand-computed unit tests. Where the reference is nondeterministic
+  * (Python set ordering) we pin first-occurrence order — recorded per
+  * SURVEY.md §7.4.
+  */
+object Rules {
+
+  // ==================================================================
+  // clean_string — canonical spec: /root/reference/extract-info/ExtractInfo.py:154-207
+  // (the variant that feeds extraction; the three clones differ only in
+  // currency-regex details, SURVEY §2.2 F3).
+  // ==================================================================
+
+  /** Allowed-charset negation. The reference's regex looks like an
+    * alternation but its `\]` is escaped, so the class actually closes at
+    * the `[^\s]` bracket — net effect: one negated class that admits
+    * alnum, the listed punctuation, č₽€£ and whitespace. Verified against
+    * CPython behavior.
+    */
+  private val charsetPattern: Pattern =
+    Pattern.compile("[^-_a-zA-Z0-9!@#%&=,'\";:~`č₽€£$^()+\\[\\].{}|?<>\\\\\\s]+")
+
+  private val pTag = Pattern.compile("<[^>]+>")
+  private val pCaret = Pattern.compile("\\^[a-zA-Z]\\s+")
+  private val pSpaces = Pattern.compile("\\s+")
+  private val pPrefixB = Pattern.compile("^b\\s+")
+  private val pLetterDigit = Pattern.compile("([a-zA-Z])(\\d+)")
+  private val pSingleChar = Pattern.compile("\\b[a-zA-Z]\\b")
+  private val pKilo = Pattern.compile("(\\d+)(k)")
+  private val pThousandsComma = Pattern.compile("(?<=\\d),(?=\\d{3})")
+  private val pEurReorder1 = Pattern.compile("(\\d+) (€)")
+  private val pEurReorder2 = Pattern.compile("(\\d+)(€)")
+  private val pUsdReorder1 = Pattern.compile("(\\d+) (\\$)")
+  private val pUsdReorder2 = Pattern.compile("(\\d+)(\\$)")
+  private val pGbpReorder1 = Pattern.compile("(\\d+) (£)")
+  private val pGbpReorder2 = Pattern.compile("(\\d+)(£)")
+  private val pRange = Pattern.compile("(?<=\\d{4})-(?=\\d{4})")
+  // string.punctuation minus [$-:.%,£_] → !"#;<=>?@[\]^`{|}~ (ExtractInfo.py:156)
+  private val pCustomPunct = Pattern.compile("[!\"#;<=>?@\\[\\\\\\]^`{|}~]")
+  private val pNewlines = Pattern.compile("[\\n\\r\\t]")
+
+  def cleanString(s: String): String = {
+    if (s == null) return ""
+    var d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
+    d = d.trim
+    d = pNewlines.matcher(d).replaceAll("")
+    d = d.toLowerCase
+    d = charsetPattern.matcher(d).replaceAll("")
+    d = pTag.matcher(d).replaceAll("")
+    d = pCaret.matcher(d).replaceAll("")
+    d = pSpaces.matcher(d).replaceAll(" ")
+    d = pPrefixB.matcher(d).replaceAll("")
+    d = d.replace("&amp;", "and")
+    d = d.replace("atm", "")
+    d = pLetterDigit.matcher(d).replaceAll("$1 $2")
+    d = pSingleChar.matcher(d).replaceAll("")
+    d = pKilo.matcher(d).replaceAll("$1000")
+    d = pThousandsComma.matcher(d).replaceAll("")
+    d = d.replace("euro ", "€").replace("eur ", "€")
+    d = d.replace("dollar ", "$").replace("usd ", "$") // String.replace is literal
+    d = pEurReorder1.matcher(d).replaceAll("€ $1")
+    d = pEurReorder2.matcher(d).replaceAll("€ $1")
+    d = pUsdReorder1.matcher(d).replaceAll("\\$ $1")
+    d = pUsdReorder2.matcher(d).replaceAll("\\$ $1")
+    d = pGbpReorder1.matcher(d).replaceAll("£ $1")
+    d = pGbpReorder2.matcher(d).replaceAll("£ $1")
+    d = pRange.matcher(d).replaceAll(" to ")
+    d = pCustomPunct.matcher(d).replaceAll("")
+    // lemmatize tokens; python's no-arg split() collapses whitespace runs
+    d.split("\\s+").iterator.filter(_.nonEmpty)
+      .map(t => Dims.lemmas.getOrElse(t, t)).mkString(" ")
+  }
+
+  // ==================================================================
+  // Generic helpers (ExtractInfo.py:211-285)
+  // ==================================================================
+
+  /** getOrConditionUsingCombinations — both substrings present. */
+  def comboGate(combos: Seq[(String, String)], s: String): Boolean =
+    combos.exists { case (a, b) => s.contains(a) && s.contains(b) }
+
+  /** findSurroundingWords (ExtractInfo.py:279-284): ±n word context
+    * windows around every occurrence of `key`, joined with a space.
+    */
+  def surroundingWords(s: String, key: String, n: Int): String = {
+    val pat = Pattern.compile(
+      ("\\w*\\W*" * n) + Pattern.quote(key) + ("\\W*\\w*" * n),
+      Pattern.CASE_INSENSITIVE)
+    val m = pat.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.mkString(" ")
+  }
+
+  /** minDistance (ExtractInfo.py:261-275): keep all adjacent pairs with the
+    * minimal gap after sorting (faithfully including its duplicates).
+    */
+  def minDistance(values: Seq[Double]): Seq[Double] = {
+    val lst = values.sorted
+    var distance = lst.max - lst.min
+    for (i <- 0 until lst.length - 1)
+      if (lst(i + 1) - lst(i) < distance) distance = lst(i + 1) - lst(i)
+    val res = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (i <- 0 until lst.length - 1)
+      if (lst(i + 1) - lst(i) == distance) { res += lst(i); res += lst(i + 1) }
+    res.toSeq
+  }
+
+  // ==================================================================
+  // Currency (ExtractInfo.py:370-408)
+  // ==================================================================
+
+  private val currencyTokens: Set[String] = Dims.currencyWords.keySet
+
+  /** getCurrency: first currency word token (first occurrence pinned), else
+    * first of €/$/£ as substring; canonicalized to a currency family.
+    */
+  def getCurrency(s: String): Option[String] = {
+    val word = s.split("\\s+").find(currencyTokens.contains).map(Dims.currencyWords)
+    word.orElse(Seq("€", "$", "£").find(s.contains).map(Dims.currencySymbols))
+  }
+
+  /** filterCurrencyAndSalary (ExtractInfo.py:390-408): euro-associated
+    * salaries win; otherwise all pairs pass through. Returns
+    * (currencies, salaries), first-occurrence-deduped.
+    */
+  def filterCurrencyAndSalary(byValue: Seq[(Double, String)]): (Seq[String], Seq[Double]) = {
+    val withEuro = byValue.collect { case (v, "euro") => v }
+    if (withEuro.nonEmpty) (Seq("euro"), withEuro.distinct)
+    else (byValue.map(_._2).distinct, byValue.map(_._1).distinct)
+  }
+
+  // ==================================================================
+  // Base salary (X6, ExtractInfo.py:412-521)
+  // ==================================================================
+
+  final case class SalaryHit(values: Seq[Double], currencies: Seq[String],
+      currencyAssociated: Seq[Double], surrounding: String)
+
+  private val pNumber = Pattern.compile("([0-9.]*[0-9]+)")
+
+  def findNumbers(s: String): Seq[String] = {
+    val m = pNumber.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group(1)
+    out.toSeq
+  }
+
+  def salaryGate(cleaned: String): Boolean =
+    comboGate(Dims.salaryCombinations, cleaned) ||
+      cleaned.split("\\s+").exists(Dims.salaryCommonKeywords.contains) ||
+      getCurrency(cleaned).isDefined
+
+  /** Extract the salary facts of one cleaned chunk. Numbers stand in for
+    * the reference's MONEY/CARDINAL/DATE entity texts (SURVEY §2.6 X6 —
+    * spaCy CARDINAL covers bare numbers, so candidates = every number
+    * occurrence); the DATE year-discard keeps its month-within-2-words
+    * rule verbatim.
+    */
+  def extractSalary(cleaned: String): Option[SalaryHit] = {
+    if (!salaryGate(cleaned)) return None
+    val numbers = findNumbers(cleaned)
+      .flatMap(t => scala.util.Try(t.toDouble).toOption.map(v => (t, v)))
+      .filter(_._2 >= 450.0)
+    val info = scala.collection.mutable.LinkedHashSet.empty[Double]
+    val currencyInfo = scala.collection.mutable.LinkedHashSet.empty[String]
+    val withCur = scala.collection.mutable.LinkedHashMap.empty[Double, String]
+    val surrounding = scala.collection.mutable.ArrayBuffer.empty[String]
+    numbers.foreach { case (surface, v) =>
+      if (!info.contains(v)) {
+        val sw2 = surroundingWords(cleaned, v.toInt.toString, 2)
+        val isYear = sw2.split("\\s+").exists(Dims.monthNames.contains)
+        if (!isYear) {
+          val sw5 = surroundingWords(cleaned, surface, 5)
+          surrounding += sw5
+          getCurrency(surface + sw5).foreach { cur =>
+            currencyInfo += cur
+            withCur.getOrElseUpdate(v, cur)
+          }
+          info += v
+        }
+      }
+    }
+    if (info.isEmpty) None
+    else {
+      var vals = info.toSeq
+      var curs = currencyInfo.toSeq
+      if (vals.length > 1 && withCur.nonEmpty) {
+        val (c, s) = filterCurrencyAndSalary(withCur.toSeq)
+        curs = c; vals = s
+      }
+      if (vals.length > 2) vals = minDistance(vals)
+      val curAssoc = if (curs.nonEmpty) vals else Seq.empty
+      Some(SalaryHit(vals.distinct, curs, curAssoc, surrounding.mkString(",")))
+    }
+  }
+
+  // ==================================================================
+  // Employment type (X9, ExtractInfo.py:562-597)
+  // ==================================================================
+
+  /** matched surface keywords (substring containment, list order). */
+  def employmentSurfaces(cleaned: String): Seq[String] =
+    Dims.employmentKeywords.filter(cleaned.contains).distinct
+
+  /** surfaces -> group names, first-hit-per-group order. */
+  def employmentGroupsOf(surfaces: Seq[String]): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    surfaces.foreach { s =>
+      Dims.employmentGroups.find(_._2.contains(s)).foreach(g => out += g._1)
+    }
+    out.toSeq
+  }
+
+  /** prioritizedEmpType (ProcessAndMergeInfo.py:341-349). */
+  def priorityEmployment(groups: Seq[String]): Option[String] =
+    if (groups.isEmpty) None
+    else Some(groups.minBy(Dims.employmentPriority.indexOf))
+
+  // ==================================================================
+  // Location (X3 — gazetteer re-expression of spaCy GPE + geograpy;
+  // ExtractInfo.py:325-363,536-555)
+  // ==================================================================
+
+  private val gazetteerPatterns: Seq[(Pattern, String)] =
+    Dims.gazetteer.toSeq.sortBy(_._1).map { case (surface, country) =>
+      (Pattern.compile("\\b" + Pattern.quote(surface) + "\\b"), country)
+    }
+
+  /** country display names mentioned in a cleaned chunk, first-occurrence
+    * position order (the reference appends in entity order).
+    */
+  def extractLocations(cleaned: String): Seq[String] = {
+    val hits = gazetteerPatterns.flatMap { case (p, country) =>
+      val m = p.matcher(cleaned)
+      if (m.find()) Some((m.start, country)) else None
+    }
+    hits.sortBy(_._1).map(_._2).distinct
+  }
+
+  /** getPrioritizedJobLocation (ProcessAndMergeInfo.py:549-553): mode with
+    * first-occurrence tie-break over the *concatenated* per-chunk lists
+    * (per-chunk deduped, cross-chunk duplicates kept — A1 semantics).
+    */
+  def modeLocation(locations: Seq[String]): Option[String] =
+    if (locations.isEmpty) None
+    else {
+      val counts = locations.groupBy(identity).view.mapValues(_.size).toMap
+      Some(locations.maxBy(counts)) // maxBy keeps first max in order
+    }
+
+  // ==================================================================
+  // Education (X10, ExtractInfo.py:630-678; mapping + priority
+  // ProcessAndMergeInfo.py:490-528)
+  // ==================================================================
+
+  private val pAlphaToken = Pattern.compile("\\b[^\\d\\W]+\\b")
+
+  def alphaTokens(s: String): Seq[String] = {
+    val m = pAlphaToken.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  private lazy val degreeTokenSeqs: Seq[(String, Seq[String])] =
+    Dims.allDegreePhrases.map(p => p -> alphaTokens(p).filterNot(Dims.stopwords))
+
+  private def containsSubseq(hay: Seq[String], needle: Seq[String]): Boolean =
+    needle.nonEmpty && hay.sliding(needle.length).exists(_ == needle)
+
+  /** phrases hit in the chunk (CountVectorizer n-gram semantics: alphabetic
+    * tokens, sklearn-english stopwords removed before n-gram formation),
+    * then getTopEduReq's top-5-by-key-length (ExtractInfo.py:644-648 — the
+    * "top 3" that returns 5; ties alphabetical like sklearn's sorted vocab).
+    */
+  def extractEducation(cleaned: String): Seq[String] = {
+    val toks = alphaTokens(cleaned).filterNot(Dims.stopwords)
+    val hits = degreeTokenSeqs.collect { case (p, seq) if containsSubseq(toks, seq) => p }
+    hits.sortBy(p => (-p.length, p)).take(5)
+  }
+
+  /** merged phrases -> lowest degree level (min priority index). */
+  def priorityDegree(phrases: Seq[String]): Option[String] = {
+    val levels = phrases.flatMap(Dims.degreeLevelOf.get)
+    if (levels.isEmpty) None else Some(levels.minBy(Dims.degreePriority.indexOf))
+  }
+
+  // ==================================================================
+  // Hiring organization (X4 — spaCy ORG re-expressed as a
+  // capitalized-sequence pattern + the reference's own filters,
+  // ExtractInfo.py:604-613; disabled in the shipped reference config,
+  // enabled here to feed the entity-linking stage)
+  // ==================================================================
+
+  private val pOrg = Pattern.compile("\\b([A-Z][a-z]+(?: [A-Z][a-zA-Z]+)+)\\b")
+  private lazy val countryNames: Set[String] = Dims.countries.map(_.name).toSet
+
+  /** org-like mentions in RAW (uncleaned) text: ≥2 adjacent capitalized
+    * words, minus URLs, minus country names (the GPE/ORG distinction the
+    * reference gets from spaCy), len ≥ 3 kept per checkOrganisationConditions.
+    */
+  def extractOrgs(raw: String): Seq[String] = {
+    if (raw == null) return Seq.empty
+    val m = pOrg.matcher(raw)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (m.find()) {
+      val cand = m.group(1)
+      val bad = Seq("http", "https", "www").exists(cand.contains) ||
+        (cand.length < 3 && cand != "eu" && cand != "un") ||
+        countryNames.contains(cand)
+      if (!bad) out += cand
+    }
+    out.toSeq
+  }
+
+  // ==================================================================
+  // Work hours (X11, ExtractInfo.py:685-752; cleaning
+  // ProcessAndMergeInfo.py:354-485)
+  // ==================================================================
+
+  def workHoursGate(cleaned: String): Boolean =
+    comboGate(Dims.workHoursCombinations, cleaned) ||
+      Dims.workHoursCommonKeywords.exists(cleaned.contains)
+
+  def defaultNormalHours(cleaned: String): Boolean =
+    Dims.defaultNormalHoursStrings.exists(cleaned.contains)
+
+  /** TIME-span bank — our re-expression of spaCy TIME entities (SURVEY
+    * §2.6 X11): hour amounts/intervals and am/pm clock ranges.
+    */
+  private val pHourSpan = Pattern.compile(
+    "\\d+(?:\\.\\d+)?(?:\\s*(?:to|-)\\s*\\d+(?:\\.\\d+)?)?\\s*(?:hours?|hrs)\\b")
+  private val pClockRange = Pattern.compile(
+    "\\d+(?:[.:]\\d+)?\\s*(?:am)?\\s*-\\s*\\d+(?:[.:]\\d+)?\\s*(?:am|pm)\\b")
+
+  def timeSpans(cleaned: String): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    Seq(pClockRange, pHourSpan).foreach { p =>
+      val m = p.matcher(cleaned)
+      while (m.find()) {
+        val t = m.group()
+        if (!Dims.workHoursCommonKeywords.contains(t)) out += t
+      }
+    }
+    out.toSeq
+  }
+
+  /** Whole-document extraction: gate → spans (+ '40 hours' default when a
+    * default-normal-hours phrasing is present, ExtractInfo.py:743-745).
+    */
+  def extractWorkHourSpans(cleaned: String): Seq[String] = {
+    if (!workHoursGate(cleaned)) return Seq.empty
+    var info = timeSpans(cleaned)
+    if (defaultNormalHours(cleaned) && !info.contains("40 hours")) info = info :+ "40 hours"
+    info
+  }
+
+  private val pClockPair = Pattern.compile(
+    "(\\d+(?:[.:]\\d+)?)\\s*(?:am)?\\s*-?\\s*(\\d+(?:[.:]\\d+)?)\\s*pm")
+  private val pInterval = Pattern.compile("(\\d+-\\d+)")
+
+  private def parseClock(t: String): Option[Int] = {
+    val parts = t.replace('.', ':').split(':')
+    scala.util.Try(parts(0).toInt * 60 + (if (parts.length > 1) parts(1).toInt else 0)).toOption
+  }
+
+  /** getWorkTimeFromPattern (ProcessAndMergeInfo.py:354-399) — am/pm clock
+    * ranges to weekly hours (end<start rolls +12h; weekly multiplies by 4).
+    */
+  def clockRangeHours(span: String, weekly: Boolean): Seq[Double] = {
+    val s = span.replace(",", "")
+    val m = pClockPair.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (m.find()) {
+      for (start <- parseClock(m.group(1)); end0 <- parseClock(m.group(2))) {
+        val end = if (start > end0) end0 + 12 * 60 else end0
+        val dif = (end - start) / 60.0
+        if (dif > 0) out += (if (weekly) dif * 4 else dif)
+      }
+    }
+    out.toSeq
+  }
+
+  /** getWorkHoursFromIntervalPattern (ProcessAndMergeInfo.py:404-417) —
+    * faithfully including the *lexicographic* max over the interval's
+    * string halves (`int(max(i.split('-')))`).
+    */
+  def intervalHours(span: String, weekly: Boolean): Seq[Int] = {
+    val m = pInterval.matcher(span)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (m.find()) {
+      val maxStr = m.group(1).split('-').max // string compare, as the reference does
+      val v = maxStr.toInt
+      out += (if (weekly) v * 4 else v)
+    }
+    out.toSeq
+  }
+
+  /** getCleanedWorkHours (ProcessAndMergeInfo.py:430-475). */
+  def cleanedWorkHours(spans: Seq[String]): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    spans.foreach { k =>
+      val amPm = clockRangeHours(k, weekly = true)
+      if (amPm.nonEmpty) out ++= amPm
+      else if (Seq("week", "weeks", "wk").exists(k.contains)) {
+        val iv = intervalHours(k, weekly = true)
+        if (iv.nonEmpty) out ++= iv.map(_.toDouble)
+        else out ++= findNumbers(k).flatMap(n => scala.util.Try(n.toDouble).toOption)
+      } else {
+        val iv = intervalHours(k, weekly = false)
+        if (iv.nonEmpty) out ++= iv.map(_.toDouble)
+        else if (Seq("hours", "hour", "hrs").exists(k.contains))
+          out ++= findNumbers(k).flatMap(n => scala.util.Try(n.toDouble).toOption)
+      }
+    }
+    out.map(_.toInt).toSeq
+  }
+
+  def maxWorkHours(cleaned: Seq[Int]): Int = if (cleaned.isEmpty) 0 else cleaned.max
+
+  // ==================================================================
+  // Yearly salary normalization (ProcessAndMergeInfo.py:256-321)
+  // ==================================================================
+
+  /** getYearlySalary: FX-convert non-euro, drop > 1M, monthly→yearly by
+    * comparison with the estimate (fallback ×12 if ≤ 10k), then keep the
+    * single value closest to the estimate.
+    */
+  def yearlySalary(values: Seq[Double], currencies: Seq[String],
+      location: Option[String], estimate: Option[Double]): Seq[Double] = {
+    val curStr = currencies.mkString(",")
+    val yearly = values.flatMap { v0 =>
+      var v = v0
+      if (!curStr.contains("euro")) {
+        val fx = currencies.headOption.flatMap(Dims.fxToEur.get)
+          .orElse(location.flatMap(l => Dims.countryByName.get(l))
+            .flatMap(c => Dims.fxToEur.get(c.currency)))
+        fx.foreach(r => v = v * r)
+      }
+      if (v <= 1000000.0) {
+        estimate match {
+          case Some(e) => Some(if (math.abs(v * 12 - e) < math.abs(v - e)) v * 12 else v)
+          case None => Some(if (v <= 10000.0) v * 12 else v)
+        }
+      } else None
+    }
+    if (yearly.length > 1) {
+      val e = estimate.getOrElse(Double.NaN)
+      if (e.isNaN) Seq(yearly.head)
+      else Seq(yearly.minBy(v => math.abs(v - e)))
+    } else yearly
+  }
+}
