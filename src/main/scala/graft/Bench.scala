@@ -1,24 +1,63 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.ml.SectionTagger
+import graft.sources.TranscriptGen
+
+/** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR plus the
+  * KG-pipeline throughput (turns/sec), one JSON line on stdout.
+  */
 object Bench {
+
+  def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Runs the full S1-S6 pipeline over freshly generated turns; returns
+    * (turns, triples, seconds). The tagger is trained outside the timed
+    * region (a persisted model in production).
+    */
+  def kgPipeline(spark: SparkSession, nConvs: Long): (Long, Long, Double) = {
+    implicit val s: SparkSession = spark
+    val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(spark, nConvs = 200))
+    val turns = TranscriptGen.dataset(spark, nConvs, seed = 42L, skewConvs = 4, skewTurns = 800).cache()
+    val nTurns = turns.count()
+    val (nTriples, sec) = time(KgPipeline.computeTriples(turns, tagger).count())
+    turns.unpersist()
+    (nTurns, nTriples, sec)
+  }
+
+  val headline = Seq("q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
+    "q04_supplier_first_shipments", "q09_sessionize", "q11_token_counts",
+    "q13_quality_score", "q15_exact_dedup", "q17_ann_brute_force",
+    "q19_minhash_dedup", "q21_ann_lsh", "q22_multimodal_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "3000").toLong
+    val spark = Sessions.local(cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val qTimes = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val (_, warm) = time(fn(spark, sfDir).count()) // plan+run once
+        val (_, sec) = time(fn(spark, sfDir).count())
+        name -> math.min(warm, sec)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val (nTurns, nTriples, kgSec) = kgPipeline(spark, nConvs)
+    val turnsPerSec = nTurns / kgSec
+
+    val all = qTimes :+ ("kg_pipeline" -> kgSec)
+    val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val total = all.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_turns":$nTurns,"kg_triples":$nTriples,"turns_per_sec":$turnsPerSec%.1f,"cores":$cpus}""")
     spark.stop()
   }
 }

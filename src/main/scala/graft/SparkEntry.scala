@@ -1,13 +1,285 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ml.SectionTagger
+import graft.operators._
+import graft.sources.TranscriptGen
+
+/** Driver contract — one `queries` entry per operator family (SURVEY §2),
+  * with a value-equivalent DuckDB oracle wherever ANSI SQL can express the
+  * semantics (RE2's missing lookarounds and the ML/LSH ops get rows-only
+  * checks; their correctness lives in the ScalaTest differential specs).
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - double sums go through per-row DECIMAL(18,4) casts (order-independent
+  *    exact aggregation), then back to double;
+  *  - rankings order on exact doubles, round only in the output;
+  *  - every aggregate/computed column is aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Flagship: the KG pipeline end-to-end on synthesized transcripts. */
+  def entry(spark: SparkSession): DataFrame = {
+    implicit val s: SparkSession = spark
+    val turns = TranscriptGen.dataset(spark, 100, seed = 42L, skewConvs = 1, skewTurns = 200)
+    val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(spark, nConvs = 120))
+    KgPipeline.computeTriples(turns, tagger).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational core ----------------
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+    }),
+    "q02_revenue_by_nation" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+    "q03_top_orders" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      li.groupBy("l_orderkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }),
+    "q04_supplier_first_shipments" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"))
+      t(s, d, "lineitem").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_quantity")).cast("bigint").as("first3_qty"), count(lit(1)).as("cnt"))
+    }),
+    "q05_customers_with_orders" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders"); val n = t(s, d, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+    }),
+    "q06_customers_without_orders" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders"); val n = t(s, d, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+    }),
+    "q07_distinct_part_supp" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+    }),
+    "q08_events_by_type" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+          max(col("k")).as("max_k"))
+    }),
+    "q09_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      // ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast matches
+      // DuckDB's epoch_us on the naive timestamp
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+    // ---------------- text analysis ----------------
+    "q10_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("text_norm"))),
+    "q11_token_counts" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))),
+    "q12_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "q13_quality_score" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+    "q14_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "q15_exact_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val u = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exact(u, "doc_id", "text")
+    }),
+    "q16_doc_stats" -> ((s, d) =>
+      t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))),
+    // ---------------- similarity / dedup over embeddings ----------------
+    "q17_ann_brute_force" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.bruteForceTopK(e.filter(col("vec_id") < 20), e, 5)
+    }),
+    "q18_near_dup_count" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .filter(SimilaritySearch.cosine(col("va"), col("vb")) >= 0.3)
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+    // ---------------- rows-only checks (no ANSI-SQL equivalent) ----------------
+    "q19_minhash_dedup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val u = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.minHashDedup(u, "doc_id", "text", maxDistance = 0.3)
+    }),
+    "q20_simhash_candidates" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val u = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.simHashCandidates(u, "doc_id", "text", maxHamming = 3)
+    }),
+    "q21_ann_lsh" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.lshTopK(e.filter(col("vec_id") < 20), e, 5)
+    }),
+    "q22_multimodal_features" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractFeatures(Multimodal.withFakeMedia(t(s, d, "documents")))
+    }),
+    "q23_kg_triples" -> ((s, d) => entry(s)),
+    "q24_entity_linking" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val surfaces = sp.range(300)
+        .flatMap(i => TranscriptGen.turnsFor(i, 42L, 0, 0)
+          .flatMap(t => graft.rules.Rules.extractOrgs(t.text)))
+        .toDF("surface")
+      Linking.canonicalize(surfaces)
+    }),
+    "q25_clean_chain" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        CleanText.clean(col("text")).as("text_clean"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity)::BIGINT AS sum_qty,
+        | sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sum_price,
+        | sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS sum_disc_price,
+        | count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' GROUP BY 1, 2""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        | sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue,
+        | count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_orderpriority, revenue FROM (
+        | SELECT l_orderkey, sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue
+        | FROM lineitem GROUP BY 1) r JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q04_supplier_first_shipments" ->
+      """SELECT l_suppkey, sum(l_quantity)::BIGINT AS first3_qty, count(*) AS cnt FROM (
+        | SELECT *, row_number() OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) AS rn
+        | FROM lineitem) WHERE rn <= 3 GROUP BY 1""".stripMargin,
+    "q05_customers_with_orders" ->
+      """SELECT n_name, count(*) AS cnt FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q06_customers_without_orders" ->
+      """SELECT n_name, count(*) AS cnt FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q07_distinct_part_supp" ->
+      "SELECT l_returnflag, count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp FROM lineitem GROUP BY 1",
+    "q08_events_by_type" ->
+      """SELECT event_type, count(*) AS cnt,
+        | sum(value::DECIMAL(18,6))::DOUBLE AS sum_value,
+        | max(regexp_extract(props, '"k": (\d+)', 1)::BIGINT) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "q09_sessionize" ->
+      """SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events FROM (
+        | SELECT user_id,
+        |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+        | FROM (SELECT user_id, ts, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+        |       FROM events)) GROUP BY 1""".stripMargin,
+    "q10_normalize" ->
+      s"SELECT doc_id, ${TextAnalysis.normalizeSql("text")} AS text_norm FROM documents",
+    "q11_token_counts" ->
+      s"""SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS ws_tokens,
+         | len(regexp_extract_all(text, '${TextAnalysis.bpeTokenPattern}')) AS bpe_tokens
+         |FROM documents""".stripMargin,
+    "q12_lang_id" ->
+      s"SELECT doc_id, ${TextAnalysis.langIdSql("text")} AS lang_pred FROM documents",
+    "q13_quality_score" ->
+      s"SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality FROM documents",
+    "q14_fingerprint" ->
+      s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp FROM documents",
+    "q15_exact_dedup" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         |SELECT ${TextAnalysis.fingerprintSql("text")} AS fp,
+         | min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM u GROUP BY 1""".stripMargin,
+    "q16_doc_stats" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        | count(DISTINCT lang) AS n_langs FROM documents GROUP BY 1""".stripMargin,
+    "q17_ann_brute_force" -> {
+      val dim = 64
+      val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
+      val nq = s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))"
+      val nc = s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))"
+      s"""SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  $dot / ($nq * $nc) AS sim,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $dot / ($nq * $nc) DESC, c.vec_id ASC) AS rk
+         | FROM embeddings q, embeddings c
+         | WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rk <= 5""".stripMargin
+    },
+    "q18_near_dup_count" -> {
+      val dim = 64
+      val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+      val na = s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))"
+      val nb = s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))"
+      s"""SELECT count(*) AS n_pairs FROM embeddings a, embeddings b
+         |WHERE a.vec_id < b.vec_id AND b.vec_id < 500 AND a.vec_id < 500
+         | AND $dot / ($na * $nb) >= 0.3""".stripMargin
+    })
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Deduplication family for training-data pipelines: exact (hash-groupBy),
+  * MinHash+LSH near-dup, SimHash (hamming banding), n-gram Jaccard scoring,
+  * and embedding-cosine near-dup. Everything clusters through the shared
+  * ConnectedComponents, and every variant keeps the minimum id as the
+  * cluster representative.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** One row per distinct normalized text: representative id (min) + the
+    * duplicate count. Single hash-shuffle; no sort.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // ------------------------------------------------------------------
+  // Word shingles + exact Jaccard (n-gram Jaccard scoring)
+  // ------------------------------------------------------------------
+
+  /** k-word shingles of the lowercased text, distinct, as a Column. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val t = split(lower(c), "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(t) - k, lit(0))),
+        i => array_join(slice(t, i + 1, lit(k)), " ")))
+  }
+
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH near-dup
+  // ------------------------------------------------------------------
+
+  /** Candidate near-duplicate pairs (id_a < id_b, jaccard distance ≤
+    * maxDistance) via MinHashLSH banding — never an O(n²) self-join.
+    */
+  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numTables: Int = 6, maxDistance: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleK).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val htf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feats = htf.transform(sh)
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setSeed(42)
+    val model = mh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxDistance, "dist")
+      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"), col("dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Near-dup clusters: LSH candidates → connected components → (id,
+    * representative keep_id = component min).
+    */
+  def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, maxDistance: Double = 0.5)(
+      implicit spark: SparkSession): DataFrame = {
+    val edges = minHashCandidates(docs, idCol, textCol, shingleK, maxDistance = maxDistance)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val vertices = docs.select(col(idCol).cast("long").as("id")).distinct()
+    ConnectedComponents.run(vertices, edges)
+      .select(col("id"), col("component").as("keep_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash (64-bit) + hamming banding
+  // ------------------------------------------------------------------
+
+  /** Stable 64-bit token hash (two murmur32 halves — deterministic across
+    * JVMs, unlike String.hashCode-derived schemes with locale surprises).
+    */
+  def hash64(s: String): Long =
+    (MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+      (MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
+
+  def simHash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = hash64(tok)
+        var b = 0
+        while (b < 64) { acc(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Candidate pairs with hamming(simhash) ≤ maxHamming via 4×16-bit band
+    * blocking (any pair within hamming ≤ 3 shares at least one exact band).
+    */
+  def simHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simHash64(if (t == null) "" else t)) }
+      .toDF("id", "sig")
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))
+      }: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // ------------------------------------------------------------------
+
+  /** Pairs with cosine ≥ minCosine, blocked by signed-projection LSH
+    * buckets then exactly verified — the brute-force twin exists in
+    * SimilaritySearch.bruteForceTopK for recall measurement.
+    */
+  def embeddingNearDup(embs: DataFrame, minCosine: Double = 0.95,
+      bands: Int = 4, bandBits: Int = 8)(implicit spark: SparkSession): DataFrame = {
+    val planes = SimilaritySearch.hyperplanes(
+      embs.select(size(col("embedding"))).first().getInt(0), bands * bandBits)
+    val sig = SimilaritySearch.signature(col("embedding"), planes)
+    val banded = embs.select(col("vec_id"), col("embedding"), sig.as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until bands).map { b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+        }: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("band"), col("bucket"))
+    val b = banded.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "va", "vb").distinct()
+      .withColumn("cos", SimilaritySearch.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCosine)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane (signed-projection) LSH bucketed variant as the scale
+  * path. Dot products are higher-order-function Columns — no UDF, stays in
+  * codegen.
+  */
+object SimilaritySearch {
+
+  /** Σ aᵢbᵢ in double precision (left-fold order = deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k: broadcast the (small) query set against the corpus.
+    * One narrow pass over the corpus, top-k via per-query window.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    // order on the exact double; round only in the output (keeps cross-
+    // engine tie-breaks deterministic)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rk"))
+  }
+
+  /** Deterministic random hyperplanes (seeded, dim × planes). */
+  def hyperplanes(dim: Int, planes: Int, seed: Int = 42): Array[Array[Double]] =
+    Array.tabulate(planes) { p =>
+      Array.tabulate(dim) { d =>
+        val h = MurmurHash3.stringHash(s"$seed:$p:$d")
+        (h.toDouble / Int.MaxValue) // uniform-ish in [-1, 1]
+      }
+    }
+
+  /** Signed-projection signature as a Column: bit p = sign(v · plane_p),
+    * packed into a long. Pure HOF expression over literal plane arrays.
+    */
+  def signature(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, i) =>
+      when(dot(v, typedlit(plane.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH ANN: bucket by band of the signed-projection signature, search
+    * exact cosine only within co-bucketed candidates. bands × bandBits =
+    * total planes; more bands → higher recall, more candidates.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      bands: Int = 4, bandBits: Int = 8, seed: Int = 42)(
+      implicit spark: SparkSession): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    val planes = hyperplanes(dim, bands * bandBits, seed)
+    def withBands(df: DataFrame, idAs: String, vAs: String): DataFrame = {
+      val sig = signature(col("embedding"), planes)
+      df.select(col("vec_id").as(idAs), col("embedding").as(vAs), sig.as("sig"))
+        .select(col(idAs), col(vAs), posexplode(array((0 until bands).map { b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+        }: _*)).as(Seq("band", "bucket")))
+    }
+    val qb = withBands(queries, "query_id", "qv")
+    val cb = withBands(corpus, "neighbor_id", "cv")
+    val candidates = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+    val scored = candidates.withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rk"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis ops for large-scale training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column
+  * expressions (codegen'd, pushdown-friendly). Each op has a DuckDB-SQL
+  * twin generated from the SAME constants (see `oracle*` below) so the
+  * driver's oracle can verify value-exact equivalence.
+  */
+object TextAnalysis {
+
+  // language marker words (tiny deterministic profiles; the semantic shape
+  // of the reference's remote language detect, SURVEY §2.2 F7, re-expressed
+  // as a local n-gram/stopword heuristic)
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "mit", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "es" -> Seq("el", "los", "las", "una", "es", "para", "por"))
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  private def markerScore(c: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks(c)), typedlit(markers)))
+
+  /** Deterministic language ID: CJK chars → zh, else marker-word argmax
+    * with the fixed order en > de > fr > es on ties.
+    */
+  def langId(c: Column): Column = {
+    val s = langMarkers.map { case (l, m) => l -> markerScore(c, m) }.toMap
+    when(c.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
+      .when(s("de") >= s("fr") && s("de") >= s("es"), "de")
+      .when(s("fr") >= s("es"), "fr")
+      .otherwise("es")
+  }
+
+  /** DuckDB twin of langId (same constants, same tie order). */
+  def langIdSql(col: String): String = {
+    def score(markers: Seq[String]) =
+      s"len(list_intersect(list_distinct(string_split(lower($col),' ')), [${markers.map("'" + _ + "'").mkString(",")}]))"
+    val s = langMarkers.map { case (l, m) => l -> score(m) }.toMap
+    s"""CASE WHEN regexp_matches($col, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       | WHEN ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("fr")} AND ${s("en")} >= ${s("es")} THEN 'en'
+       | WHEN ${s("de")} >= ${s("fr")} AND ${s("de")} >= ${s("es")} THEN 'de'
+       | WHEN ${s("fr")} >= ${s("es")} THEN 'fr' ELSE 'es' END""".stripMargin.replace("\n", " ")
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column = size(split(c, "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-space-non-alnum marks each count as one token.
+    */
+  val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokenCount(c: Column): Column = size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))
+
+  /** Quality score in [0,1]: stopword-ratio, mean-word-length, and
+    * digit-ratio components (re-expression of length/punct/stopword quality
+    * heuristics; all integer-exact so the oracle matches bit-for-bit after
+    * rounding).
+    */
+  val qualityStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "for", "with", "on")
+
+  def qualityScore(c: Column): Column = {
+    val t = toks(c)
+    val n = greatest(size(t), lit(1)).cast("double")
+    val stopRatio = size(filter(t, x => array_contains(typedlit(qualityStopwords), x))).cast("double") / n
+    val digitRatio = size(filter(t, x => x.rlike("^[0-9]+$"))).cast("double") / n
+    val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / n
+    round(least(stopRatio * 2, lit(1.0)) * 0.3
+      + (lit(1.0) - digitRatio) * 0.3
+      + least(meanLen / lit(8.0), lit(1.0)) * 0.4, 6)
+  }
+
+  def qualityScoreSql(col: String): String = {
+    val stops = qualityStopwords.map("'" + _ + "'").mkString(",")
+    val t = s"string_split(lower($col),' ')"
+    val n = s"greatest(len($t),1)::DOUBLE"
+    val stopRatio = s"len(list_filter($t, x -> list_contains([$stops], x)))::DOUBLE / $n"
+    val digitRatio = s"len(list_filter($t, x -> regexp_matches(x,'^[0-9]+$$')))::DOUBLE / $n"
+    val meanLen = s"list_sum(list_transform($t, x -> length(x)))::DOUBLE / $n"
+    s"round(least($stopRatio*2,1.0)*0.3 + (1.0-$digitRatio)*0.3 + least($meanLen/8.0,1.0)*0.4, 6)"
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase text
+    * (stable, join-friendly; the rolling-hash variant lives in Dedup.simHash).
+    */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  def fingerprintSql(col: String): String =
+    s"md5(trim(regexp_replace(lower($col), '\\s+', ' ', 'g')))"
+
+  /** Reduced normalizer with an exact DuckDB twin (the full pipeline clean
+    * chain needs lookaround regexes RE2 lacks; it is verified against
+    * Rules.cleanString in ScalaTest instead).
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  def normalizeSql(col: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($col), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+}
