@@ -71,7 +71,7 @@ object TurnExtract {
     array_distinct(
       filter(
         regexp_extract_all(raw, lit(orgPattern), lit(1)),
-        o => !o.contains("http") && !o.contains("www") &&
+        o => !lower(o).contains("http") && !lower(o).contains("www") &&
           length(o) >= 3 && !array_contains(countryLit, o)))
   }
 

@@ -316,7 +316,7 @@ object Rules {
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
     while (m.find()) {
       val cand = m.group(1)
-      val bad = Seq("http", "https", "www").exists(cand.contains) ||
+      val bad = Seq("http", "www").exists(cand.toLowerCase.contains) ||
         (cand.length < 3 && cand != "eu" && cand != "un") ||
         countryNames.contains(cand)
       if (!bad) out += cand

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.rules.DictRules
+import graft.sources.Dims
+
+/** Distributed-operator specs: join-based scoring vs the pure functions,
+  * linking/CC, dedup family, ANN recall, multimodal plumbing.
+  */
+class OperatorSpec extends SparkSpec {
+
+  test("join-based sector/isco/estimate == pure scoring") {
+    import spark.implicits._
+    val cases = Seq(
+      ("c1", Dims.occupationByIsco("251").essential, "Germany"),
+      ("c2", Dims.occupationByIsco("222").essential, "Poland"),
+      ("c3", Dims.occupationByIsco("122").essential ++ Dims.occupationByIsco("122").optional, "France"),
+      ("c4", Dims.occupationByIsco("721").essential.take(1), "Sweden"))
+    val convSkills = cases.flatMap { case (c, sk, _) => sk.map(s => (c, s)) }.toDF("conv_id", "skill")
+    val convLoc = cases.map { case (c, _, l) => (c, l) }.toDF("conv_id", "location")
+
+    val sectors = Scoring.sectors(convSkills).as[(String, String)].collect().toMap
+    val isco = Scoring.isco3(convSkills).as[(String, String)].collect().toMap
+    val est = Scoring.estimates(Scoring.isco3(convSkills), convLoc).as[(String, Int)].collect().toMap
+    cases.foreach { case (c, sk, loc) =>
+      assert(sectors(c) == DictRules.sector(sk), s"sector $c")
+      assert(isco(c) == DictRules.isco3(sk), s"isco $c")
+      assert(est(c) == DictRules.estimateSalary(sk, Some(loc)).get, s"estimate $c")
+    }
+  }
+
+  test("connected components: two triangles plus an isolate") {
+    import spark.implicits._
+    val vertices = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val comp = ConnectedComponents.run(vertices, edges).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).map(comp).distinct == Seq(1L))
+    assert(Seq(4L, 5L, 6L).map(comp).distinct == Seq(4L))
+    assert(comp(7L) == 7L)
+  }
+
+  test("linking canonicalizes suffix variants to the most frequent surface") {
+    import spark.implicits._
+    val mentions = (Seq.fill(5)("Acme Industries") ++ Seq("Acme Industries GmbH", "Acme Industries Ltd") ++
+      Seq.fill(4)("Globex Corporation") ++ Seq("Globex Corporation Inc"))
+      .toDF("surface")
+    val canon = Linking.canonicalize(mentions).as[(String, String)].collect().toMap
+    assert(canon("Acme Industries GmbH") == "Acme Industries")
+    assert(canon("Acme Industries Ltd") == "Acme Industries")
+    assert(canon("Globex Corporation Inc") == "Globex Corporation")
+    assert(canon("Acme Industries") == "Acme Industries")
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")
+    val d = Dedup.exact(docs, "doc_id", "text").as[(String, Long, Long)].collect()
+    assert(d.length == 2)
+    val byKeep = d.map(r => r._2 -> r._3).toMap
+    assert(byKeep(1L) == 2L && byKeep(3L) == 1L)
+  }
+
+  test("minhash dedup clusters near-duplicates, not distinct docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val nearDup = base.replace("tonight", "today")
+    val other = "completely different content about databases and distributed systems at large scale"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val keep = Dedup.minHashDedup(docs, "doc_id", "text", maxDistance = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(keep(1L) == 1L && keep(2L) == 1L && keep(3L) == 3L)
+  }
+
+  test("simhash: near-dups are closer than unrelated; banding finds exact dups") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val other = "unrelated words entirely distinct tokens about warehouses and shipping"
+    val dNear = java.lang.Long.bitCount(Dedup.simHash64(base) ^ Dedup.simHash64(base + " omicron"))
+    val dFar = java.lang.Long.bitCount(Dedup.simHash64(base) ^ Dedup.simHash64(other))
+    assert(dNear < dFar, s"near=$dNear far=$dFar")
+    val docs = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.simHashCandidates(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("LSH ANN recall@5 >= 0.5 vs brute force on testdata embeddings") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = SimilaritySearch.bruteForceTopK(q, e, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = SimilaritySearch.lshTopK(q, e, 5, bands = 8, bandBits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(f"lsh recall@5 = $recall%.2f (candidates-limited; brute force is the exact baseline)")
+    assert(recall >= 0.5)
+  }
+
+  test("multimodal plumbing: schema, feature shape, frame sampling") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.withFakeMedia(docs)
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("doc_id", "media_type", "width", "height", "payload"))
+    val feats = Multimodal.extractFeatures(media)
+    val row = feats.head()
+    assert(row.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    assert(feats.count() == docs.count())
+    val frames = Multimodal.sampleFrames(media.limit(10), 4)
+    assert(frames.count() == 40)
+  }
+
+  test("section tagger f1 >= 0.8 on held-out conversations") {
+    val train = KgPipeline.taggerTrainingFrame(spark, nConvs = 250, firstConv = 2000000L)
+    val heldOut = KgPipeline.taggerTrainingFrame(spark, nConvs = 80, firstConv = 3000000L)
+    val tagger = graft.ml.SectionTagger.train(train)
+    val pred = graft.ml.SectionTagger.predict(tagger, heldOut.withColumnRenamed("category", "category_true"))
+      .withColumnRenamed("category", "category_pred")
+      .withColumnRenamed("category_true", "category")
+    val f1 = graft.ml.SectionTagger.weightedF1(pred)
+    info(f"held-out weighted f1 = $f1%.3f (reference anchor: 0.80, README.md:9)")
+    assert(f1 >= 0.8)
+  }
+}
