@@ -9,7 +9,7 @@ package graft
 object ScalingBench {
 
   def main(args: Array[String]): Unit = {
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "6000").toLong
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "40000").toLong
     val levels = Seq(8, 32)
 
     val results = levels.map { cores =>

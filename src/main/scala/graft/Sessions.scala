@@ -19,6 +19,11 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // keep AQE from coalescing mid-size shuffles below the core count —
+      // the conv-level mapGroups stage must fan out to every executor
+      // (advisory default 64 MB serializes it at bench scale; on a real
+      // cluster inputs dwarf this and the knob is moot)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       // broadcast threshold tuned explicitly (north_rule): every dim table
       // in this engine is < 8 MB by construction; fact-fact joins must
       // never be broadcast accidentally.

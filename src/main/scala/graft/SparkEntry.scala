@@ -153,6 +153,34 @@ object SparkEntry {
         .filter(SimilaritySearch.cosine(col("va"), col("vb")) >= 0.3)
         .agg(count(lit(1)).as("n_pairs"))
     }),
+    "q26_rollup" -> ((s, d) =>
+      t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("bigint").as("sum_qty"))),
+    "q27_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("source"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("source"), col("sh").as("sh_b"))
+      a.join(b, "source").filter(col("id_a") < col("id_b"))
+        .withColumn("jac", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jac") > 0.05)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+    }),
+    "q28_set_ops" -> ((s, d) => {
+      val withOrders = t(s, d, "orders").select(col("o_custkey").as("k")).distinct()
+      val rich = t(s, d, "customer").filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+      withOrders.intersect(rich).agg(count(lit(1)).as("cnt")).withColumn("op", lit("intersect"))
+        .union(withOrders.except(rich).agg(count(lit(1)).as("cnt")).withColumn("op", lit("except")))
+    }),
+    "q29_having" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") > 20)),
+    "q30_running_total" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events").select(col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("run_total"))
+    }),
     // ---------------- rows-only checks (no ANSI-SQL equivalent) ----------------
     "q19_minhash_dedup" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -273,6 +301,32 @@ object SparkEntry {
          | FROM embeddings q, embeddings c
          | WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rk <= 5""".stripMargin
     },
+    "q26_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q27_ngram_jaccard" -> {
+      val toks = "regexp_split_to_array(lower(text), '\\s+')"
+      val sh = s"list_distinct(list_transform(range(0, greatest(len($toks) - 3, 0) + 1), i -> array_to_string(($toks)[i+1:i+3], ' ')))"
+      s"""WITH sh AS (SELECT doc_id, source, $sh AS sh FROM documents),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |   greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)::DOUBLE AS jac
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(jac, 4) AS jac FROM j WHERE jac > 0.05""".stripMargin
+    },
+    "q28_set_ops" ->
+      """SELECT count(*) AS cnt, 'intersect' AS op FROM
+        | (SELECT DISTINCT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |UNION ALL
+        |SELECT count(*) AS cnt, 'except' AS op FROM
+        | (SELECT DISTINCT o_custkey FROM orders EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin,
+    "q29_having" ->
+      "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1 HAVING count(*) > 20",
+    "q30_running_total" ->
+      """SELECT user_id, event_id,
+        | (sum(value::DECIMAL(18,6)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS run_total
+        |FROM events""".stripMargin,
     "q18_near_dup_count" -> {
       val dim = 64
       val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
