@@ -40,11 +40,11 @@ object KgPipeline {
     val convs = ConvFinalize.run(extracted).cache()
 
     val convSkills = convs.select(col("conv_id"), explode(col("skills")).as("skill"))
-    val sectors = Scoring.sectors(convSkills)
-    val isco = Scoring.isco3(convSkills)
+    val si = Scoring.sectorAndIsco(convSkills).cache()
+    val sectors = si.select("conv_id", "sector")
     val convLoc = convs.toDF().select(col("conv_id"), col("location"))
       .filter(col("location").isNotNull)
-    val estimates = Scoring.estimates(isco, convLoc)
+    val estimates = Scoring.estimates(si.select("conv_id", "isco3"), convLoc)
 
     val orgMentions = convs.toDF().select(explode(col("orgs")).as("surface"))
     val orgCanonical = Linking.canonicalize(orgMentions)

@@ -115,9 +115,10 @@ object PipelineMain {
     if (active("s6_triples")) {
       val convs = spark.read.parquet(path("s4_conv")).as[ConvExtract]
       val convSkills = convs.select(col("conv_id"), explode(col("skills")).as("skill"))
-      val sectors = Scoring.sectors(convSkills)
+      val si = Scoring.sectorAndIsco(convSkills).cache()
+      val sectors = si.select("conv_id", "sector")
       val estimates = Scoring.estimates(
-        Scoring.isco3(convSkills),
+        si.select("conv_id", "isco3"),
         convs.toDF().select(col("conv_id"), col("location")).filter(col("location").isNotNull))
       val canon = spark.read.parquet(path("s5_entities"))
       val triples = TripleEmit.run(convs, sectors, estimates, canon)

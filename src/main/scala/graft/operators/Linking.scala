@@ -12,10 +12,43 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Size-adaptive entry point: a graph that fits on the driver (entity
+    * vocabularies usually do, even when the mention table has 10^12 rows —
+    * the distinct() collapse happens upstream) is solved with a local
+    * union-find in one collect job; larger graphs take the iterative
+    * distributed path. The threshold is edges+vertices rows.
+    */
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
+      localThreshold: Long = 500000L)(implicit spark: SparkSession): DataFrame = {
+    val vCount = vertices.count()
+    if (vCount <= localThreshold) runLocal(vertices, edges)
+    else runDistributed(vertices, edges, maxIter)
+  }
+
+  private def runLocal(vertices: DataFrame, edges: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val vs = vertices.select(col("id")).as[Long].collect()
+    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap(vs.map(v => v -> v): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    vs.map(v => (v, find(v))).toSeq.toDF("id", "component")
+  }
+
   /** vertices(id: Long), edges(src: Long, dst: Long) -> (id, component)
     * where component = min vertex id of the component.
     */
-  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20)(
+  def runDistributed(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20)(
       implicit spark: SparkSession): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -61,9 +94,62 @@ object Linking {
     * vocabulary scale before any pairwise work, and LSH bands bound the
     * candidate pairs instead of an O(n²) self-join.
     */
-  def canonicalize(mentions: DataFrame, jaccardDistance: Double = 0.5)(
+  def canonicalize(mentions: DataFrame, jaccardDistance: Double = 0.5,
+      localThreshold: Long = 20000L)(implicit spark: SparkSession): DataFrame = {
+    val counts = mentions.groupBy("surface").agg(count(lit(1)).as("freq")).cache()
+    val n = counts.count()
+    if (n <= localThreshold) canonicalizeLocal(counts, jaccardDistance)
+    else canonicalizeLsh(counts, jaccardDistance)
+  }
+
+  /** Driver-side path for entity vocabularies that fit in memory after the
+    * distinct-surface collapse (one collect; shingle inverted index bounds
+    * the candidate pairs, then union-find + frequency-mode canonical).
+    */
+  private def canonicalizeLocal(counts: DataFrame, jaccardDistance: Double)(
       implicit spark: SparkSession): DataFrame = {
-    val counts = mentions.groupBy("surface").agg(count(lit(1)).as("freq"))
+    import spark.implicits._
+    val rows = counts.select(col("surface"), col("freq")).as[(String, Long)].collect()
+    def sh(s: String): Set[String] = {
+      val l = s.toLowerCase
+      if (l.length < 3) Set(l) else (0 to l.length - 3).map(i => l.substring(i, i + 3)).toSet
+    }
+    val shingles = rows.map { case (s, _) => sh(s) }
+    // inverted index: shingle -> surface indices (bounds pair generation)
+    val inv = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    shingles.zipWithIndex.foreach { case (ss, i) =>
+      ss.foreach(g => inv.getOrElseUpdate(g, scala.collection.mutable.ArrayBuffer.empty) += i)
+    }
+    val parent = Array.tabulate(rows.length)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); parent(x) = r; r }
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    inv.values.foreach { idxs =>
+      if (idxs.length > 1) {
+        for (i <- idxs.indices; j <- (i + 1) until idxs.length) {
+          val (a, b) = (idxs(i), idxs(j))
+          val key = a.toLong * rows.length + b
+          if (!seen.contains(key)) {
+            seen += key
+            val inter = (shingles(a) intersect shingles(b)).size.toDouble
+            val jac = inter / (shingles(a) union shingles(b)).size
+            if (1.0 - jac <= jaccardDistance) {
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+            }
+          }
+        }
+      }
+    }
+    val byComp = rows.indices.groupBy(find)
+    val out = byComp.flatMap { case (_, members) =>
+      val canon = members.minBy(i => (-rows(i)._2, rows(i)._1))
+      members.map(i => (rows(i)._1, rows(canon)._1))
+    }.toSeq
+    out.toDF("surface", "canonical")
+  }
+
+  private def canonicalizeLsh(counts: DataFrame, jaccardDistance: Double)(
+      implicit spark: SparkSession): DataFrame = {
     val nodes = counts
       .withColumn("id", xxhash64(lower(col("surface"))))
       .withColumn("shingles", shingles(col("surface")))

@@ -75,4 +75,47 @@ object Scoring {
     isco.join(convLoc, "conv_id")
       .join(broadcast(estimateDim), Seq("location", "isco3"))
       .select("conv_id", "estimated_salary")
+
+  /** Single-pass variant used by the pipeline: ONE broadcast join + ONE
+    * partial-aggregated shuffle + ONE mapGroups computes the NACE sector
+    * argmax and the whole 3-level ISCO walk together. The per-op functions
+    * above are the readable reference implementations (the differential
+    * spec pins this fast path against them); at bench scale the 12-stage
+    * chain of windows/joins was pure scheduling latency.
+    * Returns (conv_id, sector, isco3).
+    */
+  def sectorAndIsco(convSkills: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val weights = {
+      val nace = DictRules.naceWeightRows.map { case (node, skill, w) => (0, node, skill, w) }
+      val isco = DictRules.iscoWeightRows.map { case (l, node, skill, w) => (l, node, skill, w) }
+      spark.createDataFrame(nace ++ isco).toDF("level", "node", "skill", "w")
+    }
+    val naceNameMap = Dims.naceName
+    convSkills
+      .join(broadcast(weights), "skill")
+      .groupBy(col("conv_id"), col("level"), col("node"))
+      .agg(sum("w").as("score"))
+      .select(col("conv_id"), col("level"), col("node"), col("score"))
+      .as[(String, Int, String, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (convId, it) =>
+        val rows = it.toArray
+        // first-max-in-node-order argmax (node codes ascending)
+        def argmax(level: Int, prefix: String): Option[String] = {
+          val cand = rows.filter(r => r._2 == level && r._3.startsWith(prefix)).sortBy(_._3)
+          if (cand.isEmpty) None
+          else {
+            var best = cand.head
+            cand.tail.foreach(c => if (c._4 > best._4) best = c)
+            Some(best._3)
+          }
+        }
+        val sector = argmax(0, "").map(naceNameMap).getOrElse("")
+        var prefix = ""
+        (1 to 3).foreach(l => prefix = argmax(l, prefix).getOrElse(prefix))
+        (convId, sector, prefix)
+      }
+      .toDF("conv_id", "sector", "isco3")
+  }
 }

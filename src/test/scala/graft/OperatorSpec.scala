@@ -31,14 +31,32 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("connected components: two triangles plus an isolate") {
+  test("connected components: local union-find and distributed paths agree") {
     import spark.implicits._
     val vertices = (1L to 7L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
-    val comp = ConnectedComponents.run(vertices, edges).as[(Long, Long)].collect().toMap
-    assert(Seq(1L, 2L, 3L).map(comp).distinct == Seq(1L))
-    assert(Seq(4L, 5L, 6L).map(comp).distinct == Seq(4L))
-    assert(comp(7L) == 7L)
+    Seq(500000L, 0L).foreach { threshold => // local, then forced-distributed
+      val comp = ConnectedComponents.run(vertices, edges, localThreshold = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(Seq(1L, 2L, 3L).map(comp).distinct == Seq(1L), s"t=$threshold")
+      assert(Seq(4L, 5L, 6L).map(comp).distinct == Seq(4L), s"t=$threshold")
+      assert(comp(7L) == 7L, s"t=$threshold")
+    }
+  }
+
+  test("single-pass sectorAndIsco == per-op scoring") {
+    import spark.implicits._
+    val cases = Seq(
+      ("c1", Dims.occupationByIsco("251").essential),
+      ("c2", Dims.occupationByIsco("222").essential),
+      ("c3", Dims.occupationByIsco("833").essential :+ "communication skills"))
+    val convSkills = cases.flatMap { case (c, sk) => sk.map(s => (c, s)) }.toDF("conv_id", "skill")
+    val fast = Scoring.sectorAndIsco(convSkills).as[(String, String, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    cases.foreach { case (c, sk) =>
+      assert(fast(c)._1 == DictRules.sector(sk), s"sector $c")
+      assert(fast(c)._2 == DictRules.isco3(sk), s"isco $c")
+    }
   }
 
   test("linking canonicalizes suffix variants to the most frequent surface") {
@@ -46,11 +64,14 @@ class OperatorSpec extends SparkSpec {
     val mentions = (Seq.fill(5)("Acme Industries") ++ Seq("Acme Industries GmbH", "Acme Industries Ltd") ++
       Seq.fill(4)("Globex Corporation") ++ Seq("Globex Corporation Inc"))
       .toDF("surface")
-    val canon = Linking.canonicalize(mentions).as[(String, String)].collect().toMap
-    assert(canon("Acme Industries GmbH") == "Acme Industries")
-    assert(canon("Acme Industries Ltd") == "Acme Industries")
-    assert(canon("Globex Corporation Inc") == "Globex Corporation")
-    assert(canon("Acme Industries") == "Acme Industries")
+    Seq(20000L, 0L).foreach { threshold => // local union-find, then LSH path
+      val canon = Linking.canonicalize(mentions, localThreshold = threshold)
+        .as[(String, String)].collect().toMap
+      assert(canon("Acme Industries GmbH") == "Acme Industries", s"t=$threshold")
+      assert(canon("Acme Industries Ltd") == "Acme Industries", s"t=$threshold")
+      assert(canon("Globex Corporation Inc") == "Globex Corporation", s"t=$threshold")
+      assert(canon("Acme Industries") == "Acme Industries", s"t=$threshold")
+    }
   }
 
   test("exact dedup groups identical normalized texts") {
