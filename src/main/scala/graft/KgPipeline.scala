@@ -14,9 +14,13 @@ import graft.sources.TranscriptGen
   */
 object KgPipeline {
 
-  /** S1 — canonical clean chain as one codegen'd projection. */
+  /** S1 — canonical clean chain as one codegen'd projection (the
+    * precompiled clean_text expression; the pure-Column chain it is pinned
+    * against lives in operators.CleanText).
+    */
   def cleanTurns(turns: Dataset[Turn]): DataFrame =
-    turns.toDF().withColumn("text_clean", CleanText.clean(col("text")))
+    turns.toDF().withColumn("text_clean",
+      graft.functions.CleanFunctions.clean_text(col("text")))
 
   /** Training frame for the tagger: generator-labeled turns from a conv-id
     * region disjoint from any evaluation range (the reference trains on a
@@ -28,7 +32,7 @@ object KgPipeline {
     val labeled = spark.range(firstConv, firstConv + nConvs)
       .flatMap(i => TranscriptGen.labeledTurnsFor(i, seed).map { case (t, c) => (t.text, c) })
       .toDF("text", "category")
-    labeled.withColumn("text_clean", CleanText.clean(col("text")))
+    labeled.withColumn("text_clean", graft.functions.CleanFunctions.clean_text(col("text")))
       .select("text_clean", "category")
   }
 

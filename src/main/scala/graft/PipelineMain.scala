@@ -128,6 +128,10 @@ object PipelineMain {
       spark.read.parquet(path("s6_triples")).groupBy("pred").count()
         .withColumn("run_id", lit(runId)).withColumn("stage", lit("s6_triples"))
         .write.mode(SaveMode.Append).parquet(s"$out/metrics")
+      // wide-row TSV export (reference MySQL/TSV sink parity, S5/S6)
+      WideExport.exportTsv(WideExport.widen(spark.read.parquet(path("s6_triples"))),
+        path("s6_wide_tsv"))
+      println(s"[graft] s6_wide_tsv -> ${path("s6_wide_tsv")}")
     }
 
     spark.stop()

@@ -215,7 +215,8 @@ object SparkEntry {
     }),
     "q25_clean_chain" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
-        CleanText.clean(col("text")).as("text_clean"))))
+        CleanText.clean(col("text")).as("text_clean"))),
+    "q31_wide_export" -> ((s, d) => WideExport.widen(entry(s))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -336,13 +336,30 @@ object Rules {
   def defaultNormalHours(cleaned: String): Boolean =
     Dims.defaultNormalHoursStrings.exists(cleaned.contains)
 
+  /** word -> number lexicon (F12 — the reference's per-token
+    * `w2n.word_to_num` fallback, ExtractInfo.py:223-230; single tokens only,
+    * exactly like the try/except-per-token loop).
+    */
+  val numberWords: Map[String, Int] = Map(
+    "one" -> 1, "two" -> 2, "three" -> 3, "four" -> 4, "five" -> 5, "six" -> 6,
+    "seven" -> 7, "eight" -> 8, "nine" -> 9, "ten" -> 10, "eleven" -> 11,
+    "twelve" -> 12, "fifteen" -> 15, "twenty" -> 20, "thirty" -> 30,
+    "forty" -> 40, "fifty" -> 50, "sixty" -> 60)
+
+  def wordToNumberStr(s: String): String =
+    s.split("\\s+").map(t => numberWords.get(t).map(_.toString).getOrElse(t)).mkString(" ")
+
   /** TIME-span bank — our re-expression of spaCy TIME entities (SURVEY
-    * §2.6 X11): hour amounts/intervals and am/pm clock ranges.
+    * §2.6 X11): hour amounts/intervals, am/pm clock ranges, and written-out
+    * hour words (converted via F12 like the reference's no-digit branch,
+    * ExtractInfo.py:736-741).
     */
   private val pHourSpan = Pattern.compile(
     "\\d+(?:\\.\\d+)?(?:\\s*(?:to|-)\\s*\\d+(?:\\.\\d+)?)?\\s*(?:hours?|hrs)\\b")
   private val pClockRange = Pattern.compile(
     "\\d+(?:[.:]\\d+)?\\s*(?:am)?\\s*-\\s*\\d+(?:[.:]\\d+)?\\s*(?:am|pm)\\b")
+  private val pWordHour = Pattern.compile(
+    "\\b(" + numberWords.keys.toSeq.sorted.mkString("|") + ")\\s*(?:hours?|hrs)\\b")
 
   def timeSpans(cleaned: String): Seq[String] = {
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -352,6 +369,13 @@ object Rules {
         val t = m.group()
         if (!Dims.workHoursCommonKeywords.contains(t)) out += t
       }
+    }
+    // no-digit TIME spans go through word-to-number (kept only if the
+    // conversion produced a digit, mirroring the reference's check)
+    val m = pWordHour.matcher(cleaned)
+    while (m.find()) {
+      val conv = wordToNumberStr(m.group())
+      if (conv.exists(_.isDigit) && !out.contains(conv)) out += conv
     }
     out.toSeq
   }

@@ -80,7 +80,7 @@ object TranscriptGen {
       case 1 | 4 => 1500L + r.nextInt(65) * 100L // monthly 1500..7900
       case _ => 20000L + r.nextInt(70) * 1000L // yearly 20k..89k
     }
-    val hoursVariant = r.nextInt(4)
+    val hoursVariant = r.nextInt(5)
     val hoursAmount = Seq(35, 38, 40, 42)(r.nextInt(4))
     val empGroups = Dims.employmentGroups
     val g1 = empGroups(r.nextInt(empGroups.length))
@@ -152,7 +152,8 @@ object TranscriptGen {
     case 0 => s"Working time is ${f.hoursAmount} hours per week."
     case 1 => "Office hours are 9am - 5pm on weekdays."
     case 2 => "You can expect regular working hours at our office."
-    case _ => s"The role requires ${f.hoursAmount - 15}-${f.hoursAmount} hours per week."
+    case 3 => s"The role requires ${f.hoursAmount - 15}-${f.hoursAmount} hours per week."
+    case _ => "The schedule is forty hours each week." // F12 word-to-number path
   }
 
   /** (role, text, tool, category) — category is the generator-known section

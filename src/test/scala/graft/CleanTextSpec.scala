@@ -24,9 +24,12 @@ class CleanTextSpec extends SparkSpec {
     val inputs = (generated ++ edges).distinct
     val got = inputs.toDF("text")
       .withColumn("c", CleanText.clean(col("text")))
-      .select("text", "c").as[(String, String)].collect().toMap
+      .withColumn("f", graft.functions.CleanFunctions.clean_text(col("text")))
+      .select("text", "c", "f").as[(String, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
     inputs.foreach { in =>
-      assert(got(in) == Rules.cleanString(in), s"divergence on: ${in.take(80)}")
+      assert(got(in)._1 == Rules.cleanString(in), s"column-chain divergence on: ${in.take(80)}")
+      assert(got(in)._2 == Rules.cleanString(in), s"fast-expr divergence on: ${in.take(80)}")
     }
   }
 
