@@ -98,7 +98,7 @@ object PipelineMain {
 
     // ---- s4: per-conversation resolve ----
     if (active("s4_conv")) {
-      val extracted = spark.read.parquet(path("s3_extract")).as[TurnExtracted]
+      val extracted = spark.read.parquet(path("s3_extract"))
       ConvFinalize.run(extracted).write.mode(SaveMode.Overwrite).parquet(path("s4_conv"))
       lineage("s4_conv", spark.read.parquet(path("s4_conv")))
     }

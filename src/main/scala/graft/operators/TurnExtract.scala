@@ -2,15 +2,18 @@ package graft.operators
 
 import java.util.regex.Pattern
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.rules.Rules
+import graft.functions.ExtractFunctions.{extract_education, extract_salary}
 import graft.sources.Dims
 
-/** Per-turn extracted row: still one row per turn, extraction results as
-  * array columns. Narrow (no shuffle) — everything here happens inside one
-  * whole-stage-codegen'd projection plus a gated typed map.
+/** Salary fields of one gated turn (null struct = gate closed or no hit). */
+final case class SalStruct(values: Seq[Double], currencies: Seq[String],
+    cur_assoc: Seq[Double], sw_kw: Boolean)
+
+/** Per-turn extracted row — one row per turn, extraction results as array/
+  * struct columns. The s3 checkpoint schema.
   */
 final case class TurnExtracted(
     conv_id: String,
@@ -24,15 +27,13 @@ final case class TurnExtracted(
     locations: Seq[String],
     orgs: Seq[String],
     edu_phrases: Seq[String],
-    sal_values: Seq[Double],
-    sal_currencies: Seq[String],
-    sal_cur_assoc: Seq[Double],
-    sal_sw_keyword: Boolean)
+    sal: Option[SalStruct])
 
-/** S3 mention detection — rule extractors X1-X10 as Column expressions
-  * where builtins express them, with the two intricate row-local parsers
-  * (salary X6, education X10) as typed maps behind cheap Column gates so
-  * only gated rows pay the Scala cost (SURVEY §2.11).
+/** S3 mention detection — rule extractors X1-X10, all expressed as Column
+  * expressions (builtins where they fit, the two intricate parsers as
+  * native codegen'd expressions behind lazy `when()` gates). The whole
+  * stage is one narrow whole-stage-codegen projection: no shuffle, no
+  * object-encoder boundary (SURVEY §2.11).
   */
 object TurnExtract {
 
@@ -75,8 +76,8 @@ object TurnExtract {
           length(o) >= 3 && !array_contains(countryLit, o)))
   }
 
-  /** X1/X2 salary gate as a cheap Column so the typed parser only runs on
-    * gated rows (ExtractInfo.py:425-430).
+  /** X1/X2 salary gate as a cheap Column so the native parser expression
+    * only evaluates on gated rows (ExtractInfo.py:425-430).
     */
   def salaryGateCol(clean: Column): Column = {
     val combos = Dims.salaryCombinations
@@ -88,37 +89,20 @@ object TurnExtract {
     combos || kw || curWord || curSym
   }
 
-  final case class Gated(
-      conv_id: String, turn_idx: Int, role: String, tool: String,
-      text: String, text_clean: String, category: String,
-      emp_groups: Seq[String], locations: Seq[String], orgs: Seq[String],
-      sal_gate: Boolean, edu_gate: Boolean)
-
-  /** turns(+category) -> TurnExtracted. Input must carry
+  /** turns(+category) -> TurnExtracted-shaped DataFrame. Input must carry
     * conv_id, turn_idx, role, tool, text, text_clean, category.
     */
-  def extract(turns: DataFrame)(implicit spark: SparkSession): Dataset[TurnExtracted] = {
-    import spark.implicits._
+  def extract(turns: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val cl = col("text_clean")
     turns
       .withColumn("emp_groups", employmentGroupsCol(cl))
       .withColumn("locations", locationsCol(cl))
       .withColumn("orgs", orgsCol(col("text")))
-      .withColumn("sal_gate", salaryGateCol(cl))
-      .withColumn("edu_gate", col("category") === "education_requirements")
+      .withColumn("edu_phrases",
+        when(col("category") === "education_requirements", extract_education(cl))
+          .otherwise(typedlit(Seq.empty[String])))
+      .withColumn("sal", when(salaryGateCol(cl), extract_salary(cl)))
       .select("conv_id", "turn_idx", "role", "tool", "text", "text_clean", "category",
-        "emp_groups", "locations", "orgs", "sal_gate", "edu_gate")
-      .as[Gated]
-      .map { g =>
-        val edu = if (g.edu_gate) Rules.extractEducation(g.text_clean) else Seq.empty[String]
-        val sal = if (g.sal_gate) Rules.extractSalary(g.text_clean) else None
-        TurnExtracted(
-          g.conv_id, g.turn_idx, g.role, g.tool, g.text, g.text_clean, g.category,
-          g.emp_groups, g.locations, g.orgs, edu,
-          sal.map(_.values).getOrElse(Seq.empty),
-          sal.map(_.currencies).getOrElse(Seq.empty),
-          sal.map(_.currencyAssociated).getOrElse(Seq.empty),
-          sal.exists(_.surrounding.split("[\\s,]+").exists(Dims.salaryCommonKeywords.contains)))
-      }
+        "emp_groups", "locations", "orgs", "edu_phrases", "sal")
   }
 }

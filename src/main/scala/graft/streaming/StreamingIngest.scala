@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.model.Turn
-import graft.operators.{CleanText, TurnExtract, TurnExtracted}
+import graft.operators.{TurnExtract, TurnExtracted}
 
 /** Streaming surfaces.
   *
@@ -38,9 +38,9 @@ object StreamingIngest {
     * mode; conv-level resolution happens in the stateful operator or in the
     * batch compactor).
     */
-  def extractStream(turns: DataFrame)(implicit spark: SparkSession): Dataset[TurnExtracted] = {
+  def extractStream(turns: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val cleaned = turns
-      .withColumn("text_clean", CleanText.clean(col("text")))
+      .withColumn("text_clean", graft.functions.CleanFunctions.clean_text(col("text")))
       .withColumn("category", lit("description"))
     TurnExtract.extract(cleaned)
   }
@@ -52,10 +52,16 @@ object StreamingIngest {
     * employment-group set and emit the current priority winner whenever it
     * changes. Template for the other A1-A5 merges in streaming mode.
     */
-  def runningEmployment(extracted: Dataset[TurnExtracted])(
+  def runningEmployment(extracted: DataFrame)(
       implicit spark: SparkSession): Dataset[EmpUpdate] = {
     import spark.implicits._
     extracted
+      .select("conv_id", "turn_idx", "emp_groups")
+      .as[(String, Int, Seq[String])]
+      .map { case (cid, idx, groups) =>
+        TurnExtracted(cid, idx, null, null, null, null, null, groups,
+          Nil, Nil, Nil, None)
+      }
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (convId: String, turns: Iterator[TurnExtracted], state: GroupState[EmpState]) => {

@@ -1,0 +1,59 @@
+package graft
+
+import graft.sources.TranscriptGen
+
+/** Physical-plan assertions: the optimizations the engine depends on at
+  * 100 TB must actually appear in the executed plan — broadcast joins for
+  * every dim, predicate pushdown + column pruning into the parquet scans,
+  * whole-stage codegen over the hot projections. `.explain`-and-iterate,
+  * frozen as tests.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("dim joins broadcast (q02: nation/region sides)") {
+    val p = planOf("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("filter pushdown reaches the parquet scan (q01 shipdate)") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
+  }
+
+  test("column pruning: fingerprint scan reads only doc_id,text") {
+    val p = planOf("q14_fingerprint")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("n_chars"), read)
+  }
+
+  test("whole-stage codegen covers the clean projection; extract stays one narrow stage") {
+    import spark.implicits._
+    val turns = TranscriptGen.dataset(spark, 5)
+    val p = operators.TurnExtract
+      .extract(KgPipeline.cleanTurns(turns).withColumn("category",
+        org.apache.spark.sql.functions.lit("description")))(spark)
+      .queryExecution.executedPlan.toString
+    // `*(n)` = codegen'd span containing the clean_text projection; the
+    // extract projection uses higher-order functions (CodegenFallback by
+    // design in Spark) but must stay shuffle-free and object-boundary-free
+    assert(p.contains("clean_text"), p.take(1500))
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("clean_text")), p.take(1500))
+    assert(!p.contains("Exchange"), "extract stage must be narrow")
+    assert(!p.contains("DeserializeToObject") ||
+      !p.linesIterator.exists(l => l.contains("extract_salary") && l.contains("Deserialize")),
+      "no object boundary in the extract projection")
+  }
+
+  test("partial aggregation (map-side combine) in the scoring groupBy") {
+    import spark.implicits._
+    val convSkills = Seq(("c1", "python programming")).toDF("conv_id", "skill")
+    val p = operators.Scoring.sectorAndIsco(convSkills)(spark)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") && p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+}
