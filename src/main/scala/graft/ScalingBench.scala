@@ -12,12 +12,17 @@ object ScalingBench {
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "40000").toLong
     val levels = Seq(8, 32)
 
+    // Two measured repetitions per level, keep the per-level minimum: the
+    // sandbox host injects large random interference (see BENCH_SCALING.md);
+    // min-of-N isolates the code's own scaling behavior.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = levels.map { cores =>
       val spark = Sessions.local(cores, appName = s"graft-scaling-$cores")
       spark.sparkContext.setLogLevel("WARN")
-      // warm-up: small run to JIT/codegen before the measured run
+      // warm-up: small run to JIT/codegen before the measured runs
       Bench.kgPipeline(spark, 200)
-      val (nTurns, nTriples, sec) = Bench.kgPipeline(spark, nConvs)
+      val runs = (1 to reps).map(_ => Bench.kgPipeline(spark, nConvs))
+      val (nTurns, nTriples, sec) = runs.minBy(_._3)
       spark.stop()
       (cores, nTurns, nTriples, sec, nTurns / sec)
     }
