@@ -65,17 +65,28 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
   }
 
-  /** Near-dup clusters: LSH candidates → connected components → (id,
-    * representative keep_id = component min).
+  /** Near-dup clusters: exact-dedup collapse first (standard in
+    * training-data pipelines — identical texts never reach the LSH), then
+    * LSH candidates over the exact representatives → connected components →
+    * (id, representative keep_id = component min), composed back over the
+    * exact groups.
     */
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, maxDistance: Double = 0.5)(
       implicit spark: SparkSession): DataFrame = {
-    val edges = minHashCandidates(docs, idCol, textCol, shingleK, maxDistance = maxDistance)
+    val withFp = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val exactRep = withFp.groupBy("fp").agg(min("id").as("rep_id")).cache()
+    val reps = withFp.join(exactRep, "fp")
+      .filter(col("id") === col("rep_id"))
+      .select(col("id"), col("text"))
+    val edges = minHashCandidates(reps, "id", "text", shingleK, maxDistance = maxDistance)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val vertices = docs.select(col(idCol).cast("long").as("id")).distinct()
-    ConnectedComponents.run(vertices, edges)
-      .select(col("id"), col("component").as("keep_id"))
+    val repComp = ConnectedComponents.run(reps.select("id"), edges)
+    // id -> exact rep -> near-dup component
+    withFp.join(exactRep, "fp")
+      .join(repComp, col("rep_id") === repComp("id"))
+      .select(withFp("id"), col("component").as("keep_id"))
   }
 
   // ------------------------------------------------------------------
