@@ -1,0 +1,21 @@
+package graft
+
+/** Single-query timing harness for iterating on one SparkEntry query at a
+  * time (Bench runs the whole headline set). Diagnostic only.
+  * Usage: runMain graft.QBench q19_minhash_dedup [more names...]
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      appName = "graft-qbench")
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val (n1, t1) = Bench.time(fn(spark, sfDir).count())
+      val (_, t2) = Bench.time(fn(spark, sfDir).count())
+      println(f"[qbench] $name rows=$n1 warm=$t1%.2f s second=$t2%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,8 +29,17 @@ object Dedup {
   // Word shingles + exact Jaccard (n-gram Jaccard scoring)
   // ------------------------------------------------------------------
 
-  /** k-word shingles of the lowercased text, distinct, as a Column. */
-  def wordShingles(c: Column, k: Int): Column = {
+  /** k-word shingles of the lowercased text, distinct, as a Column —
+    * the codegen'd scanner expression (regex-free hot path).
+    */
+  def wordShingles(c: Column, k: Int): Column =
+    graft.functions.ShingleFunctions.word_shingles(c, k)
+
+  /** Pure-Column twin of [[wordShingles]] — kept as the differential pin
+    * for the scanner expression (ShinglesSpec) and as the declarative
+    * documentation of its semantics.
+    */
+  def wordShinglesColumn(c: Column, k: Int): Column = {
     val t = split(lower(c), "\\s+")
     array_distinct(
       transform(sequence(lit(0), greatest(size(t) - k, lit(0))),
@@ -46,23 +54,65 @@ object Dedup {
   // MinHash + LSH near-dup
   // ------------------------------------------------------------------
 
-  /** Candidate near-duplicate pairs (id_a < id_b, jaccard distance ≤
-    * maxDistance) via MinHashLSH banding — never an O(n²) self-join.
+  /** Banded-minhash candidate pairs over a `(id: Long, shingles:
+    * array<string>)` frame — the scale-shape shared by minHashDedup and
+    * entity Linking. Signature rows are `min(xxhash64(seed, i, shingle))`;
+    * each band of `rowsPerBand` rows hashes to one bucket; candidates are
+    * pairs sharing any (band, bucket). Everything is codegen'd Column
+    * math — no MLlib sparse vectors, no per-pair high-dim distance.
+    *
+    * Skew guard (north_star "salted joins for skew-heavy keys"):
+    * candidate generation inside a bucket is quadratic, so buckets larger
+    * than `bucketCap` are dropped before the self-join — degenerate
+    * buckets (boilerplate/empty shingle sets) would otherwise dominate
+    * the shuffle at corpus scale. The banding itself is the salt: a pair
+    * dropped from one oversized band bucket still surfaces through its
+    * other `bands - 1` buckets.
+    */
+  def bandedMinHashPairs(nodes: DataFrame, bands: Int = 12, rowsPerBand: Int = 2,
+      bucketCap: Int = 2000, seed: Int = 42): DataFrame = {
+    // all band buckets in one codegen'd pass over the shingle array
+    // (graft.functions.MinHashBandsExpr); bucket ids are band-salted longs
+    val sig = graft.functions.MinHashFunctions.minhash_bands(
+      col("shingles"), bands, rowsPerBand, seed.toLong)
+    // materialize the exploded (id, band, bucket) rows once: they feed the
+    // bucket-size census AND both sides of the self-join
+    val banded = nodes
+      .select(col("id"), posexplode(sig).as(Seq("band", "bucket")))
+      .localCheckpoint()
+    val ok = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= bucketCap)
+      .select("band", "bucket")
+    val kept = banded.join(ok, Seq("band", "bucket"))
+    val a = kept.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = kept.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Candidate near-duplicate pairs (id_a < id_b, exact jaccard distance ≤
+    * maxDistance): banded-minhash blocking, then exact Jaccard verification
+    * on the shingle sets of surviving pairs only — never an O(n²)
+    * self-join, and never a per-candidate high-dimensional distance.
+    * (Replaces round 1's MLlib `approxSimilarityJoin`, whose r=1 hash
+    * tables + 2^18-dim sparse keyDistance made q19 95% of the bench.)
     */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numTables: Int = 6, maxDistance: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+      shingleK: Int = 3, maxDistance: Double = 0.5,
+      bands: Int = 12, rowsPerBand: Int = 2, bucketCap: Int = 2000): DataFrame = {
+    val sh = docs.select(col(idCol).cast("long").as("id"),
       wordShingles(col(textCol), shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val htf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feats = htf.transform(sh)
-    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numTables).setSeed(42)
-    val model = mh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, maxDistance, "dist")
-      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"), col("dist"))
-      .filter(col("id_a") < col("id_b"))
+      .localCheckpoint() // shingles feed banding AND the pair verification
+    val pairs = bandedMinHashPairs(sh, bands, rowsPerBand, bucketCap)
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("dist", lit(1.0) - jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("dist") <= maxDistance)
+      .select("id_a", "id_b", "dist")
   }
 
   /** Near-dup clusters: exact-dedup collapse first (standard in
@@ -74,12 +124,17 @@ object Dedup {
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, maxDistance: Double = 0.5)(
       implicit spark: SparkSession): DataFrame = {
+    // each stage materialized exactly once (localCheckpoint = executor-side
+    // blocks, no driver roundtrip): fingerprints feed the exact collapse
+    // AND the final compose; reps feed LSH, the CC vertex set, and verify
     val withFp = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-    val exactRep = withFp.groupBy("fp").agg(min("id").as("rep_id")).cache()
+      .localCheckpoint()
+    val exactRep = withFp.groupBy("fp").agg(min("id").as("rep_id")).localCheckpoint()
     val reps = withFp.join(exactRep, "fp")
       .filter(col("id") === col("rep_id"))
       .select(col("id"), col("text"))
+      .localCheckpoint()
     val edges = minHashCandidates(reps, "id", "text", shingleK, maxDistance = maxDistance)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val repComp = ConnectedComponents.run(reps.select("id"), edges)

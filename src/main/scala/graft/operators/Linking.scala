@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,14 +15,25 @@ object ConnectedComponents {
     * vocabularies usually do, even when the mention table has 10^12 rows —
     * the distinct() collapse happens upstream) is solved with a local
     * union-find in one collect job; larger graphs take the iterative
-    * distributed path. The threshold is edges+vertices rows.
+    * distributed path. The threshold is edges+vertices rows: LSH candidate
+    * edges are quadratic inside dense near-dup families, so a graph under
+    * the vertex budget can still carry an edge list that must never be
+    * collected to the driver.
     */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
       localThreshold: Long = 500000L)(implicit spark: SparkSession): DataFrame = {
-    val vCount = vertices.count()
-    if (vCount <= localThreshold) runLocal(vertices, edges)
-    else runDistributed(vertices, edges, maxIter)
+    // materialize edges once: the size gate counts them, then whichever
+    // path wins consumes them without recomputing the candidate join
+    val e = edges.localCheckpoint()
+    if (choosesLocal(vertices.count(), e.count(), localThreshold)) runLocal(vertices, e)
+    else runDistributed(vertices, e, maxIter)
   }
+
+  /** The gate, separated for direct testing: local only when the TOTAL
+    * driver-collected row count (vertices + edges) fits the budget.
+    */
+  private[operators] def choosesLocal(vCount: Long, eCount: Long, localThreshold: Long): Boolean =
+    vCount + eCount <= localThreshold
 
   private def runLocal(vertices: DataFrame, edges: DataFrame)(
       implicit spark: SparkSession): DataFrame = {
@@ -156,15 +166,14 @@ object Linking {
       .filter(size(col("shingles")) > 0)
       .localCheckpoint()
 
-    val htf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feats = htf.transform(nodes)
-    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(4).setSeed(42)
-    val model = mh.fit(feats)
-    val pairs = model.approxSimilarityJoin(feats, feats, jaccardDistance, "dist")
-      .select(col("datasetA.id").as("src"), col("datasetB.id").as("dst"))
-      .filter(col("src") < col("dst"))
+    // banded-minhash blocking + exact Jaccard verify (shared with Dedup —
+    // same plan shape, same bucket-cap skew guard)
+    val cand = Dedup.bandedMinHashPairs(nodes.select("id", "shingles"))
+    val pairs = cand
+      .join(nodes.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(nodes.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .filter(lit(1.0) - Dedup.jaccard(col("sh_a"), col("sh_b")) <= jaccardDistance)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
 
     val comps = ConnectedComponents.run(nodes.select("id"), pairs)
     val labeled = nodes.join(comps, "id")
