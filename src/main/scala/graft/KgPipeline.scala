@@ -36,11 +36,14 @@ object KgPipeline {
       .select("text_clean", "category")
   }
 
-  /** S2-S6 from cleaned turns to triples. */
-  def triplesFromCleaned(cleaned: DataFrame, tagger: SectionTagger.Trained)(
+  /** S2-S6 from cleaned turns to triples. `extractDates` is the X5 flag
+    * (reference ships it disabled — ExtractInfo.py:131-132).
+    */
+  def triplesFromCleaned(cleaned: DataFrame, tagger: SectionTagger.Trained,
+      extractDates: Boolean = false)(
       implicit spark: SparkSession): Dataset[Triple] = {
     val tagged = SectionTagger.predict(tagger, cleaned)
-    val extracted = TurnExtract.extract(tagged)
+    val extracted = TurnExtract.extract(tagged, extractDates)
     val convs = ConvFinalize.run(extracted).cache()
 
     val convSkills = convs.select(col("conv_id"), explode(col("skills")).as("skill"))
@@ -56,7 +59,8 @@ object KgPipeline {
     TripleEmit.run(convs, sectors, estimates, orgCanonical)
   }
 
-  def computeTriples(turns: Dataset[Turn], tagger: SectionTagger.Trained)(
+  def computeTriples(turns: Dataset[Turn], tagger: SectionTagger.Trained,
+      extractDates: Boolean = false)(
       implicit spark: SparkSession): Dataset[Triple] =
-    triplesFromCleaned(cleanTurns(turns), tagger)
+    triplesFromCleaned(cleanTurns(turns), tagger, extractDates)
 }

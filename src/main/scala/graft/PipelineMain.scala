@@ -92,7 +92,9 @@ object PipelineMain {
     if (active("s3_extract")) {
       val cleaned = spark.read.parquet(path("s1_clean"))
       val tagged = SectionTagger.predict(loadTagger(), cleaned)
-      TurnExtract.extract(tagged).write.mode(SaveMode.Overwrite).parquet(path("s3_extract"))
+      val extractDates = a.getOrElse("extract-dates", "false").toBoolean // X5 flag
+      TurnExtract.extract(tagged, extractDates)
+        .write.mode(SaveMode.Overwrite).parquet(path("s3_extract"))
       lineage("s3_extract", spark.read.parquet(path("s3_extract")))
     }
 

@@ -199,9 +199,16 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       SimilaritySearch.lshTopK(e.filter(col("vec_id") < 20), e, 5)
     }),
+    // features arrive as array<float> (hist/n); the driver's compare needs
+    // sortable scalars, so recover the integer byte-histogram exactly:
+    // round(f_k * n_bytes) is exact while n_bytes << 2^23 (float mantissa)
     "q22_multimodal_features" -> ((s, d) => {
       implicit val sp: SparkSession = s
-      Multimodal.extractFeatures(Multimodal.withFakeMedia(t(s, d, "documents")))
+      val feats = Multimodal.extractFeatures(Multimodal.withFakeMedia(t(s, d, "documents")))
+      val hs = (0 until 8).map(k =>
+        round(element_at(col("features"), k + 1).cast("double") * col("n_bytes"))
+          .cast("bigint").as(s"h$k"))
+      feats.select((Seq(col("doc_id"), col("media_type"), col("n_bytes")) ++ hs): _*)
     }),
     "q23_kg_triples" -> ((s, d) => entry(s)),
     "q24_entity_linking" -> ((s, d) => {
@@ -328,6 +335,19 @@ object SparkEntry {
         | (sum(value::DECIMAL(18,6)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS run_total
         |FROM events""".stripMargin,
+    // the multimodal stub's feature = byte-histogram/n over the UTF-8
+    // payload; DuckDB recomputes the histogram from hex(encode(text))
+    "q22_multimodal_features" -> {
+      val buckets = "list_transform(range(1, octet_length(p)+1), " +
+        "i -> ('0x' || substr(hex(p), 2*i-1, 2))::INT // 32)"
+      val hs = (0 until 8)
+        .map(k => s" len(list_filter($buckets, x -> x = $k))::BIGINT AS h$k")
+        .mkString(",\n|")
+      s"""WITH e AS (SELECT doc_id, encode(text) AS p FROM documents)
+         |SELECT doc_id, 'image/png' AS media_type, octet_length(p)::INT AS n_bytes,
+         |$hs
+         |FROM e""".stripMargin
+    },
     "q18_near_dup_count" -> {
       val dim = 64
       val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"

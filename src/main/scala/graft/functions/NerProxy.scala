@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.rules.Rules
+
+/** NER-proxy features for the section tagger (SURVEY §7.4's substitution
+  * for the reference's spaCy POS/NER count features, M3/M4,
+  * ClassifyUsingSavedModel.py:157-184): instead of a parser, count the
+  * extraction rule bank's own pattern hits per turn — locations
+  * (gazetteer), employment keywords, currency tokens/symbols, time spans,
+  * degree phrases. These are exactly the entity families the downstream
+  * extractors look for, so they carry the same signal the reference got
+  * from NER counts, computed by the same battle-tested rules.
+  *
+  * Output: array<double> [loc, emp, cur, hour, edu] hit counts.
+  */
+object NerProxyFast {
+  val names: Seq[String] = Seq("ner_loc", "ner_emp", "ner_cur", "ner_hour", "ner_edu")
+
+  def counts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    new GenericArrayData(Array[Double](
+      Rules.extractLocations(str).size.toDouble,
+      Rules.employmentSurfaces(str).size.toDouble,
+      Rules.currencyHits(str).toDouble,
+      Rules.timeSpans(str).size.toDouble,
+      Rules.extractEducation(str).size.toDouble))
+  }
+}
+
+case class NerProxyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "ner_proxy_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    NerProxyFast.counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NerProxyFast.counts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NerProxyExpr =
+    copy(child = newChild)
+}
+
+object NerProxyFunctions {
+  def ner_proxy_counts(c: Column): Column =
+    Bridge.column(NerProxyExpr(Bridge.expression(c)))
+}

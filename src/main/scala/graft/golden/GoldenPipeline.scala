@@ -27,7 +27,8 @@ object GoldenPipeline {
   private def defaultOrgCanonical(surface: String): String =
     Dims.orgs.find(base => surface.toLowerCase.startsWith(base.toLowerCase)).getOrElse(surface)
 
-  def triplesFor(turnsWithCat: Seq[(Turn, String)], orgCanonical: String => String): Seq[Triple] = {
+  def triplesFor(turnsWithCat: Seq[(Turn, String)], orgCanonical: String => String,
+      extractDates: Boolean = false): Seq[Triple] = {
     val convId = turnsWithCat.head._1.conv_id
     val turns = turnsWithCat.sortBy(_._1.turn_idx)
     val cleaned = turns.map { case (t, c) => (t, c, Rules.cleanString(t.text)) }
@@ -107,6 +108,17 @@ object GoldenPipeline {
     // --- tool-call entities (new surface: north_star tool mentions) ---
     turns.flatMap(t => Option(t._1.tool)).distinct.foreach { tl =>
       out += Triple(convId, "uses_tool", tl)
+    }
+
+    // --- start/deadline dates (X5, flag-gated like the pipeline) ---
+    if (extractDates) {
+      Seq("start_date", "deadline_date").foreach { cat =>
+        val acc = scala.collection.mutable.LinkedHashSet.empty[String]
+        cleaned.foreach { case (_, c, cl) =>
+          if (c == cat) Rules.extractDates(cl).foreach(acc += _)
+        }
+        acc.foreach(d => out += Triple(convId, cat, d))
+      }
     }
 
     out.toSeq

@@ -1,36 +1,48 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
-import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.classification.{LogisticRegression, NaiveBayes}
 import org.apache.spark.ml.feature._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.NerProxyFast
+import graft.functions.NerProxyFunctions.ner_proxy_counts
+
 /** S2 — section tagger as a Spark ML Pipeline (SURVEY §2.4 M1-M13):
   * letter-run tokens → 1-gram + 2-gram CountVectorizers (minDF=2, mirrors
   * sklearn ngram_range=(1,2) min_df=2, ClassificationModelGeneration.py:85-101)
-  * → digit/non-digit token-ratio features (F10) → LogisticRegression.
+  * → digit/non-digit token-ratio features (F10) → NER-proxy pattern-hit
+  * counts (SURVEY §7.4's substitution for the reference's spaCy POS/NER
+  * count features M3/M4: the extraction rule bank's own gazetteer/
+  * currency/time/degree/employment hit counts per turn) →
+  * LogisticRegression (default) or NaiveBayes (M9 alternate,
+  * ClassificationModelGeneration.py:232-236).
   * The fitted PipelineModel replaces the reference's pickled model + saved
   * feature-name CSVs: vocab and feature order are carried structurally, so
   * the train/serve alignment hazards of SURVEY §1.3 cannot occur.
-  *
-  * The reference's spaCy POS/NER count features (M3/M4) have no JVM
-  * equivalent; per SURVEY §7.4 the substitution is n-grams + ratio
-  * features, gated by the fixture f1 ≥ 0.8 spec.
   */
 object SectionTagger {
 
-  /** Ratio features (ClassifyUsingSavedModel.py:191-193) — applied both at
-    * train and serve time.
+  /** Ratio features (ClassifyUsingSavedModel.py:191-193) + NER-proxy hit
+    * counts — applied both at train and serve time.
     */
   def prepare(df: DataFrame): DataFrame = {
     val toks = split(col("text_clean"), " ")
     val n = greatest(size(toks), lit(1)).cast("double")
-    df.withColumn("digit_ratio",
+    val withRatios = df
+      .withColumn("digit_ratio",
         size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("double") / n)
       .withColumn("word_ratio",
         size(filter(toks, t => !t.rlike("^[0-9]+$"))).cast("double") / n)
+      .withColumn("ner_counts", ner_proxy_counts(col("text_clean")))
+    NerProxyFast.names.zipWithIndex.foldLeft(withRatios) { case (acc, (name, i)) =>
+      acc.withColumn(name, element_at(col("ner_counts"), i + 1))
+    }.drop("ner_counts")
   }
+
+  private val extraFeatureCols: Array[String] =
+    Array("digit_ratio", "word_ratio") ++ NerProxyFast.names
 
   /** RandomOverSampler re-expression (M8): upsample every class to the
     * majority count via per-class with-replacement sampling.
@@ -51,8 +63,10 @@ object SectionTagger {
 
   /** labeled(text_clean, category) -> fitted tagger. 75/25 eval split and
     * seed 42 mirror the reference (ClassificationModelGeneration.py:225).
+    * `algorithm`: "lr" (default) or "nb" — the reference ships commented
+    * MultinomialNB/LinearSVC alternates (:232-236, README.md:28).
     */
-  def train(labeled: DataFrame, seed: Long = 42L): Trained = {
+  def train(labeled: DataFrame, seed: Long = 42L, algorithm: String = "lr"): Trained = {
     val si = new StringIndexer().setInputCol("category").setOutputCol("label")
     val siModel = si.fit(labeled)
     val tok = new RegexTokenizer().setInputCol("text_clean").setOutputCol("tokens")
@@ -61,11 +75,15 @@ object SectionTagger {
     val cv1 = new CountVectorizer().setInputCol("tokens").setOutputCol("f_uni").setMinDF(2)
     val cv2 = new CountVectorizer().setInputCol("bigrams").setOutputCol("f_bi").setMinDF(2)
     val va = new VectorAssembler()
-      .setInputCols(Array("f_uni", "f_bi", "digit_ratio", "word_ratio"))
+      .setInputCols(Array("f_uni", "f_bi") ++ extraFeatureCols)
       .setOutputCol("features")
-    val lr = new LogisticRegression().setMaxIter(100).setLabelCol("label")
+    val clf: PipelineStage = algorithm match {
+      case "lr" => new LogisticRegression().setMaxIter(100).setLabelCol("label")
+      case "nb" => new NaiveBayes().setSmoothing(1.0).setLabelCol("label")
+      case other => throw new IllegalArgumentException(s"unknown tagger algorithm: $other")
+    }
     val pipe = new Pipeline().setStages(
-      Array[PipelineStage](siModel, tok, ng, cv1, cv2, va, lr))
+      Array[PipelineStage](siModel, tok, ng, cv1, cv2, va, clf))
     val balanced = oversample(prepare(labeled), "category", seed)
     Trained(pipe.fit(balanced), siModel.labelsArray(0))
   }
@@ -76,24 +94,35 @@ object SectionTagger {
     val its = new IndexToString().setInputCol("prediction").setOutputCol("category")
       .setLabels(t.labels)
     its.transform(withPred)
-      .drop("tokens", "bigrams", "f_uni", "f_bi", "features", "rawPrediction",
-        "probability", "prediction", "label", "digit_ratio", "word_ratio")
+      .drop(Seq("tokens", "bigrams", "f_uni", "f_bi", "features", "rawPrediction",
+        "probability", "prediction", "label") ++ extraFeatureCols: _*)
   }
 
-  /** Weighted f1 over a (category, category_pred) frame — M12 eval. */
-  def weightedF1(labeledPred: DataFrame): Double = {
+  /** Per-class precision/recall/f1/support (M12 — the reference's
+    * sklearn `classification_report`, ClassificationModelGeneration.py:245).
+    */
+  final case class ClassReport(category: String, precision: Double, recall: Double,
+      f1: Double, support: Long)
+
+  def classificationReport(labeledPred: DataFrame): Seq[ClassReport] = {
     val rows = labeledPred.groupBy("category", "category_pred").count().collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-    val classes = rows.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct
-    val total = rows.values.sum.toDouble
+    val classes = rows.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
     classes.map { c =>
       val tp = rows.getOrElse((c, c), 0L).toDouble
-      val support = rows.collect { case ((a, _), n) if a == c => n }.sum.toDouble
+      val support = rows.collect { case ((a, _), n) if a == c => n }.sum
       val predicted = rows.collect { case ((_, p), n) if p == c => n }.sum.toDouble
       val prec = if (predicted > 0) tp / predicted else 0.0
       val rec = if (support > 0) tp / support else 0.0
       val f1 = if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0.0
-      f1 * support / total
-    }.sum
+      ClassReport(c, prec, rec, f1, support)
+    }
+  }
+
+  /** Weighted f1 over a (category, category_pred) frame — M12 eval. */
+  def weightedF1(labeledPred: DataFrame): Double = {
+    val report = classificationReport(labeledPred)
+    val total = report.map(_.support).sum.toDouble
+    report.map(r => r.f1 * r.support / total).sum
   }
 }

@@ -26,7 +26,7 @@ object CleanText {
     d = regexp_replace(d, "[\\n\\r\\t]", "")
     d = lower(d)
     // single negated charset (see Rules.charsetPattern for the derivation)
-    d = regexp_replace(d, "[^-_a-zA-Z0-9!@#%&=,'\";:~`č₽€£$^()+\\[\\].{}|?<>\\\\\\s]+", "")
+    d = regexp_replace(d, "[^-_a-zA-Z0-9!@#%&=,'\";:~`č₽€£$^()+\\[\\].{}|?<>\\s]+", "")
     d = regexp_replace(d, "<[^>]+>", "")
     d = regexp_replace(d, "\\^[a-zA-Z]\\s+", "")
     d = regexp_replace(d, "\\s+", " ")

@@ -17,6 +17,8 @@ final case class ConvFull(
     currencies: Seq[String],
     work_hours: Option[Int],
     tools: Seq[String],
+    start_dates: Seq[String],
+    deadline_dates: Seq[String],
     sector: Option[String],
     estimated_salary: Option[Int])
 
@@ -54,6 +56,11 @@ object TripleEmit {
         }
         c.work_hours.foreach(v => out += Triple(c.conv_id, "work_hours", v.toString))
         c.tools.foreach(t => out += Triple(c.conv_id, "uses_tool", t))
+        // X5 (flag-gated upstream; empty arrays when disabled): A1 union
+        // semantics of the reference's keyword-type merge
+        // (ProcessAndMergeInfo.py:185-187), first-occurrence order pinned
+        c.start_dates.foreach(d => out += Triple(c.conv_id, "start_date", d))
+        c.deadline_dates.foreach(d => out += Triple(c.conv_id, "deadline_date", d))
         out.toSeq
       }
 

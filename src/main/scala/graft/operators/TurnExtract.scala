@@ -27,7 +27,9 @@ final case class TurnExtracted(
     locations: Seq[String],
     orgs: Seq[String],
     edu_phrases: Seq[String],
-    sal: Option[SalStruct])
+    sal: Option[SalStruct],
+    start_dates: Seq[String],
+    deadline_dates: Seq[String])
 
 /** S3 mention detection — rule extractors X1-X10, all expressed as Column
   * expressions (builtins where they fit, the two intricate parsers as
@@ -89,11 +91,28 @@ object TurnExtract {
     combos || kw || curWord || curSym
   }
 
+  /** X5 — date-like spans over cleaned text (Column twin of
+    * Rules.extractDates, same pattern string + stoplist).
+    */
+  def datesCol(clean: Column): Column =
+    array_distinct(
+      filter(
+        regexp_extract_all(clean, lit(graft.rules.Rules.datePatternStr), lit(0)),
+        d => !array_contains(typedlit(graft.rules.Rules.dateStoplist.toSeq), d)))
+
   /** turns(+category) -> TurnExtracted-shaped DataFrame. Input must carry
     * conv_id, turn_idx, role, tool, text, text_clean, category.
+    * `extractDates` is the X5 flag — the reference ships it disabled
+    * (ExtractInfo.py:131-132), so it defaults off and emits empty arrays
+    * (flag-off schema/behavior parity).
     */
-  def extract(turns: DataFrame)(implicit spark: SparkSession): DataFrame = {
+  def extract(turns: DataFrame, extractDates: Boolean = false)(
+      implicit spark: SparkSession): DataFrame = {
     val cl = col("text_clean")
+    def gatedDates(cat: String): Column =
+      if (extractDates)
+        when(col("category") === cat, datesCol(cl)).otherwise(typedlit(Seq.empty[String]))
+      else typedlit(Seq.empty[String])
     turns
       .withColumn("emp_groups", employmentGroupsCol(cl))
       .withColumn("locations", locationsCol(cl))
@@ -102,7 +121,10 @@ object TurnExtract {
         when(col("category") === "education_requirements", extract_education(cl))
           .otherwise(typedlit(Seq.empty[String])))
       .withColumn("sal", when(salaryGateCol(cl), extract_salary(cl)))
+      .withColumn("start_dates", gatedDates("start_date"))
+      .withColumn("deadline_dates", gatedDates("deadline_date"))
       .select("conv_id", "turn_idx", "role", "tool", "text", "text_clean", "category",
-        "emp_groups", "locations", "orgs", "edu_phrases", "sal")
+        "emp_groups", "locations", "orgs", "edu_phrases", "sal",
+        "start_dates", "deadline_dates")
   }
 }

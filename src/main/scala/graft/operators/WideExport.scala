@@ -23,12 +23,15 @@ object WideExport {
     regexp_replace(regexp_replace(c, "[\\[\\]'\"]", ""), "full time", "full-time")
 
   def widen(triples: DataFrame): DataFrame = {
-    val sep = when(col("pred") === "skill", lit("; ")).otherwise(lit(","))
+    // join each cell with its own separator up front — a post-hoc
+    // ","→"; " rewrite would corrupt obj values that contain commas
+    // (e.g. "Acme, Inc" survives cleanCell)
     triples
       .groupBy("subj", "pred")
-      .agg(array_join(sort_array(collect_list(col("obj"))), ",").as("objs"), first(sep).as("sep"))
+      .agg(sort_array(collect_list(col("obj"))).as("objs_arr"))
       .withColumn("objs",
-        when(col("pred") === "skill", regexp_replace(col("objs"), ",", "; ")).otherwise(col("objs")))
+        when(col("pred") === "skill", array_join(col("objs_arr"), "; "))
+          .otherwise(array_join(col("objs_arr"), ",")))
       .groupBy("subj")
       .pivot("pred", preds)
       .agg(first(cleanCell(col("objs"))))

@@ -24,11 +24,13 @@ object Rules {
   /** Allowed-charset negation. The reference's regex looks like an
     * alternation but its `\]` is escaped, so the class actually closes at
     * the `[^\s]` bracket — net effect: one negated class that admits
-    * alnum, the listed punctuation, č₽€£ and whitespace. Verified against
-    * CPython behavior.
+    * alnum, the listed punctuation, č₽€£ and whitespace. A literal
+    * backslash is NOT admitted (the source's `\\]` is an escaped `]`, not
+    * an admitted backslash — CPython strips `\` from `foo\bar`). Verified
+    * against CPython behavior, including the backslash case (RulesSpec).
     */
   private val charsetPattern: Pattern =
-    Pattern.compile("[^-_a-zA-Z0-9!@#%&=,'\";:~`č₽€£$^()+\\[\\].{}|?<>\\\\\\s]+")
+    Pattern.compile("[^-_a-zA-Z0-9!@#%&=,'\";:~`č₽€£$^()+\\[\\].{}|?<>\\s]+")
 
   private val pTag = Pattern.compile("<[^>]+>")
   private val pCaret = Pattern.compile("\\^[a-zA-Z]\\s+")
@@ -129,6 +131,13 @@ object Rules {
     val word = s.split("\\s+").find(currencyTokens.contains).map(Dims.currencyWords)
     word.orElse(Seq("€", "$", "£").find(s.contains).map(Dims.currencySymbols))
   }
+
+  /** Currency pattern-hit count (NER-proxy feature M3/M4 substitute):
+    * currency word tokens + distinct symbol families present.
+    */
+  def currencyHits(s: String): Int =
+    s.split("\\s+").count(currencyTokens.contains) +
+      Seq("€", "$", "£").count(s.contains)
 
   /** filterCurrencyAndSalary (ExtractInfo.py:390-408): euro-associated
     * salaries win; otherwise all pairs pass through. Returns
@@ -294,6 +303,38 @@ object Rules {
   def priorityDegree(phrases: Seq[String]): Option[String] = {
     val levels = phrases.flatMap(Dims.degreeLevelOf.get)
     if (levels.isEmpty) None else Some(levels.minBy(Dims.degreePriority.indexOf))
+  }
+
+  // ==================================================================
+  // Start/deadline dates (X5, ExtractInfo.py:348-350 DATE branch +
+  // checkDateConditions :620-624; DISABLED in the reference's shipped
+  // config (:131-132) — here behind the `extractDates` flag, default off,
+  // flag-off parity preserved)
+  // ==================================================================
+
+  /** checkDateConditions stoplist: generic DATE entities dropped. */
+  val dateStoplist: Set[String] =
+    Set("day", "days", "date", "month", "months", "year", "years")
+
+  /** spaCy-DATE re-expression over CLEANED text (the reference NERs the
+    * cleaned chunk): "[d] <month> <year>" and "dd.mm.yyyy" spans. Shared
+    * with the Column twin in TurnExtract.datesCol.
+    */
+  val datePatternStr: String =
+    "\\b(?:\\d{1,2} )?(?:" + Dims.monthNames.mkString("|") + ") \\d{4}\\b" +
+      "|\\b\\d{1,2}\\.\\d{1,2}\\.\\d{4}\\b"
+
+  private val pDate = Pattern.compile(datePatternStr)
+
+  /** date-like spans, first-occurrence order, stoplist-filtered. */
+  def extractDates(cleaned: String): Seq[String] = {
+    val m = pDate.matcher(cleaned)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (m.find()) {
+      val t = m.group()
+      if (!dateStoplist.contains(t)) out += t
+    }
+    out.toSeq
   }
 
   // ==================================================================

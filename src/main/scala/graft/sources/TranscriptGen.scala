@@ -45,7 +45,11 @@ object TranscriptGen {
       hasHours: Boolean,
       hasEmployment: Boolean,
       hasEducation: Boolean,
-      fillerCount: Int)
+      fillerCount: Int,
+      hasStartDate: Boolean,
+      hasDeadline: Boolean,
+      startDateText: String,
+      deadlineText: String)
 
   def rngFor(seed: Long, i: Long): Random = new Random(seed ^ (i * 0x9E3779B97F4A7C15L))
 
@@ -99,6 +103,24 @@ object TranscriptGen {
       } else Seq(deg1)
     val tools = (0 until r.nextInt(3)).map(_ => Dims.toolNames(r.nextInt(Dims.toolNames.length))).distinct
     val filler = if (i < skewConvs) skewTurns + r.nextInt(skewTurns / 2 + 1) else r.nextInt(6)
+    val hasSalary = r.nextInt(10) < 9
+    val hasHours = r.nextInt(10) < 9
+    val hasEmployment = r.nextInt(10) < 9
+    val hasEducation = r.nextInt(10) < 9
+    // X5 fixtures (drawn LAST so every pre-existing fact keeps its value
+    // for a given (seed, i)): a start date in "d month yyyy" form and a
+    // deadline in either month-name or dd.mm.yyyy form
+    val hasStartDate = r.nextInt(10) < 7
+    val hasDeadline = r.nextInt(10) < 7
+    val startDay = 1 + r.nextInt(28)
+    val startMonth = Dims.monthNames(r.nextInt(Dims.monthNames.length))
+    val startYear = 2026 + r.nextInt(2)
+    val dlDay = 1 + r.nextInt(28)
+    val dlMonthIdx = r.nextInt(Dims.monthNames.length)
+    val dlYear = 2026 + r.nextInt(2)
+    val deadlineText =
+      if (r.nextInt(2) == 0) s"$dlDay ${Dims.monthNames(dlMonthIdx)} $dlYear"
+      else f"$dlDay%d.${dlMonthIdx + 1}%02d.$dlYear%d"
     ConvFacts(
       convId = f"conv-$i%08d",
       occupation = occ,
@@ -115,11 +137,15 @@ object TranscriptGen {
       empSurfaces = empSurfaces,
       degreePhrases = degs,
       tools = tools,
-      hasSalary = r.nextInt(10) < 9,
-      hasHours = r.nextInt(10) < 9,
-      hasEmployment = r.nextInt(10) < 9,
-      hasEducation = r.nextInt(10) < 9,
-      fillerCount = filler)
+      hasSalary = hasSalary,
+      hasHours = hasHours,
+      hasEmployment = hasEmployment,
+      hasEducation = hasEducation,
+      fillerCount = filler,
+      hasStartDate = hasStartDate,
+      hasDeadline = hasDeadline,
+      startDateText = s"$startDay $startMonth $startYear",
+      deadlineText = deadlineText)
   }
 
   /** Neutral fillers — verified to trip no extraction gate (no currency,
@@ -179,6 +205,14 @@ object TranscriptGen {
       else s"Candidates should hold a ${f.degreePhrases.head}."
       b += (("assistant", t, null, "education_requirements"))
     }
+    // X5 fixtures: planted start/deadline dates (extraction is flag-gated;
+    // these sentences are extraction-neutral for every other rule family —
+    // no currency/salary/hours keywords, no gazetteer or dictionary
+    // surfaces, no adjacent-capitalized ORG shapes)
+    if (f.hasStartDate)
+      b += (("assistant", s"The position starts on ${f.startDateText}.", null, "start_date"))
+    if (f.hasDeadline)
+      b += (("assistant", s"Please apply before ${f.deadlineText}.", null, "deadline_date"))
     f.tools.zipWithIndex.foreach { case (t, k) =>
       b += (("tool", s"tool $t returned ${k + 2} results.", t, "description"))
     }

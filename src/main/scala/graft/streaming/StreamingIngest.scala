@@ -60,7 +60,7 @@ object StreamingIngest {
       .as[(String, Int, Seq[String])]
       .map { case (cid, idx, groups) =>
         TurnExtracted(cid, idx, null, null, null, null, null, groups,
-          Nil, Nil, Nil, None)
+          Nil, Nil, Nil, None, Nil, Nil)
       }
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{ConvFinalize, SalStruct}
+import graft.operators.ConvFinalize.SlimTurn
+
+/** Differential pin for the salted two-phase conv aggregation: the
+  * production `run` (bounded buckets) must equal the single-phase fold on
+  * skew-heavy fixtures, including the order-sensitive salary short-circuit
+  * crossing bucket boundaries.
+  */
+class ConvFinalizeSpec extends SparkSpec {
+
+  private def turn(cid: String, idx: Int, text: String = "plain body text",
+      emp: Seq[String] = Nil, loc: Seq[String] = Nil, orgs: Seq[String] = Nil,
+      edu: Seq[String] = Nil, sal: Option[SalStruct] = None, tool: String = null): SlimTurn =
+    SlimTurn(cid, idx, tool, text, emp, loc, orgs, edu, sal, Nil, Nil)
+
+  test("two-phase salted aggregation == single-phase fold on a 50k-turn skew conversation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // one monster conversation with order-sensitive facts sprinkled in,
+    // plus a handful of ordinary ones
+    val monster = (0 until 50000).map { i =>
+      val sal =
+        if (i == 17) Some(SalStruct(Seq(42000.0), Nil, Nil, sw_kw = true))
+        else if (i == 33000) Some(SalStruct(Seq(50000.0), Seq("euro"), Seq(50000.0), sw_kw = true))
+        else if (i > 33000 && i % 5000 == 0) Some(SalStruct(Seq(1234.0 + i), Nil, Nil, sw_kw = true))
+        else None
+      turn("conv_monster", i,
+        text = s"turn $i body",
+        emp = if (i % 9000 == 3) Seq("part-time") else if (i % 4000 == 1) Seq("full-time") else Nil,
+        loc = if (i % 700 == 2) Seq(if (i % 3 == 0) "Germany" else "Poland") else Nil,
+        orgs = if (i % 11000 == 5) Seq(s"Org ${i % 13}") else Nil,
+        edu = if (i % 15000 == 7) Seq("bachelor degree") else Nil,
+        sal = sal,
+        tool = if (i % 21000 == 9) "search" else null)
+    }
+    val normal = (0 until 20).flatMap { c =>
+      (0 until 5 + rnd.nextInt(10)).map { i =>
+        turn(s"conv_$c", i,
+          emp = if (i == 2) Seq("internship") else Nil,
+          loc = if (i == 1) Seq("France") else Nil,
+          sal = if (i == 3) Some(SalStruct(Seq(30000.0 + c), Nil, Nil, sw_kw = true)) else None)
+      }
+    }
+    // shuffle input order: both paths must be insensitive to row order
+    val df = rnd.shuffle(monster ++ normal).toDS().toDF()
+
+    val twoPhase = ConvFinalize.run(df, bucketSize = 64).collect()
+      .map(c => c.conv_id -> c).toMap
+    val single = ConvFinalize.runSinglePhase(df).collect()
+      .map(c => c.conv_id -> c).toMap
+
+    assert(twoPhase.keySet == single.keySet)
+    twoPhase.keySet.foreach { cid =>
+      assert(twoPhase(cid) == single(cid), s"conv $cid")
+    }
+    // the salary short-circuit must have landed on the currency-associated
+    // value, discarding earlier keyword-context accumulations
+    assert(twoPhase("conv_monster").sal_values == Seq(50000.0))
+  }
+
+  test("salary short-circuit state merges correctly across bucket boundaries") {
+    // broke in an EARLY bucket must suppress later buckets' values
+    val early = Seq(
+      turn("c", 1, sal = Some(SalStruct(Seq(40000.0), Seq("euro"), Seq(40000.0), sw_kw = true))),
+      turn("c", 999, sal = Some(SalStruct(Seq(77000.0), Nil, Nil, sw_kw = true))))
+    val p0 = ConvFinalize.partialOf("c", 0, Seq(early.head))
+    val p1 = ConvFinalize.partialOf("c", 1, Seq(early(1)))
+    val merged = ConvFinalize.mergePartials("c", Seq(p1, p0)) // unsorted on purpose
+    val direct = ConvFinalize.finalizeConv("c", early)
+    assert(merged == direct)
+    assert(merged.sal_values == Seq(40000.0))
+  }
+}

@@ -31,7 +31,13 @@ class RulesSpec extends AnyFunSuite {
       "Caþ́ résumé — apply at https://example.com/jobs?id=3k! Pay: 3k" ->
         "ca resume apply at https:example.comjobsid3000 pay: 3000",
       "  b whitespace\t\ttest\nnewline  " ->
-        "whitespacetestnewline")
+        "whitespacetestnewline",
+      // CPython strips literal backslashes (the reference charset's `\\]`
+      // is an escaped `]`, not an admitted backslash)
+      "Backslash path C:\\temp\\files stays flat" ->
+        "backslash path :tempfiles stays flat",
+      "foo\\bar and plain text here" ->
+        "foobar and plain text here")
     cases.foreach { case (in, want) =>
       assert(Rules.cleanString(in) == want, s"input: $in")
     }
@@ -113,6 +119,19 @@ class RulesSpec extends AnyFunSuite {
     assert(Rules.yearlySalary(Seq(2000000.0), Seq("euro"), None, None).isEmpty)
     // multiple -> closest to estimate
     assert(Rules.yearlySalary(Seq(45000.0, 55000.0), Seq("euro"), None, Some(54000.0)) == Seq(55000.0))
+  }
+
+  test("date extraction (X5): span forms, stoplist, first-occurrence dedup") {
+    assert(Rules.extractDates("the position starts on 1 march 2026.") == Seq("1 march 2026"))
+    assert(Rules.extractDates("please apply before 15.04.2026.") == Seq("15.04.2026"))
+    assert(Rules.extractDates("open from january 2027 onwards") == Seq("january 2027"))
+    // stoplist parity with checkDateConditions (ExtractInfo.py:620-624):
+    // generic words alone are not dates
+    assert(Rules.extractDates("any day or month or year now").isEmpty)
+    // no bare month without year (pattern requires the year anchor)
+    assert(Rules.extractDates("sometime in march maybe").isEmpty)
+    // dedup keeps first occurrence
+    assert(Rules.extractDates("before 1 may 2026 yes 1 may 2026") == Seq("1 may 2026"))
   }
 
   test("org mention extraction filters") {

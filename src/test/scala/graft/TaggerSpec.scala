@@ -1,0 +1,68 @@
+package graft
+
+import graft.ml.SectionTagger
+
+/** Tagger robustness + M9/M12 coverage: NER-proxy features must keep the
+  * f1 gate green under injected noise (typos/char drops), the NaiveBayes
+  * alternate must train and clear the same gate, and the per-class report
+  * must match hand-computed precision/recall.
+  */
+/** Deterministic typo injection (serializable — runs inside tasks): for
+  * ~rate of tokens, swap two adjacent chars or drop one (the classic typo
+  * families).
+  */
+object TaggerNoise extends Serializable {
+  def addNoise(text: String, rnd: scala.util.Random, rate: Double): String =
+    text.split(" ").map { tok =>
+      if (tok.length > 3 && rnd.nextDouble() < rate) {
+        val i = 1 + rnd.nextInt(tok.length - 2)
+        if (rnd.nextBoolean()) tok.substring(0, i) + tok.charAt(i + 1) + tok.charAt(i) + tok.substring(i + 2)
+        else tok.substring(0, i) + tok.substring(i + 1)
+      } else tok
+    }.mkString(" ")
+}
+
+class TaggerSpec extends SparkSpec {
+
+  test("f1 gate holds on noise-injected held-out turns (typos at 10% token rate)") {
+    import spark.implicits._
+    val train = KgPipeline.taggerTrainingFrame(spark, nConvs = 250, firstConv = 4000000L)
+    val heldOut = KgPipeline.taggerTrainingFrame(spark, nConvs = 80, firstConv = 5000000L)
+    val noisy = heldOut.as[(String, String)].mapPartitions { it =>
+      val rnd = new scala.util.Random(13)
+      it.map { case (text, cat) => (TaggerNoise.addNoise(text, rnd, 0.10), cat) }
+    }.toDF("text_clean", "category")
+    val tagger = SectionTagger.train(train)
+    val pred = SectionTagger.predict(tagger, noisy.withColumnRenamed("category", "category_true"))
+      .withColumnRenamed("category", "category_pred")
+      .withColumnRenamed("category_true", "category")
+    val f1 = SectionTagger.weightedF1(pred)
+    info(f"noisy held-out weighted f1 = $f1%.3f")
+    assert(f1 >= 0.8)
+  }
+
+  test("NaiveBayes alternate (M9) trains and clears the f1 gate") {
+    val train = KgPipeline.taggerTrainingFrame(spark, nConvs = 250, firstConv = 4000000L)
+    val heldOut = KgPipeline.taggerTrainingFrame(spark, nConvs = 80, firstConv = 5000000L)
+    val tagger = SectionTagger.train(train, algorithm = "nb")
+    val pred = SectionTagger.predict(tagger, heldOut.withColumnRenamed("category", "category_true"))
+      .withColumnRenamed("category", "category_pred")
+      .withColumnRenamed("category_true", "category")
+    val f1 = SectionTagger.weightedF1(pred)
+    info(f"naive bayes held-out weighted f1 = $f1%.3f")
+    assert(f1 >= 0.8)
+  }
+
+  test("per-class report (M12) matches hand-computed precision/recall") {
+    import spark.implicits._
+    // a: 2 true, 1 predicted-as-a correct; b: 1 true predicted b; one a→b error
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b")).toDF("category", "category_pred")
+    val rep = SectionTagger.classificationReport(df).map(r => r.category -> r).toMap
+    assert(rep("a").precision == 1.0 && rep("a").recall == 0.5 && rep("a").support == 2)
+    assert(rep("b").precision == 0.5 && rep("b").recall == 1.0 && rep("b").support == 1)
+    assert(math.abs(rep("a").f1 - 2.0 / 3.0) < 1e-12)
+    // weightedF1 must be the support-weighted mean of the report f1s
+    val expected = (rep("a").f1 * 2 + rep("b").f1 * 1) / 3.0
+    assert(math.abs(SectionTagger.weightedF1(df) - expected) < 1e-12)
+  }
+}
