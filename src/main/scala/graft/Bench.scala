@@ -53,11 +53,26 @@ object Bench {
     val (nTurns, nTriples, kgSec) = kgPipeline(spark, nConvs)
     val turnsPerSec = nTurns / kgSec
 
+    // ANN quality alongside speed: recall@5 of the LSH path vs the exact
+    // brute-force baseline on the same queries
+    val annRecall = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = e.filter(col("vec_id") < 20)
+      implicit val s: SparkSession = spark
+      val brute = graft.operators.SimilaritySearch.bruteForceTopK(q, e, 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val lsh = graft.operators.SimilaritySearch.lshTopK(q, e, 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (brute intersect lsh).size.toDouble / math.max(brute.size, 1)
+    }
+
     val all = qTimes :+ ("kg_pipeline" -> kgSec)
     val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_turns":$nTurns,"kg_triples":$nTriples,"turns_per_sec":$turnsPerSec%.1f,"cores":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_turns":$nTurns,"kg_triples":$nTriples,"turns_per_sec":$turnsPerSec%.1f,"ann_recall_at_5":$annRecall%.3f,"cores":$cpus}""")
     spark.stop()
   }
 }

@@ -34,6 +34,11 @@ object KgPipeline {
       .toDF("text", "category")
     labeled.withColumn("text_clean", graft.functions.CleanFunctions.clean_text(col("text")))
       .select("text_clean", "category")
+      // pin partition assignment AND in-partition order so model fitting
+      // (treeAggregate fold order, per-partition sampling) is bit-identical
+      // across parallelism levels — the q23/q31 golden oracles rely on it
+      .repartition(8, col("text_clean"))
+      .sortWithinPartitions("text_clean", "category")
   }
 
   /** S2-S6 from cleaned turns to triples. `extractDates` is the X5 flag

@@ -206,12 +206,9 @@ object Dedup {
       bands: Int = 4, bandBits: Int = 8)(implicit spark: SparkSession): DataFrame = {
     val planes = SimilaritySearch.hyperplanes(
       embs.select(size(col("embedding"))).first().getInt(0), bands * bandBits)
-    val sig = SimilaritySearch.signature(col("embedding"), planes)
-    val banded = embs.select(col("vec_id"), col("embedding"), sig.as("sig"))
-      .select(col("vec_id"), col("embedding"),
-        posexplode(array((0 until bands).map { b =>
-          shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
-        }: _*)).as(Seq("band", "bucket")))
+    val banded = embs.select(col("vec_id"), col("embedding"),
+      posexplode(SimilaritySearch.bandBuckets(col("embedding"), planes, bands, bandBits))
+        .as(Seq("band", "bucket")))
     val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("band"), col("bucket"))
     val b = banded.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))

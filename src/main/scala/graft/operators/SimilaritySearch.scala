@@ -49,30 +49,37 @@ object SimilaritySearch {
       }
     }
 
-  /** Signed-projection signature as a Column: bit p = sign(v · plane_p),
-    * packed into a long. Pure HOF expression over literal plane arrays.
+  /** Per-band signed-projection buckets as one array<long> Column: band b's
+    * bucket packs the sign bits of its own `bandBits` planes. Unlike a
+    * single packed signature there is no 64-plane ceiling — any
+    * bands × bandBits family works. Pure HOF expression over literal plane
+    * arrays.
     */
-  def signature(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (plane, i) =>
-      when(dot(v, typedlit(plane.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def bandBuckets(v: Column, planes: Array[Array[Double]],
+      bands: Int, bandBits: Int): Column =
+    array((0 until bands).map { b =>
+      (0 until bandBits).map { j =>
+        when(dot(v, typedlit(planes(b * bandBits + j).toSeq)) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
 
   /** LSH ANN: bucket by band of the signed-projection signature, search
     * exact cosine only within co-bucketed candidates. bands × bandBits =
-    * total planes; more bands → higher recall, more candidates.
+    * total planes; more bands → higher recall, more candidates. Defaults
+    * measured at recall@5 ≥ 0.9 vs the exact baseline on the testdata
+    * embeddings (OperatorSpec).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      bands: Int = 4, bandBits: Int = 8, seed: Int = 42)(
+      bands: Int = 32, bandBits: Int = 4, seed: Int = 42)(
       implicit spark: SparkSession): DataFrame = {
     val dim = corpus.select(size(col("embedding"))).first().getInt(0)
     val planes = hyperplanes(dim, bands * bandBits, seed)
-    def withBands(df: DataFrame, idAs: String, vAs: String): DataFrame = {
-      val sig = signature(col("embedding"), planes)
-      df.select(col("vec_id").as(idAs), col("embedding").as(vAs), sig.as("sig"))
-        .select(col(idAs), col(vAs), posexplode(array((0 until bands).map { b =>
-          shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
-        }: _*)).as(Seq("band", "bucket")))
-    }
+    def withBands(df: DataFrame, idAs: String, vAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(vAs),
+        posexplode(bandBuckets(col("embedding"), planes, bands, bandBits))
+          .as(Seq("band", "bucket")))
+        .select(idAs, vAs, "band", "bucket")
     val qb = withBands(queries, "query_id", "qv")
     val cb = withBands(corpus, "neighbor_id", "cv")
     val candidates = qb.join(cb, Seq("band", "bucket"))

@@ -107,17 +107,17 @@ class OperatorSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
-  test("LSH ANN recall@5 >= 0.5 vs brute force on testdata embeddings") {
+  test("LSH ANN recall@5 >= 0.9 vs brute force on testdata embeddings (default config)") {
     import spark.implicits._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
     val brute = SimilaritySearch.bruteForceTopK(q, e, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = SimilaritySearch.lshTopK(q, e, 5, bands = 8, bandBits = 4)
+    val lsh = SimilaritySearch.lshTopK(q, e, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
-    info(f"lsh recall@5 = $recall%.2f (candidates-limited; brute force is the exact baseline)")
-    assert(recall >= 0.5)
+    info(f"lsh recall@5 = $recall%.2f (brute force is the exact baseline)")
+    assert(recall >= 0.9)
   }
 
   test("multimodal plumbing: schema, feature shape, frame sampling") {
