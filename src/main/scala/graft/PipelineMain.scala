@@ -21,6 +21,8 @@ import graft.sources.TranscriptGen
   * Usage:
   *   runMain graft.PipelineMain --out /tmp/kg --convs 1000 [--seed 42]
   *     [--from-stage s0] [--to-stage s6] [--skip s2,s3] [--cores 32]
+  *     [--extract-dates true] [--jdbc-url jdbc:derby:memory:kg;create=true]
+  *     [--jdbc-table kg_wide]
   */
 object PipelineMain {
 
@@ -52,27 +54,37 @@ object PipelineMain {
 
     def path(s: String) = s"$out/$s"
 
-    def lineage(stage: String, df: DataFrame): Unit = {
+    // lineage rows carry the snapshot ids of the stage's input tables
+    // (north_rule: input→output provenance per run) — TableIO records a
+    // deterministic content snapshot id on every stage write
+    def lineage(stage: String, df: DataFrame, inputs: Seq[String] = Nil): Unit = {
+      val inputSnaps = inputs.map { in =>
+        s"$in:${graft.sources.TableIO.readSnapshotId(path(in)).map(_.toString).getOrElse("-")}"
+      }.mkString(",")
       val rows = df.groupBy(spark_partition_id().as("partition_id"))
         .agg(count(lit(1)).as("rows_out"))
         .withColumn("run_id", lit(runId)).withColumn("stage", lit(stage))
+        .withColumn("input_snapshots", lit(inputSnaps))
       rows.write.mode(SaveMode.Append).parquet(s"$out/lineage")
       val total = rows.agg(sum("rows_out")).as[Long].head()
       println(s"[graft] $stage rows_out=$total -> ${path(stage)}")
     }
 
-    // ---- s0: synthesize transcripts (the Iceberg input table) ----
+    def write(stage: String, df: DataFrame, inputs: Seq[String] = Nil,
+        partitionBy: Seq[String] = Nil): Unit = {
+      graft.sources.TableIO.writeSnapshot(df, path(stage), stage, partitionBy)
+      lineage(stage, spark.read.parquet(path(stage)), inputs)
+    }
+
+    // ---- s0: synthesize transcripts (the Iceberg-style input table) ----
     if (active("s0_transcripts")) {
-      val t = TranscriptGen.dataset(spark, nConvs, seed)
-      t.write.mode(SaveMode.Overwrite).parquet(path("s0_transcripts"))
-      lineage("s0_transcripts", spark.read.parquet(path("s0_transcripts")))
+      write("s0_transcripts", TranscriptGen.dataset(spark, nConvs, seed).toDF())
     }
 
     // ---- s1: clean chain ----
     if (active("s1_clean")) {
       val turns = spark.read.parquet(path("s0_transcripts")).as[Turn]
-      KgPipeline.cleanTurns(turns).write.mode(SaveMode.Overwrite).parquet(path("s1_clean"))
-      lineage("s1_clean", spark.read.parquet(path("s1_clean")))
+      write("s1_clean", KgPipeline.cleanTurns(turns), Seq("s0_transcripts"))
     }
 
     // ---- s2: train + persist the section tagger ----
@@ -93,24 +105,20 @@ object PipelineMain {
       val cleaned = spark.read.parquet(path("s1_clean"))
       val tagged = SectionTagger.predict(loadTagger(), cleaned)
       val extractDates = a.getOrElse("extract-dates", "false").toBoolean // X5 flag
-      TurnExtract.extract(tagged, extractDates)
-        .write.mode(SaveMode.Overwrite).parquet(path("s3_extract"))
-      lineage("s3_extract", spark.read.parquet(path("s3_extract")))
+      write("s3_extract", TurnExtract.extract(tagged, extractDates), Seq("s1_clean"))
     }
 
     // ---- s4: per-conversation resolve ----
     if (active("s4_conv")) {
       val extracted = spark.read.parquet(path("s3_extract"))
-      ConvFinalize.run(extracted).write.mode(SaveMode.Overwrite).parquet(path("s4_conv"))
-      lineage("s4_conv", spark.read.parquet(path("s4_conv")))
+      write("s4_conv", ConvFinalize.run(extracted).toDF(), Seq("s3_extract"))
     }
 
     // ---- s5: entity linking over org mentions ----
     if (active("s5_entities")) {
       val convs = spark.read.parquet(path("s4_conv"))
       val mentions = convs.select(explode(col("orgs")).as("surface"))
-      Linking.canonicalize(mentions).write.mode(SaveMode.Overwrite).parquet(path("s5_entities"))
-      lineage("s5_entities", spark.read.parquet(path("s5_entities")))
+      write("s5_entities", Linking.canonicalize(mentions), Seq("s4_conv"))
     }
 
     // ---- s6: scoring + triple emission, partitioned by pred ----
@@ -124,16 +132,25 @@ object PipelineMain {
         convs.toDF().select(col("conv_id"), col("location")).filter(col("location").isNotNull))
       val canon = spark.read.parquet(path("s5_entities"))
       val triples = TripleEmit.run(convs, sectors, estimates, canon)
-      triples.write.mode(SaveMode.Overwrite).partitionBy("pred").parquet(path("s6_triples"))
-      lineage("s6_triples", spark.read.parquet(path("s6_triples")))
+      // pred-partitioned + dynamic overwrite: a re-run replaces exactly the
+      // pred partitions it produced (Iceberg overwritePartitions semantics)
+      write("s6_triples", triples.toDF(), Seq("s4_conv", "s5_entities"),
+        partitionBy = Seq("pred"))
       // per-pred metrics
       spark.read.parquet(path("s6_triples")).groupBy("pred").count()
         .withColumn("run_id", lit(runId)).withColumn("stage", lit("s6_triples"))
         .write.mode(SaveMode.Append).parquet(s"$out/metrics")
       // wide-row TSV export (reference MySQL/TSV sink parity, S5/S6)
-      WideExport.exportTsv(WideExport.widen(spark.read.parquet(path("s6_triples"))),
-        path("s6_wide_tsv"))
+      val wide = WideExport.widen(spark.read.parquet(path("s6_triples")))
+      WideExport.exportTsv(wide, path("s6_wide_tsv"))
       println(s"[graft] s6_wide_tsv -> ${path("s6_wide_tsv")}")
+      // S6 JDBC sink (reference exports the wide table to MySQL,
+      // MergeAndExportInfo.py:85-111): any JDBC url on the classpath
+      a.get("jdbc-url").foreach { url =>
+        graft.sources.TableIO.writeJdbc(wide, url,
+          a.getOrElse("jdbc-table", "kg_wide"), a.get("jdbc-driver"))
+        println(s"[graft] s6_jdbc -> $url")
+      }
     }
 
     spark.stop()

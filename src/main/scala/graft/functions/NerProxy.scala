@@ -22,11 +22,24 @@ import graft.rules.Rules
   * Output: array<double> [loc, emp, cur, hour, edu] hit counts.
   */
 object NerProxyFast {
-  val names: Seq[String] = Seq("ner_loc", "ner_emp", "ner_cur", "ner_hour", "ner_edu")
+  /** feature vector layout: token ratios first (F10), then the hit counts */
+  val names: Seq[String] =
+    Seq("digit_ratio", "word_ratio", "ner_loc", "ner_emp", "ner_cur", "ner_hour", "ner_edu")
 
   def counts(s: UTF8String): ArrayData = {
     val str = s.toString
+    // F10 ratios (ClassifyUsingSavedModel.py:191-193) — replicates the
+    // previous Column formulation split(text, " ") + rlike("^[0-9]+$"):
+    // single-space split keeping empties, digit = non-empty all-digit
+    val toks = str.split(" ", -1)
+    var digits = 0
+    toks.foreach { t =>
+      if (t.nonEmpty && t.forall(c => c >= '0' && c <= '9')) digits += 1
+    }
+    val n = math.max(toks.length, 1).toDouble
     new GenericArrayData(Array[Double](
+      digits / n,
+      (toks.length - digits) / n,
       Rules.extractLocations(str).size.toDouble,
       Rules.employmentSurfaces(str).size.toDouble,
       Rules.currencyHits(str).toDouble,

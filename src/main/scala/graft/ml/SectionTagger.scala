@@ -25,24 +25,17 @@ import graft.functions.NerProxyFunctions.ner_proxy_counts
 object SectionTagger {
 
   /** Ratio features (ClassifyUsingSavedModel.py:191-193) + NER-proxy hit
-    * counts — applied both at train and serve time.
+    * counts — one codegen'd single-pass expression (no per-token regex on
+    * the hot path), applied both at train and serve time.
     */
   def prepare(df: DataFrame): DataFrame = {
-    val toks = split(col("text_clean"), " ")
-    val n = greatest(size(toks), lit(1)).cast("double")
-    val withRatios = df
-      .withColumn("digit_ratio",
-        size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("double") / n)
-      .withColumn("word_ratio",
-        size(filter(toks, t => !t.rlike("^[0-9]+$"))).cast("double") / n)
-      .withColumn("ner_counts", ner_proxy_counts(col("text_clean")))
-    NerProxyFast.names.zipWithIndex.foldLeft(withRatios) { case (acc, (name, i)) =>
+    val withCounts = df.withColumn("ner_counts", ner_proxy_counts(col("text_clean")))
+    NerProxyFast.names.zipWithIndex.foldLeft(withCounts) { case (acc, (name, i)) =>
       acc.withColumn(name, element_at(col("ner_counts"), i + 1))
     }.drop("ner_counts")
   }
 
-  private val extraFeatureCols: Array[String] =
-    Array("digit_ratio", "word_ratio") ++ NerProxyFast.names
+  private val extraFeatureCols: Array[String] = NerProxyFast.names.toArray
 
   /** RandomOverSampler re-expression (M8): upsample every class to the
     * majority count via per-class with-replacement sampling.

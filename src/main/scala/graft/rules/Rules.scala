@@ -51,7 +51,47 @@ object Rules {
   private val pCustomPunct = Pattern.compile("[!\"#;<=>?@\\[\\\\\\]^`{|}~]")
   private val pNewlines = Pattern.compile("[\\n\\r\\t]")
 
+  /** Production clean chain — regex-FREE (CleanScan char scanners, one
+    * per reference pass; this host's java.util.regex collapses across
+    * threads in one JVM, so the hot path avoids it entirely). Pinned to
+    * [[cleanStringRegex]] by CleanScanSpec and to CPython by the RulesSpec
+    * cases.
+    */
   def cleanString(s: String): String = {
+    if (s == null) return ""
+    var d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
+    d = d.trim
+    d = CleanScan.stripNewlines(d)
+    d = d.toLowerCase
+    d = CleanScan.charsetKeep(d)
+    d = CleanScan.stripTags(d)
+    d = CleanScan.stripCaretSingles(d)
+    d = CleanScan.collapseWs(d)
+    d = CleanScan.stripPrefixB(d)
+    d = d.replace("&amp;", "and")
+    d = d.replace("atm", "")
+    d = CleanScan.splitLetterDigit(d)
+    d = CleanScan.dropSingleLetters(d)
+    d = CleanScan.expandKilo(d)
+    d = CleanScan.dropThousandsCommas(d)
+    d = d.replace("euro ", "€").replace("eur ", "€")
+    d = d.replace("dollar ", "$").replace("usd ", "$") // String.replace is literal
+    d = CleanScan.reorderCurrency(d, '€', spaced = true)
+    d = CleanScan.reorderCurrency(d, '€', spaced = false)
+    d = CleanScan.reorderCurrency(d, '$', spaced = true)
+    d = CleanScan.reorderCurrency(d, '$', spaced = false)
+    d = CleanScan.reorderCurrency(d, '£', spaced = true)
+    d = CleanScan.reorderCurrency(d, '£', spaced = false)
+    d = CleanScan.rangeToWords(d)
+    d = CleanScan.dropCustomPunct(d)
+    CleanScan.lemmatizeTokens(d, Dims.lemmas)
+  }
+
+  /** The original Pattern-chain implementation — kept verbatim as the
+    * differential twin for the scanner chain (CleanScanSpec pins
+    * cleanString == cleanStringRegex on corpus + adversarial edge cases).
+    */
+  def cleanStringRegex(s: String): String = {
     if (s == null) return ""
     var d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
     d = d.trim
@@ -86,6 +126,29 @@ object Rules {
   // ==================================================================
   // Generic helpers (ExtractInfo.py:211-285)
   // ==================================================================
+
+  /** Nonempty whitespace-separated tokens — scanner equivalent of
+    * split("\\s+").filter(_.nonEmpty) (regex-free: hot-path helper for
+    * the per-turn gates and NER-proxy features).
+    */
+  @inline private def isWsCh(c: Char): Boolean = // regex \s: [ \t\n\x0B\f\r]
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def wsTokens(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val len = s.length
+    var i = 0
+    while (i < len) {
+      while (i < len && isWsCh(s.charAt(i))) i += 1
+      if (i < len) {
+        var j = i
+        while (j < len && !isWsCh(s.charAt(j))) j += 1
+        out += s.substring(i, j)
+        i = j
+      }
+    }
+    out.toArray
+  }
 
   /** getOrConditionUsingCombinations — both substrings present. */
   def comboGate(combos: Seq[(String, String)], s: String): Boolean =
@@ -128,7 +191,7 @@ object Rules {
     * first of €/$/£ as substring; canonicalized to a currency family.
     */
   def getCurrency(s: String): Option[String] = {
-    val word = s.split("\\s+").find(currencyTokens.contains).map(Dims.currencyWords)
+    val word = wsTokens(s).find(currencyTokens.contains).map(Dims.currencyWords)
     word.orElse(Seq("€", "$", "£").find(s.contains).map(Dims.currencySymbols))
   }
 
@@ -136,7 +199,7 @@ object Rules {
     * currency word tokens + distinct symbol families present.
     */
   def currencyHits(s: String): Int =
-    s.split("\\s+").count(currencyTokens.contains) +
+    wsTokens(s).count(currencyTokens.contains) +
       Seq("€", "$", "£").count(s.contains)
 
   /** filterCurrencyAndSalary (ExtractInfo.py:390-408): euro-associated
@@ -167,7 +230,7 @@ object Rules {
 
   def salaryGate(cleaned: String): Boolean =
     comboGate(Dims.salaryCombinations, cleaned) ||
-      cleaned.split("\\s+").exists(Dims.salaryCommonKeywords.contains) ||
+      wsTokens(cleaned).exists(Dims.salaryCommonKeywords.contains) ||
       getCurrency(cleaned).isDefined
 
   /** Extract the salary facts of one cleaned chunk. Numbers stand in for
@@ -241,15 +304,60 @@ object Rules {
   // ExtractInfo.py:325-363,536-555)
   // ==================================================================
 
+  private val gazetteerSorted: Seq[(String, String)] =
+    Dims.gazetteer.toSeq.sortBy(_._1)
+
   private val gazetteerPatterns: Seq[(Pattern, String)] =
-    Dims.gazetteer.toSeq.sortBy(_._1).map { case (surface, country) =>
+    gazetteerSorted.map { case (surface, country) =>
       (Pattern.compile("\\b" + Pattern.quote(surface) + "\\b"), country)
     }
 
+  @inline private def isWordCh(c: Char): Boolean = // regex \w: [a-zA-Z0-9_]
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+
+  /** First \b-delimited occurrence of `needle` in `hay`, or -1 — scanner
+    * equivalent of Pattern("\\b" + quote(needle) + "\\b").find. The \b
+    * tests apply to the needle's own edge chars: a needle edge that is a
+    * non-word char (e.g. "st.") has its boundary INSIDE the needle, so the
+    * neighbor test flips accordingly.
+    */
+  def indexOfBounded(hay: String, needle: String): Int = {
+    if (needle.isEmpty) return -1
+    val first = needle.charAt(0)
+    val last = needle.charAt(needle.length - 1)
+    var from = 0
+    while (true) {
+      val i = hay.indexOf(needle, from)
+      if (i < 0) return -1
+      val beforeOk =
+        if (isWordCh(first)) i == 0 || !isWordCh(hay.charAt(i - 1))
+        else i > 0 && isWordCh(hay.charAt(i - 1)) // \b needs a word char side
+      val endIdx = i + needle.length
+      val afterOk =
+        if (isWordCh(last)) endIdx == hay.length || !isWordCh(hay.charAt(endIdx))
+        else endIdx < hay.length && isWordCh(hay.charAt(endIdx))
+      if (beforeOk && afterOk) return i
+      from = i + 1
+    }
+    -1
+  }
+
   /** country display names mentioned in a cleaned chunk, first-occurrence
-    * position order (the reference appends in entity order).
+    * position order (the reference appends in entity order). Regex-free
+    * scanner (gazetteer regexes ran per turn); pinned to
+    * [[extractLocationsRegex]] by CleanScanSpec.
     */
   def extractLocations(cleaned: String): Seq[String] = {
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    gazetteerSorted.foreach { case (surface, country) =>
+      val i = indexOfBounded(cleaned, surface)
+      if (i >= 0) hits += ((i, country))
+    }
+    hits.sortBy(_._1).map(_._2).distinct.toSeq
+  }
+
+  /** Pattern-based twin of [[extractLocations]] (differential pin only). */
+  def extractLocationsRegex(cleaned: String): Seq[String] = {
     val hits = gazetteerPatterns.flatMap { case (p, country) =>
       val m = p.matcher(cleaned)
       if (m.find()) Some((m.start, country)) else None
@@ -275,7 +383,33 @@ object Rules {
 
   private val pAlphaToken = Pattern.compile("\\b[^\\d\\W]+\\b")
 
+  @inline private def isAlphaTokCh(c: Char): Boolean = // [^\d\W] = [a-zA-Z_]
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_'
+
+  /** \b[^\d\W]+\b matches — scanner: a maximal [a-zA-Z_] run qualifies iff
+    * its neighbors are non-word (a digit neighbor kills the \b, and the
+    * run cannot shrink to find an internal boundary). Pinned to
+    * [[alphaTokensRegex]] by CleanScanSpec fuzz.
+    */
   def alphaTokens(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val len = s.length
+    var i = 0
+    while (i < len) {
+      if (isAlphaTokCh(s.charAt(i))) {
+        var j = i
+        while (j < len && isAlphaTokCh(s.charAt(j))) j += 1
+        val beforeOk = i == 0 || !isWordCh(s.charAt(i - 1))
+        val afterOk = j == len || !isWordCh(s.charAt(j))
+        if (beforeOk && afterOk) out += s.substring(i, j)
+        i = j
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Pattern twin of [[alphaTokens]] (differential pin only). */
+  def alphaTokensRegex(s: String): Seq[String] = {
     val m = pAlphaToken.matcher(s)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     while (m.find()) out += m.group()
@@ -347,20 +481,85 @@ object Rules {
   private val pOrg = Pattern.compile("\\b([A-Z][a-z]+(?: [A-Z][a-zA-Z]+)+)\\b")
   private lazy val countryNames: Set[String] = Dims.countries.map(_.name).toSet
 
+  private def orgFilterOk(cand: String): Boolean =
+    !(Seq("http", "www").exists(cand.toLowerCase.contains) ||
+      (cand.length < 3 && cand != "eu" && cand != "un") ||
+      countryNames.contains(cand))
+
   /** org-like mentions in RAW (uncleaned) text: ≥2 adjacent capitalized
     * words, minus URLs, minus country names (the GPE/ORG distinction the
     * reference gets from spaCy), len ≥ 3 kept per checkOrganisationConditions.
+    *
+    * Scanner re-derivation of the pattern (pinned to [[extractOrgsRegex]]
+    * by CleanScanSpec fuzz): tokenize into MAXIMAL \w runs; a match is a
+    * chain of runs separated by exactly one space where run1 is
+    * [A-Z][a-z]+ and each later run is [A-Z][a-zA-Z]+ — maximality gives
+    * the \b edges (a digit/underscore touching a run disqualifies it, and
+    * regex backtracking cannot shrink a run to manufacture a boundary).
+    * Greedy (longest chain), non-overlapping, first-occurrence dedup.
     */
   def extractOrgs(raw: String): Seq[String] = {
+    if (raw == null) return Seq.empty
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val len = raw.length
+    // collect maximal word-char runs
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < len) {
+      if (isWordCh(raw.charAt(i))) {
+        val s0 = i
+        while (i < len && isWordCh(raw.charAt(i))) i += 1
+        starts += s0; ends += i
+      } else i += 1
+    }
+    def isFirstWord(a: Int, b: Int): Boolean = {
+      if (b - a < 2) return false
+      val c0 = raw.charAt(a)
+      if (!(c0 >= 'A' && c0 <= 'Z')) return false
+      var k = a + 1
+      while (k < b) { val c = raw.charAt(k); if (!(c >= 'a' && c <= 'z')) return false; k += 1 }
+      true
+    }
+    def isLaterWord(a: Int, b: Int): Boolean = {
+      if (b - a < 2) return false
+      val c0 = raw.charAt(a)
+      if (!(c0 >= 'A' && c0 <= 'Z')) return false
+      var k = a + 1
+      while (k < b) {
+        val c = raw.charAt(k)
+        if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) return false
+        k += 1
+      }
+      true
+    }
+    var r = 0
+    while (r < starts.length) {
+      if (isFirstWord(starts(r), ends(r))) {
+        var last = r
+        while (last + 1 < starts.length &&
+            starts(last + 1) == ends(last) + 1 && raw.charAt(ends(last)) == ' ' &&
+            isLaterWord(starts(last + 1), ends(last + 1))) {
+          last += 1
+        }
+        if (last > r) {
+          val cand = raw.substring(starts(r), ends(last))
+          if (orgFilterOk(cand)) out += cand
+          r = last + 1
+        } else r += 1
+      } else r += 1
+    }
+    out.toSeq
+  }
+
+  /** Pattern twin of [[extractOrgs]] (differential pin only). */
+  def extractOrgsRegex(raw: String): Seq[String] = {
     if (raw == null) return Seq.empty
     val m = pOrg.matcher(raw)
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
     while (m.find()) {
       val cand = m.group(1)
-      val bad = Seq("http", "www").exists(cand.toLowerCase.contains) ||
-        (cand.length < 3 && cand != "eu" && cand != "un") ||
-        countryNames.contains(cand)
-      if (!bad) out += cand
+      if (orgFilterOk(cand)) out += cand
     }
     out.toSeq
   }
@@ -403,6 +602,11 @@ object Rules {
     "\\b(" + numberWords.keys.toSeq.sorted.mkString("|") + ")\\s*(?:hours?|hrs)\\b")
 
   def timeSpans(cleaned: String): Seq[String] = {
+    // semantics-preserving cheap gate: every pattern below requires one of
+    // these literals (pHourSpan/pWordHour need "hour"/"hrs", pClockRange
+    // ends in am/pm) — skip the regex machinery when none is present
+    if (!cleaned.contains("hour") && !cleaned.contains("hrs") &&
+        !cleaned.contains("am") && !cleaned.contains("pm")) return Seq.empty
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
     Seq(pClockRange, pHourSpan).foreach { p =>
       val m = p.matcher(cleaned)

@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-semantics table IO on parquet (SURVEY §7.1: the target is
+  * partitioned Iceberg tables with `overwritePartitions`-style idempotent
+  * replace; the sandbox classpath carries no Iceberg runtime, so the two
+  * load-bearing semantics are modeled directly):
+  *
+  *  - **Partition-scoped replace**: partitioned writes use dynamic
+  *    partition-overwrite — ONLY the partitions present in the incoming
+  *    frame are replaced, like Iceberg's `overwritePartitions`. Re-running
+  *    a stage never wipes partitions it did not produce.
+  *  - **Snapshots**: every write computes a content snapshot id (an
+  *    order-insensitive fold of per-row hashes — deterministic, so an
+  *    idempotent re-run reproduces the SAME id) and records it in a
+  *    `_graft_snapshot.json` marker the readers ignore. Lineage rows carry
+  *    the input tables' snapshot ids, giving each stage run a verifiable
+  *    input→output provenance edge (north_rule lineage mandate).
+  */
+object TableIO {
+
+  /** Order-insensitive content hash: bit_xor of per-row xxhash64 over all
+    * columns. Deterministic across partitioning/parallelism.
+    */
+  def snapshotId(df: DataFrame): Long = {
+    val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+    h.agg(expr("bit_xor(h)")).collect()(0) match {
+      case r if r.isNullAt(0) => 0L // empty table
+      case r => r.getLong(0)
+    }
+  }
+
+  private def markerPath(path: String) = s"$path/_graft_snapshot.json"
+
+  /** Overwrite-write with snapshot marker. Partitioned tables replace only
+    * the partitions present in `df` (dynamic overwrite).
+    */
+  def writeSnapshot(df: DataFrame, path: String, stage: String,
+      partitionBy: Seq[String] = Nil)(implicit spark: SparkSession): Long = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    if (partitionBy.nonEmpty)
+      w.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionBy: _*).parquet(path)
+    else w.parquet(path)
+    val sid = snapshotId(spark.read.parquet(path))
+    Files.writeString(Paths.get(markerPath(path)),
+      s"""{"snapshot_id":$sid,"stage":"$stage"}""")
+    sid
+  }
+
+  /** Snapshot id recorded by the last writeSnapshot on this table. */
+  def readSnapshotId(path: String): Option[Long] = {
+    val p = Paths.get(markerPath(path))
+    if (!Files.exists(p)) None
+    else {
+      val s = Files.readString(p)
+      val m = """"snapshot_id":(-?\d+)""".r.findFirstMatchIn(s)
+      m.map(_.group(1).toLong)
+    }
+  }
+
+  /** S6 JDBC sink (SURVEY §7.5 "a JDBC writer flag can exist for demo"):
+    * the reference exports its wide table to MySQL
+    * (MergeAndExportInfo.py:85-111); any JDBC url on the session classpath
+    * works — the spec exercises embedded Derby.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      driver: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    // DriverManager only sees drivers that have been class-loaded; infer
+    // the embedded-Derby class so a fresh JVM works without a flag
+    driver.orElse(
+      if (url.startsWith("jdbc:derby")) Some("org.apache.derby.jdbc.EmbeddedDriver")
+      else None
+    ).foreach(d => w.option("driver", d))
+    // Derby accepts connection attributes as properties too; an attribute-
+    // free derby url gets create=true so CLIs that cannot pass ';'-suffixed
+    // urls (sbt splits command strings on ';') still work
+    if (url.startsWith("jdbc:derby") && !url.contains(";")) w.option("create", "true")
+    w.save()
+  }
+}
