@@ -1,11 +1,10 @@
 package graft.operators
 
-import java.util.regex.Pattern
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.ExtractFunctions.{extract_education, extract_salary}
+import graft.functions.MentionFunctions.{extract_dates, extract_locations, extract_orgs}
 import graft.sources.Dims
 
 /** Salary fields of one gated turn (null struct = gate closed or no hit). */
@@ -32,10 +31,12 @@ final case class TurnExtracted(
     deadline_dates: Seq[String])
 
 /** S3 mention detection — rule extractors X1-X10, all expressed as Column
-  * expressions (builtins where they fit, the two intricate parsers as
-  * native codegen'd expressions behind lazy `when()` gates). The whole
-  * stage is one narrow whole-stage-codegen projection: no shuffle, no
-  * object-encoder boundary (SURVEY §2.11).
+  * expressions: builtins where they fit, the parsers and gazetteer/ORG/
+  * date scans as native codegen'd expressions over the regex-free Rules
+  * char scanners (each pinned to its Pattern twin by CleanScanSpec). The
+  * whole stage is one narrow whole-stage-codegen projection with zero
+  * java.util.regex on the hot path: no shuffle, no object-encoder
+  * boundary (SURVEY §2.11, BENCH_SCALING.md regex collapse).
   */
 object TurnExtract {
 
@@ -51,25 +52,30 @@ object TurnExtract {
         k => element_at(surfaceToGroup, k)))
   }
 
-  private lazy val gazPattern: String =
-    "\\b(" + Dims.gazetteer.keys.toSeq.sortBy(s => (-s.length, s))
-      .map(Pattern.quote).mkString("|") + ")\\b"
-
   /** X3 — location gazetteer scan (countries + cities), mapped to country
-    * display names, match-order distinct.
+    * display names, match-order distinct (Rules.scanGazetteer).
     */
-  def locationsCol(clean: Column): Column =
+  def locationsCol(clean: Column): Column = extract_locations(clean)
+
+  /** regexp_extract_all twin of [[locationsCol]] — differential pin only
+    * (OperatorSpec asserts expression == Column-regex on the corpus).
+    */
+  def locationsColRegex(clean: Column): Column =
     array_distinct(
       transform(
-        regexp_extract_all(clean, lit(gazPattern), lit(1)),
+        regexp_extract_all(clean, lit(graft.rules.Rules.gazAlternationStr), lit(1)),
         s => element_at(typedlit(Dims.gazetteer), s)))
 
   private val orgPattern = "\\b([A-Z][a-z]+(?: [A-Z][a-zA-Z]+)+)\\b"
 
   /** X4 — ORG mentions on RAW text (capitalization carries the signal),
-    * with the reference's URL/length filters and a country blocklist.
+    * with the reference's URL/length filters and a country blocklist
+    * (Rules.extractOrgs).
     */
-  def orgsCol(raw: Column): Column = {
+  def orgsCol(raw: Column): Column = extract_orgs(raw)
+
+  /** regexp_extract_all twin of [[orgsCol]] (differential pin only). */
+  def orgsColRegex(raw: Column): Column = {
     val countryLit = typedlit(Dims.countries.map(_.name))
     array_distinct(
       filter(
@@ -78,23 +84,13 @@ object TurnExtract {
           length(o) >= 3 && !array_contains(countryLit, o)))
   }
 
-  /** X1/X2 salary gate as a cheap Column so the native parser expression
-    * only evaluates on gated rows (ExtractInfo.py:425-430).
+  /** X5 — date-like spans over cleaned text (Rules.extractDates: same
+    * pattern string + stoplist as the reference's DATE branch).
     */
-  def salaryGateCol(clean: Column): Column = {
-    val combos = Dims.salaryCombinations
-      .map { case (a, b) => clean.contains(a) && clean.contains(b) }
-      .reduce(_ || _)
-    val kw = arrays_overlap(split(clean, "\\s+"), typedlit(Dims.salaryCommonKeywords))
-    val curWord = arrays_overlap(split(clean, "\\s+"), typedlit(Dims.currencyWords.keys.toSeq))
-    val curSym = clean.contains("€") || clean.contains("$") || clean.contains("£")
-    combos || kw || curWord || curSym
-  }
+  def datesCol(clean: Column): Column = extract_dates(clean)
 
-  /** X5 — date-like spans over cleaned text (Column twin of
-    * Rules.extractDates, same pattern string + stoplist).
-    */
-  def datesCol(clean: Column): Column =
+  /** regexp_extract_all twin of [[datesCol]] (differential pin only). */
+  def datesColRegex(clean: Column): Column =
     array_distinct(
       filter(
         regexp_extract_all(clean, lit(graft.rules.Rules.datePatternStr), lit(0)),
@@ -105,6 +101,10 @@ object TurnExtract {
     * `extractDates` is the X5 flag — the reference ships it disabled
     * (ExtractInfo.py:131-132), so it defaults off and emits empty arrays
     * (flag-off schema/behavior parity).
+    *
+    * The X1/X2 salary gate (ExtractInfo.py:425-430) lives INSIDE
+    * extract_salary (Rules.extractSalary checks Rules.salaryGate first and
+    * returns null below it) — no duplicate Column-side gate.
     */
   def extract(turns: DataFrame, extractDates: Boolean = false)(
       implicit spark: SparkSession): DataFrame = {
@@ -120,7 +120,7 @@ object TurnExtract {
       .withColumn("edu_phrases",
         when(col("category") === "education_requirements", extract_education(cl))
           .otherwise(typedlit(Seq.empty[String])))
-      .withColumn("sal", when(salaryGateCol(cl), extract_salary(cl)))
+      .withColumn("sal", extract_salary(cl))
       .withColumn("start_dates", gatedDates("start_date"))
       .withColumn("deadline_dates", gatedDates("deadline_date"))
       .select("conv_id", "turn_idx", "role", "tool", "text", "text_clean", "category",

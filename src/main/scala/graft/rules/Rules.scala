@@ -315,6 +315,15 @@ object Rules {
   @inline private def isWordCh(c: Char): Boolean = // regex \w: [a-zA-Z0-9_]
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
 
+  /** Java \b's word definition (Pattern.Bound.isWord WITHOUT
+    * UNICODE_CHARACTER_CLASS): underscore or any Unicode letter/digit —
+    * BROADER than \w's ASCII class. 'é' is not \w but IS a \b word char,
+    * so "a" in "aé" has no trailing boundary. Every scanner boundary test
+    * must use this predicate, not isWordCh (CleanScanSpec fuzz pins it).
+    */
+  @inline private def isBoundWordCh(c: Char): Boolean =
+    c == '_' || Character.isLetterOrDigit(c)
+
   /** First \b-delimited occurrence of `needle` in `hay`, or -1 — scanner
     * equivalent of Pattern("\\b" + quote(needle) + "\\b").find. The \b
     * tests apply to the needle's own edge chars: a needle edge that is a
@@ -323,19 +332,18 @@ object Rules {
     */
   def indexOfBounded(hay: String, needle: String): Int = {
     if (needle.isEmpty) return -1
-    val first = needle.charAt(0)
-    val last = needle.charAt(needle.length - 1)
+    val first = isBoundWordCh(needle.charAt(0))
+    val last = isBoundWordCh(needle.charAt(needle.length - 1))
     var from = 0
     while (true) {
       val i = hay.indexOf(needle, from)
       if (i < 0) return -1
+      // \b = exactly one side is a word char; string edge counts non-word
       val beforeOk =
-        if (isWordCh(first)) i == 0 || !isWordCh(hay.charAt(i - 1))
-        else i > 0 && isWordCh(hay.charAt(i - 1)) // \b needs a word char side
+        if (i == 0) first else isBoundWordCh(hay.charAt(i - 1)) != first
       val endIdx = i + needle.length
       val afterOk =
-        if (isWordCh(last)) endIdx == hay.length || !isWordCh(hay.charAt(endIdx))
-        else endIdx < hay.length && isWordCh(hay.charAt(endIdx))
+        if (endIdx == hay.length) last else isBoundWordCh(hay.charAt(endIdx)) != last
       if (beforeOk && afterOk) return i
       from = i + 1
     }
@@ -363,6 +371,63 @@ object Rules {
       if (m.find()) Some((m.start, country)) else None
     }
     hits.sortBy(_._1).map(_._2).distinct
+  }
+
+  /** X3 engine-side gazetteer scan — the exact semantics of a single
+    * `\b(s1|s2|…)\b` alternation sorted by (-length, surface): at each
+    * word start the LONGEST surface whose trailing edge is also a word
+    * boundary wins, the match is consumed (non-overlapping), surfaces map
+    * to country names, first-occurrence distinct. This is what
+    * TurnExtract.locationsCol expressed with regexp_extract_all; pinned to
+    * [[scanGazetteerRegex]] by CleanScanSpec fuzz. (Distinct from
+    * [[extractLocations]], the per-surface-first-occurrence NER-proxy
+    * counter — the two differ only on nested surfaces.)
+    */
+  private val gazByFirst: Map[Char, IndexedSeq[(String, String)]] =
+    Dims.gazetteer.toSeq.sortBy { case (s, _) => (-s.length, s) }
+      .groupBy(_._1.charAt(0)).view.mapValues(_.toIndexedSeq).toMap
+
+  def scanGazetteer(cleaned: String): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val len = cleaned.length
+    var i = 0
+    while (i < len) {
+      val c = cleaned.charAt(i)
+      // surfaces start with an ASCII letter, so \b restricts starts to
+      // positions whose LEFT neighbor is not a Java-\b word char
+      if (i == 0 || !isBoundWordCh(cleaned.charAt(i - 1))) {
+        val cands = gazByFirst.getOrElse(c, IndexedSeq.empty)
+        var matchedEnd = -1
+        var k = 0
+        while (matchedEnd < 0 && k < cands.length) {
+          val (s, country) = cands(k)
+          val end = i + s.length
+          if (end <= len && cleaned.regionMatches(i, s, 0, s.length) &&
+              (end == len || !isBoundWordCh(cleaned.charAt(end)))) {
+            out += country
+            matchedEnd = end
+          }
+          k += 1
+        }
+        i = if (matchedEnd >= 0) matchedEnd else i + 1
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** the alternation regex itself, for the differential twin and docs. */
+  val gazAlternationStr: String =
+    "\\b(" + Dims.gazetteer.keys.toSeq.sortBy(s => (-s.length, s))
+      .map(Pattern.quote).mkString("|") + ")\\b"
+
+  private lazy val pGazAlternation = Pattern.compile(gazAlternationStr)
+
+  /** Pattern twin of [[scanGazetteer]] (differential pin only). */
+  def scanGazetteerRegex(cleaned: String): Seq[String] = {
+    val m = pGazAlternation.matcher(cleaned)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (m.find()) out += Dims.gazetteer(m.group(1))
+    out.toSeq
   }
 
   /** getPrioritizedJobLocation (ProcessAndMergeInfo.py:549-553): mode with
@@ -399,8 +464,8 @@ object Rules {
       if (isAlphaTokCh(s.charAt(i))) {
         var j = i
         while (j < len && isAlphaTokCh(s.charAt(j))) j += 1
-        val beforeOk = i == 0 || !isWordCh(s.charAt(i - 1))
-        val afterOk = j == len || !isWordCh(s.charAt(j))
+        val beforeOk = i == 0 || !isBoundWordCh(s.charAt(i - 1))
+        val afterOk = j == len || !isBoundWordCh(s.charAt(j))
         if (beforeOk && afterOk) out += s.substring(i, j)
         i = j
       } else i += 1
@@ -535,13 +600,22 @@ object Rules {
     }
     var r = 0
     while (r < starts.length) {
-      if (isFirstWord(starts(r), ends(r))) {
+      // leading \b: the char left of the chain must not be a Java-\b word
+      // char (runs are ASCII-\w-maximal, so only non-ASCII letters/digits
+      // can violate this, e.g. "éAb Cd")
+      val startOk = starts(r) == 0 || !isBoundWordCh(raw.charAt(starts(r) - 1))
+      if (startOk && isFirstWord(starts(r), ends(r))) {
         var last = r
         while (last + 1 < starts.length &&
             starts(last + 1) == ends(last) + 1 && raw.charAt(ends(last)) == ' ' &&
             isLaterWord(starts(last + 1), ends(last + 1))) {
           last += 1
         }
+        // trailing \b: if a Java-word char (non-ASCII letter) abuts the last
+        // run, the regex backtracks one whole repetition — the new edge is a
+        // space, which always satisfies \b
+        if (last > r && ends(last) < len && isBoundWordCh(raw.charAt(ends(last))))
+          last -= 1
         if (last > r) {
           val cand = raw.substring(starts(r), ends(last))
           if (orgFilterOk(cand)) out += cand

@@ -44,4 +44,75 @@ class CleanScanSpec extends AnyFunSuite {
       check((0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
     }
   }
+
+  // ---- mention scanners: each pinned to its Pattern twin ----
+
+  /** word-fuzz: sentences assembled from trap words (gazetteer surfaces,
+    * partial surfaces, capitalized runs, digits-adjacent words) so \b and
+    * longest-alternative paths all fire.
+    */
+  private def wordFuzz(seed: Int, n: Int)(f: String => Unit): Unit = {
+    val words = Seq(
+      "berlin", "munich", "united", "kingdom", "united kingdom", "unitedkingdom",
+      "berlin7", "xberlin", "berlinx", "paris", "warsaw", "oslo", "o", "os",
+      "Acme", "Acme Corp", "Acme Corp Inc5", "Http Www", "ACme", "aCme",
+      "Germany", "The Hague Group", "A B", "Ab C", "Ab Cd Ef", "Ab cD",
+      "12", "a1", "_x", "x_", "rome", "milan", "pragu", "prague", "praguee",
+      // Java-\b traps: non-ASCII letters are \b-word chars but not \w
+      "é", "aé", "éa", "Abé", "éAb", "Ab Cdé", "Ab Cdé Ef", "berliné", "éberlin",
+      "Grüß", "Ab Cd Efé", "münich", "²x", "x²")
+    val seps = Seq(" ", ", ", ".", " - ", "", "  ", "\t")
+    val rnd = new scala.util.Random(seed)
+    (0 until n).foreach { _ =>
+      val k = rnd.nextInt(8)
+      f((0 until k).map(_ => words(rnd.nextInt(words.length)) +
+        seps(rnd.nextInt(seps.length))).mkString)
+    }
+  }
+
+  test("scanGazetteer == alternation-regex twin (fixture + word fuzz)") {
+    wordFuzz(7, 4000)(s =>
+      assert(Rules.scanGazetteer(s) == Rules.scanGazetteerRegex(s), s"input: $s"))
+    (0L until 120L).foreach { i =>
+      TranscriptGen.turnsFor(i, 42L, 0, 0).foreach { t =>
+        val cl = Rules.cleanString(t.text)
+        assert(Rules.scanGazetteer(cl) == Rules.scanGazetteerRegex(cl), s"input: $cl")
+      }
+    }
+  }
+
+  test("extractLocations == per-surface regex twin (fixture + word fuzz)") {
+    wordFuzz(11, 4000)(s =>
+      assert(Rules.extractLocations(s) == Rules.extractLocationsRegex(s), s"input: $s"))
+  }
+
+  test("extractOrgs == regex twin (fixture + word fuzz)") {
+    wordFuzz(13, 4000)(s =>
+      assert(Rules.extractOrgs(s) == Rules.extractOrgsRegex(s), s"input: $s"))
+    (0L until 120L).foreach { i =>
+      TranscriptGen.turnsFor(i, 42L, 0, 0).foreach(t =>
+        assert(Rules.extractOrgs(t.text) == Rules.extractOrgsRegex(t.text),
+          s"input: ${t.text}"))
+    }
+  }
+
+  test("alphaTokens == regex twin (word fuzz + edge cases)") {
+    val edges = Seq("", "_", "a", "a1", "1a", "_a_", "ab_cd", "ab 1cd e_f",
+      "é", "aé", "x-y_z", "9_9", "a_1", "__ab__")
+    edges.foreach(s =>
+      assert(Rules.alphaTokens(s) == Rules.alphaTokensRegex(s), s"input: $s"))
+    wordFuzz(17, 4000)(s =>
+      assert(Rules.alphaTokens(s) == Rules.alphaTokensRegex(s), s"input: $s"))
+  }
+
+  test("wsTokens == split-regex twin") {
+    val cases = Seq("", " ", "a b", "  a  b  ", "a\tb\nc", "\f\r", "one")
+    cases.foreach { s =>
+      assert(Rules.wsTokens(s).toSeq == s.split("\\s+").toSeq.filter(_.nonEmpty),
+        s"input: $s")
+    }
+    wordFuzz(19, 2000)(s =>
+      assert(Rules.wsTokens(s).toSeq == s.split("\\s+").toSeq.filter(_.nonEmpty),
+        s"input: $s"))
+  }
 }

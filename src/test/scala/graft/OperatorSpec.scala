@@ -31,6 +31,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("mention expressions == regexp_extract_all Column twins on the corpus") {
+    import spark.implicits._
+    val turns = graft.sources.TranscriptGen.dataset(spark, 60, 42L)
+      .select(col("text"))
+    val cleaned = KgPipeline.cleanTurns(graft.sources.TranscriptGen.dataset(spark, 60, 42L))
+      .select(col("text"), col("text_clean"))
+    val locDiff = cleaned.select(
+      TurnExtract.locationsCol(col("text_clean")).as("a"),
+      TurnExtract.locationsColRegex(col("text_clean")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(locDiff == 0, "locations expression != regex twin")
+    val orgDiff = turns.select(
+      TurnExtract.orgsCol(col("text")).as("a"),
+      TurnExtract.orgsColRegex(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(orgDiff == 0, "orgs expression != regex twin")
+    val dateDiff = cleaned.select(
+      TurnExtract.datesCol(col("text_clean")).as("a"),
+      TurnExtract.datesColRegex(col("text_clean")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(dateDiff == 0, "dates expression != regex twin")
+  }
+
   test("connected components: local union-find and distributed paths agree") {
     import spark.implicits._
     val vertices = (1L to 7L).toDF("id")
