@@ -38,7 +38,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "3000").toLong
+    // 40k convs ≈ 633k turns: big enough that the measured window is
+    // dominated by per-turn work, not stage-launch overhead (3k convs ran
+    // in the SAME ~10 s wall — all fixed cost)
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "40000").toLong
     val spark = Sessions.local(cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 

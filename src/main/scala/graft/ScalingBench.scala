@@ -12,18 +12,25 @@ object ScalingBench {
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "40000").toLong
     val levels = Seq(8, 32)
 
-    // Two measured repetitions per level, keep the per-level minimum: the
-    // sandbox host injects large random interference (see BENCH_SCALING.md);
-    // min-of-N isolates the code's own scaling behavior.
+    // Repetitions INTERLEAVE the two levels (8,32,8,32,…) and keep the
+    // per-level minimum: the sandbox host injects large random interference
+    // on a timescale of minutes (see BENCH_SCALING.md), so running one
+    // level's reps back-to-back lets a slow phase masquerade as a scaling
+    // effect. Min-of-N over interleaved runs isolates the code's behavior.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val runsByLevel = collection.mutable.Map(levels.map(_ -> List.empty[(Long, Long, Double)]): _*)
+    (1 to reps).foreach { rep =>
+      levels.foreach { cores =>
+        val spark = Sessions.local(cores, appName = s"graft-scaling-$cores-r$rep")
+        spark.sparkContext.setLogLevel("WARN")
+        // warm-up: small run to JIT/codegen before the measured run
+        Bench.kgPipeline(spark, 200)
+        runsByLevel(cores) ::= Bench.kgPipeline(spark, nConvs)
+        spark.stop()
+      }
+    }
     val results = levels.map { cores =>
-      val spark = Sessions.local(cores, appName = s"graft-scaling-$cores")
-      spark.sparkContext.setLogLevel("WARN")
-      // warm-up: small run to JIT/codegen before the measured runs
-      Bench.kgPipeline(spark, 200)
-      val runs = (1 to reps).map(_ => Bench.kgPipeline(spark, nConvs))
-      val (nTurns, nTriples, sec) = runs.minBy(_._3)
-      spark.stop()
+      val (nTurns, nTriples, sec) = runsByLevel(cores).minBy(_._3)
       (cores, nTurns, nTriples, sec, nTurns / sec)
     }
 

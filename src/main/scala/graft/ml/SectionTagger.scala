@@ -81,6 +81,23 @@ object SectionTagger {
     Trained(pipe.fit(balanced), siModel.labelsArray(0))
   }
 
+  /** M7 + M12 — the reference's in-frame train/eval protocol
+    * (ClassificationModelGeneration.py:225,245): randomSplit 75/25 at
+    * seed 42 over the labeled frame (the re-expression of sklearn
+    * train_test_split(test_size=.25, random_state=42)), fit on the 75%,
+    * score the held-out 25%, return the fitted tagger with the per-class
+    * classification report.
+    */
+  def trainEval(labeled: DataFrame, seed: Long = 42L,
+      algorithm: String = "lr"): (Trained, Seq[ClassReport]) = {
+    val Array(tr, te) = labeled.randomSplit(Array(0.75, 0.25), seed)
+    val tagger = train(tr, seed, algorithm)
+    val scored = predict(tagger, te.withColumnRenamed("category", "category_true"))
+      .withColumnRenamed("category", "category_pred")
+      .withColumnRenamed("category_true", "category")
+    (tagger, classificationReport(scored))
+  }
+
   /** Adds a string `category` column (model prediction). */
   def predict(t: Trained, df: DataFrame): DataFrame = {
     val withPred = t.model.transform(prepare(df))

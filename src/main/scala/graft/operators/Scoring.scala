@@ -30,6 +30,28 @@ object Scoring {
     scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** A7 distributed twin — skill popularity + ambiguous-surface resolution
+    * (utilities.py:363-380, 843-857): popularity = relation-row count per
+    * skill (map-side-combined groupBy over the occupation-skill relation
+    * table), broadcast into an argmax by (popularity desc, candidate order
+    * asc) per surface. At ESCO scale both sides are dim-sized (~13k
+    * surfaces, ~100k relations) so the join broadcasts; mention rows never
+    * enter — the resolved dict ships to executors as a broadcast map.
+    *
+    * relations(occ, skill); candidates(surface, cand, cand_idx) ->
+    * (surface, preferred). Pinned equal to Dims.skillSurfaceToPreferred.
+    */
+  def resolveSkillSurfaces(relations: DataFrame, candidates: DataFrame)(
+      implicit spark: SparkSession): DataFrame = {
+    val pop = relations.groupBy("skill").agg(count(lit(1)).as("pop"))
+    candidates
+      .join(broadcast(pop), candidates("cand") === pop("skill"), "left")
+      .na.fill(0L, Seq("pop"))
+      .groupBy("surface")
+      // strict first-max in candidate order (the reference's `popv > count`)
+      .agg(expr("max_by(cand, struct(pop, -cand_idx))").as("preferred"))
+  }
+
   /** convSkills(conv_id, skill) -> (conv_id, sector). */
   def sectors(convSkills: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val scored = convSkills

@@ -190,14 +190,45 @@ object Dims {
     Skill("welding", Seq("arc welding")),
     Skill("metal fabrication", Seq("sheet metal work")),
     Skill("quality inspection", Seq("quality control")),
-    Skill("warehouse operations", Seq("inventory management")))
+    Skill("warehouse operations", Seq("inventory management")),
+    // linked to NO occupation (popularity 0): its "quality control" alt
+    // collides with quality inspection's, exercising the A7 ambiguous-
+    // surface resolution below without perturbing the generator (facts
+    // only plant skills reachable from occupation relation lists)
+    Skill("quality assurance", Seq("quality control", "qa audits")))
 
-  /** surface (preferred or alt) -> preferred label. Popularity-argmax
-    * resolution (utilities.py:843-857) is trivial here because fixture alt
-    * surfaces are unambiguous.
+  /** A7 — skill popularity: (occupation, skill) relation-row count per
+    * preferred label across essential+optional lists (utilities.py:363-380
+    * accumulates skill_popularity once per relation row). Skills linked to
+    * no occupation have no entry (resolved as 0).
     */
-  val skillSurfaceToPreferred: Map[String, String] =
-    skills.flatMap(s => (s.label +: s.alts).map(_ -> s.label)).toMap
+  lazy val skillPopularity: Map[String, Int] =
+    occupations.flatMap(o => o.essential ++ o.optional)
+      .groupBy(identity).view.mapValues(_.size).toMap
+
+  /** surface -> candidate preferred labels, skills-list order (the
+    * reference appends candidates in dict-build order, utilities.py:828-841).
+    */
+  val skillSurfaceCandidates: Map[String, Seq[String]] =
+    skills.flatMap(s => (s.label +: s.alts).map(_ -> s.label))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+
+  /** surface (preferred or alt) -> preferred label. Ambiguous surfaces
+    * resolve to the candidate with the highest popularity — strict
+    * first-max in candidate order, absent popularity counts 0
+    * (utilities.py:843-857).
+    */
+  // lazy: popularity needs `occupations`, declared below (object init order)
+  lazy val skillSurfaceToPreferred: Map[String, String] =
+    skillSurfaceCandidates.view.mapValues { cands =>
+      var best: String = null
+      var count = -1
+      cands.foreach { v =>
+        val p = skillPopularity.getOrElse(v, 0)
+        if (p > count) { best = v; count = p }
+      }
+      best
+    }.toMap
 
   // ------------------------------------------------------------------
   // Occupations (ISCO-like 3-digit codes; utilities.py:313-398)

@@ -31,6 +31,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("A7 skill-popularity resolution: distributed == pure dict; ambiguity decided by popularity") {
+    import spark.implicits._
+    // the fixture dict has a real ambiguity: "quality control" is an alt of
+    // both quality inspection (popularity 3) and quality assurance (0)
+    assert(Dims.skillSurfaceCandidates("quality control").size == 2)
+    assert(Dims.skillSurfaceToPreferred("quality control") == "quality inspection")
+    val relations = Dims.occupations
+      .flatMap(o => (o.essential ++ o.optional).map(s => (o.isco3, s)))
+      .toDF("occ", "skill")
+    val candidates = Dims.skillSurfaceCandidates.toSeq
+      .flatMap { case (surf, cands) =>
+        cands.zipWithIndex.map { case (c, i) => (surf, c, i) }
+      }.toDF("surface", "cand", "cand_idx")
+    val resolved = Scoring.resolveSkillSurfaces(relations, candidates)
+      .as[(String, String)].collect().toMap
+    assert(resolved == Dims.skillSurfaceToPreferred)
+    // popularity flip: same candidates, relations weighted the other way
+    val flipped = Seq(("x", "quality assurance"), ("y", "quality assurance")).toDF("occ", "skill")
+    val r2 = Scoring.resolveSkillSurfaces(flipped, candidates)
+      .as[(String, String)].collect().toMap
+    assert(r2("quality control") == "quality assurance")
+  }
+
   test("mention expressions == regexp_extract_all Column twins on the corpus") {
     import spark.implicits._
     val turns = graft.sources.TranscriptGen.dataset(spark, 60, 42L)

@@ -53,6 +53,19 @@ class TaggerSpec extends SparkSpec {
     assert(f1 >= 0.8)
   }
 
+  test("trainEval (M7): in-frame 75/25 split at seed 42, per-class report gate") {
+    val labeled = KgPipeline.taggerTrainingFrame(spark, nConvs = 300, firstConv = 6000000L)
+    val (_, report) = SectionTagger.trainEval(labeled)
+    assert(report.nonEmpty)
+    // every class must appear with support and clear a per-class f1 floor
+    val total = labeled.count()
+    assert(report.map(_.support).sum.toDouble / total > 0.2) // ~25% held out
+    report.foreach { r =>
+      info(f"${r.category}%-28s p=${r.precision}%.2f r=${r.recall}%.2f f1=${r.f1}%.2f n=${r.support}")
+      assert(r.f1 >= 0.8, s"class ${r.category} f1 ${r.f1}")
+    }
+  }
+
   test("per-class report (M12) matches hand-computed precision/recall") {
     import spark.implicits._
     // a: 2 true, 1 predicted-as-a correct; b: 1 true predicted b; one a→b error
