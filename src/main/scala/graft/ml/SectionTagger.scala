@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.NerProxyFast
 import graft.functions.NerProxyFunctions.ner_proxy_counts
+import graft.functions.TokenizeFunctions.letter_runs
 
 /** S2 — section tagger as a Spark ML Pipeline (SURVEY §2.4 M1-M13):
   * letter-run tokens → 1-gram + 2-gram CountVectorizers (minDF=2, mirrors
@@ -24,12 +25,16 @@ import graft.functions.NerProxyFunctions.ner_proxy_counts
   */
 object SectionTagger {
 
-  /** Ratio features (ClassifyUsingSavedModel.py:191-193) + NER-proxy hit
-    * counts — one codegen'd single-pass expression (no per-token regex on
-    * the hot path), applied both at train and serve time.
+  /** Tokenization (M1) + ratio features (ClassifyUsingSavedModel.py:
+    * 191-193) + NER-proxy hit counts — codegen'd regex-free expressions,
+    * applied both at train and serve time. Tokenizing here (instead of a
+    * RegexTokenizer stage) keeps java.util.regex off the per-turn hot path
+    * while the persisted PipelineModel keeps only standard stages.
     */
   def prepare(df: DataFrame): DataFrame = {
-    val withCounts = df.withColumn("ner_counts", ner_proxy_counts(col("text_clean")))
+    val withCounts = df
+      .withColumn("tokens", letter_runs(col("text_clean")))
+      .withColumn("ner_counts", ner_proxy_counts(col("text_clean")))
     NerProxyFast.names.zipWithIndex.foldLeft(withCounts) { case (acc, (name, i)) =>
       acc.withColumn(name, element_at(col("ner_counts"), i + 1))
     }.drop("ner_counts")
@@ -38,18 +43,36 @@ object SectionTagger {
   private val extraFeatureCols: Array[String] = NerProxyFast.names.toArray
 
   /** RandomOverSampler re-expression (M8): upsample every class to the
-    * majority count via per-class with-replacement sampling.
+    * majority count with replacement — ONE pass emitting each row plus
+    * Poisson(classFraction) extra copies, the same estimator Spark's own
+    * sample(withReplacement=true) uses, instead of a per-class
+    * filter+sample+union fold (2·|classes| scans and a deep union plan).
     */
   def oversample(df: DataFrame, labelCol: String, seed: Long = 42L): DataFrame = {
     val counts = df.groupBy(labelCol).count().collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     val maxC = counts.values.max
-    counts.foldLeft(df.limit(0)) { case (acc, (cls, cnt)) =>
-      val part = df.filter(col(labelCol) === cls)
-      val extraFraction = (maxC - cnt).toDouble / cnt
-      val extras = if (extraFraction > 0) part.sample(withReplacement = true, extraFraction, seed) else df.limit(0)
-      acc.union(part).union(extras)
-    }
+    val fractions = counts.map { case (cls, cnt) => cls -> (maxC - cnt).toDouble / cnt }
+    val labelIdx = df.schema.fieldNames.indexOf(labelCol)
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val rnd = new java.util.Random(seed * 31 + pid)
+      // Knuth's Poisson draw — lambdas here are per-class oversampling
+      // fractions, small by construction (training data only)
+      def poisson(lambda: Double): Int = {
+        if (lambda <= 0.0) return 0
+        val limit = math.exp(-lambda)
+        var k = 0
+        var p = 1.0
+        while ({ p *= rnd.nextDouble(); p > limit }) k += 1
+        k
+      }
+      it.flatMap { r =>
+        val extra = poisson(fractions(r.getString(labelIdx)))
+        Iterator.fill(1 + extra)(r)
+      }
+    }(enc)
   }
 
   final case class Trained(model: PipelineModel, labels: Array[String])
@@ -62,8 +85,7 @@ object SectionTagger {
   def train(labeled: DataFrame, seed: Long = 42L, algorithm: String = "lr"): Trained = {
     val si = new StringIndexer().setInputCol("category").setOutputCol("label")
     val siModel = si.fit(labeled)
-    val tok = new RegexTokenizer().setInputCol("text_clean").setOutputCol("tokens")
-      .setPattern("[a-z]+").setGaps(false).setMinTokenLength(1)
+    // tokens column comes from prepare() (regex-free letter_runs expression)
     val ng = new NGram().setN(2).setInputCol("tokens").setOutputCol("bigrams")
     val cv1 = new CountVectorizer().setInputCol("tokens").setOutputCol("f_uni").setMinDF(2)
     val cv2 = new CountVectorizer().setInputCol("bigrams").setOutputCol("f_bi").setMinDF(2)
@@ -76,7 +98,7 @@ object SectionTagger {
       case other => throw new IllegalArgumentException(s"unknown tagger algorithm: $other")
     }
     val pipe = new Pipeline().setStages(
-      Array[PipelineStage](siModel, tok, ng, cv1, cv2, va, clf))
+      Array[PipelineStage](siModel, ng, cv1, cv2, va, clf))
     val balanced = oversample(prepare(labeled), "category", seed)
     Trained(pipe.fit(balanced), siModel.labelsArray(0))
   }

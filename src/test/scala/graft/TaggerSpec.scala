@@ -66,6 +66,37 @@ class TaggerSpec extends SparkSpec {
     }
   }
 
+  test("oversample (M8): single pass balances every class toward the majority, deterministic") {
+    import spark.implicits._
+    val df = (Seq.fill(900)("a") ++ Seq.fill(100)("b") ++ Seq.fill(30)("c"))
+      .zipWithIndex.map { case (c, i) => (s"t$i", c) }.toDF("text_clean", "category")
+      .repartition(8)
+    def countsOf(seed: Long) =
+      SectionTagger.oversample(df, "category", seed).groupBy("category").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = countsOf(42L)
+    assert(counts("a") == 900) // majority gets no extras (fraction 0)
+    assert(counts("b") > 700 && counts("c") > 700, s"under-sampled: $counts")
+    assert(countsOf(42L) == counts) // same seed -> same draw
+  }
+
+  test("letter_runs expression == RegexTokenizer([a-z]+, gaps=false) on corpus + traps") {
+    import org.apache.spark.ml.feature.RegexTokenizer
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val traps = Seq("", "abc", "ABC def", "a1b2", "mixedCASE tail", "é splité here",
+      "99", "x", " lead trail ", "tab\there", "Ünïcode Ört")
+    val corpus = KgPipeline.taggerTrainingFrame(spark, nConvs = 60, firstConv = 7000000L)
+      .select(col("text_clean")).as[String].collect().toSeq
+    val df = (traps ++ corpus).toDF("text_clean")
+    val rt = new RegexTokenizer().setInputCol("text_clean").setOutputCol("rt_tokens")
+      .setPattern("[a-z]+").setGaps(false).setMinTokenLength(1)
+    val both = rt.transform(df.withColumn("tokens",
+      graft.functions.TokenizeFunctions.letter_runs(col("text_clean"))))
+    val diff = both.filter(col("tokens") =!= col("rt_tokens")).count()
+    assert(diff == 0)
+  }
+
   test("per-class report (M12) matches hand-computed precision/recall") {
     import spark.implicits._
     // a: 2 true, 1 predicted-as-a correct; b: 1 true predicted b; one a→b error
