@@ -223,7 +223,19 @@ object SparkEntry {
     "q25_clean_chain" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         CleanText.clean(col("text")).as("text_clean"))),
-    "q31_wide_export" -> ((s, d) => WideExport.widen(entry(s))))
+    "q31_wide_export" -> ((s, d) => WideExport.widen(entry(s))),
+    // F5/E1: synthesize per-doc HTML from the documents table (sentence →
+    // <p> node + a labeled boilerplate row), chunk with the stateful
+    // parser, explode with the GLOBAL two-pass chunk id
+    "q32_html_chunks" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select(
+        col("doc_id").cast("string").as("data_point_id"),
+        concat(lit("<html><body><td>Location:</td><td>Berlin</td><p>"),
+          regexp_replace(col("text"), lit("\\. "), lit("</p><p>")),
+          lit("</p></body></html>")).as("html"))
+      HtmlChunk.explodeChunks(docs)
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
