@@ -23,7 +23,14 @@ object SimilaritySearch {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Production cosine — native fused expression (Spark HOFs evaluate
+    * interpreted with per-element boxing); bit-identical to
+    * [[cosineColumns]], pinned by OperatorSpec.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.cosine_f(a, b)
+
+  /** HOF-Column twin of [[cosine]] (differential pin only). */
+  def cosineColumns(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k: broadcast the (small) query set against the corpus.
     * One narrow pass over the corpus, top-k via per-query window.
@@ -52,10 +59,16 @@ object SimilaritySearch {
   /** Per-band signed-projection buckets as one array<long> Column: band b's
     * bucket packs the sign bits of its own `bandBits` planes. Unlike a
     * single packed signature there is no 64-plane ceiling — any
-    * bands × bandBits family works. Pure HOF expression over literal plane
-    * arrays.
+    * bands × bandBits family works. Native single-pass expression (the
+    * bands × bandBits × dim fold is the ANN hot path); HOF twin kept for
+    * the differential pin.
     */
   def bandBuckets(v: Column, planes: Array[Array[Double]],
+      bands: Int, bandBits: Int): Column =
+    graft.functions.VectorFunctions.lsh_buckets(v, planes, bands, bandBits)
+
+  /** HOF-Column twin of [[bandBuckets]] (differential pin only). */
+  def bandBucketsColumns(v: Column, planes: Array[Array[Double]],
       bands: Int, bandBits: Int): Column =
     array((0 until bands).map { b =>
       (0 until bandBits).map { j =>
@@ -82,10 +95,18 @@ object SimilaritySearch {
         .select(idAs, vAs, "band", "bucket")
     val qb = withBands(queries, "query_id", "qv")
     val cb = withBands(corpus, "neighbor_id", "cv")
-    val candidates = qb.join(cb, Seq("band", "bucket"))
+    // dedup multi-band hits on the ID PAIR only (two scalars through the
+    // shuffle), then fetch the vectors once per surviving pair: queries
+    // broadcast back, corpus joined by neighbor_id
+    val candidates = qb.drop("qv").join(cb.drop("cv"), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
-    val scored = candidates.withColumn("sim", cosine(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = candidates
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"), col("rk"))

@@ -31,6 +31,25 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("native vector kernels == HOF Column twins (cosine bit-exact, identical buckets)") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(300)
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("ib"), col("embedding").as("vb")),
+        col("ia") + 1 === col("ib"))
+    val cosDiff = pairs.select(
+      SimilaritySearch.cosine(col("va"), col("vb")).as("fast"),
+      SimilaritySearch.cosineColumns(col("va"), col("vb")).as("twin"))
+      .filter(col("fast") =!= col("twin")).count()
+    assert(cosDiff == 0, "cosine expression != HOF twin")
+    val planes = SimilaritySearch.hyperplanes(64, 32 * 4)
+    val bDiff = e.select(
+      SimilaritySearch.bandBuckets(col("embedding"), planes, 32, 4).as("fast"),
+      SimilaritySearch.bandBucketsColumns(col("embedding"), planes, 32, 4).as("twin"))
+      .filter(col("fast") =!= col("twin")).count()
+    assert(bDiff == 0, "lsh_buckets expression != HOF twin")
+  }
+
   test("A7 skill-popularity resolution: distributed == pure dict; ambiguity decided by popularity") {
     import spark.implicits._
     // the fixture dict has a real ambiguity: "quality control" is an alt of
