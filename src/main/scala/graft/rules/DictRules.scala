@@ -91,7 +91,16 @@ object DictRules {
   // Greedy non-overlap scan with whole-word re-verify
   // (utilities.py:861-882 / :918-923)
   // ------------------------------------------------------------------
-  private def findWholeWord(w: String, s: String): Boolean =
+  /** \bW\b CASE_INSENSITIVE find — scanner (the Pattern variant compiled a
+    * fresh regex per call: ~200 compilations per conversation through
+    * filterSkillsByTitle × greedyMatches). Pinned to
+    * [[findWholeWordRegex]] by DictRulesSpec fuzz.
+    */
+  private[graft] def findWholeWord(w: String, s: String): Boolean =
+    Rules.indexOfBoundedCI(s, w) >= 0
+
+  /** Pattern twin of [[findWholeWord]] (differential pin only). */
+  private[graft] def findWholeWordRegex(w: String, s: String): Boolean =
     Pattern.compile("\\b" + Pattern.quote(w) + "\\b", Pattern.CASE_INSENSITIVE)
       .matcher(s).find()
 

@@ -350,6 +350,39 @@ object Rules {
     -1
   }
 
+  @inline private def asciiLower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** First \b-delimited ASCII-case-insensitive occurrence of `needle`, or
+    * -1 — scanner equivalent of
+    * Pattern("\\b"+quote(needle)+"\\b", CASE_INSENSITIVE).find: Java folds
+    * ASCII only without UNICODE_CASE ('ä' ≠ 'Ä' for the regex), so the
+    * fold here is explicitly ASCII (NOT regionMatches(ignoreCase), which
+    * folds Unicode). Pinned by DictRulesSpec fuzz.
+    */
+  def indexOfBoundedCI(hay: String, needle: String): Int = {
+    val nLen = needle.length
+    if (nLen == 0) return -1
+    val first = isBoundWordCh(needle.charAt(0))
+    val last = isBoundWordCh(needle.charAt(nLen - 1))
+    val hLen = hay.length
+    var i = 0
+    while (i + nLen <= hLen) {
+      var j = 0
+      while (j < nLen && asciiLower(hay.charAt(i + j)) == asciiLower(needle.charAt(j))) j += 1
+      if (j == nLen) {
+        val beforeOk =
+          if (i == 0) first else isBoundWordCh(hay.charAt(i - 1)) != first
+        val endIdx = i + nLen
+        val afterOk =
+          if (endIdx == hLen) last else isBoundWordCh(hay.charAt(endIdx)) != last
+        if (beforeOk && afterOk) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** country display names mentioned in a cleaned chunk, first-occurrence
     * position order (the reference appends in entity order). Regex-free
     * scanner (gazetteer regexes ran per turn); pinned to

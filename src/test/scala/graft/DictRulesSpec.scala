@@ -22,6 +22,26 @@ class DictRulesSpec extends AnyFunSuite {
     assert(hits.map(_._1) == hits.map(_._1).sorted) // end-position order
   }
 
+  test("findWholeWord scanner == per-call Pattern twin (fuzz incl. case traps)") {
+    val words = Seq("data", "Data", "DATA", "big data", "ä", "Ä", "a_b", "st.", "x")
+    val hays = Seq("", "data", "Data science", "bigdata", "big data here", "DATA:",
+      "xdata", "data7", "a_b c", "st. paul", "ästhetik", "Ähnlich ä", "d a t a",
+      "the DATA is big Data", "ää Ää", "9data data9 _data data_")
+    for (w <- words; h <- hays) {
+      assert(DictRules.findWholeWord(w, h) == DictRules.findWholeWordRegex(w, h),
+        s"w=$w h=$h")
+    }
+    // random fuzz over a trap alphabet (ASCII case pairs + non-ASCII letters)
+    val alphabet = "aAbB zZ_9.äÄé"
+    val rnd = new scala.util.Random(7)
+    (0 until 4000).foreach { _ =>
+      val w = (0 until 1 + rnd.nextInt(3)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val h = (0 until rnd.nextInt(20)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(DictRules.findWholeWord(w, h) == DictRules.findWholeWordRegex(w, h),
+        s"w=$w h=$h")
+    }
+  }
+
   test("greedy non-overlap scan with whole-word verify") {
     val ac = new AhoCorasick(Seq("software engineer", "engineer"))
     val m = DictRules.greedyMatches(ac, "we need a software engineer now")
