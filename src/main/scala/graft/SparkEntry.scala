@@ -235,7 +235,10 @@ object SparkEntry {
           regexp_replace(col("text"), lit("\\. "), lit("</p><p>")),
           lit("</p></body></html>")).as("html"))
       HtmlChunk.explodeChunks(docs)
-    }))
+    }),
+    "q33_lang_trigram" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.langIdTrigram(col("text")).as("lang_pred"))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -295,6 +298,8 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     "q12_lang_id" ->
       s"SELECT doc_id, ${TextAnalysis.langIdSql("text")} AS lang_pred FROM documents",
+    "q33_lang_trigram" ->
+      s"SELECT doc_id, ${TextAnalysis.langIdTrigramSql("text")} AS lang_pred FROM documents",
     "q13_quality_score" ->
       s"SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality FROM documents",
     "q14_fingerprint" ->

@@ -48,6 +48,52 @@ object TextAnalysis {
        | WHEN ${s("fr")} >= ${s("es")} THEN 'fr' ELSE 'es' END""".stripMargin.replace("\n", " ")
   }
 
+  // character-trigram profiles (F7 n-gram variant — the brief's
+  // "language-ID (n-gram heuristic)"; ASCII-only so the constants embed
+  // identically in Spark and DuckDB SQL)
+  val langTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "ion", "ent", "for", "th "),
+    "de" -> Seq("der", "und", "sch", "ich", "cht", "ein", "die"),
+    "fr" -> Seq("les", "des", "une", "que", "ais", "eur", "ant"),
+    "es" -> Seq("los", "las", "una", "por", "ado", "cion", "par"))
+
+  /** all character trigrams of lower(c), empty below length 3. */
+  private def trigrams(c: Column): Column = {
+    val t = lower(c)
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(typedlit(Seq.empty[String]))
+  }
+
+  private def trigramScore(g: Column, profile: Seq[String]): Column =
+    size(array_intersect(array_distinct(g), typedlit(profile)))
+
+  /** F7 n-gram language ID: CJK chars → zh, else distinct-trigram-overlap
+    * argmax against the profiles, tie order en > de > fr > es (same
+    * protocol as [[langId]], trigram evidence instead of marker words).
+    */
+  def langIdTrigram(c: Column): Column = {
+    val g = trigrams(c)
+    val s = langTrigrams.map { case (l, p) => l -> trigramScore(g, p) }.toMap
+    when(c.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
+      .when(s("de") >= s("fr") && s("de") >= s("es"), "de")
+      .when(s("fr") >= s("es"), "fr")
+      .otherwise("es")
+  }
+
+  /** DuckDB twin of [[langIdTrigram]] (same constants, same tie order). */
+  def langIdTrigramSql(col: String): String = {
+    val g = s"list_transform(range(1, greatest(len(lower($col)) - 1, 1)), i -> substr(lower($col), i::INT, 3))"
+    def score(profile: Seq[String]) =
+      s"len(list_intersect(list_distinct($g), [${profile.map("'" + _ + "'").mkString(",")}]))"
+    val s = langTrigrams.map { case (l, p) => l -> score(p) }.toMap
+    s"""CASE WHEN regexp_matches($col, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       | WHEN ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("fr")} AND ${s("en")} >= ${s("es")} THEN 'en'
+       | WHEN ${s("de")} >= ${s("fr")} AND ${s("de")} >= ${s("es")} THEN 'de'
+       | WHEN ${s("fr")} >= ${s("es")} THEN 'fr' ELSE 'es' END""".stripMargin.replace("\n", " ")
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(c: Column): Column = size(split(c, "\\s+"))
 
