@@ -238,7 +238,17 @@ object SparkEntry {
     }),
     "q33_lang_trigram" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
-        TextAnalysis.langIdTrigram(col("text")).as("lang_pred"))))
+        TextAnalysis.langIdTrigram(col("text")).as("lang_pred"))),
+    // F8: sentence chunks -> windowed translate protocol (5000-char API
+    // slices over a '||' join) with the deterministic stub; re-joined to
+    // one sortable scalar. The stub is char-local, so the composite has an
+    // exact SQL twin even though the windowing genuinely executes.
+    "q34_translate_chunks" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        array_join(
+          Translate.translate_chunks(split(col("text"), "\\. "),
+            TextAnalysis.langId(col("text"))),
+          "||").as("translated"))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -300,6 +310,17 @@ object SparkEntry {
       s"SELECT doc_id, ${TextAnalysis.langIdSql("text")} AS lang_pred FROM documents",
     "q33_lang_trigram" ->
       s"SELECT doc_id, ${TextAnalysis.langIdTrigramSql("text")} AS lang_pred FROM documents",
+    // ASCII-uppercase is char-local → the windowed protocol composes to a
+    // per-char map over the '||'-joined text; '. ' join/split == replace
+    "q34_translate_chunks" -> {
+      val lower = ('a' to 'z').mkString
+      val upper = ('A' to 'Z').mkString
+      s"""SELECT doc_id,
+         | CASE WHEN ${TextAnalysis.langIdSql("text")} = 'en'
+         |   THEN replace(text, '. ', '||')
+         |   ELSE translate(replace(text, '. ', '||'), '$lower', '$upper') END AS translated
+         |FROM documents""".stripMargin
+    },
     "q13_quality_score" ->
       s"SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality FROM documents",
     "q14_fingerprint" ->

@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.io.InputStream
+import java.util.zip.ZipFile
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S3 — Excel scan (the reference reads its jobs-europe training corpus
+  * with pandas.read_excel, html-chunking-and-model-generation/
+  * GenerateDataFromHtml.py:~214). A minimal OOXML (.xlsx) reader on the
+  * JDK only (java.util.zip + StAX; ECMA-376: xl/sharedStrings.xml +
+  * xl/worksheets/sheet1.xml): header row → column names, every cell read
+  * as a string, gaps padded empty — pandas' str-dtype read.
+  *
+  * Scale note: Excel is a DRIVER-SIDE source by nature (a hand-maintained
+  * training corpus / dimension file, zip-compressed single blob — not
+  * splittable); rows parse on the driver and parallelize from there, like
+  * any dim. Fact-scale data never arrives as xlsx.
+  */
+object ExcelScan {
+
+  /** shared-strings table: the concatenated <t> runs of each <si>. */
+  private def sharedStrings(in: InputStream): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    var cur: java.lang.StringBuilder = null
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => cur = new java.lang.StringBuilder
+            case "t" => inT = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inT && cur != null =>
+          cur.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "si" => out += cur.toString; cur = null
+            case "t" => inT = false
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    out.toIndexedSeq
+  }
+
+  /** 0-based column index from a cell reference ("B3" → 1). */
+  private[graft] def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  /** sheet rows as sparse (colIdx → text) maps, in sheet order. Cell types:
+    * t="s" shared string, t="inlineStr" (<is><t>), otherwise the raw <v>
+    * text (numbers, t="str" formula strings, booleans).
+    */
+  private def sheetRows(in: InputStream, shared: IndexedSeq[String]): Seq[Map[Int, String]] = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Map[Int, String]]
+    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    var row: scala.collection.mutable.Map[Int, String] = null
+    var cellCol = -1
+    var cellType = ""
+    var text: java.lang.StringBuilder = null
+    var nextColIfNoRef = 0
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              row = scala.collection.mutable.Map.empty
+              nextColIfNoRef = 0
+            case "c" =>
+              val ref = Option(r.getAttributeValue(null, "r"))
+              cellCol = ref.map(colIndex).getOrElse(nextColIfNoRef)
+              nextColIfNoRef = cellCol + 1
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+            case "v" | "t" => text = new java.lang.StringBuilder
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if text != null =>
+          text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" | "t" =>
+              if (row != null && cellCol >= 0) {
+                val raw = text.toString
+                val value =
+                  if (cellType == "s") shared(raw.trim.toInt)
+                  else raw
+                row(cellCol) = value
+              }
+              text = null
+            case "row" => rows += row.toMap; row = null
+            case "c" => cellCol = -1; cellType = ""
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    rows.toSeq
+  }
+
+  /** (header, data rows) of the first worksheet, every value a string,
+    * gaps "".
+    */
+  def readSheet(path: String): (Seq[String], Seq[Seq[String]]) = {
+    val zip = new ZipFile(path)
+    try {
+      val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
+        .map(e => sharedStrings(zip.getInputStream(e)))
+        .getOrElse(IndexedSeq.empty)
+      val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
+        .getOrElse(throw new IllegalArgumentException(s"no xl/worksheets/sheet1.xml in $path"))
+      val rows = sheetRows(zip.getInputStream(sheetEntry), shared)
+      if (rows.isEmpty) return (Seq.empty, Seq.empty)
+      val width = rows.iterator.flatMap(_.keys).foldLeft(-1)(math.max) + 1
+      def dense(m: Map[Int, String]): Seq[String] =
+        (0 until width).map(i => m.getOrElse(i, ""))
+      (dense(rows.head), rows.tail.map(dense))
+    } finally zip.close()
+  }
+
+  /** pandas.read_excel shape: header row → column names, string cells. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (header, rows) = readSheet(path)
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(header.map(
+      org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.sources.ExcelScan
+
+/** S3 — the minimal xlsx reader against a fixture zip hand-written to the
+  * PUBLIC ECMA-376 spec (sharedStrings + sheet1, shared/inline/number
+  * cells, sparse cell references, multi-run strings).
+  */
+class ExcelScanSpec extends SparkSpec {
+
+  /** writes a spec-shaped .xlsx: zip with the minimum OOXML parts. */
+  private def writeFixture(path: String, sheetXml: String, sharedXml: Option[String]): Unit = {
+    val z = new ZipOutputStream(new FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>""")
+    sharedXml.foreach(put("xl/sharedStrings.xml", _))
+    put("xl/worksheets/sheet1.xml", sheetXml)
+    z.close()
+  }
+
+  test("reads header + rows: shared strings, inline strings, numbers, gaps, multi-run si") {
+    val shared =
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+        |<si><t>id</t></si>
+        |<si><t>title</t></si>
+        |<si><t>data </t><t>engineer</t></si>
+        |<si><t>big html &amp; stuff</t></si>
+        |</sst>""".stripMargin
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2"><v>7</v></c><c r="B2" t="s"><v>2</v></c></row>
+        |<row r="3"><c r="A3"><v>8.5</v></c><c r="B3" t="inlineStr"><is><t>inline text</t></is></c></row>
+        |<row r="4"><c r="B4" t="s"><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val path = java.io.File.createTempFile("graft", ".xlsx").getAbsolutePath
+    writeFixture(path, sheet, Some(shared))
+
+    val (header, rows) = ExcelScan.readSheet(path)
+    assert(header == Seq("id", "title"))
+    assert(rows == Seq(
+      Seq("7", "data engineer"),
+      Seq("8.5", "inline text"),
+      Seq("", "big html & stuff"))) // A4 missing -> gap padded
+
+    val df = ExcelScan.read(spark, path)
+    assert(df.columns.toSeq == Seq("id", "title"))
+    assert(df.count() == 3)
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("cells without an r attribute advance sequentially; empty sheet is empty") {
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row><c><v>a1</v></c><c><v>b1</v></c></row>
+        |<row><c><v>a2</v></c><c><v>b2</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val path = java.io.File.createTempFile("graft", ".xlsx").getAbsolutePath
+    writeFixture(path, sheet, None)
+    val (header, rows) = ExcelScan.readSheet(path)
+    assert(header == Seq("a1", "b1") && rows == Seq(Seq("a2", "b2")))
+
+    val empty = java.io.File.createTempFile("graft", ".xlsx").getAbsolutePath
+    writeFixture(empty,
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData/></worksheet>""",
+      None)
+    val (h2, r2) = ExcelScan.readSheet(empty)
+    assert(h2.isEmpty && r2.isEmpty)
+  }
+
+  test("column reference arithmetic (A=0, Z=25, AA=26)") {
+    assert(graft.sources.ExcelScan.colIndex("A1") == 0)
+    assert(graft.sources.ExcelScan.colIndex("Z9") == 25)
+    assert(graft.sources.ExcelScan.colIndex("AA10") == 26)
+    assert(graft.sources.ExcelScan.colIndex("AB3") == 27)
+  }
+}
