@@ -45,6 +45,20 @@ object StreamingIngest {
     TurnExtract.extract(cleaned)
   }
 
+  /** Event-time windowed aggregation with a watermark — the standard
+    * streaming-ingest monitor (per-role turn rates in tumbling windows).
+    * The watermark bounds state: windows older than (max event time −
+    * `lateness`) finalize and late turns beyond it are dropped, so state
+    * size is O(active windows), independent of stream length.
+    */
+  def windowedTurnRates(turns: DataFrame, windowLen: String = "5 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    turns
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("role"))
+      .agg(count(lit(1)).as("turns"))
+      .select(col("window.start").as("window_start"), col("role"), col("turns"))
+
   final case class EmpState(groups: Seq[String])
   final case class EmpUpdate(conv_id: String, employment: String, ts: Timestamp)
 

@@ -41,6 +41,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermarked windowed aggregation: windows finalize, late events drop") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def turn(cid: String, idx: Int, role: String, minute: Int): graft.model.Turn =
+      graft.model.Turn(cid, idx, role, "text here", null,
+        new Timestamp(minute * 60000L))
+    val stream = MemoryStream[graft.model.Turn]
+    val rates = StreamingIngest.windowedTurnRates(stream.toDF())
+    val query = rates.writeStream.format("memory").queryName("turn_rates")
+      .outputMode("append").start()
+    try {
+      // window [0,5): 2 user + 1 assistant; window [5,10): 1 user
+      stream.addData(turn("c1", 0, "user", 1), turn("c1", 1, "user", 3),
+        turn("c1", 2, "assistant", 4), turn("c2", 0, "user", 6))
+      query.processAllAvailable()
+      // advance the watermark far past [0,5)+10min lateness → it finalizes
+      stream.addData(turn("c3", 0, "user", 40))
+      query.processAllAvailable()
+      // a LATE user turn into the finalized [0,5) window must be dropped
+      stream.addData(turn("c9", 0, "user", 2))
+      query.processAllAvailable()
+      stream.addData(turn("c3", 1, "user", 70)) // flush remaining windows
+      query.processAllAvailable()
+      val got = spark.table("turn_rates")
+        .select(col("window_start").cast("long"), col("role"), col("turns"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got.contains((0L, "user", 2L)), s"late event not dropped or window wrong: $got")
+      assert(got.contains((0L, "assistant", 1L)))
+      assert(got.contains((300L, "user", 1L)))
+    } finally query.stop()
+  }
+
   test("stateful running employment resolution emits priority winners") {
     import spark.implicits._
     val turns = TranscriptGen.dataset(spark, 6, 42L, 0, 0).toDF()
