@@ -42,6 +42,23 @@ object SectionTagger {
 
   private val extraFeatureCols: Array[String] = NerProxyFast.names.toArray
 
+  /** M5/A6 — rare-feature pruning, the reference's column-sum filter over
+    * the POS/NER count frames (ClassificationModelGeneration.py:166-167,
+    * threshold 0.2) applied to their NER-proxy substitutes: a feature
+    * column whose TRAIN-corpus sum ≤ 0.2 is excluded from the assembler.
+    * The fitted VectorAssembler persists the selection, so serve-side
+    * alignment is automatic (the reference needed a zero-fill dance,
+    * ClassifyUsingSavedModel.py:224-234).
+    */
+  def prunedFeatureCols(prepared: DataFrame, threshold: Double = 0.2): Array[String] = {
+    val sums = prepared
+      .select(extraFeatureCols.map(n => sum(col(n)).cast("double").as(n)).toIndexedSeq: _*)
+      .first()
+    extraFeatureCols.zipWithIndex.collect {
+      case (n, i) if !sums.isNullAt(i) && sums.getDouble(i) > threshold => n
+    }
+  }
+
   /** RandomOverSampler re-expression (M8): upsample every class to the
     * majority count with replacement — ONE pass emitting each row plus
     * Poisson(classFraction) extra copies, the same estimator Spark's own
@@ -89,8 +106,9 @@ object SectionTagger {
     val ng = new NGram().setN(2).setInputCol("tokens").setOutputCol("bigrams")
     val cv1 = new CountVectorizer().setInputCol("tokens").setOutputCol("f_uni").setMinDF(2)
     val cv2 = new CountVectorizer().setInputCol("bigrams").setOutputCol("f_bi").setMinDF(2)
+    val prepared = prepare(labeled)
     val va = new VectorAssembler()
-      .setInputCols(Array("f_uni", "f_bi") ++ extraFeatureCols)
+      .setInputCols(Array("f_uni", "f_bi") ++ prunedFeatureCols(prepared)) // M5/A6
       .setOutputCol("features")
     val clf: PipelineStage = algorithm match {
       case "lr" => new LogisticRegression().setMaxIter(100).setLabelCol("label")
@@ -99,7 +117,7 @@ object SectionTagger {
     }
     val pipe = new Pipeline().setStages(
       Array[PipelineStage](siModel, ng, cv1, cv2, va, clf))
-    val balanced = oversample(prepare(labeled), "category", seed)
+    val balanced = oversample(prepared, "category", seed)
     Trained(pipe.fit(balanced), siModel.labelsArray(0))
   }
 

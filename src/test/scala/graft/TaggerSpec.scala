@@ -66,6 +66,23 @@ class TaggerSpec extends SparkSpec {
     }
   }
 
+  test("rare-feature pruning (M5): column-sum <= 0.2 features leave the assembler") {
+    import spark.implicits._
+    // craft a frame where some NER-proxy columns stay at 0 (no locations,
+    // no currency, no hours, no education in the texts) — their train-sum
+    // is 0 <= 0.2 -> pruned; ratios and present features survive
+    val df = Seq(("plain words only here", "description"),
+      ("more plain text", "description")).toDF("text_clean", "category")
+    val kept = SectionTagger.prunedFeatureCols(SectionTagger.prepare(df)).toSet
+    assert(kept.contains("word_ratio")) // sum 2.0 > 0.2
+    assert(!kept.contains("ner_loc") && !kept.contains("ner_cur") &&
+      !kept.contains("ner_hour") && !kept.contains("ner_edu"))
+    // on the real fixture corpus every proxy family fires -> nothing pruned
+    val corpus = KgPipeline.taggerTrainingFrame(spark, nConvs = 120, firstConv = 8000000L)
+    assert(SectionTagger.prunedFeatureCols(SectionTagger.prepare(corpus)).length ==
+      graft.functions.NerProxyFast.names.length)
+  }
+
   test("oversample (M8): single pass balances every class toward the majority, deterministic") {
     import spark.implicits._
     val df = (Seq.fill(900)("a") ++ Seq.fill(100)("b") ++ Seq.fill(30)("c"))
