@@ -52,6 +52,17 @@ class GroundTruthSpec extends SparkSpec {
     assert(c1.getAs[String]("job_location") == null)
   }
 
+  test("widen: an obj containing a comma survives intact (per-cell separators, no post-hoc rewrite)") {
+    import spark.implicits._
+    val triples = Seq(
+      ("c1", "hiring_organization", "Acme, Inc"),
+      ("c1", "skill", "welding"),
+      ("c1", "skill", "arc cutting")).toDF("subj", "pred", "obj")
+    val row = WideExport.widen(triples).head()
+    assert(row.getAs[String]("hiring_organization") == "Acme, Inc")
+    assert(row.getAs[String]("skill") == "arc cutting; welding")
+  }
+
   test("F12 word-to-number work-hours path") {
     val doc = Rules.cleanString("The schedule is forty hours each week.")
     assert(Rules.workHoursGate(doc))
