@@ -222,6 +222,50 @@ object CleanScan {
     sb.toString
   }
 
+  /** <[^>]+> -> " " (the preprocess tag strip replaces with a SPACE,
+    * unlike the clean chain's removal).
+    */
+  def stripTagsSpace(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != '>') j += 1
+        if (j < s.length && j > i + 1) { sb.append(' '); i = j + 1 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  @inline private def isLineTerm(c: Char): Boolean = // chars regex '.' skips
+    c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
+
+  /** [\[(].*?[\])] -> " " : from an opener ('[' or '('), the NEAREST closer
+    * of EITHER type (']' or ')') ends the span — non-greedy, openers and
+    * closers unmatched by type, and '.' cannot cross a line terminator (an
+    * opener with no closer on its line stays literal).
+    */
+  def dropParensSpans(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '[' || c == '(') {
+        var j = i + 1
+        while (j < s.length && !isLineTerm(s.charAt(j)) &&
+            s.charAt(j) != ']' && s.charAt(j) != ')') j += 1
+        if (j < s.length && (s.charAt(j) == ']' || s.charAt(j) == ')')) {
+          sb.append(' ')
+          i = j + 1
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** python no-arg split() + lemma map + ' '.join — regex-free tokenizer. */
   def lemmatizeTokens(s: String, lemmas: Map[String, String]): String = {
     val sb = new java.lang.StringBuilder(s.length)

@@ -79,7 +79,20 @@ object DictRules {
   private val pTags = Pattern.compile("<[^>]+>")
   private val pWs = Pattern.compile("\\s+")
 
+  /** Scanner form (regex-free — preprocess runs once per CONVERSATION over
+    * the full text, the conv-stage hot path); pinned to [[preprocessRegex]]
+    * by DictRulesSpec fuzz.
+    */
   def preprocess(s: String): String = {
+    if (s == null) return ""
+    var d = CleanScan.stripTagsSpace(s)
+    d = d.filter(c => c >= ' ' && c < 127 || c.isWhitespace)
+    d = CleanScan.dropParensSpans(d)
+    CleanScan.collapseWs(d).trim
+  }
+
+  /** Pattern twin of [[preprocess]] (differential pin only). */
+  private[graft] def preprocessRegex(s: String): String = {
     if (s == null) return ""
     var d = pTags.matcher(s).replaceAll(" ")
     d = d.filter(c => c >= ' ' && c < 127 || c.isWhitespace)

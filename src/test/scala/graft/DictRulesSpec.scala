@@ -22,6 +22,22 @@ class DictRulesSpec extends AnyFunSuite {
     assert(hits.map(_._1) == hits.map(_._1).sorted) // end-position order
   }
 
+  test("preprocess scanner == Pattern twin (tags, parens, line terms, fuzz)") {
+    val edges = Seq("", "<b>x</b>", "a <unclosed", "plain (remove me) text",
+      "[also gone] stays", "nested ((a) b)", "mixed (a] b)", "cross (a\nb) kept",
+      "(noclose", "many   \t spaces", "del\u007fchar", "ls\u2028sep (x)",
+      "<p>(a)</p>[b]<", "()", "[]", "( )", "deep [[[x]]]")
+    edges.foreach(s =>
+      assert(DictRules.preprocess(s) == DictRules.preprocessRegex(s), s"input: ${s.replace("\n", "\\n")}"))
+    val alphabet = "ab ()[]<>\n\r\t\u2028\u007f.,"
+    val rnd = new scala.util.Random(23)
+    (0 until 4000).foreach { _ =>
+      val s = (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(DictRules.preprocess(s) == DictRules.preprocessRegex(s),
+        s"input: ${s.replace("\n", "\\n").replace("\r", "\\r")}")
+    }
+  }
+
   test("findWholeWord scanner == per-call Pattern twin (fuzz incl. case traps)") {
     val words = Seq("data", "Data", "DATA", "big data", "ä", "Ä", "a_b", "st.", "x")
     val hays = Seq("", "data", "Data science", "bigdata", "big data here", "DATA:",
