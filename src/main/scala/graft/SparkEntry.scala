@@ -378,6 +378,21 @@ object SparkEntry {
       "SELECT subj, pred, obj FROM read_parquet('/root/repo/golden/q23_triples.parquet')",
     "q31_wide_export" ->
       "SELECT * FROM read_parquet('/root/repo/golden/q31_wide.parquet')",
+    // golden-parquet regression pins for the ML/LSH/chunker ops over the
+    // driver's deterministic sf0.01 tables (semantics live in the ScalaTest
+    // differentials; regenerate via graft.GoldenDump after intended changes)
+    "q19_minhash_dedup" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/q19_minhash.parquet')",
+    "q20_simhash_candidates" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/q20_simhash.parquet')",
+    "q21_ann_lsh" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/q21_ann_lsh.parquet')",
+    "q24_entity_linking" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/q24_linking.parquet')",
+    "q25_clean_chain" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/q25_clean.parquet')",
+    "q32_html_chunks" ->
+      "SELECT * FROM read_parquet('/root/repo/golden/q32_chunks.parquet')",
     "q30_running_total" ->
       """SELECT user_id, event_id,
         | (sum(value::DECIMAL(18,6)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
