@@ -49,6 +49,25 @@ class PlanSpec extends SparkSpec {
       "no object boundary in the extract projection")
   }
 
+  test("the per-turn hot path carries NO regex expression nodes") {
+    import spark.implicits._
+    val turns = TranscriptGen.dataset(spark, 5)
+    val prepared = ml.SectionTagger.prepare(
+      KgPipeline.cleanTurns(turns).toDF())
+    val extract = operators.TurnExtract
+      .extract(KgPipeline.cleanTurns(turns).withColumn("category",
+        org.apache.spark.sql.functions.lit("description")))(spark)
+    Seq("prepare" -> prepared, "extract" -> extract).foreach { case (n, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      // any regexp_* / rlike Catalyst node would reintroduce the measured
+      // intra-JVM java.util.regex collapse (BENCH_SCALING.md)
+      Seq("RLIKE", "regexp_replace", "regexp_extract", "RegExpReplace",
+        "RegExpExtract", "Like(").foreach { marker =>
+        assert(!p.contains(marker), s"$n plan contains $marker")
+      }
+    }
+  }
+
   test("partial aggregation (map-side combine) in the scoring groupBy") {
     import spark.implicits._
     val convSkills = Seq(("c1", "python programming")).toDF("conv_id", "skill")
