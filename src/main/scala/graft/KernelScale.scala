@@ -18,7 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object KernelScale {
 
-  private def kernel(texts: Array[String]): Long = {
+  // shared by the thread harness below and KernelScaleWorker (the process
+  // twin must measure EXACTLY this work)
+  private[graft] def kernel(texts: Array[String]): Long = {
     var acc = 0L
     var i = 0
     while (i < texts.length) {
@@ -89,26 +91,10 @@ object KernelScaleWorker {
       TranscriptGen.turnsFor(i, 42L, 0, 0).map(_.text)).toArray
     // warm-up, then one timed pass (the parent measures wall time too)
     var acc = 0L
-    val warm = texts.take(20000)
-    acc += warmKernel(warm)
+    acc += KernelScale.kernel(texts.take(20000))
     val t0 = System.nanoTime()
-    acc += warmKernel(texts)
+    acc += KernelScale.kernel(texts)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[worker] shard=$shard/$nShards texts=${texts.length} sec=$sec%.2f acc=$acc")
-  }
-
-  private def warmKernel(texts: Array[String]): Long = {
-    var acc = 0L
-    var i = 0
-    while (i < texts.length) {
-      val raw = texts(i)
-      val clean = Rules.cleanString(raw)
-      acc += Rules.scanGazetteer(clean).size
-      acc += Rules.extractOrgs(raw).size
-      acc += NerProxyFast.counts(UTF8String.fromString(clean)).numElements()
-      acc += Rules.extractSalary(clean).map(_.values.size).getOrElse(0)
-      i += 1
-    }
-    acc
   }
 }

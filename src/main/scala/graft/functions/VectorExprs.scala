@@ -18,10 +18,13 @@ object VectorEvals {
 
   /** cosine over two float arrays — same op order as the Column twin
     * (left-fold dot, left-fold norms, sqrt, divide) so results are
-    * bit-identical.
+    * bit-identical. Mismatched lengths yield NULL exactly like the twin
+    * (zip_with pads with null → null dot), so a corrupt/truncated
+    * embedding surfaces as an excluded row instead of a plausible score.
     */
-  def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def cosineF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -30,10 +33,10 @@ object VectorEvals {
     }
     var na = 0.0
     i = 0
-    while (i < a.numElements()) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    while (i < n) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
     var nb = 0.0
     i = 0
-    while (i < b.numElements()) { val x = b.getFloat(i).toDouble; nb += x * x; i += 1 }
+    while (i < n) { val x = b.getFloat(i).toDouble; nb += x * x; i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -64,11 +67,20 @@ object VectorEvals {
 
 case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on dim mismatch, like the HOF twin
   override def prettyName: String = "cosine_f"
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorEvals.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // cosineF itself returns null on mismatched lengths → re-check after call
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorEvals.cosineF($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cosRes")
+      s"""
+        java.lang.Double $tmp = graft.functions.VectorEvals.cosineF($a, $b);
+        ${ev.isNull} = ($tmp == null);
+        ${ev.value} = ${ev.isNull} ? -1.0 : $tmp.doubleValue();
+      """
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr =
     copy(left = l, right = r)
 }

@@ -75,15 +75,22 @@ object SectionTagger {
     df.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val rnd = new java.util.Random(seed * 31 + pid)
-      // Knuth's Poisson draw — lambdas here are per-class oversampling
-      // fractions, small by construction (training data only)
-      def poisson(lambda: Double): Int = {
-        if (lambda <= 0.0) return 0
+      // Knuth draw, split into <=300 chunks for large lambda (Poisson is
+      // additive over independent draws; exp(-lambda) underflows past ~745,
+      // which would silently cap extreme class imbalances)
+      def knuth(lambda: Double): Int = {
         val limit = math.exp(-lambda)
         var k = 0
         var p = 1.0
         while ({ p *= rnd.nextDouble(); p > limit }) k += 1
         k
+      }
+      def poisson(lambda: Double): Int = {
+        if (lambda <= 0.0) return 0
+        var remaining = lambda
+        var k = 0
+        while (remaining > 300.0) { k += knuth(300.0); remaining -= 300.0 }
+        k + knuth(remaining)
       }
       it.flatMap { r =>
         val extra = poisson(fractions(r.getString(labelIdx)))

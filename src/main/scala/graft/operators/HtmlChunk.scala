@@ -32,9 +32,12 @@ object HtmlChunk {
     "web site:", "job views:")
 
   /** Text nodes of an HTML string, in document order — the handle_data
-    * sequence of Python's HTMLParser: text between tags, comments skipped,
-    * a lone '<' with no closing '>' kept as text, common character
-    * references decoded (convert_charrefs; named html5 subset + numeric).
+    * event sequence of Python's HTMLParser (verified against CPython):
+    * text between tags; comments/decls emit no data; a '<' that does NOT
+    * open a complete construct is emitted as ITS OWN single-char data
+    * event (so "a < b" → ["a ", "<", " b"], and an unclosed "<tag" at EOF
+    * → ["<", "tag"]); common character references decoded in place
+    * (convert_charrefs; named html5 subset + numeric, ';'-terminated).
     */
   def textNodes(html: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -42,18 +45,23 @@ object HtmlChunk {
     val len = html.length
     var i = 0
     def flush(): Unit = { if (sb.length > 0) { out += sb.toString; sb.setLength(0) } }
+    @inline def isTagStart(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '/' || c == '!' || c == '?'
+    def bareLt(): Unit = { flush(); out += "<"; i += 1 } // standalone '<' data event
     while (i < len) {
       val c = html.charAt(i)
       if (c == '<') {
-        if (html.startsWith("<!--", i)) {
-          val e = html.indexOf("-->", i + 4)
-          if (e < 0) { i = len } else i = e + 3 // comment: no data event
-          flush()
-        } else {
-          val e = html.indexOf('>', i + 1)
-          if (e < 0) { sb.append(html, i, len); i = len } // unclosed '<' = text
-          else { flush(); i = e + 1 }
-        }
+        if (i + 1 < len && isTagStart(html.charAt(i + 1))) {
+          if (html.startsWith("<!--", i)) {
+            val e = html.indexOf("-->", i + 4)
+            if (e < 0) bareLt() // unterminated comment: '<' then "!--…" as data
+            else { flush(); i = e + 3 } // complete comment: no data event
+          } else {
+            val e = html.indexOf('>', i + 1)
+            if (e < 0) bareLt() // incomplete tag at EOF: '<' then rest as data
+            else { flush(); i = e + 1 } // complete tag: no data event
+          }
+        } else bareLt()
       } else if (c == '&') {
         val (decoded, next) = charRef(html, i)
         sb.append(decoded)

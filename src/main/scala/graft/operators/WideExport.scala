@@ -16,7 +16,8 @@ object WideExport {
 
   val preds: Seq[String] = Seq("job_title", "skill", "sector", "estimated_salary",
     "education_requirements", "employment_type", "job_location", "work_hours",
-    "base_salary", "salary_currency", "hiring_organization", "uses_tool")
+    "base_salary", "salary_currency", "hiring_organization", "uses_tool",
+    "start_date", "deadline_date") // X5 preds (empty when the flag is off)
 
   /** F14 `cl`: strip brackets/quotes, canonical 'full-time'. */
   def cleanCell(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

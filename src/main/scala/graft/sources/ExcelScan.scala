@@ -71,6 +71,10 @@ object ExcelScan {
     var row: scala.collection.mutable.Map[Int, String] = null
     var cellCol = -1
     var cellType = ""
+    // cellBuf accumulates across ALL <v>/<t> runs of one cell: a rich-text
+    // inline string <is><r><t>hello </t></r><r><t>world</t></r></is> is one
+    // "hello world" cell (pandas.read_excel parity), not the last run
+    var cellBuf: java.lang.StringBuilder = null
     var text: java.lang.StringBuilder = null
     var nextColIfNoRef = 0
     while (r.hasNext) {
@@ -85,6 +89,7 @@ object ExcelScan {
               cellCol = ref.map(colIndex).getOrElse(nextColIfNoRef)
               nextColIfNoRef = cellCol + 1
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              cellBuf = null
             case "v" | "t" => text = new java.lang.StringBuilder
             case _ =>
           }
@@ -93,16 +98,18 @@ object ExcelScan {
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "v" | "t" =>
-              if (row != null && cellCol >= 0) {
-                val raw = text.toString
-                val value =
-                  if (cellType == "s") shared(raw.trim.toInt)
-                  else raw
-                row(cellCol) = value
+              if (text != null) {
+                if (cellBuf == null) cellBuf = new java.lang.StringBuilder
+                cellBuf.append(text)
               }
               text = null
+            case "c" =>
+              if (row != null && cellCol >= 0 && cellBuf != null) {
+                val raw = cellBuf.toString
+                row(cellCol) = if (cellType == "s") shared(raw.trim.toInt) else raw
+              }
+              cellCol = -1; cellType = ""; cellBuf = null
             case "row" => rows += row.toMap; row = null
-            case "c" => cellCol = -1; cellType = ""
             case _ =>
           }
         case _ =>
@@ -128,7 +135,14 @@ object ExcelScan {
       val width = rows.iterator.flatMap(_.keys).foldLeft(-1)(math.max) + 1
       def dense(m: Map[Int, String]): Seq[String] =
         (0 until width).map(i => m.getOrElse(i, ""))
-      (dense(rows.head), rows.tail.map(dense))
+      // empty/missing header cells get positional names (pandas calls them
+      // "Unnamed: N") — duplicate "" columns would make the DataFrame
+      // unaddressable by name
+      val header = dense(rows.head).zipWithIndex.map {
+        case ("", i) => s"unnamed_$i"
+        case (h, _) => h
+      }
+      (header, rows.tail.map(dense))
     } finally zip.close()
   }
 

@@ -23,14 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object TableIO {
 
-  /** Order-insensitive content hash: bit_xor of per-row xxhash64 over all
-    * columns. Deterministic across partitioning/parallelism.
+  /** Order-insensitive content hash: SUM (mod 2^64) of per-row xxhash64
+    * over all columns — deterministic across partitioning/parallelism, and
+    * multiplicity-sensitive (a bit_xor fold would let rows occurring an
+    * even number of times cancel out, so a duplicate-everything bug would
+    * snapshot identical to the correct table). decimal(38,0) holds the
+    * exact sum past 10^19 rows.
     */
   def snapshotId(df: DataFrame): Long = {
-    val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
-    h.agg(expr("bit_xor(h)")).collect()(0) match {
+    val h = df.select(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)").as("h"))
+    h.agg(sum("h")).collect()(0) match {
       case r if r.isNullAt(0) => 0L // empty table
-      case r => r.getLong(0)
+      case r =>
+        r.getDecimal(0).toBigInteger
+          .mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
     }
   }
 

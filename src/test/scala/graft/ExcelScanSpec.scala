@@ -79,6 +79,22 @@ class ExcelScanSpec extends SparkSpec {
     assert(h2.isEmpty && r2.isEmpty)
   }
 
+  test("rich-text inline strings concatenate runs; ragged header gets positional names") {
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><r><t>hello </t></r><r><t>world</t></r></is></c><c r="C2"><v>9</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val path = java.io.File.createTempFile("graft", ".xlsx").getAbsolutePath
+    writeFixture(path, sheet, None)
+    val (header, rows) = ExcelScan.readSheet(path)
+    // header has 1 cell but a data row reaches column C -> positional names
+    assert(header == Seq("id", "unnamed_1", "unnamed_2"))
+    assert(rows == Seq(Seq("hello world", "", "9"))) // runs concatenated
+    val df = ExcelScan.read(spark, path)
+    assert(df.select("unnamed_2").count() == 1) // addressable by name
+  }
+
   test("column reference arithmetic (A=0, Z=25, AA=26)") {
     assert(graft.sources.ExcelScan.colIndex("A1") == 0)
     assert(graft.sources.ExcelScan.colIndex("Z9") == 25)

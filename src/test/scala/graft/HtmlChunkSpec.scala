@@ -10,11 +10,19 @@ import graft.operators.HtmlChunk
   */
 class HtmlChunkSpec extends SparkSpec {
 
-  test("textNodes: tags split, comments skipped, entities decoded, unclosed '<' kept") {
+  test("textNodes == CPython HTMLParser handle_data events (empirically verified)") {
+    // every expected value below is the literal CPython 3.11 output of
+    // HTMLParser().feed(s); close() with handle_data recording
     assert(HtmlChunk.textNodes("<p>hello</p><!-- c --><div>world &amp; co</div>")
       == Seq("hello", "world & co"))
-    assert(HtmlChunk.textNodes("a < b and more") == Seq("a < b and more"))
+    assert(HtmlChunk.textNodes("a < b and more") == Seq("a ", "<", " b and more"))
+    assert(HtmlChunk.textNodes("3 < 4 > 2 eur") == Seq("3 ", "<", " 4 > 2 eur"))
+    assert(HtmlChunk.textNodes("<unclosed tag") == Seq("<", "unclosed tag"))
+    assert(HtmlChunk.textNodes("pay< 4 >2") == Seq("pay", "<", " 4 >2"))
     assert(HtmlChunk.textNodes("x&#65;y&#x42;z&unknown;w") == Seq("xAyBz&unknown;w"))
+    assert(HtmlChunk.textNodes("<!-- unterminated") == Seq("<", "!-- unterminated"))
+    assert(HtmlChunk.textNodes("a<>b") == Seq("a", "<", ">b"))
+    assert(HtmlChunk.textNodes("tail<") == Seq("tail", "<"))
     assert(HtmlChunk.textNodes("") == Seq.empty)
   }
 

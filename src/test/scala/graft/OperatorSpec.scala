@@ -48,6 +48,13 @@ class OperatorSpec extends SparkSpec {
       SimilaritySearch.bandBucketsColumns(col("embedding"), planes, 32, 4).as("twin"))
       .filter(col("fast") =!= col("twin")).count()
     assert(bDiff == 0, "lsh_buckets expression != HOF twin")
+    // dim mismatch -> NULL in BOTH (a truncated embedding must be excluded,
+    // never scored from a partial dot product)
+    val mism = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("va", "vb")
+    val both = mism.select(
+      SimilaritySearch.cosine(col("va"), col("vb")).as("fast"),
+      SimilaritySearch.cosineColumns(col("va"), col("vb")).as("twin")).head()
+    assert(both.isNullAt(0) && both.isNullAt(1), s"mismatch must be null: $both")
   }
 
   test("A7 skill-popularity resolution: distributed == pure dict; ambiguity decided by popularity") {

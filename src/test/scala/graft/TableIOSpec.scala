@@ -28,6 +28,10 @@ class TableIOSpec extends SparkSpec {
     // snapshot id is content-derived: different content -> different id
     val s3 = TableIO.writeSnapshot(df.filter(col("id") =!= 50), p, "s_test")
     assert(s3 != s1)
+    // multiplicity-sensitive: duplicating every row must change the id
+    // (an xor fold would cancel even-multiplicity rows to the same id)
+    val s4 = TableIO.writeSnapshot(df.union(df), p, "s_test")
+    assert(s4 != s1)
   }
 
   test("partitioned write replaces only the partitions present in the frame") {

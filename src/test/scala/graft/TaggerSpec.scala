@@ -97,6 +97,18 @@ class TaggerSpec extends SparkSpec {
     assert(countsOf(42L) == counts) // same seed -> same draw
   }
 
+  test("oversample survives extreme imbalance (Poisson lambda past the exp underflow)") {
+    import spark.implicits._
+    // 1 row of 'c' vs 2000 of 'a': lambda = 1999; a naive Knuth draw caps
+    // near ~745 when exp(-lambda) underflows to 0
+    val df = (Seq.fill(2000)("a") :+ "c").zipWithIndex
+      .map { case (cl, i) => (s"t$i", cl) }.toDF("text_clean", "category")
+    val counts = SectionTagger.oversample(df, "category", 7L)
+      .groupBy("category").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("c") > 1700, s"underflow cap: ${counts("c")}")
+  }
+
   test("letter_runs expression == RegexTokenizer([a-z]+, gaps=false) on corpus + traps") {
     import org.apache.spark.ml.feature.RegexTokenizer
     import org.apache.spark.sql.functions.col
