@@ -192,6 +192,19 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.9)
   }
 
+  test("IVF ANN recall@5 >= 0.9 vs brute force on testdata embeddings (default config)") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val brute = SimilaritySearch.bruteForceTopK(q, e, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilaritySearch.ivfTopK(q, e, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"ivf recall@5 = $recall%.2f (nLists=16, nProbe=8)")
+    assert(recall >= 0.9)
+  }
+
   test("multimodal plumbing: schema, feature shape, frame sampling") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val media = Multimodal.withFakeMedia(docs)
