@@ -1,12 +1,31 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.ml.SectionTagger
+import graft.operators._
 import graft.sources.TranscriptGen
 
 /** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR plus the
   * KG-pipeline throughput (turns/sec), one JSON line on stdout.
+  *
+  * The KG section is self-evidencing against host interference (this
+  * sandbox is a shared-hypervisor VM whose steal time swings 0-50% on a
+  * minutes scale — see BENCH_SCALING.md "host noise"):
+  *   - `kg_stages`  per-stage wall seconds (S1 clean .. S6 emit), so a slow
+  *     total is attributable to a stage rather than opaque;
+  *   - `kg_runs`    every end-to-end wall time measured (min is reported as
+  *     `kg_pipeline`; a second run is skipped only if the first blew a 120 s
+  *     budget, to bound worst-case bench wall time);
+  *   - `kg_cpu_sec` JVM process CPU seconds consumed by the best run — CPU
+  *     throughput (`turns_per_cpu_sec`) is steal-independent, so
+  *     wall-vs-CPU divergence separates "engine got slower" from "VM did
+  *     not get its cores";
+  *   - `steal_pct`  hypervisor steal share of all host jiffies during the
+  *     best run (from /proc/stat), the direct evidence of interference.
   */
 object Bench {
 
@@ -16,11 +35,105 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Runs the full S1-S6 pipeline over freshly generated turns; returns
-    * (turns, triples, seconds). The tagger is trained outside the timed
-    * region (a persisted model in production).
+  /** (steal, total) jiffies from the aggregate `cpu` line of /proc/stat. */
+  def stealTicks(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        src.getLines().find(_.startsWith("cpu ")).map { l =>
+          val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+          // fields: user nice system idle iowait irq softirq steal ...
+          (if (f.length > 7) f(7) else 0L, f.sum)
+        }
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def processCpuSec(): Double = ManagementFactory.getOperatingSystemMXBean match {
+    case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+    case _ => -1.0
+  }
+
+  /** One timed measurement wrapped with CPU + steal accounting. */
+  final case class Measured(sec: Double, cpuSec: Double, stealPct: Double)
+
+  def measure[A](f: => A): (A, Measured) = {
+    val st0 = stealTicks()
+    val cpu0 = processCpuSec()
+    val (r, sec) = time(f)
+    val cpu = processCpuSec() - cpu0
+    val steal = (for {
+      (s0, t0) <- st0
+      (s1, t1) <- stealTicks()
+      if t1 > t0
+    } yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
+    (r, Measured(sec, cpu, steal))
+  }
+
+  /** Stage-attributed wall times over pre-cleaned turns: each stage is
+    * materialized (cache + count) so the deltas isolate one operator. The
+    * sum slightly exceeds a fused end-to-end run (caching overhead), which
+    * is why the headline `kg_pipeline` number comes from the un-instrumented
+    * runs instead.
     */
-  def kgPipeline(spark: SparkSession, nConvs: Long): (Long, Long, Double) = {
+  def kgStages(spark: SparkSession, tagger: SectionTagger.Trained,
+      turns: org.apache.spark.sql.Dataset[graft.model.Turn]): Seq[(String, Double)] = {
+    implicit val s: SparkSession = spark
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def phase[A](name: String)(f: => A): A = {
+      val (r, sec) = time(f)
+      out += (name -> sec)
+      r
+    }
+    val cleaned = KgPipeline.cleanTurns(turns).cache()
+    phase("s1_clean")(cleaned.count())
+    val tagged = SectionTagger.predict(tagger, cleaned).cache()
+    phase("s2_tag")(tagged.count())
+    val extracted = TurnExtract.extract(tagged).cache()
+    phase("s3_extract")(extracted.count())
+    val convs = ConvFinalize.run(extracted).cache()
+    phase("s4_conv")(convs.count())
+    val convSkills = convs.select(col("conv_id"), explode(col("skills")).as("skill"))
+    val si = Scoring.sectorAndIsco(convSkills).cache()
+    phase("s5_scoring")(si.count())
+    val canon = phase("s5_linking") {
+      val c = Linking.canonicalize(
+        convs.toDF().select(explode(col("orgs")).as("surface"))).cache()
+      c.count(); c
+    }
+    val estimates = Scoring.estimates(si.select("conv_id", "isco3"),
+      convs.toDF().select(col("conv_id"), col("location")).filter(col("location").isNotNull))
+    phase("s6_emit")(
+      TripleEmit.run(convs, si.select("conv_id", "sector"), estimates, canon).count())
+    Seq(cleaned, tagged, extracted).foreach(_.unpersist())
+    Seq(convs.toDF(), si, canon).foreach(_.unpersist())
+    out.toSeq
+  }
+
+  final case class KgResult(nTurns: Long, nTriples: Long, runs: Seq[Measured],
+      stages: Seq[(String, Double)])
+
+  /** Full S1-S6 pipeline over freshly generated turns. The tagger is
+    * trained outside the timed region (a persisted model in production).
+    */
+  def kgPipeline(spark: SparkSession, nConvs: Long, budgetSec: Double = 120.0): KgResult = {
+    implicit val s: SparkSession = spark
+    val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(spark, nConvs = 200))
+    val turns = TranscriptGen.dataset(spark, nConvs, seed = 42L, skewConvs = 4, skewTurns = 800).cache()
+    val nTurns = turns.count()
+    val (nTriples, m1) = measure(KgPipeline.computeTriples(turns, tagger).count())
+    val runs = if (m1.sec <= budgetSec) {
+      val (_, m2) = measure(KgPipeline.computeTriples(turns, tagger).count())
+      Seq(m1, m2)
+    } else Seq(m1)
+    val stages = kgStages(spark, tagger, turns)
+    turns.unpersist()
+    KgResult(nTurns, nTriples, runs, stages)
+  }
+
+  /** Single untimed-train + timed end-to-end run — the measurement unit
+    * ScalingBench interleaves across parallelism levels.
+    */
+  def kgOnce(spark: SparkSession, nConvs: Long): (Long, Long, Double) = {
     implicit val s: SparkSession = spark
     val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(spark, nConvs = 200))
     val turns = TranscriptGen.dataset(spark, nConvs, seed = 42L, skewConvs = 4, skewTurns = 800).cache()
@@ -53,14 +166,15 @@ object Bench {
       }
     }
 
-    val (nTurns, nTriples, kgSec) = kgPipeline(spark, nConvs)
-    val turnsPerSec = nTurns / kgSec
+    val kg = kgPipeline(spark, nConvs)
+    val best = kg.runs.minBy(_.sec)
+    val turnsPerSec = kg.nTurns / best.sec
+    val turnsPerCpuSec = if (best.cpuSec > 0) kg.nTurns / best.cpuSec else -1.0
 
     // ANN quality alongside speed: recall@5 of the LSH path vs the exact
     // brute-force baseline on the same queries
     val annRecall = {
       import spark.implicits._
-      import org.apache.spark.sql.functions.col
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val q = e.filter(col("vec_id") < 20)
       implicit val s: SparkSession = spark
@@ -71,11 +185,13 @@ object Bench {
       (brute intersect lsh).size.toDouble / math.max(brute.size, 1)
     }
 
-    val all = qTimes :+ ("kg_pipeline" -> kgSec)
-    val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val all = qTimes :+ ("kg_pipeline" -> best.sec)
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
+    val runsJson = kg.runs.map(m => f"${m.sec}%.3f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_turns":$nTurns,"kg_triples":$nTriples,"turns_per_sec":$turnsPerSec%.1f,"ann_recall_at_5":$annRecall%.3f,"cores":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(all)},"sf":"$sfDir","kg_turns":${kg.nTurns},"kg_triples":${kg.nTriples},"turns_per_sec":$turnsPerSec%.1f,"kg_stages":${jmap(kg.stages)},"kg_runs":$runsJson,"kg_cpu_sec":${best.cpuSec}%.1f,"turns_per_cpu_sec":$turnsPerCpuSec%.1f,"steal_pct":${best.stealPct}%.1f,"ann_recall_at_5":$annRecall%.3f,"cores":$cpus}""")
     spark.stop()
   }
 }

@@ -24,8 +24,8 @@ object ScalingBench {
         val spark = Sessions.local(cores, appName = s"graft-scaling-$cores-r$rep")
         spark.sparkContext.setLogLevel("WARN")
         // warm-up: small run to JIT/codegen before the measured run
-        Bench.kgPipeline(spark, 200)
-        runsByLevel(cores) ::= Bench.kgPipeline(spark, nConvs)
+        Bench.kgOnce(spark, 200)
+        runsByLevel(cores) ::= Bench.kgOnce(spark, nConvs)
         spark.stop()
       }
     }
