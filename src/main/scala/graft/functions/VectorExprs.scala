@@ -21,6 +21,9 @@ object VectorEvals {
     * bit-identical. Mismatched lengths yield NULL exactly like the twin
     * (zip_with pads with null → null dot), so a corrupt/truncated
     * embedding surfaces as an excluded row instead of a plausible score.
+    * A zero-norm side yields 0.0, NOT NaN: Spark sorts NaN first under
+    * `ORDER BY sim DESC`, so a NaN here would crown the zero vector the
+    * nearest neighbor of everything.
     */
   def cosineF(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -37,6 +40,7 @@ object VectorEvals {
     var nb = 0.0
     i = 0
     while (i < n) { val x = b.getFloat(i).toDouble; nb += x * x; i += 1 }
+    if (na == 0.0 || nb == 0.0) return 0.0
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 

@@ -63,11 +63,16 @@ object Dedup {
     *
     * Skew guard (north_star "salted joins for skew-heavy keys"):
     * candidate generation inside a bucket is quadratic, so buckets larger
-    * than `bucketCap` are dropped before the self-join — degenerate
-    * buckets (boilerplate/empty shingle sets) would otherwise dominate
-    * the shuffle at corpus scale. The banding itself is the salt: a pair
-    * dropped from one oversized band bucket still surfaces through its
-    * other `bands - 1` buckets.
+    * than `bucketCap` switch to STAR SAMPLING before the self-join — each
+    * member pairs only with the bucket's min id (linear in bucket size)
+    * instead of all-pairs. Degenerate buckets (boilerplate families, empty
+    * shingle sets) would otherwise dominate the shuffle at corpus scale,
+    * but a giant near-dup family whose members share the SAME oversized
+    * bucket in every band keeps its connectivity through the star's hub —
+    * dropping such buckets outright would silently lose the whole family
+    * (clusters downstream are connected components, so the hub edges are
+    * enough; only direct pair OUTPUT inside oversized families is
+    * star-shaped).
     */
   def bandedMinHashPairs(nodes: DataFrame, bands: Int = 12, rowsPerBand: Int = 2,
       bucketCap: Int = 2000, seed: Int = 42): DataFrame = {
@@ -80,16 +85,22 @@ object Dedup {
     val banded = nodes
       .select(col("id"), posexplode(sig).as(Seq("band", "bucket")))
       .localCheckpoint()
-    val ok = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > 1 && col("bsz") <= bucketCap)
+    val census = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"), min(col("id")).as("bmin"))
+    val ok = census.filter(col("bsz") > 1 && col("bsz") <= bucketCap)
       .select("band", "bucket")
     val kept = banded.join(ok, Seq("band", "bucket"))
     val a = kept.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = kept.select(col("band"), col("bucket"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bucket"))
+    val allPairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    val big = census.filter(col("bsz") > bucketCap)
+      .select(col("band"), col("bucket"), col("bmin"))
+    val starPairs = banded.join(big, Seq("band", "bucket"))
+      .filter(col("id") =!= col("bmin"))
+      .select(col("bmin").as("id_a"), col("id").as("id_b")) // bmin is the bucket min
+    allPairs.union(starPairs).distinct()
   }
 
   /** Candidate near-duplicate pairs (id_a < id_b, exact jaccard distance ≤

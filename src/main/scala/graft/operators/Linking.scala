@@ -20,7 +20,7 @@ object ConnectedComponents {
     * the vertex budget can still carry an edge list that must never be
     * collected to the driver.
     */
-  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20,
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50,
       localThreshold: Long = 500000L)(implicit spark: SparkSession): DataFrame = {
     // materialize edges once: the size gate counts them, then whichever
     // path wins consumes them without recomputing the candidate join
@@ -57,8 +57,20 @@ object ConnectedComponents {
 
   /** vertices(id: Long), edges(src: Long, dst: Long) -> (id, component)
     * where component = min vertex id of the component.
+    *
+    * Each superstep combines neighbor-min propagation with pointer jumping
+    * (component := label(component), i.e. path doubling over the label
+    * forest), so label distance to the component min shrinks geometrically:
+    * convergence is O(log diameter) supersteps, not O(diameter) — a
+    * 20+-link chain of near-dup docs (boilerplate families produce these)
+    * resolves in a handful of rounds instead of silently exhausting the
+    * iteration budget. Both update rules only ever assign a label that is
+    * (a) the id of a vertex in the same component and (b) ≤ the current
+    * label, so the fixpoint of the combined operator is exactly the
+    * component min. If the budget is somehow exhausted anyway the run
+    * THROWS — unconverged labels must never flow downstream as if final.
     */
-  def runDistributed(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20)(
+  def runDistributed(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50)(
       implicit spark: SparkSession): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -69,15 +81,24 @@ object ConnectedComponents {
     while (changed > 0 && iter < maxIter) {
       val neigh = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src")).agg(min(col("component")).as("ncomp"))
-      val next = labels.join(neigh, labels("id") === neigh("src"), "left")
+      val viaEdges = labels.join(neigh, labels("id") === neigh("src"), "left")
         .select(labels("id"),
           least(coalesce(col("ncomp"), col("component")), col("component")).as("component"))
+      // pointer jumping: follow the label one hop (component of my component)
+      val parents = viaEdges.select(col("id").as("p_id"), col("component").as("p_comp"))
+      val next = viaEdges.join(parents, viaEdges("component") === parents("p_id"), "left")
+        .select(viaEdges("id"),
+          least(coalesce(col("p_comp"), viaEdges("component")), viaEdges("component"))
+            .as("component"))
         .localCheckpoint()
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.component") =!= col("o.component")).count()
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter supersteps")
     labels
   }
 }

@@ -29,8 +29,15 @@ object SimilaritySearch {
     */
   def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.cosine_f(a, b)
 
-  /** HOF-Column twin of [[cosine]] (differential pin only). */
-  def cosineColumns(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** HOF-Column twin of [[cosine]] (differential pin only). Zero-norm
+    * sides map to 0.0 like the native kernel (NaN would sort FIRST under
+    * `desc(sim)` and crown zero vectors nearest-neighbors of everything).
+    */
+  def cosineColumns(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
 
   /** Exact top-k: broadcast the (small) query set against the corpus.
     * One narrow pass over the corpus, top-k via per-query window.
@@ -87,7 +94,8 @@ object SimilaritySearch {
     * exact baseline gated ≥ 0.9 in OperatorSpec.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nLists: Int = 16, nProbe: Int = 8, seed: Long = 42L)(
+      nLists: Int = 16, nProbe: Int = 8, seed: Long = 42L,
+      fitSampleCap: Long = 100000L)(
       implicit spark: SparkSession): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -95,14 +103,26 @@ object SimilaritySearch {
     // and on unit vectors euclidean distance is monotone in cosine, so the
     // euclidean k-means cells and the probe ranking agree with the target
     // metric (clustering raw magnitudes would scatter true neighbors
-    // across lists)
-    def normalized(v: Column): Column =
-      transform(v, x => x.cast("double") / norm(v))
-    val corpusFv = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"),
-      array_to_vector(normalized(col("embedding"))).as("fv"))
+    // across lists). The norm is computed ONCE per row (a sibling column —
+    // folding norm(v) into the per-element lambda would be O(dim²)/row) and
+    // floored so an all-zero embedding maps to the zero vector instead of
+    // NaNs feeding the quantizer.
+    def normalizedBy(v: Column, nrm: Column): Column =
+      transform(v, x => x.cast("double") / greatest(nrm, lit(1e-12)))
+    val corpusFv = corpus
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        array_to_vector(normalizedBy(col("embedding"), col("nrm"))).as("fv"))
+    // the quantizer trains on a bounded deterministic sample — centroid
+    // quality needs thousands of rows per list, not the whole corpus, and
+    // a full-corpus KMeans.fit would be the scale ceiling of the operator
+    val nCorpus = corpusFv.count()
+    val trainFv =
+      if (nCorpus <= fitSampleCap) corpusFv
+      else corpusFv.sample(withReplacement = false,
+        fraction = math.min(1.0, fitSampleCap.toDouble * 1.2 / nCorpus), seed)
     val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("fv")
-      .setPredictionCol("list_id").fit(corpusFv)
+      .setPredictionCol("list_id").fit(trainFv)
     val lists = km.transform(corpusFv).select("neighbor_id", "cv", "list_id")
     // centroids are tiny: rank them per query with a broadcast literal,
     // by EUCLIDEAN distance — the metric the k-means quantizer assigned
@@ -117,8 +137,10 @@ object SimilaritySearch {
         d * d
       }),
       lit(0.0), (acc, x) => acc + x)
-    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        normalized(col("embedding")).as("qnv"))
+    val probes = queries
+      .withColumn("qnrm", norm(col("embedding")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        normalizedBy(col("embedding"), col("qnrm")).as("qnv"))
       .join(broadcast(centroidDf))
       .withColumn("cdist", sqDist)
       .withColumn("crk", row_number().over(

@@ -116,6 +116,54 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("connected components: 40-vertex chain converges distributed in O(log n) supersteps") {
+    import spark.implicits._
+    // a path graph is the worst case for plain min-label propagation
+    // (O(diameter) supersteps — the old 20-round budget would have been
+    // exhausted SILENTLY); pointer jumping must resolve it within the
+    // default budget, and a too-small budget must throw, never return.
+    val n = 40L
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = ConnectedComponents.runDistributed(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L), "whole chain must collapse to min id 1")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.runDistributed(vertices, edges, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("oversized minhash buckets star-sample instead of dropping (family stays connected)") {
+    import spark.implicits._
+    // 6 nodes with IDENTICAL shingle sets land in the same bucket of EVERY
+    // band — with a cap of 3 the old drop-the-bucket guard lost the whole
+    // family. Star sampling must keep it connected at linear cost.
+    val nodes = (1L to 6L).map(i => (i, Seq("a b c", "b c d", "c d e")))
+      .toDF("id", "shingles")
+    val pairs = Dedup.bandedMinHashPairs(nodes, bucketCap = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == (2L to 6L).map(v => (1L, v)).toSet,
+      s"expected the 5 star edges to the min id, got $pairs")
+    // and with a roomy cap the same input yields all 15 pairs
+    val full = Dedup.bandedMinHashPairs(nodes, bucketCap = 2000)
+      .as[(Long, Long)].collect().toSet
+    assert(full.size == 15, s"expected all pairs under the cap, got ${full.size}")
+  }
+
+  test("ivfTopK guards zero-norm embeddings and samples the quantizer fit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = ((0 until 60).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))) :+
+      (60L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 3)
+    // fitSampleCap below the corpus size forces the sampled-fit path
+    val res = SimilaritySearch.ivfTopK(q, corpus, k = 3, nLists = 4, nProbe = 4,
+      fitSampleCap = 30L)
+    val sims = res.select("sim").as[Double].collect()
+    assert(sims.nonEmpty && sims.forall(d => !d.isNaN), "NaN sim leaked from ivfTopK")
+  }
+
   test("single-pass sectorAndIsco == per-op scoring") {
     import spark.implicits._
     val cases = Seq(
