@@ -25,12 +25,23 @@ object TextAnalysis {
   private def markerScore(c: Column, markers: Seq[String]): Column =
     size(array_intersect(array_distinct(toks(c)), typedlit(markers)))
 
+  /** Regex-free CJK gate (native codepoint-range scan — lang-ID is a
+    * full-corpus op, and `rlike` here was the last regex on a full-scan hot
+    * path; PlanSpec pins the q12/q33 plans regex-free). The `rlike` twin is
+    * the differential pin in RulesSpec; the DuckDB oracle keeps
+    * regexp_matches.
+    */
+  def hasCjk(c: Column): Column = graft.functions.TextFunctions.has_cjk(c)
+
+  /** rlike twin of [[hasCjk]] (differential pin only). */
+  def hasCjkRegex(c: Column): Column = c.rlike("[\\x{4e00}-\\x{9fff}]")
+
   /** Deterministic language ID: CJK chars → zh, else marker-word argmax
     * with the fixed order en > de > fr > es on ties.
     */
   def langId(c: Column): Column = {
     val s = langMarkers.map { case (l, m) => l -> markerScore(c, m) }.toMap
-    when(c.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+    when(hasCjk(c), "zh")
       .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
       .when(s("de") >= s("fr") && s("de") >= s("es"), "de")
       .when(s("fr") >= s("es"), "fr")
@@ -75,7 +86,7 @@ object TextAnalysis {
   def langIdTrigram(c: Column): Column = {
     val g = trigrams(c)
     val s = langTrigrams.map { case (l, p) => l -> trigramScore(g, p) }.toMap
-    when(c.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+    when(hasCjk(c), "zh")
       .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
       .when(s("de") >= s("fr") && s("de") >= s("es"), "de")
       .when(s("fr") >= s("es"), "fr")
@@ -115,7 +126,11 @@ object TextAnalysis {
     val t = toks(c)
     val n = greatest(size(t), lit(1)).cast("double")
     val stopRatio = size(filter(t, x => array_contains(typedlit(qualityStopwords), x))).cast("double") / n
-    val digitRatio = size(filter(t, x => x.rlike("^[0-9]+$"))).cast("double") / n
+    // all-digits test without a regex node: stripping "0123456789" empties
+    // the token iff every char was a digit (the ^[0-9]+$ twin lives in the
+    // DuckDB oracle)
+    val digitRatio = size(filter(t, x =>
+      length(x) > 0 && translate(x, "0123456789", "") === "")).cast("double") / n
     val meanLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / n
     round(least(stopRatio * 2, lit(1.0)) * 0.3
       + (lit(1.0) - digitRatio) * 0.3

@@ -164,6 +164,17 @@ class OperatorSpec extends SparkSpec {
     assert(sims.nonEmpty && sims.forall(d => !d.isNaN), "NaN sim leaked from ivfTopK")
   }
 
+  test("native has_cjk == rlike twin on boundary codepoints") {
+    import spark.implicits._
+    val cases = Seq("hello world", "", "你好", "mixed 中文 text", "䷿", "一",
+      "鿿", "ꀀ", "emoji 😀 only", "ärger straße", "日本語テスト")
+    val diff = cases.toDF("t").select(
+      operators.TextAnalysis.hasCjk(col("t")).as("a"),
+      operators.TextAnalysis.hasCjkRegex(col("t")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, "has_cjk scanner != rlike twin")
+  }
+
   test("single-pass sectorAndIsco == per-op scoring") {
     import spark.implicits._
     val cases = Seq(

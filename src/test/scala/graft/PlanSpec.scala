@@ -68,6 +68,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("full-corpus text-analysis scans (q12/q33 langId, q13 quality) carry no regex nodes") {
+    // lang-ID and quality scoring run over EVERY document in a training
+    // pipeline; the CJK gate is the native has_cjk codepoint scan and the
+    // digit-token test is a translate() trick — neither may regress to
+    // rlike/regexp_* (q10/q11/q14 keep regexp by design: their semantics
+    // ARE the pattern, and they are not on the KG per-turn path).
+    Seq("q12_lang_id", "q33_lang_trigram", "q13_quality_score").foreach { q =>
+      val p = planOf(q)
+      Seq("RLIKE", "regexp_replace", "regexp_extract", "RegExpReplace",
+        "RegExpExtract", "Like(").foreach { marker =>
+        assert(!p.contains(marker), s"$q plan contains $marker")
+      }
+      assert(if (q == "q13_quality_score") p.contains("translate") else p.contains("has_cjk"),
+        s"$q plan missing the regex-free kernel")
+    }
+  }
+
   test("partial aggregation (map-side combine) in the scoring groupBy") {
     import spark.implicits._
     val convSkills = Seq(("c1", "python programming")).toDF("conv_id", "skill")
