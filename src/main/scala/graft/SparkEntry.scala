@@ -248,7 +248,102 @@ object SparkEntry {
         array_join(
           Translate.translate_chunks(split(col("text"), "\\. "),
             TextAnalysis.langId(col("text"))),
-          "||").as("translated"))))
+          "||").as("translated"))),
+    // ------------- independent semantic oracles for the LSH family -------------
+    // q35/q36: the LSH-candidate paths must reproduce the EXACT Jaccard
+    // pair set at their thresholds — DuckDB recomputes that set directly
+    // (the q27 machinery, unblocked), so a single pair lost by banding
+    // fails the row/hash compare. These convert the q19/q20 golden pins
+    // into true cross-engine semantic checks.
+    "q35_minhash_pair_recall" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val u = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.minHashCandidates(u, "doc_id", "text", maxDistance = 0.3)
+        .select(col("id_a"), col("id_b"), round(lit(1.0) - col("dist"), 4).as("jac"))
+    }),
+    // threshold 0.0 = exact-duplicate pairs: that is the recall 4×16-bit
+    // hamming banding GUARANTEES (identical text → hamming 0 → all four
+    // bands collide); J≥0.9-but-not-identical pairs can land at hamming>3
+    // (measured: 16 of 600 at sf0.01), so gating those would pin an
+    // accident, not a property. Near-dup recall is q35's minhash gate.
+    "q36_simhash_recall" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val u = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val sh = u.select(col("doc_id").cast("long").as("id"),
+        Dedup.wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      Dedup.simHashCandidates(u, "doc_id", "text", maxHamming = 3)
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jac", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(lit(1.0) - col("jac") <= 0.0)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+    }),
+    // q37: at a high-recall band config the LSH ANN must return EXACTLY the
+    // brute-force top-5 (deterministic seeded hashes) — the oracle is the
+    // same DuckDB SQL that verifies q17, so ANN recall is now checked
+    // cross-engine rather than only Spark-vs-Spark.
+    "q37_ann_lsh_exact" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.lshTopK(e.filter(col("vec_id") < 20), e, 5, bands = 64, bandBits = 4)
+    }),
+    // ------------- live-output invariants (oracle = constant truth) -------------
+    // The golden-parquet pins freeze cross-run determinism; these two
+    // queries assert SEMANTIC invariants of the live outputs against a
+    // CONSTANT oracle, so a bug frozen into a golden at dump time cannot
+    // report green here.
+    "q38_chunk_invariants" -> ((s, d) => {
+      val c = queries("q32_html_chunks")(s, d)
+      c.agg(count(lit(1)).as("n"), countDistinct(col("chunk_id")).as("d"),
+          min(col("chunk_id")).as("mn"), max(col("chunk_id")).as("mx"))
+        .select(lit("chunk_ids_dense_0_to_n").as("check"),
+          (col("d") === col("n") && col("mn") === 0 && col("mx") === col("n") - 1).as("ok"))
+    }),
+    "q39_dedup_invariants" -> ((s, d) => {
+      val q19 = queries("q19_minhash_dedup")(s, d)
+      val q20 = queries("q20_simhash_candidates")(s, d)
+      val q24 = queries("q24_entity_linking")(s, d)
+      val keepLe = q19.agg((count(lit(1)) === sum(when(col("keep_id") <= col("id"), 1).otherwise(0))).as("ok"))
+        .select(lit("q19_keep_le_id").as("check"), col("ok"))
+      val keepClosed = q19.select(col("keep_id").as("k")).distinct()
+        .join(q19.filter(col("id") === col("keep_id")).select(col("id").as("k")), Seq("k"), "left_anti")
+        .agg((count(lit(1)) === 0).as("ok"))
+        .select(lit("q19_keep_is_own_rep").as("check"), col("ok"))
+      val ordered = q20.agg((count(lit(1)) === sum(when(col("id_a") < col("id_b"), 1).otherwise(0))).as("ok"))
+        .select(lit("q20_pairs_ordered").as("check"), col("ok"))
+      val nodup = q20.agg((count(lit(1)) === countDistinct(col("id_a"), col("id_b"))).as("ok"))
+        .select(lit("q20_pairs_distinct").as("check"), col("ok"))
+      val surfUnique = q24.agg((count(lit(1)) === countDistinct(col("surface"))).as("ok"))
+        .select(lit("q24_surface_unique").as("check"), col("ok"))
+      val canonSelf = q24.select(col("canonical").as("c")).distinct()
+        .join(q24.filter(col("surface") === col("canonical")).select(col("surface").as("c")),
+          Seq("c"), "left_anti")
+        .agg((count(lit(1)) === 0).as("ok"))
+        .select(lit("q24_canonical_self_mapped").as("check"), col("ok"))
+      keepLe.union(keepClosed).union(ordered).union(nodup).union(surfUnique).union(canonSelf)
+    }))
+
+  /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
+    * Jaccard pair set over documents ∪ (documents + 1e6 ids), thresholded
+    * as `1.0 - jac <= maxDistance` with the same operand shape as the
+    * Spark side (identical IEEE ops → identical boundary behavior).
+    */
+  private def exactJaccardPairsSql(maxDistance: Double): String = {
+    val toks = "regexp_split_to_array(lower(text), '\\s+')"
+    val sh = s"list_distinct(list_transform(range(0, greatest(len($toks) - 3, 0) + 1), i -> array_to_string(($toks)[i+1:i+3], ' ')))"
+    s"""WITH u AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+       |sh AS (SELECT doc_id, $sh AS sh FROM u),
+       |shf AS (SELECT * FROM sh WHERE len(sh) > 0),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |   len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |   greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)::DOUBLE AS jac
+       |  FROM shf a JOIN shf b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, round(jac, 4) AS jac FROM j WHERE (1.0 - jac) <= $maxDistance""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -411,6 +506,32 @@ object SparkEntry {
          |$hs
          |FROM e""".stripMargin
     },
+    "q35_minhash_pair_recall" -> exactJaccardPairsSql(0.3),
+    "q36_simhash_recall" -> exactJaccardPairsSql(0.0),
+    "q37_ann_lsh_exact" -> {
+      // identical to the q17 brute-force oracle: the high-band LSH config
+      // must reproduce the exact top-5
+      val dim = 64
+      val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
+      val nq = s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))"
+      val nc = s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))"
+      s"""SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  $dot / ($nq * $nc) AS sim,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $dot / ($nq * $nc) DESC, c.vec_id ASC) AS rk
+         | FROM embeddings q, embeddings c
+         | WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rk <= 5""".stripMargin
+    },
+    "q38_chunk_invariants" ->
+      "SELECT 'chunk_ids_dense_0_to_n' AS check, true AS ok",
+    "q39_dedup_invariants" ->
+      """SELECT 'q19_keep_le_id' AS check, true AS ok
+        |UNION ALL SELECT 'q19_keep_is_own_rep', true
+        |UNION ALL SELECT 'q20_pairs_ordered', true
+        |UNION ALL SELECT 'q20_pairs_distinct', true
+        |UNION ALL SELECT 'q24_surface_unique', true
+        |UNION ALL SELECT 'q24_canonical_self_mapped', true""".stripMargin,
     "q18_near_dup_count" -> {
       val dim = 64
       val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
