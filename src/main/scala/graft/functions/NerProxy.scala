@@ -20,6 +20,13 @@ import graft.rules.Rules
   * from NER counts, computed by the same battle-tested rules.
   *
   * Output: array<double> [loc, emp, cur, hour, edu] hit counts.
+  *
+  * Every rule called here is a char scanner (extractLocations /
+  * employmentSurfaces / currencyHits / timeSpans / extractEducation —
+  * timeSpans via Rules.TimeScan since round 3), so this expression keeps
+  * the tagger's prepare() projection java.util.regex-free in BOTH train
+  * and serve; PlanSpec's no-regex assertion covers the plan shape and
+  * RulesSpec fuzz pins each scanner to its Pattern twin.
   */
 object NerProxyFast {
   /** feature vector layout: token ratios first (F10), then the hit counts */

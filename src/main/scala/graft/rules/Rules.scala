@@ -558,7 +558,12 @@ object Rules {
 
   private val pDate = Pattern.compile(datePatternStr)
 
-  /** date-like spans, first-occurrence order, stoplist-filtered. */
+  /** date-like spans, first-occurrence order, stoplist-filtered.
+    * NOTE: this is the one remaining java.util.regex in the extraction
+    * bank — deliberately: X5 ships flag-off (reference parity), so it is
+    * NOT on the default hot path, and the regex-free claims in
+    * BENCH_SCALING.md / PlanSpec scope to the default configuration.
+    */
   def extractDates(cleaned: String): Seq[String] = {
     val m = pDate.matcher(cleaned)
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -708,10 +713,36 @@ object Rules {
   private val pWordHour = Pattern.compile(
     "\\b(" + numberWords.keys.toSeq.sorted.mkString("|") + ")\\s*(?:hours?|hrs)\\b")
 
+  /** Scanner re-derivation of the three TIME patterns (regex-free — this
+    * runs per turn BOTH as extractor input and as a ner_proxy tagger
+    * feature, so it is hot-path in train AND serve; pinned to
+    * [[timeSpansRegex]] by RulesSpec fuzz). Each matcher replicates
+    * find()'s leftmost-match scan and the patterns' only backtrack points
+    * (the optional decimal/range/am groups and the suffix alternation
+    * order hours > hour > hrs, sorted word alternation for pWordHour).
+    */
   def timeSpans(cleaned: String): Seq[String] = {
-    // semantics-preserving cheap gate: every pattern below requires one of
-    // these literals (pHourSpan/pWordHour need "hour"/"hrs", pClockRange
-    // ends in am/pm) — skip the regex machinery when none is present
+    // semantics-preserving cheap gate (the patterns require one of these
+    // literals); false positives like "program"/"amsterdam" now cost one
+    // cheap char scan, not a regex engine run
+    if (!cleaned.contains("hour") && !cleaned.contains("hrs") &&
+        !cleaned.contains("am") && !cleaned.contains("pm")) return Seq.empty
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    TimeScan.findAll(cleaned, TimeScan.matchClockRange).foreach { t =>
+      if (!Dims.workHoursCommonKeywords.contains(t)) out += t
+    }
+    TimeScan.findAll(cleaned, TimeScan.matchHourSpan).foreach { t =>
+      if (!Dims.workHoursCommonKeywords.contains(t)) out += t
+    }
+    TimeScan.findAll(cleaned, TimeScan.matchWordHour).foreach { t =>
+      val conv = wordToNumberStr(t)
+      if (conv.exists(_.isDigit) && !out.contains(conv)) out += conv
+    }
+    out.toSeq
+  }
+
+  /** Pattern twin of [[timeSpans]] (differential pin only). */
+  def timeSpansRegex(cleaned: String): Seq[String] = {
     if (!cleaned.contains("hour") && !cleaned.contains("hrs") &&
         !cleaned.contains("am") && !cleaned.contains("pm")) return Seq.empty
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -730,6 +761,110 @@ object Rules {
       if (conv.exists(_.isDigit) && !out.contains(conv)) out += conv
     }
     out.toSeq
+  }
+
+  /** Char-scanner matchers for the TIME patterns. Each matchX(s, i)
+    * returns the match END when the pattern matches starting exactly at i,
+    * else -1; [[findAll]] replays java.util.regex find(): try every start
+    * left-to-right, continue after each match's end (non-overlapping).
+    */
+  private[rules] object TimeScan {
+    @inline private def isDigitCh(c: Char): Boolean = c >= '0' && c <= '9'
+    @inline private def isWsCh(c: Char): Boolean = // regex \s
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    @inline private def isWordCh(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || isDigitCh(c) || c == '_'
+    private def skipWs(s: String, i: Int): Int = {
+      var k = i
+      while (k < s.length && isWsCh(s.charAt(k))) k += 1
+      k
+    }
+    /** trailing \b after a word char: next char non-word or end. */
+    @inline private def boundAfter(s: String, e: Int): Boolean =
+      e == s.length || !isWordCh(s.charAt(e))
+    private def digitsEnd(s: String, i: Int): Int = {
+      var k = i
+      while (k < s.length && isDigitCh(s.charAt(k))) k += 1
+      if (k == i) -1 else k
+    }
+    /** \d+(?:SEP\d+)? — greedy: the with-decimal end first, then without
+      * (regex backtracks the optional group in exactly that order).
+      */
+    private def numEnds(s: String, i: Int, seps: String): Seq[Int] = {
+      val d = digitsEnd(s, i)
+      if (d < 0) return Nil
+      if (d < s.length && seps.indexOf(s.charAt(d)) >= 0) {
+        val d2 = digitsEnd(s, d + 1)
+        if (d2 > 0) return Seq(d2, d)
+      }
+      Seq(d)
+    }
+    /** \s*(?:hours?|hrs)\b — alternation order hours, hour, hrs. */
+    private def hoursSuffix(s: String, p: Int): Int = {
+      val k = skipWs(s, p)
+      Seq("hours", "hour", "hrs").foreach { suf =>
+        if (s.startsWith(suf, k) && boundAfter(s, k + suf.length)) return k + suf.length
+      }
+      -1
+    }
+    /** pHourSpan: \d+(\.\d+)?(\s*(to|-)\s*\d+(\.\d+)?)?\s*(hours?|hrs)\b */
+    def matchHourSpan(s: String, i: Int): Int = {
+      numEnds(s, i, ".").foreach { n1 =>
+        // greedy optional range first
+        val k = skipWs(s, n1)
+        val sep = if (s.startsWith("to", k)) k + 2 else if (k < s.length && s.charAt(k) == '-') k + 1 else -1
+        if (sep > 0) {
+          numEnds(s, skipWs(s, sep), ".").foreach { n2 =>
+            val e = hoursSuffix(s, n2)
+            if (e >= 0) return e
+          }
+        }
+        val e = hoursSuffix(s, n1)
+        if (e >= 0) return e
+      }
+      -1
+    }
+    /** pClockRange: \d+([.:]\d+)?\s*(am)?\s*-\s*\d+([.:]\d+)?\s*(am|pm)\b */
+    def matchClockRange(s: String, i: Int): Int = {
+      numEnds(s, i, ".:").foreach { n1 =>
+        val kAm = skipWs(s, n1)
+        val starts = if (s.startsWith("am", kAm)) Seq(kAm + 2, n1) else Seq(n1)
+        starts.foreach { p =>
+          val kDash = skipWs(s, p)
+          if (kDash < s.length && s.charAt(kDash) == '-') {
+            numEnds(s, skipWs(s, kDash + 1), ".:").foreach { n2 =>
+              val k2 = skipWs(s, n2)
+              if ((s.startsWith("am", k2) || s.startsWith("pm", k2)) && boundAfter(s, k2 + 2))
+                return k2 + 2
+            }
+          }
+        }
+      }
+      -1
+    }
+    private val sortedNumberWords: Seq[String] = numberWords.keys.toSeq.sorted
+    /** pWordHour: \b(one|two|…)\s*(hours?|hrs)\b — sorted alternation with
+      * backtracking (so "six" failing its suffix falls through to "sixty").
+      */
+    def matchWordHour(s: String, i: Int): Int = {
+      if (!(i == 0 || !isWordCh(s.charAt(i - 1)))) return -1
+      sortedNumberWords.foreach { w =>
+        if (s.startsWith(w, i)) {
+          val e = hoursSuffix(s, i + w.length)
+          if (e >= 0) return e
+        }
+      }
+      -1
+    }
+    def findAll(s: String, m: (String, Int) => Int): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        val e = m(s, i)
+        if (e > i) { out += s.substring(i, e); i = e } else i += 1
+      }
+      out.toSeq
+    }
   }
 
   /** Whole-document extraction: gate → spans (+ '40 hours' default when a

@@ -105,6 +105,31 @@ class RulesSpec extends AnyFunSuite {
     assert(Rules.extractWorkHourSpans(d2) == Seq("40 hours"))
   }
 
+  test("timeSpans scanner == Pattern twin (edge cases + seeded fuzz)") {
+    val edges = Seq(
+      "40 hours", "35-40 hours", "7.5 to 8.5 hours", "9am-5pm", "9 am - 5 pm",
+      "9-5pm", "9.30am - 17.30pm", "8:30-16:30pm", "forty hours", "six hrs",
+      "sixty hours", "tenhrs", "onehours", "sixty hourss", "5 hoursx",
+      "program in amsterdam", "3am-4", "12-34-5hours", "5.5.5 hours",
+      "9am am - 5pm", "work 38 hrs weekly, shifts 10pm-6am", "0 hours",
+      "twenty to thirty hours", "5 to- 6 hours", "5- 6hrs", "", "hrs", "am-pm",
+      "66hrs6", "6hrs6", "9-5.30pms", "9-5.3am0", "five hrs and ten hours")
+    edges.foreach { s =>
+      assert(Rules.timeSpans(s) == Rules.timeSpansRegex(s), s"edge: '$s'")
+    }
+    // fuzz from a trap-rich vocabulary (digit runs, separators, am/pm,
+    // hour words, decoys that contain the literal gate strings)
+    val vocab = Seq("40", "9", "5.5", "8:30", "12", "hours", "hour", "hrs",
+      "hourss", "to", "-", "am", "pm", "ams", "amp", "program", "six", "sixty",
+      "ten", "forty", ".", ":", " ", "work", "x", "7", "", "tenhrs")
+    val rnd = new scala.util.Random(424242)
+    (1 to 4000).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(Seq("", " ", "  ")(rnd.nextInt(3)))
+      assert(Rules.timeSpans(s) == Rules.timeSpansRegex(s), s"fuzz: '$s'")
+    }
+  }
+
   test("yearly salary normalization") {
     // monthly with estimate: x12 when closer to the estimate
     assert(Rules.yearlySalary(Seq(3000.0), Seq("euro"), Some("Germany"), Some(40000.0)) == Seq(36000.0))
