@@ -21,8 +21,9 @@ import graft.sources.TranscriptGen
   * Usage:
   *   runMain graft.PipelineMain --out /tmp/kg --convs 1000 [--seed 42]
   *     [--from-stage s0] [--to-stage s6] [--skip s2,s3] [--cores 32]
-  *     [--extract-dates true] [--jdbc-url jdbc:derby:memory:kg;create=true]
-  *     [--jdbc-table kg_wide]
+  *     [--extract-dates true] [--merge-append true]
+  *     [--jdbc-url jdbc:derby:memory:kg;create=true] [--jdbc-table kg_wide]
+  *     [--jdbc-batchsize 1000]
   */
 object PipelineMain {
 
@@ -132,10 +133,20 @@ object PipelineMain {
         convs.toDF().select(col("conv_id"), col("location")).filter(col("location").isNotNull))
       val canon = spark.read.parquet(path("s5_entities"))
       val triples = TripleEmit.run(convs, sectors, estimates, canon)
-      // pred-partitioned + dynamic overwrite: a re-run replaces exactly the
-      // pred partitions it produced (Iceberg overwritePartitions semantics)
-      write("s6_triples", triples.toDF(), Seq("s4_conv", "s5_entities"),
-        partitionBy = Seq("pred"))
+      if (a.getOrElse("merge-append", "false").toBoolean) {
+        // MERGE-style incremental emit: only triples of subjects not yet in
+        // the table are appended (reference backup-table swap semantics,
+        // MergeAndExportInfo.py:85-89); idempotent by snapshot id
+        graft.sources.TableIO.mergeNewKeys(triples.toDF(), path("s6_triples"),
+          Seq("subj"), "s6_triples", partitionBy = Seq("pred"))
+        lineage("s6_triples", spark.read.parquet(path("s6_triples")),
+          Seq("s4_conv", "s5_entities"))
+      } else {
+        // pred-partitioned + dynamic overwrite: a re-run replaces exactly the
+        // pred partitions it produced (Iceberg overwritePartitions semantics)
+        write("s6_triples", triples.toDF(), Seq("s4_conv", "s5_entities"),
+          partitionBy = Seq("pred"))
+      }
       // per-pred metrics
       spark.read.parquet(path("s6_triples")).groupBy("pred").count()
         .withColumn("run_id", lit(runId)).withColumn("stage", lit("s6_triples"))
@@ -148,7 +159,8 @@ object PipelineMain {
       // MergeAndExportInfo.py:85-111): any JDBC url on the classpath
       a.get("jdbc-url").foreach { url =>
         graft.sources.TableIO.writeJdbc(wide, url,
-          a.getOrElse("jdbc-table", "kg_wide"), a.get("jdbc-driver"))
+          a.getOrElse("jdbc-table", "kg_wide"), a.get("jdbc-driver"),
+          a.getOrElse("jdbc-batchsize", "1000").toInt)
         println(s"[graft] s6_jdbc -> $url")
       }
     }

@@ -101,12 +101,25 @@ object SectionTagger {
 
   final case class Trained(model: PipelineModel, labels: Array[String])
 
+  /** M13 — explicit label munging before training (the reference's two
+    * relabel ops: drop the `job_fields` class,
+    * ClassificationModelGeneration.py:53-54, and fold `qualifications`
+    * into `skills`, PrepareTrainData.py:253). A no-op on corpora that do
+    * not carry those labels, so generator-labeled training frames are
+    * unchanged.
+    */
+  def relabel(labeled: DataFrame, labelCol: String = "category"): DataFrame =
+    labeled.filter(col(labelCol) =!= "job_fields")
+      .withColumn(labelCol,
+        when(col(labelCol) === "qualifications", "skills").otherwise(col(labelCol)))
+
   /** labeled(text_clean, category) -> fitted tagger. 75/25 eval split and
     * seed 42 mirror the reference (ClassificationModelGeneration.py:225).
     * `algorithm`: "lr" (default) or "nb" — the reference ships commented
     * MultinomialNB/LinearSVC alternates (:232-236, README.md:28).
     */
-  def train(labeled: DataFrame, seed: Long = 42L, algorithm: String = "lr"): Trained = {
+  def train(labeledRaw: DataFrame, seed: Long = 42L, algorithm: String = "lr"): Trained = {
+    val labeled = relabel(labeledRaw) // M13
     val si = new StringIndexer().setInputCol("category").setOutputCol("label")
     val siModel = si.fit(labeled)
     // tokens column comes from prepare() (regex-free letter_runs expression)

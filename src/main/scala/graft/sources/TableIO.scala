@@ -69,17 +69,43 @@ object TableIO {
     }
   }
 
+  /** MERGE-style incremental append (the reference's backup-table swap,
+    * MergeAndExportInfo.py:85-89, generalized to the triple table): rows
+    * whose key already exists in the target are dropped by an anti-join
+    * and only the remainder is APPENDED — never a full rewrite, so at
+    * 10^12-turn scale an incremental batch costs one broadcast-or-shuffle
+    * anti-join plus a write proportional to the NEW data. Re-running with
+    * the same input appends nothing and reproduces the same content
+    * snapshot id (idempotence, pinned in TableIOSpec).
+    */
+  def mergeNewKeys(df: DataFrame, path: String, keyCols: Seq[String], stage: String,
+      partitionBy: Seq[String] = Nil)(implicit spark: SparkSession): Long = {
+    val exists = Files.exists(Paths.get(markerPath(path)))
+    if (!exists) return writeSnapshot(df, path, stage, partitionBy)
+    val existingKeys = spark.read.parquet(path).select(keyCols.map(col): _*).distinct()
+    val fresh = df.join(existingKeys, keyCols, "left_anti")
+    val w = fresh.write.mode(SaveMode.Append)
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*).parquet(path)
+    else w.parquet(path)
+    val sid = snapshotId(spark.read.parquet(path))
+    Files.writeString(Paths.get(markerPath(path)),
+      s"""{"snapshot_id":$sid,"stage":"$stage"}""")
+    sid
+  }
+
   /** S6 JDBC sink (SURVEY §7.5 "a JDBC writer flag can exist for demo"):
-    * the reference exports its wide table to MySQL
-    * (MergeAndExportInfo.py:85-111); any JDBC url on the session classpath
+    * the reference exports its wide table to MySQL in 1,000-row
+    * executemany batches (MergeAndExportInfo.py:85-111, batch size :102);
+    * `batchSize` is the parity knob. Any JDBC url on the session classpath
     * works — the spec exercises embedded Derby.
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
-      driver: Option[String] = None): Unit = {
+      driver: Option[String] = None, batchSize: Int = 1000): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
       .format("jdbc")
       .option("url", url)
       .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
     // DriverManager only sees drivers that have been class-loaded; infer
     // the embedded-Derby class so a fresh JVM works without a flag
     driver.orElse(

@@ -47,12 +47,34 @@ class TableIOSpec extends SparkSpec {
     assert(back == Set(("a", 99L), ("b", 10L), ("b", 11L)))
   }
 
+  test("mergeNewKeys: two incremental runs == one full run, same snapshot id; re-merge is a no-op") {
+    import spark.implicits._
+    val triples = (1L to 60L).flatMap(i =>
+      Seq((s"conv-$i", "job_title", s"t$i"), (s"conv-$i", "sector", s"s${i % 5}")))
+      .toDF("subj", "pred", "obj")
+    // one-shot full write
+    val pFull = tmp("merge-full")
+    val sidFull = TableIO.writeSnapshot(triples, pFull, "s6", partitionBy = Seq("pred"))
+    // incremental: first half, then the WHOLE frame (old subjects must be
+    // anti-joined away, new ones appended)
+    val pInc = tmp("merge-inc")
+    val firstHalf = triples.filter(substring_index(col("subj"), "-", -1).cast("long") <= 30)
+    TableIO.mergeNewKeys(firstHalf, pInc, Seq("subj"), "s6", partitionBy = Seq("pred"))
+    val sidInc = TableIO.mergeNewKeys(triples, pInc, Seq("subj"), "s6", partitionBy = Seq("pred"))
+    assert(sidInc == sidFull, "incremental content must equal the one-shot write")
+    assert(spark.read.parquet(pInc).count() == 120)
+    // idempotence: merging the same frame again appends nothing
+    val sidAgain = TableIO.mergeNewKeys(triples, pInc, Seq("subj"), "s6", partitionBy = Seq("pred"))
+    assert(sidAgain == sidInc)
+    assert(spark.read.parquet(pInc).count() == 120)
+  }
+
   test("JDBC sink (S6) round-trips the wide table through embedded Derby") {
     import spark.implicits._
     val wide = Seq(("conv-1", "Data Engineer", "Germany"), ("conv-2", "Nurse", "Poland"))
       .toDF("subj", "job_title", "job_location")
     val url = "jdbc:derby:memory:graftspec;create=true"
-    TableIO.writeJdbc(wide, url, "kg_wide")
+    TableIO.writeJdbc(wide, url, "kg_wide", batchSize = 1) // parity knob plumbed
     val back = spark.read.format("jdbc")
       .option("url", url).option("dbtable", "kg_wide").load()
       .as[(String, String, String)].collect().toSet

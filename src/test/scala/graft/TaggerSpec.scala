@@ -126,6 +126,28 @@ class TaggerSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("relabel (M13): qualifications folds into skills, job_fields drops; train honors it") {
+    import spark.implicits._
+    val labeled = Seq(
+      ("python and sql required", "qualifications"),
+      ("we are a media company", "job_fields"),
+      ("salary 50000 euro per year", "base_salary"),
+      ("bachelor degree required", "education_requirements"))
+      .toDF("text_clean", "category")
+    val out = ml.SectionTagger.relabel(labeled)
+      .select("category").as[String].collect().sorted.toSeq
+    assert(out == Seq("base_salary", "education_requirements", "skills"))
+    // end-to-end: a tagger trained on a frame carrying the raw labels must
+    // never emit the dropped/folded classes
+    val corpus = (1 to 40).flatMap { i =>
+      Seq((s"python spark sql tools $i", "qualifications"),
+        (s"media business field $i", "job_fields"),
+        (s"salary ${40000 + i} euro yearly", "base_salary"))
+    }.toDF("text_clean", "category")
+    val tagger = ml.SectionTagger.train(corpus)
+    assert(tagger.labels.toSet == Set("skills", "base_salary"))
+  }
+
   test("per-class report (M12) matches hand-computed precision/recall") {
     import spark.implicits._
     // a: 2 true, 1 predicted-as-a correct; b: 1 true predicted b; one a→b error
