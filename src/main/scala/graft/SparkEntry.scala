@@ -290,6 +290,32 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       SimilaritySearch.lshTopK(e.filter(col("vec_id") < 20), e, 5, bands = 64, bandBits = 4)
     }),
+    // q40: the signed-projection-blocked embedding near-dup must reproduce
+    // DuckDB's exact cosine pair set at the threshold (same cross-engine
+    // recall contract as q35, over vectors instead of shingles)
+    "q40_embedding_near_dup" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val e = t(s, d, "embeddings")
+      // corpus ∪ exact copy (the q15/q19 union pattern): 1000 cos=1.0 pairs
+      // that identical bucket signatures MUST catch, plus the corpus's one
+      // natural cos≥0.5 pair exercising banding recall (16×4-bit bands,
+      // deterministic seeded hyperplanes — verified exhaustive vs the
+      // oracle at sf0.01)
+      val u = e.select(col("vec_id"), col("embedding"))
+        .union(e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDup(u, minCosine = 0.5, bands = 16, bandBits = 4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    }),
+    // q41: probing EVERY inverted list makes IVF exhaustive, so its top-5
+    // must equal brute force (the q17 SQL) — pins that the quantizer/list
+    // plumbing loses NO corpus vector (a dropped or NaN-assigned row would
+    // surface as a missing neighbor)
+    "q41_ann_ivf_exhaustive" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 20), e, 5,
+        nLists = 16, nProbe = 16)
+    }),
     // ------------- live-output invariants (oracle = constant truth) -------------
     // The golden-parquet pins freeze cross-run determinism; these two
     // queries assert SEMANTIC invariants of the live outputs against a
@@ -511,6 +537,32 @@ object SparkEntry {
     "q37_ann_lsh_exact" -> {
       // identical to the q17 brute-force oracle: the high-band LSH config
       // must reproduce the exact top-5
+      val dim = 64
+      val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
+      val nq = s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))"
+      val nc = s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))"
+      s"""SELECT query_id, neighbor_id, round(sim, 4) AS sim, rk FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  $dot / ($nq * $nc) AS sim,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $dot / ($nq * $nc) DESC, c.vec_id ASC) AS rk
+         | FROM embeddings q, embeddings c
+         | WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rk <= 5""".stripMargin
+    },
+    "q40_embedding_near_dup" -> {
+      val dim = 64
+      val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+      val na = s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))"
+      val nb = s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))"
+      s"""WITH u AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | round($dot / ($na * $nb), 4) AS cos
+         |FROM u a, u b
+         |WHERE a.vec_id < b.vec_id AND $dot / ($na * $nb) >= 0.5""".stripMargin
+    },
+    "q41_ann_ivf_exhaustive" -> {
+      // identical to the q17 brute-force oracle: full-probe IVF is exhaustive
       val dim = 64
       val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
       val nq = s"sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))"
