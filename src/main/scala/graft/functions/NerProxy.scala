@@ -33,8 +33,10 @@ object NerProxyFast {
   val names: Seq[String] =
     Seq("digit_ratio", "word_ratio", "ner_loc", "ner_emp", "ner_cur", "ner_hour", "ner_edu")
 
-  def counts(s: UTF8String): ArrayData = {
-    val str = s.toString
+  /** Raw feature array in [[names]] order — shared by the expression and
+    * the compiled tagger serve (TaggerServe.scala).
+    */
+  def rawCounts(str: String): Array[Double] = {
     // F10 ratios (ClassifyUsingSavedModel.py:191-193) — replicates the
     // previous Column formulation split(text, " ") + rlike("^[0-9]+$"):
     // single-space split keeping empties, digit = non-empty all-digit
@@ -44,15 +46,17 @@ object NerProxyFast {
       if (t.nonEmpty && t.forall(c => c >= '0' && c <= '9')) digits += 1
     }
     val n = math.max(toks.length, 1).toDouble
-    new GenericArrayData(Array[Double](
+    Array[Double](
       digits / n,
       (toks.length - digits) / n,
       Rules.extractLocations(str).size.toDouble,
       Rules.employmentSurfaces(str).size.toDouble,
       Rules.currencyHits(str).toDouble,
       Rules.timeSpans(str).size.toDouble,
-      Rules.extractEducation(str).size.toDouble))
+      Rules.extractEducation(str).size.toDouble)
   }
+
+  def counts(s: UTF8String): ArrayData = new GenericArrayData(rawCounts(s.toString))
 }
 
 case class NerProxyExpr(child: Expression) extends UnaryExpression {

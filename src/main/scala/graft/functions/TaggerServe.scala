@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled LR serve path for the section tagger (M11 at scale).
+  *
+  * `PipelineModel.transform` evaluates the serve side as five chained ML
+  * stages (NGram → 2×CountVectorizerModel → VectorAssembler → LR), each a
+  * non-codegen UDF building intermediate arrays and ML vectors per turn —
+  * the single biggest stage of the KG pipeline (s2_tag in the bench's
+  * per-stage split). This class folds the FITTED model into one native
+  * expression: tokenize (shared letter-runs scanner) → count vocab hits
+  * directly into sparse (index, value) pairs → margins via the same
+  * accumulation order MLlib's sparse gemv uses (intercept first, then
+  * ascending feature index, per class) → argmax (first-max tie-break,
+  * matching Vector.argmax) → label string. Bit-identical predictions are
+  * pinned against the PipelineModel twin in TaggerSpec, and the flagship
+  * goldens (q23/q31) freeze the equivalence at driver level.
+  *
+  * Only the LR pipeline shape compiles; anything else (e.g. the
+  * NaiveBayes alternate) falls back to the PipelineModel path.
+  */
+final class CompiledTagger(
+    val vocab1: java.util.HashMap[String, Integer],
+    val vocab2: java.util.HashMap[String, Integer],
+    val v1Size: Int,
+    val v2Size: Int,
+    val extraSel: Array[Int], // selected indices into NerProxyFast.names layout
+    val coef: Array[Double], // k rows × n cols, row-major
+    val intercept: Array[Double],
+    val labels: Array[String],
+    val binomial: Boolean) extends Serializable {
+
+  private val k = intercept.length
+  private val n = v1Size + v2Size + extraSel.length
+
+  def predict(text: String): String = {
+    val toks = TokenizeEvals.letterRunsStr(text)
+    // sparse feature map; TreeMap keeps active indices ascending so the
+    // margin accumulation order matches MLlib's sparse gemv exactly
+    val feats = new java.util.TreeMap[Integer, Double]()
+    var i = 0
+    while (i < toks.length) {
+      val idx = vocab1.get(toks(i))
+      if (idx != null) {
+        val key: Integer = idx
+        val cur = feats.get(key)
+        feats.put(key, if (cur == null) 1.0 else cur + 1.0)
+      }
+      i += 1
+    }
+    i = 0
+    while (i < toks.length - 1) {
+      val idx = vocab2.get(toks(i) + " " + toks(i + 1))
+      if (idx != null) {
+        val key: Integer = idx + v1Size
+        val cur = feats.get(key)
+        feats.put(key, if (cur == null) 1.0 else cur + 1.0)
+      }
+      i += 1
+    }
+    if (extraSel.length > 0) {
+      val extras = NerProxyFast.rawCounts(text)
+      var e = 0
+      while (e < extraSel.length) {
+        val v = extras(extraSel(e))
+        if (v != 0.0) feats.put(v1Size + v2Size + e, v)
+        e += 1
+      }
+    }
+    // margins = intercept + W * x (per class: intercept first, ascending idx)
+    val margins = java.util.Arrays.copyOf(intercept, k)
+    val it = feats.entrySet().iterator()
+    while (it.hasNext) {
+      val ent = it.next()
+      val idx = ent.getKey.intValue()
+      val v = ent.getValue.doubleValue()
+      var c = 0
+      while (c < k) {
+        margins(c) += coef(c * n + idx) * v
+        c += 1
+      }
+    }
+    val cls =
+      if (binomial) { if (margins(0) > 0.0) 1 else 0 }
+      else {
+        var best = 0
+        var c = 1
+        while (c < k) {
+          if (margins(c) > margins(best)) best = c
+          c += 1
+        }
+        best
+      }
+    labels(cls)
+  }
+}
+
+object CompiledTagger {
+  import org.apache.spark.ml.PipelineModel
+  import org.apache.spark.ml.classification.LogisticRegressionModel
+  import org.apache.spark.ml.feature.{CountVectorizerModel, VectorAssembler}
+
+  /** Fold a fitted LR tagger pipeline into a CompiledTagger; None when the
+    * stage shapes do not match (non-LR classifier, unexpected assembler
+    * layout, non-default threshold) so callers fall back to the
+    * PipelineModel path.
+    */
+  def compile(model: PipelineModel, labels: Array[String]): Option[CompiledTagger] = {
+    val cvs = model.stages.collect { case c: CountVectorizerModel => c }
+    val va = model.stages.collectFirst { case v: VectorAssembler => v }
+    val lr = model.stages.collectFirst { case l: LogisticRegressionModel => l }
+    (cvs, va, lr) match {
+      case (Array(cv1, cv2), Some(assembler), Some(lrm))
+          if cv1.getOutputCol == "f_uni" && cv2.getOutputCol == "f_bi" &&
+            assembler.getInputCols.take(2).sameElements(Array("f_uni", "f_bi")) &&
+            !cv1.getBinary && !cv2.getBinary &&
+            cv1.getMinTF == 1.0 && cv2.getMinTF == 1.0 &&
+            lrm.getThreshold == 0.5 =>
+        def toMap(vocab: Array[String]): java.util.HashMap[String, Integer] = {
+          val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+          vocab.zipWithIndex.foreach { case (t, i) => m.put(t, i) }
+          m
+        }
+        val extraNames = assembler.getInputCols.drop(2)
+        val layout = NerProxyFast.names.toArray
+        if (!extraNames.forall(layout.contains(_))) return None
+        val extraSel = extraNames.map(layout.indexOf(_))
+        val cm = lrm.coefficientMatrix
+        val k = cm.numRows
+        val n = cm.numCols
+        val coef = new Array[Double](k * n)
+        cm.foreachActive { case (r, c, v) => coef(r * n + c) = v }
+        Some(new CompiledTagger(
+          toMap(cv1.vocabulary), toMap(cv2.vocabulary),
+          cv1.vocabulary.length, cv2.vocabulary.length,
+          extraSel,
+          coef,
+          lrm.interceptVector.toArray,
+          labels,
+          binomial = k == 1))
+      case _ => None
+    }
+  }
+}
+
+case class TaggerPredictExpr(child: Expression, model: CompiledTagger)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "tagger_predict"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(model.predict(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("compiledTagger", model,
+      classOf[CompiledTagger].getName)
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.unsafe.types.UTF8String.fromString($ref.predict($c.toString()))")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TaggerPredictExpr =
+    copy(child = newChild)
+}
+
+object TaggerServeFunctions {
+  def tagger_predict(c: Column, model: CompiledTagger): Column =
+    Bridge.column(TaggerPredictExpr(Bridge.expression(c), model))
+}

@@ -18,9 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * persisted PipelineModel), so saved models keep only standard stages.
   */
 object TokenizeEvals {
-  def letterRuns(s: UTF8String): ArrayData = {
-    val str = s.toString.toLowerCase
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+  /** String-level tokenizer — single source of truth shared by the
+    * expression below and the compiled tagger serve (TaggerServe.scala).
+    */
+  def letterRunsStr(s: String): Array[String] = {
+    val str = s.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val len = str.length
     var i = 0
     while (i < len) {
@@ -28,12 +31,16 @@ object TokenizeEvals {
       if (c >= 'a' && c <= 'z') {
         var j = i + 1
         while (j < len && str.charAt(j) >= 'a' && str.charAt(j) <= 'z') j += 1
-        out += UTF8String.fromString(str.substring(i, j))
+        out += str.substring(i, j)
         i = j
       } else i += 1
     }
-    new GenericArrayData(out.toArray)
+    out.toArray
   }
+
+  def letterRuns(s: UTF8String): ArrayData =
+    new GenericArrayData(
+      letterRunsStr(s.toString).map(UTF8String.fromString).toArray[Any])
 }
 
 case class LetterRunsExpr(child: Expression) extends UnaryExpression {

@@ -158,8 +158,25 @@ object SectionTagger {
     (tagger, classificationReport(scored))
   }
 
-  /** Adds a string `category` column (model prediction). */
-  def predict(t: Trained, df: DataFrame): DataFrame = {
+  /** Adds a string `category` column (model prediction). LR pipelines
+    * serve through the compiled single-expression path (one codegen'd
+    * projection, no per-turn ML-vector plumbing — TaggerServe.scala);
+    * other shapes (NaiveBayes alternate, loaded foreign models) fall back
+    * to the PipelineModel twin. TaggerSpec pins the two paths
+    * prediction-identical over the corpus.
+    */
+  def predict(t: Trained, df: DataFrame): DataFrame =
+    graft.functions.CompiledTagger.compile(t.model, t.labels) match {
+      case Some(compiled) =>
+        df.withColumn("category",
+          graft.functions.TaggerServeFunctions.tagger_predict(col("text_clean"), compiled))
+      case None => predictModel(t, df)
+    }
+
+  /** PipelineModel serve path — the differential twin of the compiled
+    * expression (and the fallback for non-LR models).
+    */
+  def predictModel(t: Trained, df: DataFrame): DataFrame = {
     val withPred = t.model.transform(prepare(df))
     val its = new IndexToString().setInputCol("prediction").setOutputCol("category")
       .setLabels(t.labels)

@@ -148,6 +148,31 @@ class TaggerSpec extends SparkSpec {
     assert(tagger.labels.toSet == Set("skills", "base_salary"))
   }
 
+  test("compiled LR serve expression == PipelineModel path, prediction-identical on corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tagger = ml.SectionTagger.train(
+      KgPipeline.taggerTrainingFrame(spark, nConvs = 200))
+    assert(graft.functions.CompiledTagger.compile(tagger.model, tagger.labels).isDefined,
+      "the LR pipeline must compile (else this test is vacuous)")
+    val turns = graft.sources.TranscriptGen.dataset(spark, 400, 7L, 2, 300)
+    val cleaned = KgPipeline.cleanTurns(turns)
+      .union(Seq(("x", 0, "user", "", "", new java.sql.Timestamp(0), "")) // empty text edge
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "text_clean"))
+    val a = ml.SectionTagger.predict(tagger, cleaned)
+      .select(col("conv_id"), col("turn_idx"), col("category").as("cat_compiled"))
+    val b = ml.SectionTagger.predictModel(tagger, cleaned)
+      .select(col("conv_id"), col("turn_idx"), col("category").as("cat_model"))
+    val diff = a.join(b, Seq("conv_id", "turn_idx"))
+      .filter(col("cat_compiled") =!= col("cat_model")).count()
+    assert(diff == 0, s"$diff predictions diverge between compiled and PipelineModel serve")
+    // the NaiveBayes alternate must NOT compile (falls back to the model path)
+    val nb = ml.SectionTagger.train(
+      KgPipeline.taggerTrainingFrame(spark, nConvs = 60), algorithm = "nb")
+    assert(graft.functions.CompiledTagger.compile(nb.model, nb.labels).isEmpty)
+    assert(ml.SectionTagger.predict(nb, cleaned).filter(col("category").isNull).count() == 0)
+  }
+
   test("per-class report (M12) matches hand-computed precision/recall") {
     import spark.implicits._
     // a: 2 true, 1 predicted-as-a correct; b: 1 true predicted b; one a→b error
