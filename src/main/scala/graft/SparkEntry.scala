@@ -316,6 +316,23 @@ object SparkEntry {
       SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 20), e, 5,
         nLists = 16, nProbe = 16)
     }),
+    // q42: the S3 Excel surface end-to-end — a bounded slice of the
+    // documents table written through the minimal OOXML sink and read back
+    // through the scan (string cells, pandas shape); DuckDB recomputes the
+    // same slice from the parquet source, so both the writer's XML
+    // escaping and the reader's parsing are value-checked cross-engine.
+    "q42_excel_roundtrip" -> ((s, d) => {
+      import graft.sources.ExcelScan
+      val slice = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(asc("doc_id")).limit(10)
+        .collect() // bounded: 10 rows (xlsx is a small-file format)
+        .map(r => Seq(r.get(0).toString, r.getString(1), r.get(2).toString).map(v => v: String))
+      val path = java.nio.file.Files.createTempDirectory("graft-x")
+        .resolve("q42.xlsx").toString
+      ExcelScan.writeXlsx(path, Seq("doc_id", "lang", "n_chars"), slice.toSeq)
+      ExcelScan.read(s, path)
+    }),
     // ------------- live-output invariants (oracle = constant truth) -------------
     // The golden-parquet pins freeze cross-run determinism; these two
     // queries assert SEMANTIC invariants of the live outputs against a
@@ -325,7 +342,7 @@ object SparkEntry {
       val c = queries("q32_html_chunks")(s, d)
       c.agg(count(lit(1)).as("n"), countDistinct(col("chunk_id")).as("d"),
           min(col("chunk_id")).as("mn"), max(col("chunk_id")).as("mx"))
-        .select(lit("chunk_ids_dense_0_to_n").as("check"),
+        .select(lit("chunk_ids_dense_0_to_n").as("invariant"),
           (col("d") === col("n") && col("mn") === 0 && col("mx") === col("n") - 1).as("ok"))
     }),
     "q39_dedup_invariants" -> ((s, d) => {
@@ -333,22 +350,22 @@ object SparkEntry {
       val q20 = queries("q20_simhash_candidates")(s, d)
       val q24 = queries("q24_entity_linking")(s, d)
       val keepLe = q19.agg((count(lit(1)) === sum(when(col("keep_id") <= col("id"), 1).otherwise(0))).as("ok"))
-        .select(lit("q19_keep_le_id").as("check"), col("ok"))
+        .select(lit("q19_keep_le_id").as("invariant"), col("ok"))
       val keepClosed = q19.select(col("keep_id").as("k")).distinct()
         .join(q19.filter(col("id") === col("keep_id")).select(col("id").as("k")), Seq("k"), "left_anti")
         .agg((count(lit(1)) === 0).as("ok"))
-        .select(lit("q19_keep_is_own_rep").as("check"), col("ok"))
+        .select(lit("q19_keep_is_own_rep").as("invariant"), col("ok"))
       val ordered = q20.agg((count(lit(1)) === sum(when(col("id_a") < col("id_b"), 1).otherwise(0))).as("ok"))
-        .select(lit("q20_pairs_ordered").as("check"), col("ok"))
+        .select(lit("q20_pairs_ordered").as("invariant"), col("ok"))
       val nodup = q20.agg((count(lit(1)) === countDistinct(col("id_a"), col("id_b"))).as("ok"))
-        .select(lit("q20_pairs_distinct").as("check"), col("ok"))
+        .select(lit("q20_pairs_distinct").as("invariant"), col("ok"))
       val surfUnique = q24.agg((count(lit(1)) === countDistinct(col("surface"))).as("ok"))
-        .select(lit("q24_surface_unique").as("check"), col("ok"))
+        .select(lit("q24_surface_unique").as("invariant"), col("ok"))
       val canonSelf = q24.select(col("canonical").as("c")).distinct()
         .join(q24.filter(col("surface") === col("canonical")).select(col("surface").as("c")),
           Seq("c"), "left_anti")
         .agg((count(lit(1)) === 0).as("ok"))
-        .select(lit("q24_canonical_self_mapped").as("check"), col("ok"))
+        .select(lit("q24_canonical_self_mapped").as("invariant"), col("ok"))
       keepLe.union(keepClosed).union(ordered).union(nodup).union(surfUnique).union(canonSelf)
     }))
 
@@ -575,10 +592,15 @@ object SparkEntry {
          | FROM embeddings q, embeddings c
          | WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rk <= 5""".stripMargin
     },
+    "q42_excel_roundtrip" ->
+      // limit BEFORE the varchar cast: aliasing doc_id::VARCHAR first would
+      // bind ORDER BY to the alias and sort lexicographically
+      """SELECT doc_id::VARCHAR AS doc_id, lang, n_chars::VARCHAR AS n_chars
+        |FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)""".stripMargin,
     "q38_chunk_invariants" ->
-      "SELECT 'chunk_ids_dense_0_to_n' AS check, true AS ok",
+      "SELECT 'chunk_ids_dense_0_to_n' AS invariant, true AS ok",
     "q39_dedup_invariants" ->
-      """SELECT 'q19_keep_le_id' AS check, true AS ok
+      """SELECT 'q19_keep_le_id' AS invariant, true AS ok
         |UNION ALL SELECT 'q19_keep_is_own_rep', true
         |UNION ALL SELECT 'q20_pairs_ordered', true
         |UNION ALL SELECT 'q20_pairs_distinct', true

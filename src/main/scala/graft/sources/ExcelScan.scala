@@ -155,4 +155,51 @@ object ExcelScan {
     spark.createDataFrame(
       rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
   }
+
+  private def xmlEscape(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => b.append("&amp;")
+      case '<' => b.append("&lt;")
+      case '>' => b.append("&gt;")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Minimal xlsx sink (the write side of S3): one sheet, inline-string
+    * cells, the same ECMA-376 parts the reader consumes — so
+    * write → [[read]] round-trips exactly (ExcelScanSpec property) and the
+    * q42 driver oracle can cross-check the whole surface against DuckDB.
+    * Small bounded exports only (the reference's Excel files are
+    * ground-truth sheets of a few thousand rows, not fact tables).
+    */
+  def writeXlsx(path: String, header: Seq[String], rows: Seq[Seq[String]]): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val z = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    try {
+      put("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      put("xl/workbook.xml",
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>""")
+      val sb = new StringBuilder
+      sb.append("""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      (header +: rows).zipWithIndex.foreach { case (r, i) =>
+        sb.append(s"""<row r="${i + 1}">""")
+        r.foreach { v =>
+          sb.append("""<c t="inlineStr"><is><t>""")
+            .append(xmlEscape(if (v == null) "" else v))
+            .append("</t></is></c>")
+        }
+        sb.append("</row>")
+      }
+      sb.append("</sheetData></worksheet>")
+      put("xl/worksheets/sheet1.xml", sb.toString)
+    } finally z.close()
+  }
 }

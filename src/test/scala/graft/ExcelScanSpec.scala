@@ -29,6 +29,23 @@ class ExcelScanSpec extends SparkSpec {
     z.close()
   }
 
+  test("writeXlsx -> readSheet round-trips exactly (XML-special chars, unicode, fuzz)") {
+    val rnd = new scala.util.Random(2026)
+    val alphabet = Seq("a", "b&c", "<tag>", "\"q\"", "'s'", "ü中", "42", "3.14",
+      " lead", "trail ", "x y z", "&amp;")
+    (1 to 30).foreach { _ =>
+      val nCols = 1 + rnd.nextInt(5)
+      val header = (0 until nCols).map(i => s"col$i")
+      val rows = (0 until rnd.nextInt(8)).map(_ =>
+        (0 until nCols).map(_ => alphabet(rnd.nextInt(alphabet.size))))
+      val path = java.io.File.createTempFile("graft-w", ".xlsx").getAbsolutePath
+      ExcelScan.writeXlsx(path, header, rows)
+      val (h2, r2) = ExcelScan.readSheet(path)
+      assert(h2 == header, s"header mismatch for $rows")
+      assert(r2 == rows, s"rows mismatch")
+    }
+  }
+
   test("reads header + rows: shared strings, inline strings, numbers, gaps, multi-run si") {
     val shared =
       """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
