@@ -333,6 +333,33 @@ object SparkEntry {
       ExcelScan.writeXlsx(path, Seq("doc_id", "lang", "n_chars"), slice.toSeq)
       ExcelScan.read(s, path)
     }),
+    // q43: the §2.10 streaming surface end-to-end — the events table fed
+    // through a MemoryStream into a watermarked tumbling-window streaming
+    // aggregation (a REAL StreamingQuery: micro-batches, state store,
+    // complete-mode memory sink), cross-checked against DuckDB's
+    // time_bucket recomputation of the same windows from parquet.
+    "q43_stream_windows" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sq = s.sqlContext
+      val rows = t(s, d, "events")
+        .select(col("event_type"), col("ts").cast("timestamp"))
+        .as[(String, java.sql.Timestamp)].collect().toSeq // bounded feed: sf0.01 events
+      val stream = MemoryStream[(String, java.sql.Timestamp)]
+      val agg = stream.toDF().toDF("event_type", "ts")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("cnt"))
+      val name = "q43tbl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      stream.addData(rows)
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    }),
     // ------------- live-output invariants (oracle = constant truth) -------------
     // The golden-parquet pins freeze cross-run determinism; these two
     // queries assert SEMANTIC invariants of the live outputs against a
@@ -597,6 +624,10 @@ object SparkEntry {
       // bind ORDER BY to the alias and sort lexicographically
       """SELECT doc_id::VARCHAR AS doc_id, lang, n_chars::VARCHAR AS n_chars
         |FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)""".stripMargin,
+    "q43_stream_windows" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q38_chunk_invariants" ->
       "SELECT 'chunk_ids_dense_0_to_n' AS invariant, true AS ok",
     "q39_dedup_invariants" ->
