@@ -19,13 +19,16 @@ object ScalingBench {
     // effect. Min-of-N over interleaved runs isolates the code's behavior.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val runsByLevel = collection.mutable.Map(levels.map(_ -> List.empty[(Long, Long, Double)]): _*)
+    var maxSteal = 0.0 // hypervisor steal over any measured run (host evidence)
     (1 to reps).foreach { rep =>
       levels.foreach { cores =>
         val spark = Sessions.local(cores, appName = s"graft-scaling-$cores-r$rep")
         spark.sparkContext.setLogLevel("WARN")
         // warm-up: small run to JIT/codegen before the measured run
         Bench.kgOnce(spark, 200)
-        runsByLevel(cores) ::= Bench.kgOnce(spark, nConvs)
+        val (run, m) = Bench.measure(Bench.kgOnce(spark, nConvs))
+        maxSteal = math.max(maxSteal, m.stealPct)
+        runsByLevel(cores) ::= run
         spark.stop()
       }
     }
@@ -42,6 +45,6 @@ object ScalingBench {
       f""""local[$c]":{"sec":$sec%.2f,"turns_per_sec":$tput%.1f}"""
     }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","levels":$qs,"turns":$n1,"speedup":$speedup%.3f}""")
+      f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","levels":$qs,"turns":$n1,"speedup":$speedup%.3f,"max_steal_pct":$maxSteal%.1f}""")
   }
 }
