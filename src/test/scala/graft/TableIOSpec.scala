@@ -69,6 +69,37 @@ class TableIOSpec extends SparkSpec {
     assert(spark.read.parquet(pInc).count() == 120)
   }
 
+  test("versioned table: overwrite/append commits, time travel, backup-swap read, expire") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val table = tmp("versioned")
+    val v1 = VersionedTable.overwrite((1L to 50L).toDF("id"), table)
+    val v2 = VersionedTable.overwrite((100L to 120L).toDF("id"), table)
+    val v3 = VersionedTable.append((200L to 209L).toDF("id"), table)
+    assert(Seq(v1.seq, v2.seq, v3.seq) == Seq(1, 2, 3))
+    // latest = v2's overwrite + v3's append
+    assert(VersionedTable.read(table).as[Long].collect().sorted.toSeq ==
+      ((100L to 120L) ++ (200L to 209L)).sorted)
+    // time travel: every retained version reads exactly as committed
+    assert(VersionedTable.readAsOf(table, 1).count() == 50)
+    assert(VersionedTable.readAsOf(table, 2).as[Long].collect().sorted.toSeq ==
+      (100L to 120L).toSeq)
+    // the reference's backup-table dance = readAsOf(current - 1)
+    val cur = VersionedTable.versions(table).last.seq
+    assert(VersionedTable.readAsOf(table, cur - 1).count() == 21)
+    // content snapshot ids are deterministic: re-committing v1's content
+    // reproduces v1's snapshot id under a new seq
+    val v4 = VersionedTable.overwrite((1L to 50L).toDF("id"), table)
+    assert(v4.snapshotId == v1.snapshotId)
+    // expire keeps the newest 2, deletes unreferenced dirs, kills v1 reads
+    val deleted = VersionedTable.expire(table, keep = 2)
+    assert(deleted.nonEmpty)
+    assert(VersionedTable.versions(table).map(_.seq) == Seq(3, 4))
+    intercept[IllegalArgumentException](VersionedTable.readAsOf(table, 1))
+    // v3 (retained) must still read fully — its dirs survived the expire
+    assert(VersionedTable.readAsOf(table, 3).count() == 31)
+  }
+
   test("JDBC sink (S6) round-trips the wide table through embedded Derby") {
     import spark.implicits._
     val wide = Seq(("conv-1", "Data Engineer", "Germany"), ("conv-2", "Nurse", "Poland"))
