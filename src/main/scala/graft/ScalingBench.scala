@@ -19,7 +19,10 @@ object ScalingBench {
     // effect. Min-of-N over interleaved runs isolates the code's behavior.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val runsByLevel = collection.mutable.Map(levels.map(_ -> List.empty[(Long, Long, Double)]): _*)
-    var maxSteal = 0.0 // hypervisor steal over any measured run (host evidence)
+    // hypervisor steal over any measured run (host evidence); stays -1.0 =
+    // "not measurable" if /proc/stat was unreadable — never report an
+    // affirmative quiet-host 0.0 when the evidence is absent
+    var maxSteal = -1.0
     (1 to reps).foreach { rep =>
       levels.foreach { cores =>
         val spark = Sessions.local(cores, appName = s"graft-scaling-$cores-r$rep")

@@ -112,16 +112,25 @@ object CompiledTagger {
     * PipelineModel path.
     */
   def compile(model: PipelineModel, labels: Array[String]): Option[CompiledTagger] = {
+    import org.apache.spark.ml.feature.NGram
     val cvs = model.stages.collect { case c: CountVectorizerModel => c }
+    val ngrams = model.stages.collect { case n: NGram => n }
     val va = model.stages.collectFirst { case v: VectorAssembler => v }
     val lr = model.stages.collectFirst { case l: LogisticRegressionModel => l }
-    (cvs, va, lr) match {
-      case (Array(cv1, cv2), Some(assembler), Some(lrm))
-          if cv1.getOutputCol == "f_uni" && cv2.getOutputCol == "f_bi" &&
+    // getThreshold THROWS (rather than defaulting) when a thresholds array
+    // is set on a multinomial model — treat that as "shape doesn't
+    // compile", not an error
+    def defaultThreshold(l: LogisticRegressionModel): Boolean =
+      scala.util.Try(l.getThreshold == 0.5).getOrElse(false)
+    (cvs, ngrams, va, lr) match {
+      case (Array(cv1, cv2), Array(ng), Some(assembler), Some(lrm))
+          if ng.getN == 2 && ng.getInputCol == "tokens" && ng.getOutputCol == "bigrams" &&
+            cv1.getInputCol == "tokens" && cv1.getOutputCol == "f_uni" &&
+            cv2.getInputCol == "bigrams" && cv2.getOutputCol == "f_bi" &&
             assembler.getInputCols.take(2).sameElements(Array("f_uni", "f_bi")) &&
             !cv1.getBinary && !cv2.getBinary &&
             cv1.getMinTF == 1.0 && cv2.getMinTF == 1.0 &&
-            lrm.getThreshold == 0.5 =>
+            defaultThreshold(lrm) =>
         def toMap(vocab: Array[String]): java.util.HashMap[String, Integer] = {
           val m = new java.util.HashMap[String, Integer](vocab.length * 2)
           vocab.zipWithIndex.foreach { case (t, i) => m.put(t, i) }

@@ -148,8 +148,12 @@ object SectionTagger {
     * score the held-out 25%, return the fitted tagger with the per-class
     * classification report.
     */
-  def trainEval(labeled: DataFrame, seed: Long = 42L,
+  def trainEval(labeledRaw: DataFrame, seed: Long = 42L,
       algorithm: String = "lr"): (Trained, Seq[ClassReport]) = {
+    // M13 relabel BEFORE the split (the reference relabels upstream of
+    // train_test_split): otherwise the eval side keeps raw labels the
+    // model can no longer emit and the report deflates
+    val labeled = relabel(labeledRaw)
     val Array(tr, te) = labeled.randomSplit(Array(0.75, 0.25), seed)
     val tagger = train(tr, seed, algorithm)
     val scored = predict(tagger, te.withColumnRenamed("category", "category_true"))

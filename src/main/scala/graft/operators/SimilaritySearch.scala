@@ -109,10 +109,15 @@ object SimilaritySearch {
     // NaNs feeding the quantizer.
     def normalizedBy(v: Column, nrm: Column): Column =
       transform(v, x => x.cast("double") / greatest(nrm, lit(1e-12)))
+    // materialize the normalized corpus ONCE (localCheckpoint, the
+    // codebase's shared-stage idiom): it feeds the size gate, the k-means
+    // fit and the list assignment — without it each would re-run the scan
+    // plus the per-row normalize
     val corpusFv = corpus
       .withColumn("nrm", norm(col("embedding")))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         array_to_vector(normalizedBy(col("embedding"), col("nrm"))).as("fv"))
+      .localCheckpoint()
     // the quantizer trains on a bounded deterministic sample — centroid
     // quality needs thousands of rows per list, not the whole corpus, and
     // a full-corpus KMeans.fit would be the scale ceiling of the operator

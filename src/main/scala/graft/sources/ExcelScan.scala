@@ -162,6 +162,13 @@ object ExcelScan {
       case '&' => b.append("&amp;")
       case '<' => b.append("&lt;")
       case '>' => b.append("&gt;")
+      // CR is a legal XML char but raw #xD is normalized to LF by every
+      // conforming parser (XML 1.0 §2.11) — write it as a char reference
+      // so write -> read round-trips exactly
+      case '\r' => b.append("&#xD;")
+      // chars below 0x20 other than tab/LF/CR are ILLEGAL in XML 1.0 even
+      // as references: substitute U+FFFD (documented lossy case)
+      case c if c < 0x20 && c != '\t' && c != '\n' => b.append('�')
       case c => b.append(c)
     }
     b.toString
@@ -173,6 +180,9 @@ object ExcelScan {
     * q42 driver oracle can cross-check the whole surface against DuckDB.
     * Small bounded exports only (the reference's Excel files are
     * ground-truth sheets of a few thousand rows, not fact tables).
+    * Round-trip caveat: control chars below 0x20 other than tab/LF/CR are
+    * illegal in XML 1.0 even as references and are substituted with
+    * U+FFFD; CR survives via a char reference.
     */
   def writeXlsx(path: String, header: Seq[String], rows: Seq[Seq[String]]): Unit = {
     import java.util.zip.{ZipEntry, ZipOutputStream}
@@ -183,10 +193,18 @@ object ExcelScan {
       z.closeEntry()
     }
     try {
+      // full OPC plumbing (ECMA-376 Part 2): content-type Defaults +
+      // Overrides, package-root rels, workbook rels, r:id on the sheet —
+      // so external consumers (Excel, openpyxl/pandas, LibreOffice) accept
+      // the package, not just graft's own lenient reader
       put("[Content_Types].xml",
-        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+      put("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
       put("xl/workbook.xml",
-        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>""")
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>""")
       val sb = new StringBuilder
       sb.append("""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
       (header +: rows).zipWithIndex.foreach { case (r, i) =>

@@ -83,7 +83,12 @@ object TableIO {
     val exists = Files.exists(Paths.get(markerPath(path)))
     if (!exists) return writeSnapshot(df, path, stage, partitionBy)
     val existingKeys = spark.read.parquet(path).select(keyCols.map(col): _*).distinct()
-    val fresh = df.join(existingKeys, keyCols, "left_anti")
+    // null-SAFE key equality: a plain left_anti equality join never matches
+    // null keys, so a row with a null key would be re-appended on EVERY
+    // run — breaking the idempotence contract for exactly the malformed
+    // rows most likely to recur
+    val cond = keyCols.map(k => df(k) <=> existingKeys(k)).reduce(_ && _)
+    val fresh = df.join(existingKeys, cond, "left_anti")
     val w = fresh.write.mode(SaveMode.Append)
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*).parquet(path)
     else w.parquet(path)

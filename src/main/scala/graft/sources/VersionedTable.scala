@@ -35,12 +35,17 @@ object VersionedTable {
     val p = manifestPath(table)
     if (!Files.exists(p)) return Seq.empty
     import scala.jdk.CollectionConverters._
-    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).map { line =>
-      val seq = """"seq":(\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
-      val sid = """"snapshot_id":(-?\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
-      val dirs = """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(line).get.group(1)
-        .split(',').filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-      Version(seq, sid, dirs)
+    // a malformed line (e.g. torn by a crash mid-append) is an UNCOMMITTED
+    // version: skip it — the manifest line is the commit point, so a torn
+    // tail must never brick reads of previously committed versions
+    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).flatMap { line =>
+      for {
+        seq <- """"seq":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+        sid <- """"snapshot_id":(-?\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+        dirsRaw <- """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(line).map(_.group(1))
+        if line.endsWith("}")
+      } yield Version(seq, sid,
+        dirsRaw.split(',').filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
     }
   }
 

@@ -32,7 +32,7 @@ class ExcelScanSpec extends SparkSpec {
   test("writeXlsx -> readSheet round-trips exactly (XML-special chars, unicode, fuzz)") {
     val rnd = new scala.util.Random(2026)
     val alphabet = Seq("a", "b&c", "<tag>", "\"q\"", "'s'", "ü中", "42", "3.14",
-      " lead", "trail ", "x y z", "&amp;")
+      " lead", "trail ", "x y z", "&amp;", "a\rb", "l1\nl2", "t\tab")
     (1 to 30).foreach { _ =>
       val nCols = 1 + rnd.nextInt(5)
       val header = (0 until nCols).map(i => s"col$i")
@@ -44,6 +44,10 @@ class ExcelScanSpec extends SparkSpec {
       assert(h2 == header, s"header mismatch for $rows")
       assert(r2 == rows, s"rows mismatch")
     }
+    // illegal-in-XML control chars are the documented lossy case: U+FFFD
+    val p2 = java.io.File.createTempFile("graft-w", ".xlsx").getAbsolutePath
+    ExcelScan.writeXlsx(p2, Seq("c"), Seq(Seq("a\u0001b")))
+    assert(ExcelScan.readSheet(p2)._2 == Seq(Seq("a�b")))
   }
 
   test("reads header + rows: shared strings, inline strings, numbers, gaps, multi-run si") {

@@ -67,6 +67,15 @@ class TableIOSpec extends SparkSpec {
     val sidAgain = TableIO.mergeNewKeys(triples, pInc, Seq("subj"), "s6", partitionBy = Seq("pred"))
     assert(sidAgain == sidInc)
     assert(spark.read.parquet(pInc).count() == 120)
+    // null keys must be idempotent too (the join is null-SAFE; a plain
+    // equality anti-join would re-append the null-key row every run)
+    val withNull = triples.union(
+      Seq((null: String, "job_title", "orphan")).toDF("subj", "pred", "obj"))
+    TableIO.mergeNewKeys(withNull, pInc, Seq("subj"), "s6", partitionBy = Seq("pred"))
+    val sidNull2 = TableIO.mergeNewKeys(withNull, pInc, Seq("subj"), "s6", partitionBy = Seq("pred"))
+    assert(spark.read.parquet(pInc).count() == 121, "null-key row appended exactly once")
+    assert(TableIO.mergeNewKeys(withNull, pInc, Seq("subj"), "s6",
+      partitionBy = Seq("pred")) == sidNull2)
   }
 
   test("versioned table: overwrite/append commits, time travel, backup-swap read, expire") {
@@ -98,6 +107,13 @@ class TableIOSpec extends SparkSpec {
     intercept[IllegalArgumentException](VersionedTable.readAsOf(table, 1))
     // v3 (retained) must still read fully — its dirs survived the expire
     assert(VersionedTable.readAsOf(table, 3).count() == 31)
+    // a torn manifest tail (crash mid-append) is an UNCOMMITTED version:
+    // it must be skipped, never brick reads of committed versions
+    val mf = java.nio.file.Paths.get(table, "_graft_manifest.jsonl")
+    Files.writeString(mf, "{\"seq\":9,\"snap",
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(VersionedTable.versions(table).map(_.seq) == Seq(3, 4))
+    assert(VersionedTable.read(table).count() == 50)
   }
 
   test("JDBC sink (S6) round-trips the wide table through embedded Derby") {
