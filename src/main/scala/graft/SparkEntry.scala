@@ -360,6 +360,37 @@ object SparkEntry {
       q.stop()
       s.table(name)
     }),
+    // q44: the REAL pure-JDK media codecs (PNG via javax.imageio, WAV via
+    // the RIFF parse) run distributed over the documents table; analytic
+    // invariants — decoded dims == declared dims, sine RMS == A/√2, zero-
+    // crossing rate == 2f/sr — are asserted per row and gated against a
+    // constant-truth oracle (DuckDB cannot decode PNG/WAV, but physics can
+    // say what the features must be).
+    "q44_media_codecs" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id")
+      val png = Multimodal.withPngMedia(docs)
+      val img = Multimodal.extractImageFeatures(png)
+        .join(png.select(col("doc_id"), col("width"), col("height")), "doc_id")
+      val dimsOk = img.agg((count(lit(1)) === sum(when(
+          element_at(col("features"), 5) === col("width").cast("float") &&
+          element_at(col("features"), 6) === col("height").cast("float"), 1).otherwise(0))).as("ok"))
+        .select(lit("png_decoded_dims_match").as("invariant"), col("ok"))
+      val au = Multimodal.extractAudioFeatures(Multimodal.withWavMedia(docs))
+      val rmsOk = au
+        .withColumn("amp", lit(0.25) + pmod(col("doc_id"), lit(4)) * lit(0.2))
+        .agg((count(lit(1)) === sum(when(
+          abs(element_at(col("features"), 1) - col("amp") / math.sqrt(2.0)) <= 0.01, 1)
+          .otherwise(0))).as("ok"))
+        .select(lit("wav_rms_matches_analytic").as("invariant"), col("ok"))
+      val zcrOk = au
+        .withColumn("freq", lit(100.0) + pmod(col("doc_id"), lit(40)) * lit(10.0))
+        .agg((count(lit(1)) === sum(when(
+          abs(element_at(col("features"), 2) - col("freq") * 2.0 / 8000.0) <= 0.005, 1)
+          .otherwise(0))).as("ok"))
+        .select(lit("wav_zcr_matches_analytic").as("invariant"), col("ok"))
+      dimsOk.union(rmsOk).union(zcrOk)
+    }),
     // ------------- live-output invariants (oracle = constant truth) -------------
     // The golden-parquet pins freeze cross-run determinism; these two
     // queries assert SEMANTIC invariants of the live outputs against a
@@ -628,6 +659,10 @@ object SparkEntry {
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q44_media_codecs" ->
+      """SELECT 'png_decoded_dims_match' AS invariant, true AS ok
+        |UNION ALL SELECT 'wav_rms_matches_analytic', true
+        |UNION ALL SELECT 'wav_zcr_matches_analytic', true""".stripMargin,
     "q38_chunk_invariants" ->
       "SELECT 'chunk_ids_dense_0_to_n' AS invariant, true AS ok",
     "q39_dedup_invariants" ->

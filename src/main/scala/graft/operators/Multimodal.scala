@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, batch-shaped decode/feature-extract over `mapPartitions`.
   *
-  * The actual codecs are STUBBED (this container ships no image/audio
-  * libraries — the decode body is a clearly-marked deterministic fake);
-  * everything Spark-side is real and tested: schema, partition-preserving
-  * batch iteration, feature vector shape, and the metadata struct. On a
-  * real cluster the stub body is replaced by the codec call (or an Arrow
-  * `mapInPandas` on the Python side); nothing else changes.
+  * Two codec tiers:
+  *  - REAL pure-JDK codecs ([[MediaCodecs]]): PNG decode/resize/pooled
+  *    pixel stats via javax.imageio and WAV/PCM16 decode + signal features
+  *    via a hand RIFF parse — `withPngMedia`/`extractImageFeatures`,
+  *    `withWavMedia`/`extractAudioFeatures`. Gated by analytic invariants
+  *    (q44) and MultimodalCodecSpec.
+  *  - the byte-histogram STUB path kept for q22: a histogram is the one
+  *    feature DuckDB can recompute from the payload bytes, so that path
+  *    stays the cross-engine value-exact twin.
+  * Everything Spark-side is shared: schema, partition-preserving batch
+  * iteration, feature vector shape, metadata struct.
   */
 object Multimodal {
 
@@ -47,7 +52,9 @@ object Multimodal {
     * end-to-end.
     */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
-    // ??? <- real codec call goes here (e.g. ImageIO / ffmpeg / JNI)
+    // real codecs live in MediaCodecs (extractImageFeatures /
+    // extractAudioFeatures); this byte-histogram path is kept because it
+    // is the one feature DuckDB can recompute (the q22 cross-engine twin)
     val hist = new Array[Long](8)
     payload.foreach(b => hist((b & 0xff) >> 5) += 1)
     val n = math.max(payload.length, 1).toFloat
@@ -65,6 +72,73 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]]("payload")
         Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
           payload.length, decodeStub(payload).toSeq)
+      }
+    }(enc)
+  }
+
+  /** REAL PNG payloads: a deterministic doc-id-seeded image, encoded with
+    * javax.imageio on the executors (mapPartitions — no driver codec work).
+    */
+  def withPngMedia(docs: DataFrame, maxDim: Int = 96)(
+      implicit spark: SparkSession): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (id % (maxDim - 16) + 16).toInt
+        val h = ((id * 7) % (maxDim - 16) + 16).toInt
+        val png = MediaCodecs.encodePng(MediaCodecs.syntheticImage(w, h, id))
+        Row(id, "image/png", w, h, png)
+      }
+    }(enc)
+  }
+
+  /** REAL image features: decode (javax.imageio), thumbnail to 32×32
+    * (exercising the resize kernel on every row), pooled pixel stats of
+    * the ORIGINAL raster. Throws on undecodable payloads — corrupt media
+    * must surface, not score.
+    */
+  def extractImageFeatures(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    // positional access: rows arriving from an upstream mapPartitions
+    // carry no schema, so pin the column order with a select first
+    media.select("doc_id", "media_type", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](2)
+        val img = MediaCodecs.decodePng(payload)
+        MediaCodecs.resizeNearest(img, 32, 32) // thumbnail path, shape-checked in spec
+        Row(r.getLong(0), r.getString(1), payload.length,
+          MediaCodecs.imageFeatures(img).toSeq)
+      }
+    }(enc)
+  }
+
+  /** REAL WAV payloads: doc-id-seeded mono PCM16 sine (frequency and
+    * amplitude derived from the id, so q44 can assert analytic invariants).
+    */
+  def withWavMedia(docs: DataFrame, sampleRate: Int = 8000, nSamples: Int = 4000)(
+      implicit spark: SparkSession): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val freq = 100.0 + (id % 40) * 10.0
+        val amp = 0.25 + (id % 4) * 0.2
+        val wav = MediaCodecs.encodeWavSine(sampleRate, nSamples, freq, amp)
+        Row(id, "audio/wav", sampleRate, nSamples, wav)
+      }
+    }(enc)
+  }
+
+  /** REAL audio features: RIFF/PCM16 decode + [rms, zcr, peak, duration]. */
+  def extractAudioFeatures(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    media.select("doc_id", "media_type", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](2)
+        val (sr, samples) = MediaCodecs.decodeWavPcm16(payload)
+        Row(r.getLong(0), r.getString(1), payload.length,
+          MediaCodecs.audioFeatures(sr, samples).toSeq)
       }
     }(enc)
   }
