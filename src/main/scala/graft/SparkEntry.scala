@@ -369,27 +369,31 @@ object SparkEntry {
     "q44_media_codecs" -> ((s, d) => {
       implicit val sp: SparkSession = s
       val docs = t(s, d, "documents").select("doc_id")
-      val png = Multimodal.withPngMedia(docs)
-      val img = Multimodal.extractImageFeatures(png)
-        .join(png.select(col("doc_id"), col("width"), col("height")), "doc_id")
-      val dimsOk = img.agg((count(lit(1)) === sum(when(
-          element_at(col("features"), 5) === col("width").cast("float") &&
-          element_at(col("features"), 6) === col("height").cast("float"), 1).otherwise(0))).as("ok"))
+      // expected dims/amp/freq recomputed ANALYTICALLY from doc_id (the
+      // same floorMod formulas the generators use) — no self-join back to
+      // the media frame, so each codec lineage is evaluated exactly once,
+      // and each frame is reduced by exactly one aggregation
+      val img = Multimodal.extractImageFeatures(Multimodal.withPngMedia(docs))
+      val dims = img
+        .withColumn("exp_w", (pmod(col("doc_id"), lit(80)) + 16).cast("float"))
+        .withColumn("exp_h", (pmod(col("doc_id") * 7, lit(80)) + 16).cast("float"))
+        .agg((count(lit(1)) === sum(when(
+          element_at(col("features"), 5) === col("exp_w") &&
+          element_at(col("features"), 6) === col("exp_h"), 1).otherwise(0))).as("ok"))
         .select(lit("png_decoded_dims_match").as("invariant"), col("ok"))
       val au = Multimodal.extractAudioFeatures(Multimodal.withWavMedia(docs))
-      val rmsOk = au
         .withColumn("amp", lit(0.25) + pmod(col("doc_id"), lit(4)) * lit(0.2))
-        .agg((count(lit(1)) === sum(when(
-          abs(element_at(col("features"), 1) - col("amp") / math.sqrt(2.0)) <= 0.01, 1)
-          .otherwise(0))).as("ok"))
-        .select(lit("wav_rms_matches_analytic").as("invariant"), col("ok"))
-      val zcrOk = au
         .withColumn("freq", lit(100.0) + pmod(col("doc_id"), lit(40)) * lit(10.0))
-        .agg((count(lit(1)) === sum(when(
-          abs(element_at(col("features"), 2) - col("freq") * 2.0 / 8000.0) <= 0.005, 1)
-          .otherwise(0))).as("ok"))
-        .select(lit("wav_zcr_matches_analytic").as("invariant"), col("ok"))
-      dimsOk.union(rmsOk).union(zcrOk)
+        .agg(
+          (count(lit(1)) === sum(when(
+            abs(element_at(col("features"), 1) - col("amp") / math.sqrt(2.0)) <= 0.01, 1)
+            .otherwise(0))).as("rms_ok"),
+          (count(lit(1)) === sum(when(
+            abs(element_at(col("features"), 2) - col("freq") * 2.0 / 8000.0) <= 0.005, 1)
+            .otherwise(0))).as("zcr_ok"))
+      val rmsOk = au.select(lit("wav_rms_matches_analytic").as("invariant"), col("rms_ok").as("ok"))
+      val zcrOk = au.select(lit("wav_zcr_matches_analytic").as("invariant"), col("zcr_ok").as("ok"))
+      dims.union(rmsOk).union(zcrOk)
     }),
     // ------------- live-output invariants (oracle = constant truth) -------------
     // The golden-parquet pins freeze cross-run determinism; these two

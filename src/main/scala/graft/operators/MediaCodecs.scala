@@ -47,7 +47,9 @@ object MediaCodecs {
 
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    // write returns FALSE (no exception) when no PNG writer is registered —
+    // surface that here, not later as a misleading decode failure
+    require(ImageIO.write(img, "png", bos), "no PNG ImageWriter registered in this JVM")
     bos.toByteArray
   }
 
@@ -160,6 +162,9 @@ object MediaCodecs {
     while (buf.remaining() >= 8 && (sampleRate < 0 || samples == null)) {
       val id = ascii(4)
       val len = buf.getInt
+      // RIFF pads odd-length chunks with one byte; skipping without the
+      // pad would misalign every later chunk id
+      val padded = len + (len & 1)
       id match {
         case "fmt " =>
           val fmtStart = buf.position()
@@ -167,12 +172,12 @@ object MediaCodecs {
           val channels = buf.getShort
           require(audioFormat == 1 && channels == 1, "only mono PCM supported")
           sampleRate = buf.getInt
-          buf.position(fmtStart + len)
+          buf.position(fmtStart + padded)
         case "data" =>
           samples = new Array[Short](len / 2)
           var i = 0
           while (i < samples.length) { samples(i) = buf.getShort; i += 1 }
-        case _ => buf.position(buf.position() + len)
+        case _ => buf.position(buf.position() + padded)
       }
     }
     require(sampleRate > 0 && samples != null, "missing fmt/data chunk")

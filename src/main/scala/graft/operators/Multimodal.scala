@@ -85,8 +85,11 @@ object Multimodal {
     docs.select(col("doc_id")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val w = (id % (maxDim - 16) + 16).toInt
-        val h = ((id * 7) % (maxDim - 16) + 16).toInt
+        // floorMod: Scala % is negative for negative ids, which would both
+        // construct an illegal BufferedImage and disagree with the pmod()
+        // expectations the q44 analytic gate derives from doc_id
+        val w = (Math.floorMod(id, (maxDim - 16).toLong) + 16).toInt
+        val h = (Math.floorMod(id * 7, (maxDim - 16).toLong) + 16).toInt
         val png = MediaCodecs.encodePng(MediaCodecs.syntheticImage(w, h, id))
         Row(id, "image/png", w, h, png)
       }
@@ -106,7 +109,6 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](2)
         val img = MediaCodecs.decodePng(payload)
-        MediaCodecs.resizeNearest(img, 32, 32) // thumbnail path, shape-checked in spec
         Row(r.getLong(0), r.getString(1), payload.length,
           MediaCodecs.imageFeatures(img).toSeq)
       }
@@ -114,7 +116,11 @@ object Multimodal {
   }
 
   /** REAL WAV payloads: doc-id-seeded mono PCM16 sine (frequency and
-    * amplitude derived from the id, so q44 can assert analytic invariants).
+    * amplitude derived from the id via floorMod — matching the pmod()
+    * expectations of the q44 analytic gate for ANY id sign). NOTE: the
+    * shared mediaSchema's `width`/`height` slots carry sampleRate/nSamples
+    * for audio rows — a deliberate metadata overload, do not join them
+    * against image dims.
     */
   def withWavMedia(docs: DataFrame, sampleRate: Int = 8000, nSamples: Int = 4000)(
       implicit spark: SparkSession): DataFrame = {
@@ -122,8 +128,8 @@ object Multimodal {
     docs.select(col("doc_id")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val freq = 100.0 + (id % 40) * 10.0
-        val amp = 0.25 + (id % 4) * 0.2
+        val freq = 100.0 + Math.floorMod(id, 40L) * 10.0
+        val amp = 0.25 + Math.floorMod(id, 4L) * 0.2
         val wav = MediaCodecs.encodeWavSine(sampleRate, nSamples, freq, amp)
         Row(id, "audio/wav", sampleRate, nSamples, wav)
       }

@@ -55,6 +55,18 @@ class MultimodalCodecSpec extends SparkSpec {
     }
     val (sr2, samples2) = MediaCodecs.decodeWavPcm16(withList)
     assert(sr2 == 8000 && samples2.sameElements(samples))
+    // ODD-length foreign chunk: RIFF pads to even — the walker must skip
+    // the pad byte or every later chunk id misaligns
+    val withOdd = {
+      val head = wav.slice(0, 36)
+      val tail = wav.slice(36, wav.length)
+      val odd = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("cmnt".getBytes("US-ASCII")).putInt(3)
+        .put("abc".getBytes("US-ASCII")).put(0.toByte).array()
+      head ++ odd ++ tail
+    }
+    val (sr3, samples3) = MediaCodecs.decodeWavPcm16(withOdd)
+    assert(sr3 == 8000 && samples3.sameElements(samples))
   }
 
   test("Spark plumbing: png/wav media frames decode distributed with exact dims/duration") {
