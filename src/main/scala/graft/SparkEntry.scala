@@ -27,13 +27,22 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
 
-  /** Flagship: the KG pipeline end-to-end on synthesized transcripts. */
-  def entry(spark: SparkSession): DataFrame = {
-    implicit val s: SparkSession = spark
-    val turns = TranscriptGen.dataset(spark, 100, seed = 42L, skewConvs = 1, skewTurns = 200)
-    val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(spark, nConvs = 120))
-    KgPipeline.computeTriples(turns, tagger).toDF()
-  }
+  private val entryCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  /** Flagship: the KG pipeline end-to-end on synthesized transcripts.
+    * Memoized per session via localCheckpoint: q23, q31, q45 and q47 all
+    * consume the same seed-pinned output, so Verify trains the tagger and
+    * runs the pipeline once instead of four times (identical result —
+    * the checkpoint only materializes it).
+    */
+  def entry(spark: SparkSession): DataFrame =
+    entryCache.computeIfAbsent(spark, (s: SparkSession) => {
+      implicit val sp: SparkSession = s
+      val turns = TranscriptGen.dataset(s, 100, seed = 42L, skewConvs = 1, skewTurns = 200)
+      val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(s, nConvs = 120))
+      KgPipeline.computeTriples(turns, tagger).toDF().localCheckpoint(true)
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- relational core ----------------
@@ -393,7 +402,27 @@ object SparkEntry {
             .otherwise(0))).as("zcr_ok"))
       val rmsOk = au.select(lit("wav_rms_matches_analytic").as("invariant"), col("rms_ok").as("ok"))
       val zcrOk = au.select(lit("wav_zcr_matches_analytic").as("invariant"), col("zcr_ok").as("ok"))
-      dims.union(rmsOk).union(zcrOk)
+      // GIF frame sampling (real container decode): every 3rd of 12 frames
+      // per doc, and each sampled frame's pooled mean equals the analytic
+      // gray the generator wrote (constant-gray frames survive the GIF
+      // palette pixel-exactly; luma rounding keeps std at ~0, not exactly 0)
+      val gifFrames = Multimodal.sampleFrames(
+        Multimodal.withGifMedia(docs.filter(col("doc_id") < 200), nFrames = 12), everyNth = 3)
+      val gf = Multimodal.extractFrameFeatures(gifFrames)
+      val sampledOk = gf.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), max("frame_idx").as("mx"),
+          sum(pmod(col("frame_idx"), lit(3))).as("m"))
+        .agg((count(lit(1)) === sum(when(
+          col("n") === 4 && col("mx") === 9 && col("m") === 0, 1).otherwise(0))).as("ok"))
+        .select(lit("gif_sampled_every_3rd_of_12").as("invariant"), col("ok"))
+      val grayOk = gf
+        .withColumn("exp_gray",
+          pmod(col("doc_id") * 31 + col("frame_idx") * 17, lit(256)).cast("double") / 255.0)
+        .agg((count(lit(1)) === sum(when(
+          abs(element_at(col("features"), 1) - col("exp_gray")) <= 1e-6 &&
+          element_at(col("features"), 4) <= 1e-3f, 1).otherwise(0))).as("ok"))
+        .select(lit("gif_frame_mean_matches_analytic").as("invariant"), col("ok"))
+      dims.union(rmsOk).union(zcrOk).union(sampledOk).union(grayOk)
     }),
     // ------------- live-output invariants (oracle = constant truth) -------------
     // The golden-parquet pins freeze cross-run determinism; these two
@@ -429,6 +458,86 @@ object SparkEntry {
         .agg((count(lit(1)) === 0).as("ok"))
         .select(lit("q24_canonical_self_mapped").as("invariant"), col("ok"))
       keepLe.union(keepClosed).union(ordered).union(nodup).union(surfUnique).union(canonSelf)
+    }),
+    "q45_triple_golden_pr" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      // Independent semantic gate for the q23 golden pin: the distributed
+      // pipeline's live triples vs graft.golden.GoldenPipeline — a pure
+      // driver-side re-derivation of the reference's per-conversation loop
+      // semantics (ProcessAndMergeInfo/MergeAndExportInfo row by row, a
+      // disjoint code path from the Catalyst pipeline). This surfaces
+      // BASELINE.json's P/R >= 0.95 criterion as a driver-visible
+      // CORRECTNESS row; a bug frozen into the golden parquet at dump time
+      // cannot report green here. Collect is size-gated by construction
+      // (the entry window is 100 conversations).
+      val got = queries("q23_kg_triples")(s, d)
+        .select("subj", "pred", "obj").as[(String, String, String)]
+        .collect().map { case (a, p, o) => graft.model.Triple(a, p, o) }.toSet
+      val want = graft.golden.GoldenPipeline.allTriples(100L, 42L, 1, 200).toSet
+      val tp = (got intersect want).size.toDouble
+      val precision = if (got.nonEmpty) tp / got.size else 0.0
+      val recall = if (want.nonEmpty) tp / want.size else 0.0
+      val convIds = (0L until 100L).map(i => f"conv-$i%08d").toSet
+      val allowedPreds = Set("job_title", "skill", "sector", "estimated_salary",
+        "education_requirements", "employment_type", "job_location", "work_hours",
+        "base_salary", "salary_currency", "hiring_organization", "uses_tool")
+      Seq(
+        ("golden_precision_ge_095", precision >= 0.95),
+        ("golden_recall_ge_095", recall >= 0.95),
+        ("subjects_subset_of_conv_ids", got.forall(t => convIds.contains(t.subj))),
+        ("preds_in_allowed_set", got.forall(t => allowedPreds.contains(t.pred))),
+        ("no_null_or_empty_obj", got.forall(t => t.obj != null && t.obj.nonEmpty))
+      ).toDF("invariant", "ok")
+    }),
+    "q46_clean_invariants" -> ((s, d) => {
+      // Live-output invariants of the F3 clean chain vs a CONSTANT oracle
+      // (complements the q25 golden pin): the chain's contract is
+      // lowercase, tag-free, control-free, single-spaced, trimmed and
+      // custom-punctuation-free output (the reference chain's final passes,
+      // ExtractInfo.py:154-207).
+      val c = queries("q25_clean_chain")(s, d)
+      def all(cond: Column, name: String): DataFrame =
+        c.agg((count(lit(1)) === sum(when(cond, 1).otherwise(0))).as("ok"))
+          .select(lit(name).as("invariant"), col("ok"))
+      val tc = col("text_clean")
+      all(tc === lower(tc), "clean_lowercase")
+        .union(all(!tc.contains("<") && !tc.contains(">"), "clean_no_tags"))
+        .union(all(!tc.contains("\n") && !tc.contains("\r") && !tc.contains("\t"),
+          "clean_no_control"))
+        .union(all(!tc.contains("  "), "clean_single_spaced"))
+        .union(all(tc === trim(tc), "clean_trimmed"))
+        .union(all(length(translate(tc, "!\"#;<=>?@[\\]^`{|}~", "")) === length(tc),
+          "clean_no_custom_punct"))
+    }),
+    "q47_wide_invariants" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      // The J2 spine pivot (q31) checked as the inverse of the live triple
+      // set: one row per triple subject, per-pred cell counts equal the
+      // per-pred subject counts, and the '; '-joined skill cells conserve
+      // the skill triple count (the round-1 comma-corruption class of bug
+      // cannot pass this). Aggregates are O(preds) driver-side scalars.
+      val wide = queries("q31_wide_export")(s, d)
+      val triples = queries("q23_kg_triples")(s, d)
+      val nWide = wide.count()
+      val nSubj = triples.agg(countDistinct(col("subj"))).as[Long].head()
+      val idsUnique = wide.agg(countDistinct(col("subj"))).as[Long].head() == nWide
+      val cellCounts: Map[String, Long] = WideExport.preds.map { p =>
+        p -> wide.filter(col(p).isNotNull).count()
+      }.toMap
+      val subjCounts: Map[String, Long] = triples.groupBy("pred")
+        .agg(countDistinct(col("subj")).as("n")).as[(String, Long)].collect().toMap
+      val cellsMatch = WideExport.preds.forall(p => cellCounts(p) == subjCounts.getOrElse(p, 0L))
+      val skillCells = wide.filter(col("skill").isNotNull)
+        .agg(sum(size(split(col("skill"), "; "))).as("n")).as[Long].head()
+      val skillTriples = triples.filter(col("pred") === "skill").count()
+      Seq(
+        ("wide_row_per_triple_subject", nWide == nSubj),
+        ("wide_ids_unique", idsUnique),
+        ("wide_cells_match_subject_counts", cellsMatch),
+        ("wide_skill_cells_conserve_triples", skillCells == skillTriples)
+      ).toDF("invariant", "ok")
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -666,7 +775,9 @@ object SparkEntry {
     "q44_media_codecs" ->
       """SELECT 'png_decoded_dims_match' AS invariant, true AS ok
         |UNION ALL SELECT 'wav_rms_matches_analytic', true
-        |UNION ALL SELECT 'wav_zcr_matches_analytic', true""".stripMargin,
+        |UNION ALL SELECT 'wav_zcr_matches_analytic', true
+        |UNION ALL SELECT 'gif_sampled_every_3rd_of_12', true
+        |UNION ALL SELECT 'gif_frame_mean_matches_analytic', true""".stripMargin,
     "q38_chunk_invariants" ->
       "SELECT 'chunk_ids_dense_0_to_n' AS invariant, true AS ok",
     "q39_dedup_invariants" ->
@@ -676,6 +787,24 @@ object SparkEntry {
         |UNION ALL SELECT 'q20_pairs_distinct', true
         |UNION ALL SELECT 'q24_surface_unique', true
         |UNION ALL SELECT 'q24_canonical_self_mapped', true""".stripMargin,
+    "q45_triple_golden_pr" ->
+      """SELECT 'golden_precision_ge_095' AS invariant, true AS ok
+        |UNION ALL SELECT 'golden_recall_ge_095', true
+        |UNION ALL SELECT 'subjects_subset_of_conv_ids', true
+        |UNION ALL SELECT 'preds_in_allowed_set', true
+        |UNION ALL SELECT 'no_null_or_empty_obj', true""".stripMargin,
+    "q46_clean_invariants" ->
+      """SELECT 'clean_lowercase' AS invariant, true AS ok
+        |UNION ALL SELECT 'clean_no_tags', true
+        |UNION ALL SELECT 'clean_no_control', true
+        |UNION ALL SELECT 'clean_single_spaced', true
+        |UNION ALL SELECT 'clean_trimmed', true
+        |UNION ALL SELECT 'clean_no_custom_punct', true""".stripMargin,
+    "q47_wide_invariants" ->
+      """SELECT 'wide_row_per_triple_subject' AS invariant, true AS ok
+        |UNION ALL SELECT 'wide_ids_unique', true
+        |UNION ALL SELECT 'wide_cells_match_subject_counts', true
+        |UNION ALL SELECT 'wide_skill_cells_conserve_triples', true""".stripMargin,
     "q18_near_dup_count" -> {
       val dim = 64
       val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"

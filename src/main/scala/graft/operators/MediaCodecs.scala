@@ -119,6 +119,96 @@ object MediaCodecs {
   }
 
   // ------------------------------------------------------------------
+  // Animated GIF (javax.imageio multi-frame sequence) — the video-like
+  // container for the frame-sampling path
+  // ------------------------------------------------------------------
+
+  /** Constant-gray frame. TYPE_BYTE_GRAY survives the GIF 256-entry
+    * palette pixel-exactly (RGB would be quantized/dithered), which is
+    * what lets q44 pin decoded frame means analytically.
+    */
+  def syntheticGrayFrame(width: Int, height: Int, gray: Int): BufferedImage = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray & 0xff); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  /** Colormodel-normalizing copy to TYPE_INT_RGB. Needed before PNG
+    * re-encoding a decoded GIF frame: the JDK PNG writer routes
+    * indexed/gray images through a LINEAR-gray colorspace conversion that
+    * shifts pixel values (sRGB 77 comes back as 149); getRGB on the
+    * indexed frame returns the palette's exact sRGB values instead.
+    */
+  def toRgb(img: BufferedImage): BufferedImage =
+    if (img.getType == BufferedImage.TYPE_INT_RGB) img
+    else {
+      val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { out.setRGB(x, y, img.getRGB(x, y)); x += 1 }
+        y += 1
+      }
+      out
+    }
+
+  /** Multi-frame GIF via the JDK writer's sequence API. */
+  def encodeGifAnimation(frames: Seq[BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "empty animation")
+    val writers = ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF ImageWriter registered in this JVM")
+    val writer = writers.next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** All frames of a GIF payload in order; throws on non-GIF bytes (as
+    * with [[decodePng]], corrupt media must surface, not score). Each
+    * frame is read as stored — callers writing full-size frames (ours)
+    * need no disposal-method compositing.
+    */
+  def decodeGifFrames(payload: Array[Byte]): Seq[BufferedImage] = {
+    val readers = ImageIO.getImageReadersByFormatName("gif")
+    require(readers.hasNext, "no GIF ImageReader registered in this JVM")
+    val reader = readers.next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false, true)
+      // the JDK reader surfaces junk input as IIOException from
+      // getNumImages/read — normalize to the decodePng contract
+      val n =
+        try reader.getNumImages(true)
+        catch { case e: javax.imageio.IIOException =>
+          throw new IllegalArgumentException("payload is not a decodable GIF", e)
+        }
+      require(n > 0, "payload is not a decodable GIF")
+      try (0 until n).map(reader.read)
+      catch { case e: javax.imageio.IIOException =>
+        throw new IllegalArgumentException("payload is not a decodable GIF", e)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  // ------------------------------------------------------------------
   // WAV / PCM16 mono (hand-rolled RIFF, public container layout)
   // ------------------------------------------------------------------
 

@@ -149,24 +149,71 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB frame sampling for video-like payloads: slices the payload into
-    * `frames` equal windows (a real implementation seeks keyframes).
+  /** Deterministic per-frame gray level — the analytic twin the q44 gate
+    * recomputes from (doc_id, frame_idx) alone.
     */
-  def sampleFrames(media: DataFrame, frames: Int)(implicit spark: SparkSession): DataFrame = {
+  def frameGray(id: Long, frameIdx: Int): Int =
+    Math.floorMod(id * 31L + frameIdx * 17L, 256L).toInt
+
+  /** REAL video-like payloads: a deterministic animated GIF per doc (JDK
+    * multi-frame sequence writer; constant-gray frames round-trip the
+    * 256-entry gray palette pixel-exactly). width/height carry the frame
+    * dims; the frame count is a pipeline parameter, not metadata.
+    */
+  def withGifMedia(docs: DataFrame, nFrames: Int = 12, maxDim: Int = 64)(
+      implicit spark: SparkSession): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (Math.floorMod(id, (maxDim - 16).toLong) + 16).toInt
+        val h = (Math.floorMod(id * 7, (maxDim - 16).toLong) + 16).toInt
+        val frames = (0 until nFrames).map(k =>
+          MediaCodecs.syntheticGrayFrame(w, h, frameGray(id, k)))
+        Row(id, "image/gif", w, h, MediaCodecs.encodeGifAnimation(frames))
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling (replaces the round-2 byte-window stub): decode
+    * the GIF container on the executors, keep every `everyNth` frame
+    * (frame 0 always kept), re-encode each kept frame as PNG — the
+    * keyframe-extract step of a video ingest pipeline; feed the result to
+    * [[extractFrameFeatures]]. Partition-preserving, no driver codec work.
+    */
+  def sampleFrames(media: DataFrame, everyNth: Int)(implicit spark: SparkSession): DataFrame = {
+    require(everyNth >= 1, "everyNth must be >= 1")
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame", BinaryType, nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
-    media.mapPartitions { rows =>
+    media.select("doc_id", "payload").mapPartitions { rows =>
       rows.flatMap { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val step = math.max(payload.length / frames, 1)
-        (0 until frames).iterator.map { i =>
-          val from = math.min(i * step, payload.length)
-          val until = math.min(from + step, payload.length)
-          Row(r.getAs[Long]("doc_id"), i, payload.slice(from, until))
+        val frames = MediaCodecs.decodeGifFrames(r.getAs[Array[Byte]](1))
+        frames.iterator.zipWithIndex.collect {
+          case (f, k) if k % everyNth == 0 =>
+            // toRgb: PNG-encoding the indexed GIF raster directly would
+            // shift pixel values through the JDK's linear-gray path
+            Row(r.getLong(0), k, MediaCodecs.encodePng(MediaCodecs.toRgb(f)))
         }
+      }
+    }(enc)
+  }
+
+  /** Per-sampled-frame pooled pixel features (same 8-float vector as
+    * [[extractImageFeatures]], keyed by (doc_id, frame_idx)).
+    */
+  def extractFrameFeatures(frames: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    frames.select("doc_id", "frame_idx", "frame").mapPartitions { rows =>
+      rows.map { r =>
+        val img = MediaCodecs.decodePng(r.getAs[Array[Byte]](2))
+        Row(r.getLong(0), r.getInt(1), MediaCodecs.imageFeatures(img).toSeq)
       }
     }(enc)
   }

@@ -69,6 +69,38 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(sr3 == 8000 && samples3.sameElements(samples))
   }
 
+  test("GIF animation: multi-frame round trip pixel-exact, sampling keeps every Nth frame") {
+    import spark.implicits._
+    // codec level: constant-gray frames survive the 256-entry palette exactly
+    val frames = (0 until 5).map(k => MediaCodecs.syntheticGrayFrame(24, 16, 40 + k * 37))
+    val gif = MediaCodecs.encodeGifAnimation(frames)
+    val back = MediaCodecs.decodeGifFrames(gif)
+    assert(back.length == 5)
+    back.zipWithIndex.foreach { case (f, k) =>
+      assert(f.getWidth == 24 && f.getHeight == 16)
+      for (y <- 0 until 16; x <- 0 until 24)
+        assert(f.getRaster.getSample(x, y, 0) == 40 + k * 37, s"frame $k px $x,$y")
+    }
+    val ex = intercept[IllegalArgumentException](MediaCodecs.decodeGifFrames("junk".getBytes))
+    assert(ex.getMessage.contains("not a decodable GIF"))
+    // Spark level: sample every 3rd of 12 frames, per-frame features match
+    // the analytic gray (mean = gray/255, std ~ 0)
+    val docs = (0L until 25L).toDF("doc_id")
+    val media = Multimodal.withGifMedia(docs, nFrames = 12)
+    val sampled = Multimodal.sampleFrames(media, everyNth = 3)
+    val perDoc = sampled.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("frame_idx").as("mx"),
+      sum(pmod(col("frame_idx"), lit(3))).as("m"))
+    assert(perDoc.filter(col("n") =!= 4 || col("mx") =!= 9 || col("m") =!= 0).count() == 0)
+    val feats = Multimodal.extractFrameFeatures(sampled)
+      .withColumn("exp_gray",
+        pmod(col("doc_id") * 31 + col("frame_idx") * 17, lit(256)).cast("double") / 255.0)
+    val bad = feats.filter(
+      abs(element_at(col("features"), 1) - col("exp_gray")) > 1e-6 ||
+      element_at(col("features"), 4) > 1e-3f).count()
+    assert(bad == 0, "sampled frame mean/std must match the analytic gray")
+  }
+
   test("Spark plumbing: png/wav media frames decode distributed with exact dims/duration") {
     import spark.implicits._
     val docs = (0L until 40L).toDF("doc_id")

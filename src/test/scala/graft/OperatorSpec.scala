@@ -273,7 +273,9 @@ class OperatorSpec extends SparkSpec {
     val row = feats.head()
     assert(row.getAs[scala.collection.Seq[Float]]("features").length == 8)
     assert(feats.count() == docs.count())
-    val frames = Multimodal.sampleFrames(media.limit(10), 4)
+    // real frame sampling: 10 GIF docs × 8 frames, every 2nd kept -> 4 each
+    val gifMedia = Multimodal.withGifMedia(docs.limit(10), nFrames = 8)
+    val frames = Multimodal.sampleFrames(gifMedia, everyNth = 2)
     assert(frames.count() == 40)
   }
 
