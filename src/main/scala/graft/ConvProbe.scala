@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ml.SectionTagger
+import graft.operators.{ConvFinalize, TurnExtract}
+import graft.sources.TranscriptGen
+
+/** Diagnostic twin of [[TagProbe]] for the fact-scale shuffle stage
+  * (s4_conv): repeated passes isolate the warm cross-process shuffle cost
+  * at a given master (see BENCH_SCALING.md round 3).
+  */
+object ConvProbe {
+  def main(args: Array[String]): Unit = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "")
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "200000").toLong
+    implicit val spark: SparkSession =
+      if (master.startsWith("cluster:"))
+        Sessions.localCluster(master.stripPrefix("cluster:").toInt, appName = "graft-convprobe")
+      else Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+        appName = "graft-convprobe")
+    spark.sparkContext.setLogLevel("WARN")
+    val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(spark, nConvs = 200))
+    val turns = TranscriptGen.dataset(spark, nConvs, 42L, 4, 800)
+    val extracted = TurnExtract.extract(
+      SectionTagger.predict(tagger, KgPipeline.cleanTurns(turns))).cache()
+    println(s"[probe] extracted=${extracted.count()}")
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = ConvFinalize.run(extracted).count()
+      println(f"[probe] conv pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n convs)")
+    }
+    spark.stop()
+  }
+}

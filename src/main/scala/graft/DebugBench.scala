@@ -14,7 +14,13 @@ object DebugBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "40000").toLong
-    implicit val spark: SparkSession = Sessions.local(cpus, appName = "graft-debug")
+    // SPARK_GRAFT_MASTER=cluster:<execs> runs the same breakdown on a
+    // local-cluster of separate executor JVMs (8 cores each)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "")
+    implicit val spark: SparkSession =
+      if (master.startsWith("cluster:"))
+        Sessions.localCluster(master.stripPrefix("cluster:").toInt, appName = "graft-debug")
+      else Sessions.local(cpus, appName = "graft-debug")
     spark.sparkContext.setLogLevel("WARN")
 
     val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(spark, nConvs = 200))

@@ -32,4 +32,45 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
+
+  /** REAL multi-executor session: `local-cluster[n, cores, memMb]` spawns
+    * one separate executor JVM per `n` on this host — own heap, GC and
+    * code cache each, exactly as on a cluster node; only the host's single
+    * memory bus stays shared. Needs SPARK_HOME set (the worker builds the
+    * executor command from it) and the graft classes on the executor
+    * classpath (extraClassPath below). Same tuned defaults as [[local]].
+    */
+  def localCluster(executors: Int, coresPerExec: Int = 8, memMb: Int = 6144,
+      appName: String = "graft-cluster"): SparkSession = {
+    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    // JDK17 module opens for the executor JVMs (the driver's launcher
+    // inherits them from the command line; executors need them passed)
+    val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED").mkString(" ")
+    SparkSession.builder()
+      .master(s"local-cluster[$executors,$coresPerExec,$memMb]")
+      .appName(appName)
+      .config("spark.executor.memory", s"${memMb}m")
+      .config("spark.executor.extraClassPath", classesDir)
+      // ActiveProcessorCount: on a real cluster the container runtime
+      // (cgroups/YARN/K8s) caps what availableProcessors() reports; bare
+      // executor JVMs on one host each see ALL host cores and size their
+      // GC/JIT/netty pools for them — 4 executors × 23 ParallelGC threads
+      // oversubscribed this 32-vCPU box ~4× and tripled stage times until
+      // capped (measured: s2_tag 15.7 s -> capped matches local[32])
+      .config("spark.executor.extraJavaOptions",
+        s"-XX:+UseParallelGC -XX:ActiveProcessorCount=$coresPerExec $opens")
+      .config("spark.sql.shuffle.partitions", (executors * coresPerExec).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.autoBroadcastJoinThreshold", (8L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 }
