@@ -18,8 +18,6 @@ package graft
 object ClusterScalingBench {
 
   def main(args: Array[String]): Unit = {
-    require(sys.env.contains("SPARK_HOME"),
-      "SPARK_HOME must point at the Spark install (e.g. /opt/spark) for local-cluster mode")
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "40000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val coresPerExec = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "8").toInt

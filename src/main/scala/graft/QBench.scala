@@ -13,6 +13,9 @@ object QBench {
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val (n1, t1) = Bench.time(fn(spark, sfDir).count())
+      // entry() memoizes per session for Verify economy — drop it so the
+      // second timing re-runs the pipeline, not a checkpoint-block scan
+      SparkEntry.clearEntryCache()
       val (_, t2) = Bench.time(fn(spark, sfDir).count())
       println(f"[qbench] $name rows=$n1 warm=$t1%.2f s second=$t2%.2f s")
     }

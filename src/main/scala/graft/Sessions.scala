@@ -42,7 +42,14 @@ object Sessions {
     */
   def localCluster(executors: Int, coresPerExec: Int = 8, memMb: Int = 6144,
       appName: String = "graft-cluster"): SparkSession = {
-    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    require(sys.env.contains("SPARK_HOME"),
+      "SPARK_HOME must point at the Spark install (e.g. /opt/spark): the " +
+        "local-cluster worker builds executor commands from it")
+    val classesFile = new java.io.File("target/scala-2.13/classes")
+    require(classesFile.isDirectory,
+      s"graft classes not found at ${classesFile.getAbsolutePath} — run from " +
+        "the repo root (executors load graft.* from this directory)")
+    val classesDir = classesFile.getAbsolutePath
     // JDK17 module opens for the executor JVMs (the driver's launcher
     // inherits them from the command line; executors need them passed)
     val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",

@@ -27,8 +27,15 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
 
-  private val entryCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+  // single-slot memo (not a map: a map keyed by session would pin every
+  // stopped session + its checkpoint blocks for the JVM's lifetime)
+  @volatile private var entryMemo: (SparkSession, DataFrame) = null
+
+  /** Drop the entry memo — timing harnesses (QBench) call this between
+    * repeated runs so the second measurement re-runs the pipeline instead
+    * of scanning checkpoint blocks.
+    */
+  def clearEntryCache(): Unit = entryMemo = null
 
   /** Flagship: the KG pipeline end-to-end on synthesized transcripts.
     * Memoized per session via localCheckpoint: q23, q31, q45 and q47 all
@@ -36,13 +43,18 @@ object SparkEntry {
     * runs the pipeline once instead of four times (identical result —
     * the checkpoint only materializes it).
     */
-  def entry(spark: SparkSession): DataFrame =
-    entryCache.computeIfAbsent(spark, (s: SparkSession) => {
-      implicit val sp: SparkSession = s
-      val turns = TranscriptGen.dataset(s, 100, seed = 42L, skewConvs = 1, skewTurns = 200)
-      val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(s, nConvs = 120))
-      KgPipeline.computeTriples(turns, tagger).toDF().localCheckpoint(true)
-    })
+  def entry(spark: SparkSession): DataFrame = {
+    val memo = entryMemo
+    if (memo != null && (memo._1 eq spark)) memo._2
+    else {
+      implicit val sp: SparkSession = spark
+      val turns = TranscriptGen.dataset(spark, 100, seed = 42L, skewConvs = 1, skewTurns = 200)
+      val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(spark, nConvs = 120))
+      val df = KgPipeline.computeTriples(turns, tagger).toDF().localCheckpoint(true)
+      entryMemo = (spark, df)
+      df
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- relational core ----------------
@@ -408,7 +420,9 @@ object SparkEntry {
       // palette pixel-exactly; luma rounding keeps std at ~0, not exactly 0)
       val gifFrames = Multimodal.sampleFrames(
         Multimodal.withGifMedia(docs.filter(col("doc_id") < 200), nFrames = 12), everyNth = 3)
-      val gf = Multimodal.extractFrameFeatures(gifFrames)
+      // cache: sampledOk and grayOk are separate agg branches; uncached
+      // they would each re-run the GIF encode/decode/PNG-re-encode chain
+      val gf = Multimodal.extractFrameFeatures(gifFrames).cache()
       val sampledOk = gf.groupBy("doc_id")
         .agg(count(lit(1)).as("n"), max("frame_idx").as("mx"),
           sum(pmod(col("frame_idx"), lit(3))).as("m"))
@@ -479,15 +493,28 @@ object SparkEntry {
       val precision = if (got.nonEmpty) tp / got.size else 0.0
       val recall = if (want.nonEmpty) tp / want.size else 0.0
       val convIds = (0L until 100L).map(i => f"conv-$i%08d").toSet
-      val allowedPreds = Set("job_title", "skill", "sector", "estimated_salary",
-        "education_requirements", "employment_type", "job_location", "work_hours",
-        "base_salary", "salary_currency", "hiring_organization", "uses_tool")
+      // single source of truth for the pred vocabulary (includes the X5
+      // date preds, valid when --extract-dates is on)
+      val allowedPreds = WideExport.preds.toSet
+      // the north rule's per-row invariant: the pipeline carries turn text
+      // unmodified under stable (conv_id, turn_idx) ordering
+      val textEqual = {
+        val carried = KgPipeline.cleanTurns(
+            graft.sources.TranscriptGen.dataset(s, 20, seed = 42L, 1, 50))
+          .select("conv_id", "turn_idx", "text").as[(String, Int, String)]
+          .collect().sortBy(t => (t._1, t._2)).toSeq
+        val original = (0L until 20L)
+          .flatMap(i => graft.sources.TranscriptGen.turnsFor(i, 42L, 1, 50))
+          .map(t => (t.conv_id, t.turn_idx, t.text)).sortBy(t => (t._1, t._2))
+        carried == original
+      }
       Seq(
         ("golden_precision_ge_095", precision >= 0.95),
         ("golden_recall_ge_095", recall >= 0.95),
         ("subjects_subset_of_conv_ids", got.forall(t => convIds.contains(t.subj))),
         ("preds_in_allowed_set", got.forall(t => allowedPreds.contains(t.pred))),
-        ("no_null_or_empty_obj", got.forall(t => t.obj != null && t.obj.nonEmpty))
+        ("no_null_or_empty_obj", got.forall(t => t.obj != null && t.obj.nonEmpty)),
+        ("per_turn_text_equality", textEqual)
       ).toDF("invariant", "ok")
     }),
     "q46_clean_invariants" -> ((s, d) => {
@@ -497,18 +524,28 @@ object SparkEntry {
       // custom-punctuation-free output (the reference chain's final passes,
       // ExtractInfo.py:154-207).
       val c = queries("q25_clean_chain")(s, d)
-      def all(cond: Column, name: String): DataFrame =
-        c.agg((count(lit(1)) === sum(when(cond, 1).otherwise(0))).as("ok"))
-          .select(lit(name).as("invariant"), col("ok"))
       val tc = col("text_clean")
-      all(tc === lower(tc), "clean_lowercase")
-        .union(all(!tc.contains("<") && !tc.contains(">"), "clean_no_tags"))
-        .union(all(!tc.contains("\n") && !tc.contains("\r") && !tc.contains("\t"),
-          "clean_no_control"))
-        .union(all(!tc.contains("  "), "clean_single_spaced"))
-        .union(all(tc === trim(tc), "clean_trimmed"))
-        .union(all(length(translate(tc, "!\"#;<=>?@[\\]^`{|}~", "")) === length(tc),
-          "clean_no_custom_punct"))
+      def all(cond: Column): Column =
+        (count(lit(1)) === sum(when(cond, 1).otherwise(0)))
+      // ONE scan of the clean chain for all six flags (separate agg
+      // branches would re-run the full chain per invariant), then stack
+      // to (invariant, ok) rows
+      c.agg(
+          all(tc === lower(tc)).as("clean_lowercase"),
+          all(!tc.contains("<") && !tc.contains(">")).as("clean_no_tags"),
+          all(!tc.contains("\n") && !tc.contains("\r") && !tc.contains("\t"))
+            .as("clean_no_control"),
+          all(!tc.contains("  ")).as("clean_single_spaced"),
+          all(tc === trim(tc)).as("clean_trimmed"),
+          all(length(translate(tc, "!\"#;<=>?@[\\]^`{|}~", "")) === length(tc))
+            .as("clean_no_custom_punct"))
+        .selectExpr("""stack(6,
+          'clean_lowercase', clean_lowercase,
+          'clean_no_tags', clean_no_tags,
+          'clean_no_control', clean_no_control,
+          'clean_single_spaced', clean_single_spaced,
+          'clean_trimmed', clean_trimmed,
+          'clean_no_custom_punct', clean_no_custom_punct) AS (invariant, ok)""")
     }),
     "q47_wide_invariants" -> ((s, d) => {
       implicit val sp: SparkSession = s
@@ -520,17 +557,24 @@ object SparkEntry {
       // cannot pass this). Aggregates are O(preds) driver-side scalars.
       val wide = queries("q31_wide_export")(s, d)
       val triples = queries("q23_kg_triples")(s, d)
-      val nWide = wide.count()
-      val nSubj = triples.agg(countDistinct(col("subj"))).as[Long].head()
-      val idsUnique = wide.agg(countDistinct(col("subj"))).as[Long].head() == nWide
-      val cellCounts: Map[String, Long] = WideExport.preds.map { p =>
-        p -> wide.filter(col(p).isNotNull).count()
-      }.toMap
+      // ONE job over the pivot for every scalar (count(col) skips nulls;
+      // 17 separate count() actions would re-run the widen per scalar)
+      val wideAggs = Seq(
+        countDistinct(col("subj")).as("n_ids"),
+        sum(when(col("skill").isNotNull, size(split(col("skill"), "; ")))
+          .otherwise(0)).as("skill_vals")) ++
+        WideExport.preds.map(p => count(col(p)).as(s"c_$p"))
+      val wideRow = wide.agg(count(lit(1)).as("n_rows"), wideAggs: _*).head()
+      val nWide = wideRow.getAs[Long]("n_rows")
+      val idsUnique = wideRow.getAs[Long]("n_ids") == nWide
+      val cellCounts: Map[String, Long] =
+        WideExport.preds.map(p => p -> wideRow.getAs[Long](s"c_$p")).toMap
+      val skillCells = wideRow.getAs[Long]("skill_vals")
+      // one job over the triples for the per-pred subject counts + total
       val subjCounts: Map[String, Long] = triples.groupBy("pred")
         .agg(countDistinct(col("subj")).as("n")).as[(String, Long)].collect().toMap
+      val nSubj = triples.agg(countDistinct(col("subj"))).as[Long].head()
       val cellsMatch = WideExport.preds.forall(p => cellCounts(p) == subjCounts.getOrElse(p, 0L))
-      val skillCells = wide.filter(col("skill").isNotNull)
-        .agg(sum(size(split(col("skill"), "; "))).as("n")).as[Long].head()
       val skillTriples = triples.filter(col("pred") === "skill").count()
       Seq(
         ("wide_row_per_triple_subject", nWide == nSubj),
@@ -792,7 +836,8 @@ object SparkEntry {
         |UNION ALL SELECT 'golden_recall_ge_095', true
         |UNION ALL SELECT 'subjects_subset_of_conv_ids', true
         |UNION ALL SELECT 'preds_in_allowed_set', true
-        |UNION ALL SELECT 'no_null_or_empty_obj', true""".stripMargin,
+        |UNION ALL SELECT 'no_null_or_empty_obj', true
+        |UNION ALL SELECT 'per_turn_text_equality', true""".stripMargin,
     "q46_clean_invariants" ->
       """SELECT 'clean_lowercase' AS invariant, true AS ok
         |UNION ALL SELECT 'clean_no_tags', true
