@@ -3,6 +3,7 @@ package graft
 /** Single-query timing harness for iterating on one SparkEntry query at a
   * time (Bench runs the whole headline set). Diagnostic only.
   * Usage: runMain graft.QBench q19_minhash_dedup [more names...]
+  * SPARK_GRAFT_SHOW=1 additionally prints the query result.
   */
 object QBench {
   def main(args: Array[String]): Unit = {
@@ -10,8 +11,10 @@ object QBench {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
       appName = "graft-qbench")
     spark.sparkContext.setLogLevel("WARN")
+    val show = sys.env.get("SPARK_GRAFT_SHOW").contains("1")
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
+      if (show) fn(spark, sfDir).show(60, false)
       val (n1, t1) = Bench.time(fn(spark, sfDir).count())
       // entry() memoizes per session for Verify economy — drop it so the
       // second timing re-runs the pipeline, not a checkpoint-block scan

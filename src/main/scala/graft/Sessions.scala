@@ -15,6 +15,10 @@ object Sessions {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // the engine's Catalyst surface (similarity-join rewrite + SQL
+      // functions); spark-submit users pass
+      // --conf spark.sql.extensions=graft.plans.GraftExtensions instead
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -60,6 +64,7 @@ object Sessions {
     SparkSession.builder()
       .master(s"local-cluster[$executors,$coresPerExec,$memMb]")
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.executor.memory", s"${memMb}m")
       .config("spark.executor.extraClassPath", classesDir)
       // ActiveProcessorCount: on a real cluster the container runtime

@@ -582,6 +582,63 @@ object SparkEntry {
         ("wide_cells_match_subject_counts", cellsMatch),
         ("wide_skill_cells_conserve_triples", skillCells == skillTriples)
       ).toDF("invariant", "ok")
+    }),
+    "q48_skill_dbscan" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      // X17 (the reference's dead DBSCAN skill filter, utilities.py:525-648)
+      // exercised over LIVE per-conversation skill sets from the q23
+      // triples. The gates are derived INDEPENDENTLY of the kernel: the
+      // zero-norm vocabulary comes straight from the taxonomy node counts
+      // (a skill has nonzero NACE and ISCO level-1 mass), not from
+      // SkillCluster's vectors; sklearn-equivalence of the sweep itself is
+      // the SkillClusterSpec differential.
+      val vocab = {
+        val nace = graft.rules.DictRules.naceNodes
+        val isco = graft.rules.DictRules.iscoLevels.head
+        graft.sources.Dims.skills.map(_.label).filter(l =>
+          nace.exists(_.counts.getOrElse(l, 0) > 0) &&
+            isco.exists(_.counts.getOrElse(l, 0) > 0)).sorted
+      }
+      val triples = queries("q23_kg_triples")(s, d)
+      val perConv = triples.filter(col("pred") === "skill")
+        .groupBy(col("subj"))
+        .agg(sort_array(collect_set(lower(col("obj")))).as("skills"))
+        .withColumn("kept",
+          graft.functions.SkillClusterFunctions.filter_skills_dbscan(col("skills")))
+        .withColumn("in_vocab", array_intersect(col("skills"), typedLit(vocab)))
+      def all(cond: Column): Column = (count(lit(1)) === sum(when(cond, 1).otherwise(0)))
+      perConv.agg(
+          all(forall(col("kept"), k => array_contains(col("skills"), k)))
+            .as("kept_subset_of_input"),
+          all(forall(col("kept"), k => array_contains(col("in_vocab"), k)))
+            .as("kept_subset_of_taxonomy_vocab"),
+          all(size(col("in_vocab")) > 2 || col("kept") === col("in_vocab"))
+            .as("small_sets_keep_all_vocab_skills"),
+          (max(size(col("in_vocab"))) > 2).as("dbscan_path_exercised"),
+          (count(lit(1)) > 0).as("convs_nonempty"))
+        .selectExpr("""stack(5,
+          'kept_subset_of_input', kept_subset_of_input,
+          'kept_subset_of_taxonomy_vocab', kept_subset_of_taxonomy_vocab,
+          'small_sets_keep_all_vocab_skills', small_sets_keep_all_vocab_skills,
+          'dbscan_path_exercised', dbscan_path_exercised,
+          'convs_nonempty', convs_nonempty) AS (invariant, ok)""")
+    }),
+    "q49_similarity_join" -> ((s, d) => {
+      // The Catalyst similarity-join rewrite exercised through the driver:
+      // the query is the O(n²) DECLARATIVE form — a full cross join with a
+      // token_jaccard threshold — and plans.SimilarityJoinRule turns it
+      // into the exact inverted-index token join (ExtensionsSpec pins the
+      // plan shape; this oracle pins the values against DuckDB's exact
+      // quadratic evaluation of the same predicate).
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val tj = graft.functions.TokenJaccardFunctions.token_jaccard(col("sh_a"), col("sh_b"))
+      a.crossJoin(b)
+        .filter(tj > 0.05 && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), round(tj, 4).as("jac"))
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -850,6 +907,26 @@ object SparkEntry {
         |UNION ALL SELECT 'wide_ids_unique', true
         |UNION ALL SELECT 'wide_cells_match_subject_counts', true
         |UNION ALL SELECT 'wide_skill_cells_conserve_triples', true""".stripMargin,
+    "q48_skill_dbscan" ->
+      """SELECT 'kept_subset_of_input' AS invariant, true AS ok
+        |UNION ALL SELECT 'kept_subset_of_taxonomy_vocab', true
+        |UNION ALL SELECT 'small_sets_keep_all_vocab_skills', true
+        |UNION ALL SELECT 'dbscan_path_exercised', true
+        |UNION ALL SELECT 'convs_nonempty', true""".stripMargin,
+    "q49_similarity_join" -> {
+      // DuckDB evaluates the SAME predicate the quadratic way (exact
+      // all-pairs), so a pair lost by the inverted-index rewrite or a
+      // boundary disagreement fails the value compare; the |∩|/|∪|
+      // operand shape matches the Spark side IEEE-exactly (q27 pattern).
+      val toks = "regexp_split_to_array(lower(text), '\\s+')"
+      val sh = s"list_distinct(list_transform(range(0, greatest(len($toks) - 3, 0) + 1), i -> array_to_string(($toks)[i+1:i+3], ' ')))"
+      s"""WITH sh AS (SELECT doc_id, $sh AS sh FROM documents),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |   greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)::DOUBLE AS jac
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(jac, 4) AS jac FROM j WHERE jac > 0.05""".stripMargin
+    },
     "q18_near_dup_count" -> {
       val dim = 64
       val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
