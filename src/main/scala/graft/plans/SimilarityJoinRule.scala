@@ -82,9 +82,32 @@ object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
+  /** Every output column must survive as an Aggregate grouping key; maps
+    * (anywhere in the type) are not groupable in Spark and would fail at
+    * physical planning if we constructed the plan anyway.
+    */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => containsMap(et)
+      case StructType(fields) => fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+  }
+
+  private def groupable(plan: LogicalPlan): Boolean =
+    plan.output.forall(a => !containsMap(a.dataType))
+
   private def rewrite(cond: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
+    // a nondeterministic conjunct (rand() < p, …) is evaluated once per
+    // CROSS-JOIN row in the original plan; the rewrite would evaluate it
+    // only per candidate pair — observably different draws. Keep the
+    // cartesian; same for ungroupable (map-typed) output columns.
+    if (conjuncts.exists(!_.deterministic) || !groupable(left) || !groupable(right))
+      return None
     val hit = conjuncts.iterator.flatMap { c =>
       matchPredicate(c).flatMap { case (tj, t, strict) =>
         if (t <= 0 || !elementsNonNull(tj.left) || !elementsNonNull(tj.right)) None
@@ -115,7 +138,16 @@ object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val (rProj, rid, rsz, rtok) = side(right, bExpr, "r")
       val lGen = Generate(Explode(ArrayDistinct(aExpr)), Nil, outer = false, None, Seq(ltok), lProj)
       val rGen = Generate(Explode(ArrayDistinct(bExpr)), Nil, outer = false, None, Seq(rtok), rProj)
-      val joined = Join(lGen, rGen, Inner, Some(EqualTo(ltok, rtok)), JoinHint.NONE)
+      // exact length filter: jac >= t implies |∩| >= t·|∪| >= t·max(|a|,|b|)
+      // and |∩| <= min(|a|,|b|), so min >= t·max is NECESSARY — prune the
+      // candidate pair at the join, before it reaches the aggregate (safe
+      // for the strict form too: a superset of `jac > t` survives)
+      val tLit = Literal(t)
+      val lenFilter = And(
+        GreaterThanOrEqual(Cast(lsz, DoubleType), Multiply(tLit, Cast(rsz, DoubleType))),
+        GreaterThanOrEqual(Cast(rsz, DoubleType), Multiply(tLit, Cast(lsz, DoubleType))))
+      val joined = Join(lGen, rGen, Inner,
+        Some(And(EqualTo(ltok, rtok), lenFilter)), JoinHint.NONE)
       val group: Seq[Attribute] = lProj.output ++ rProj.output
       val shared = Alias(
         aggregate.Count(Literal(1)).toAggregateExpression(), "__graft_shared")()

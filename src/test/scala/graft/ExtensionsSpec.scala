@@ -120,6 +120,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(zero.count() == corpus.length.toLong * corpus.length)
   }
 
+  test("nondeterministic conjunct: analyzer pulls it above, rewrite still fires correctly") {
+    val d = docs(corpus: _*)
+    // rand(7) < 2.0 is always true but nondeterministic — the ANALYZER
+    // (PullOutNondeterministic) lifts it out of the filter before the
+    // optimizer runs, so the rule sees only the deterministic residue and
+    // fires; the in-rule determinism guard is defense-in-depth for
+    // manually-constructed plans. Values must match the quadratic twin.
+    val nd = d.as("a").crossJoin(d.as("b"))
+      .filter(token_jaccard(col("a.sh"), col("b.sh")) >= 0.3 &&
+        rand(7) < 2.0 && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    assert(!hasQuadraticJoin(nd))
+    val naive = d.as("a").crossJoin(d.as("b"))
+      .filter(Dedup.jaccard(col("a.sh"), col("b.sh")) >= 0.3 &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    assert(nd.collect().toSet == naive.collect().toSet)
+  }
+
+  test("rewrite guard: map-typed column IN THE OUTPUT keeps the cartesian") {
+    val d = docs(corpus: _*)
+    val withMap = d.withColumn("m", map(lit("k"), col("id")))
+    // the map column must SURVIVE to the join output (an unused one is
+    // pruned away before the rule runs, and the rewrite correctly fires)
+    val q = withMap.as("a").crossJoin(d.as("b"))
+      .filter(token_jaccard(col("a.sh"), col("b.sh")) >= 0.3 &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.m"))
+    // maps are not groupable: the rewrite's Aggregate would be invalid, so
+    // the rule must leave the plan alone — and the query must still run
+    assert(hasQuadraticJoin(q), "map-typed side must not be rewritten")
+    assert(q.count() > 0)
+
+    // pruned-map variant: the rewrite fires because the map never reaches
+    // the join output
+    val pruned = withMap.as("a").crossJoin(d.as("b"))
+      .filter(token_jaccard(col("a.sh"), col("b.sh")) >= 0.3 &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    assert(!hasQuadraticJoin(pruned))
+  }
+
   test("rewrite handles swapped operand orientation (right-side expr first)") {
     val d = docs(corpus: _*)
     val swapped = d.as("a").crossJoin(d.as("b"))
