@@ -38,13 +38,19 @@ object SimJoinScale {
     def run(q: DataFrame => DataFrame, d: DataFrame): (Long, Double) =
       Bench.time(q(d).count())
 
+    // SPARK_GRAFT_SKIP_QUAD=1 re-measures only the rewritten side (the
+    // quadratic baseline dominates wall time and is plan-stable)
+    val skipQuad = sys.env.get("SPARK_GRAFT_SKIP_QUAD").contains("1")
     for (n <- Seq(500, 1000, 2000, 4000)) {
       val d = corpus(n).withColumnRenamed("doc_id", "id")
       d.count()
       val (cRw, tRw) = run(declarative, d)
-      val (cNv, tNv) = run(naive, d)
-      require(cRw == cNv, s"rewrite diverged at n=$n: $cRw vs $cNv")
-      println(f"[simjoin] n=$n%5d pairs=$cRw%6d rewritten=$tRw%7.2f s quadratic=$tNv%7.2f s speedup=${tNv / tRw}%5.1fx")
+      if (skipQuad) println(f"[simjoin] n=$n%5d pairs=$cRw%6d rewritten=$tRw%7.2f s")
+      else {
+        val (cNv, tNv) = run(naive, d)
+        require(cRw == cNv, s"rewrite diverged at n=$n: $cRw vs $cNv")
+        println(f"[simjoin] n=$n%5d pairs=$cRw%6d rewritten=$tRw%7.2f s quadratic=$tNv%7.2f s speedup=${tNv / tRw}%5.1fx")
+      }
     }
     spark.stop()
   }

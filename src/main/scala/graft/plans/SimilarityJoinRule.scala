@@ -46,7 +46,9 @@ import graft.functions.TokenJaccardExpr
   *    would be dropped by the token equi-join but counts as a matchable
   *    value in TokenJaccardExpr — see its scaladoc);
   *  - the join is Inner/Cross with no condition (the pure cross form).
-  * Remaining conjuncts of the filter are preserved above the rewrite.
+  * Remaining deterministic conjuncts fold into the token-join condition
+  * (value-identical: per-pair-constant inputs, null → false both ways),
+  * pruning candidates before the aggregate.
   */
 object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -82,32 +84,15 @@ object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** Every output column must survive as an Aggregate grouping key; maps
-    * (anywhere in the type) are not groupable in Spark and would fail at
-    * physical planning if we constructed the plan anyway.
-    */
-  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case _: MapType => true
-      case ArrayType(et, _) => containsMap(et)
-      case StructType(fields) => fields.exists(f => containsMap(f.dataType))
-      case _ => false
-    }
-  }
-
-  private def groupable(plan: LogicalPlan): Boolean =
-    plan.output.forall(a => !containsMap(a.dataType))
-
   private def rewrite(cond: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     // a nondeterministic conjunct (rand() < p, …) is evaluated once per
     // CROSS-JOIN row in the original plan; the rewrite would evaluate it
     // only per candidate pair — observably different draws. Keep the
-    // cartesian; same for ungroupable (map-typed) output columns.
-    if (conjuncts.exists(!_.deterministic) || !groupable(left) || !groupable(right))
-      return None
+    // cartesian. (The analyzer's PullOutNondeterministic normally lifts
+    // these out before the optimizer ever runs — defense in depth.)
+    if (conjuncts.exists(!_.deterministic)) return None
     val hit = conjuncts.iterator.flatMap { c =>
       matchPredicate(c).flatMap { case (tj, t, strict) =>
         if (t <= 0 || !elementsNonNull(tj.left) || !elementsNonNull(tj.right)) None
@@ -146,19 +131,37 @@ object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val lenFilter = And(
         GreaterThanOrEqual(Cast(lsz, DoubleType), Multiply(tLit, Cast(rsz, DoubleType))),
         GreaterThanOrEqual(Cast(rsz, DoubleType), Multiply(tLit, Cast(lsz, DoubleType))))
+      // the remaining deterministic conjuncts (id_a < id_b, …) reference
+      // only pass-through columns whose values are constant per pair, so
+      // evaluating them AT THE JOIN is value-identical to the original
+      // post-filter (null → false both ways) and prunes candidates before
+      // they ever reach the aggregate; single-side ones get pushed further
+      // down by the standard rules from here
       val joined = Join(lGen, rGen, Inner,
-        Some(And(EqualTo(ltok, rtok), lenFilter)), JoinHint.NONE)
-      val group: Seq[Attribute] = lProj.output ++ rProj.output
+        Some((Seq(EqualTo(ltok, rtok), lenFilter) ++ rest).reduce(And)), JoinHint.NONE)
+      // group by the row-id pair ONLY; every other column rides as a
+      // First(...) aggregate RE-ALIASED TO ITS OWN exprId (all rows of a
+      // group share the value, so First is value-deterministic, and the
+      // preserved ids keep the plan above resolving unchanged). Compared
+      // to grouping by every column this (a) keeps wide payloads — the
+      // token arrays, map columns, whole documents — out of the grouping
+      // keys, so ColumnPruning can drop any the consumer never reads, and
+      // (b) sidesteps the ungroupable-type restriction entirely.
+      val group: Seq[Attribute] = Seq(lid, rid)
+      val carried = (lProj.output ++ rProj.output)
+        .filterNot(a => a.exprId == lid.exprId || a.exprId == rid.exprId)
+        .map(a => Alias(aggregate.First(a, ignoreNulls = false).toAggregateExpression(),
+          a.name)(exprId = a.exprId, qualifier = a.qualifier))
       val shared = Alias(
         aggregate.Count(Literal(1)).toAggregateExpression(), "__graft_shared")()
-      val agg = Aggregate(group, group :+ shared, joined)
+      val agg = Aggregate(group, (group ++ carried) :+ shared, joined)
       val sharedRef = shared.toAttribute
       val unionSize = Greatest(Seq(
         Subtract(Add(lsz, rsz), sharedRef), Literal(1L)))
       val jac = Divide(Cast(sharedRef, DoubleType), Cast(unionSize, DoubleType))
       val thresholdPred =
         if (strict) GreaterThan(jac, Literal(t)) else GreaterThanOrEqual(jac, Literal(t))
-      val filtered = Filter((rest :+ thresholdPred).reduce(And), agg)
+      val filtered = Filter(thresholdPred, agg)
       Project(left.output ++ right.output, filtered)
     }
   }

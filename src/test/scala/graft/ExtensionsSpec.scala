@@ -139,27 +139,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(nd.collect().toSet == naive.collect().toSet)
   }
 
-  test("rewrite guard: map-typed column IN THE OUTPUT keeps the cartesian") {
+  test("map-typed (ungroupable) output columns survive the rewrite via First carry") {
     val d = docs(corpus: _*)
     val withMap = d.withColumn("m", map(lit("k"), col("id")))
-    // the map column must SURVIVE to the join output (an unused one is
-    // pruned away before the rule runs, and the rewrite correctly fires)
+    // maps are not groupable, but the rewrite groups by the row-id pair
+    // only and carries every other column as a First(...) aggregate — so
+    // a map column in the join output is fine and the rewrite still fires
     val q = withMap.as("a").crossJoin(d.as("b"))
       .filter(token_jaccard(col("a.sh"), col("b.sh")) >= 0.3 &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.m"))
-    // maps are not groupable: the rewrite's Aggregate would be invalid, so
-    // the rule must leave the plan alone — and the query must still run
-    assert(hasQuadraticJoin(q), "map-typed side must not be rewritten")
-    assert(q.count() > 0)
-
-    // pruned-map variant: the rewrite fires because the map never reaches
-    // the join output
-    val pruned = withMap.as("a").crossJoin(d.as("b"))
-      .filter(token_jaccard(col("a.sh"), col("b.sh")) >= 0.3 &&
+    assert(!hasQuadraticJoin(q))
+    val naive = withMap.as("a").crossJoin(d.as("b"))
+      .filter(Dedup.jaccard(col("a.sh"), col("b.sh")) >= 0.3 &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    assert(!hasQuadraticJoin(pruned))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.m"))
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getMap[String, Long](2).toMap)).toSet
+    assert(rows(q) == rows(naive))
   }
 
   test("rewrite handles swapped operand orientation (right-side expr first)") {
