@@ -28,6 +28,17 @@ case class CleanStringExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "clean_text"
 
+  // SQL-registered (graft_clean_string): reject non-string input at
+  // analysis instead of misreading the value at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects string, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     CleanFast.cleanUTF8(input.asInstanceOf[UTF8String])
 

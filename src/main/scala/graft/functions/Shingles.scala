@@ -75,6 +75,17 @@ case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  // SQL-registered (graft_word_shingles): reject non-string input at
+  // analysis instead of misreading the value at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects string, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     ShingleFast.shingles(input.asInstanceOf[UTF8String], k)
 

@@ -34,6 +34,17 @@ case class SkillDbscanExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "filter_skills_dbscan"
 
+  // SQL-registered (graft_filter_skills_dbscan): reject non-array<string>
+  // input at analysis instead of misreading array data at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<string>, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     SkillClusterEvals.filterSkills(input.asInstanceOf[ArrayData])
 

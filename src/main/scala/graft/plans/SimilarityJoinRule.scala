@@ -93,6 +93,20 @@ object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // cartesian. (The analyzer's PullOutNondeterministic normally lifts
     // these out before the optimizer ever runs — defense in depth.)
     if (conjuncts.exists(!_.deterministic)) return None
+    // a cross-side EQUI conjunct means the alternative plan is a cheap
+    // hash/sort-merge join with the jaccard as a residual filter — NOT a
+    // cartesian. Rewriting would demote it to a whole-table inverted-index
+    // join; the rewrite only pays off when the alternative is quadratic.
+    def crossSide(a: Expression, b: Expression): Boolean =
+      a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+          (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet)))
+    val hasEquiJoinPred = conjuncts.exists {
+      case EqualTo(a, b) => crossSide(a, b)
+      case EqualNullSafe(a, b) => crossSide(a, b)
+      case _ => false
+    }
+    if (hasEquiJoinPred) return None
     val hit = conjuncts.iterator.flatMap { c =>
       matchPredicate(c).flatMap { case (tj, t, strict) =>
         if (t <= 0 || !elementsNonNull(tj.left) || !elementsNonNull(tj.right)) None
@@ -111,8 +125,14 @@ object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
       def side(child: LogicalPlan, arr: Expression, tag: String)
           : (Project, Attribute, Attribute, Attribute) = {
-        // row id: uniqueness within this execution is all that is needed
-        // (grouping key), so per-partition monotonic ids are safe here
+        // row id: uniqueness within one execution is all the grouping
+        // needs, and the id is computed in the SAME STAGE as the explode
+        // feeding the join's map side, so all of a row's tokens carry one
+        // id per task attempt. Across-attempt stability is the standard
+        // indeterminate-stage story (SPARK-23207 class): a retried map
+        // stage with order-nondeterministic input makes Spark roll back /
+        // recompute dependent stages rather than mix attempts, so ids
+        // never blend across attempts within a successful job.
         val id = Alias(MonotonicallyIncreasingID(), s"__graft_${tag}id")()
         val sz = Alias(Cast(Size(ArrayDistinct(arr)), LongType), s"__graft_${tag}sz")()
         val proj = Project(child.output ++ Seq(id, sz), child)
@@ -123,20 +143,29 @@ object SimilarityJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val (rProj, rid, rsz, rtok) = side(right, bExpr, "r")
       val lGen = Generate(Explode(ArrayDistinct(aExpr)), Nil, outer = false, None, Seq(ltok), lProj)
       val rGen = Generate(Explode(ArrayDistinct(bExpr)), Nil, outer = false, None, Seq(rtok), rProj)
-      // exact length filter: jac >= t implies |∩| >= t·|∪| >= t·max(|a|,|b|)
-      // and |∩| <= min(|a|,|b|), so min >= t·max is NECESSARY — prune the
-      // candidate pair at the join, before it reaches the aggregate (safe
-      // for the strict form too: a superset of `jac > t` survives)
+      // exact length filter: jac >= t requires min(|a|,|b|)/max(|a|,|b|)
+      // >= t (∩ <= min, ∪ >= max). Evaluated as the SAME double division
+      // the threshold predicate uses: IEEE division is monotone in the
+      // numerator and antitone in the denominator, so fl(∩/∪) <=
+      // fl(min/max) EXACTLY — a pair passing fl(∩/∪) >= t (or > t) always
+      // passes fl(min/max) >= t, and the prune can never drop a qualifying
+      // pair. (A t·max multiplication form is NOT safe: fl(0.28·25.0) =
+      // 7.000000000000001 > 7 would wrongly prune a containment pair with
+      // jac = 7/25 = fl(0.28).)
       val tLit = Literal(t)
-      val lenFilter = And(
-        GreaterThanOrEqual(Cast(lsz, DoubleType), Multiply(tLit, Cast(rsz, DoubleType))),
-        GreaterThanOrEqual(Cast(rsz, DoubleType), Multiply(tLit, Cast(lsz, DoubleType))))
+      val lenFilter = GreaterThanOrEqual(
+        Divide(Cast(Least(Seq(lsz, rsz)), DoubleType),
+          Cast(Greatest(Seq(lsz, rsz)), DoubleType)), tLit)
       // the remaining deterministic conjuncts (id_a < id_b, …) reference
       // only pass-through columns whose values are constant per pair, so
       // evaluating them AT THE JOIN is value-identical to the original
       // post-filter (null → false both ways) and prunes candidates before
       // they ever reach the aggregate; single-side ones get pushed further
       // down by the standard rules from here
+      // JoinHint.NONE deliberately: any user hint targeted the CARTESIAN
+      // join; the token equi-join is a different operator where the hint's
+      // broadcast/shuffle intent does not transfer — AQE picks its
+      // strategy from the actual exploded sizes
       val joined = Join(lGen, rGen, Inner,
         Some((Seq(EqualTo(ltok, rtok), lenFilter) ++ rest).reduce(And)), JoinHint.NONE)
       // group by the row-id pair ONLY; every other column rides as a

@@ -174,6 +174,54 @@ class ExtensionsSpec extends SparkSpec {
     assert(swapped.collect().toSet == naive.collect().toSet)
   }
 
+  test("length filter is float-safe: exact-boundary containment pair survives") {
+    // |distinct(a)| = 7 ⊂ |distinct(b)| = 25 → jac = 7/25 = fl(0.28); the
+    // multiplication form fl(0.28·25.0) = 7.000000000000001 > 7 would
+    // wrongly prune this pair — the division-form filter must keep it
+    val wa = (1 to 7).map(i => s"w$i")
+    val wb = (1 to 7).map(i => s"w$i") ++ (1 to 18).map(i => s"x$i")
+    val d = Seq((1L, wa.mkString(" ")), (2L, wb.mkString(" "))).toDF("id", "text")
+      .select(col("id"), Dedup.wordShingles(col("text"), 1).as("sh"))
+    val q = d.as("a").crossJoin(d.as("b"))
+      .filter(token_jaccard(col("a.sh"), col("b.sh")) >= 0.28 &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    assert(!hasQuadraticJoin(q), "rewrite must fire")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("rewrite guard: a cross-side equi conjunct keeps the cheap hash join") {
+    // grp === grp makes the alternative a hash equi-join with jaccard as a
+    // residual — demoting it to a whole-table token join would be a
+    // regression, so the rule must not fire (no Aggregate in the plan)
+    val d = docs(corpus: _*).withColumn("grp", col("id") % 2)
+    val q = d.as("a").join(d.as("b"),
+        col("a.grp") === col("b.grp") &&
+          token_jaccard(col("a.sh"), col("b.sh")) >= 0.3 &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    assert(!hasAggregate(q), "equi-join query must not be rewritten")
+    assert(!hasQuadraticJoin(q), "and it plans as a hash/sort-merge join")
+    val naive = d.as("a").join(d.as("b"),
+        col("a.grp") === col("b.grp") &&
+          Dedup.jaccard(col("a.sh"), col("b.sh")) >= 0.3 &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    assert(q.collect().toSet == naive.collect().toSet)
+  }
+
+  test("SQL registry rejects wrong input types at analysis") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_filter_skills_dbscan(array(1, 2, 3))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_word_shingles(array('a'), 2)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_token_jaccard(array('a'), 'b')").collect()
+    }
+  }
+
   test("SQL registry: graft_* functions run through spark.sql") {
     val j = spark.sql("SELECT graft_token_jaccard(array('a','b'), array('b','c')) AS j")
       .as[Double].head()
