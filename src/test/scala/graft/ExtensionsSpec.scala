@@ -210,6 +210,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(q.collect().toSet == naive.collect().toSet)
   }
 
+  test("randomized differential: rewrite == quadratic on seeded corpora and thresholds") {
+    val rnd = new scala.util.Random(99)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (trial <- 0 until 4) {
+      val n = 12 + rnd.nextInt(12)
+      val rows = (0 until n).map { i =>
+        val len = 1 + rnd.nextInt(8)
+        (i.toLong, Seq.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      // duplicate a couple of rows to keep multiplicity in play
+      val d = docs(rows ++ rows.take(2): _*)
+      // thresholds include small-denominator rationals that land exactly on
+      // attainable jaccard values (the float-boundary class)
+      for (t <- Seq(0.2, 1.0 / 3.0, 0.5, 0.25 + rnd.nextDouble() * 0.5)) {
+        val declarative = d.as("a").crossJoin(d.as("b"))
+          .filter(token_jaccard(col("a.sh"), col("b.sh")) >= t &&
+            col("a.id") <= col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val naive = d.as("a").crossJoin(d.as("b"))
+          .filter(Dedup.jaccard(col("a.sh"), col("b.sh")) >= t &&
+            col("a.id") <= col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        assert(!hasQuadraticJoin(declarative), s"trial $trial t=$t: no rewrite")
+        val got = declarative.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val want = naive.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got == want, s"trial $trial t=$t diverged")
+      }
+    }
+  }
+
   test("SQL registry rejects wrong input types at analysis") {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_filter_skills_dbscan(array(1, 2, 3))").collect()
