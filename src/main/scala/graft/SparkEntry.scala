@@ -624,6 +624,58 @@ object SparkEntry {
           'dbscan_path_exercised', dbscan_path_exercised,
           'convs_nonempty', convs_nonempty) AS (invariant, ok)""")
     }),
+    "q50_stream_triples" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq = s.sqlContext
+      // Streaming KG construction end-to-end as a LIVE gate: a real
+      // StructuredStreaming query (event-time timeout completion) must
+      // emit, for every completed conversation, exactly the triples the
+      // batch pipeline derives — orgs compared through the batch-side
+      // canonical map (canonicalization is cross-conv, batch-owned).
+      val nConvs = 25
+      val allTurns = (0L until nConvs.toLong)
+        .flatMap(i => graft.sources.TranscriptGen.turnsFor(i, 42L, 0, 0))
+      val tagger = graft.ml.SectionTagger.train(
+        KgPipeline.taggerTrainingFrame(s, nConvs = 120))
+      val batch = KgPipeline.computeTriples(allTurns.toDS(), tagger).collect().toSet
+      val convs = ConvFinalize.run(TurnExtract.extract(
+        graft.ml.SectionTagger.predict(tagger, KgPipeline.cleanTurns(allTurns.toDS()))))
+      val canon: Map[String, String] = Linking.canonicalize(
+          convs.toDF().select(explode(col("orgs")).as("surface")))
+        .select("surface", "canonical").as[(String, String)].collect().toMap
+      val stream = MemoryStream[graft.model.Turn]
+      val query = graft.streaming.StreamingTriples.triplesStream(
+          stream.toDF(), tagger, gapMs = 60000L, lateness = "1 minute")
+        .writeStream.format("memory").queryName("q50_stream")
+        .outputMode("append").start()
+      val streamed =
+        try {
+          stream.addData(allTurns)
+          query.processAllAvailable()
+          val maxTs = allTurns.map(_.ts.getTime).max
+          // two watermark nudges: advance, then fire timeouts
+          stream.addData(graft.model.Turn("dummy", 0, "user", "x", null,
+            new java.sql.Timestamp(maxTs + 10 * 60000L)))
+          query.processAllAvailable()
+          stream.addData(graft.model.Turn("dummy", 1, "user", "x", null,
+            new java.sql.Timestamp(maxTs + 20 * 60000L)))
+          query.processAllAvailable()
+          s.table("q50_stream").as[graft.model.Triple].collect().toSet
+            .filterNot(_.subj == "dummy")
+        } finally query.stop()
+      def nonOrg(t: Set[graft.model.Triple]) = t.filterNot(_.pred == "hiring_organization")
+      val orgsCanon = streamed.filter(_.pred == "hiring_organization")
+        .map(t => graft.model.Triple(t.subj, t.pred, canon.getOrElse(t.obj, t.obj)))
+      Seq(
+        ("stream_nonorg_equals_batch", nonOrg(streamed) == nonOrg(batch)),
+        ("stream_orgs_equal_batch_via_canonical_map",
+          orgsCanon == batch.filter(_.pred == "hiring_organization")),
+        ("all_convs_completed", streamed.map(_.subj).size >= nConvs - 1),
+        ("stream_nonempty", streamed.nonEmpty)
+      ).toDF("invariant", "ok")
+    }),
     "q49_similarity_join" -> ((s, d) => {
       // The Catalyst similarity-join rewrite exercised through the driver:
       // the query is the O(n²) DECLARATIVE form — a full cross join with a
@@ -913,6 +965,11 @@ object SparkEntry {
         |UNION ALL SELECT 'small_sets_keep_all_vocab_skills', true
         |UNION ALL SELECT 'dbscan_path_exercised', true
         |UNION ALL SELECT 'convs_nonempty', true""".stripMargin,
+    "q50_stream_triples" ->
+      """SELECT 'stream_nonorg_equals_batch' AS invariant, true AS ok
+        |UNION ALL SELECT 'stream_orgs_equal_batch_via_canonical_map', true
+        |UNION ALL SELECT 'all_convs_completed', true
+        |UNION ALL SELECT 'stream_nonempty', true""".stripMargin,
     "q49_similarity_join" -> {
       // DuckDB evaluates the SAME predicate the quadratic way (exact
       // all-pairs), so a pair lost by the inverted-index rewrite or a

@@ -28,6 +28,35 @@ final case class ConvFull(
   */
 object TripleEmit {
 
+  /** Pure per-conversation emission of the non-org triples — shared by the
+    * batch path below and the streaming completion path
+    * (streaming.StreamingTriples), so the two emit bit-identical rows.
+    */
+  def convTriples(c: ConvFull): Seq[Triple] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Triple]
+    c.employment.foreach(v => out += Triple(c.conv_id, "employment_type", v))
+    c.location.foreach(v => out += Triple(c.conv_id, "job_location", v))
+    c.education.foreach(v => out += Triple(c.conv_id, "education_requirements", v))
+    c.currencies.foreach(v => out += Triple(c.conv_id, "salary_currency", v))
+    if (c.title.nonEmpty) out += Triple(c.conv_id, "job_title", c.title)
+    c.skills.foreach(s => out += Triple(c.conv_id, "skill", s.capitalize))
+    c.sector.foreach(v => out += Triple(c.conv_id, "sector", v))
+    c.estimated_salary.foreach(v => out += Triple(c.conv_id, "estimated_salary", v.toString))
+    if (c.sal_values.nonEmpty) {
+      Rules.yearlySalary(c.sal_values, c.currencies, c.location,
+        c.estimated_salary.map(_.toDouble))
+        .foreach(v => out += Triple(c.conv_id, "base_salary", v.toString))
+    }
+    c.work_hours.foreach(v => out += Triple(c.conv_id, "work_hours", v.toString))
+    c.tools.foreach(t => out += Triple(c.conv_id, "uses_tool", t))
+    // X5 (flag-gated upstream; empty arrays when disabled): A1 union
+    // semantics of the reference's keyword-type merge
+    // (ProcessAndMergeInfo.py:185-187), first-occurrence order pinned
+    c.start_dates.foreach(d => out += Triple(c.conv_id, "start_date", d))
+    c.deadline_dates.foreach(d => out += Triple(c.conv_id, "deadline_date", d))
+    out.toSeq
+  }
+
   def run(
       convs: Dataset[ConvExtract],
       sectors: DataFrame,
@@ -39,30 +68,7 @@ object TripleEmit {
       .join(sectors, Seq("conv_id"), "left")
       .join(estimates, Seq("conv_id"), "left")
       .as[ConvFull]
-      .flatMap { c =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[Triple]
-        c.employment.foreach(v => out += Triple(c.conv_id, "employment_type", v))
-        c.location.foreach(v => out += Triple(c.conv_id, "job_location", v))
-        c.education.foreach(v => out += Triple(c.conv_id, "education_requirements", v))
-        c.currencies.foreach(v => out += Triple(c.conv_id, "salary_currency", v))
-        if (c.title.nonEmpty) out += Triple(c.conv_id, "job_title", c.title)
-        c.skills.foreach(s => out += Triple(c.conv_id, "skill", s.capitalize))
-        c.sector.foreach(v => out += Triple(c.conv_id, "sector", v))
-        c.estimated_salary.foreach(v => out += Triple(c.conv_id, "estimated_salary", v.toString))
-        if (c.sal_values.nonEmpty) {
-          Rules.yearlySalary(c.sal_values, c.currencies, c.location,
-            c.estimated_salary.map(_.toDouble))
-            .foreach(v => out += Triple(c.conv_id, "base_salary", v.toString))
-        }
-        c.work_hours.foreach(v => out += Triple(c.conv_id, "work_hours", v.toString))
-        c.tools.foreach(t => out += Triple(c.conv_id, "uses_tool", t))
-        // X5 (flag-gated upstream; empty arrays when disabled): A1 union
-        // semantics of the reference's keyword-type merge
-        // (ProcessAndMergeInfo.py:185-187), first-occurrence order pinned
-        c.start_dates.foreach(d => out += Triple(c.conv_id, "start_date", d))
-        c.deadline_dates.foreach(d => out += Triple(c.conv_id, "deadline_date", d))
-        out.toSeq
-      }
+      .flatMap(convTriples _)
 
     val orgTriples = convs.select(col("conv_id"), explode(col("orgs")).as("surface"))
       .join(orgCanonical, Seq("surface"), "left")

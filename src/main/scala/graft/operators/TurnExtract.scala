@@ -123,8 +123,13 @@ object TurnExtract {
       .withColumn("sal", extract_salary(cl))
       .withColumn("start_dates", gatedDates("start_date"))
       .withColumn("deadline_dates", gatedDates("deadline_date"))
-      .select("conv_id", "turn_idx", "role", "tool", "text", "text_clean", "category",
+      .select(Seq("conv_id", "turn_idx", "role", "tool", "text", "text_clean", "category",
         "emp_groups", "locations", "orgs", "edu_phrases", "sal",
         "start_dates", "deadline_dates")
+        // the event-time column rides through when present — the streaming
+        // completion path (StreamingTriples) watermarks on it; batch
+        // consumers (ConvFinalize.slim) select their subset regardless
+        .++(if (turns.columns.contains("ts")) Seq("ts") else Nil)
+        .map(col): _*)
   }
 }
