@@ -627,44 +627,16 @@ object SparkEntry {
     "q50_stream_triples" -> ((s, d) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq = s.sqlContext
       // Streaming KG construction end-to-end as a LIVE gate: a real
       // StructuredStreaming query (event-time timeout completion) must
       // emit, for every completed conversation, exactly the triples the
       // batch pipeline derives — orgs compared through the batch-side
       // canonical map (canonicalization is cross-conv, batch-owned).
+      // The harness is SHARED with StreamingTriplesSpec (parityRun) so
+      // the gate and the spec cannot drift.
       val nConvs = 25
-      val allTurns = (0L until nConvs.toLong)
-        .flatMap(i => graft.sources.TranscriptGen.turnsFor(i, 42L, 0, 0))
-      val tagger = graft.ml.SectionTagger.train(
-        KgPipeline.taggerTrainingFrame(s, nConvs = 120))
-      val batch = KgPipeline.computeTriples(allTurns.toDS(), tagger).collect().toSet
-      val convs = ConvFinalize.run(TurnExtract.extract(
-        graft.ml.SectionTagger.predict(tagger, KgPipeline.cleanTurns(allTurns.toDS()))))
-      val canon: Map[String, String] = Linking.canonicalize(
-          convs.toDF().select(explode(col("orgs")).as("surface")))
-        .select("surface", "canonical").as[(String, String)].collect().toMap
-      val stream = MemoryStream[graft.model.Turn]
-      val query = graft.streaming.StreamingTriples.triplesStream(
-          stream.toDF(), tagger, gapMs = 60000L, lateness = "1 minute")
-        .writeStream.format("memory").queryName("q50_stream")
-        .outputMode("append").start()
-      val streamed =
-        try {
-          stream.addData(allTurns)
-          query.processAllAvailable()
-          val maxTs = allTurns.map(_.ts.getTime).max
-          // two watermark nudges: advance, then fire timeouts
-          stream.addData(graft.model.Turn("dummy", 0, "user", "x", null,
-            new java.sql.Timestamp(maxTs + 10 * 60000L)))
-          query.processAllAvailable()
-          stream.addData(graft.model.Turn("dummy", 1, "user", "x", null,
-            new java.sql.Timestamp(maxTs + 20 * 60000L)))
-          query.processAllAvailable()
-          s.table("q50_stream").as[graft.model.Triple].collect().toSet
-            .filterNot(_.subj == "dummy")
-        } finally query.stop()
+      val (streamed, batch, canon) =
+        graft.streaming.StreamingTriples.parityRun(nConvs)
       def nonOrg(t: Set[graft.model.Triple]) = t.filterNot(_.pred == "hiring_organization")
       val orgsCanon = streamed.filter(_.pred == "hiring_organization")
         .map(t => graft.model.Triple(t.subj, t.pred, canon.getOrElse(t.obj, t.obj)))

@@ -32,7 +32,9 @@ case class CleanStringExpr(child: Expression) extends UnaryExpression {
   // analysis instead of misreading the value at runtime
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType =>
+      // NullType: a null literal / all-null CASE branch evaluates to null,
+      // like every builtin string function
+      case StringType | org.apache.spark.sql.types.NullType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

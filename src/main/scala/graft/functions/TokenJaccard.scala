@@ -58,6 +58,7 @@ case class TokenJaccardExpr(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
       case ArrayType(StringType, _) => true
+      case org.apache.spark.sql.types.NullType => true // null literal -> null result
       case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess

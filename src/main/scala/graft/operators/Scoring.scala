@@ -140,4 +140,55 @@ object Scoring {
       }
       .toDF("conv_id", "sector", "isco3")
   }
+
+  private lazy val weightRowsBySkill: Map[String, Seq[(Int, String, Double)]] =
+    (DictRules.naceWeightRows.map { case (n, s, w) => (s, (0, n, w)) } ++
+      DictRules.iscoWeightRows.map { case (l, n, s, w) => (s, (l, n, w)) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  /** Pure per-conversation twin of [[sectorAndIsco]] with ITS exact
+    * inner-join edge semantics: a conversation whose skills match NO
+    * weight row yields None (the join produces no rows, so the batch path
+    * emits no sector/estimate triples for it — unlike DictRules.sector,
+    * which scores every node and returns the head on an all-zero match).
+    * Used by the streaming completion path so streamed triples stay
+    * bit-identical to batch for taxonomy-orphan skill sets too.
+    */
+  def sectorIscoPure(skills: Seq[String]): Option[(String, String)] = {
+    val acc = scala.collection.mutable.HashMap.empty[(Int, String), Double]
+    skills.foreach { s =>
+      weightRowsBySkill.getOrElse(s, Nil).foreach { case (l, n, w) =>
+        acc((l, n)) = acc.getOrElse((l, n), 0.0) + w
+      }
+    }
+    if (acc.isEmpty) None
+    else {
+      def argmax(level: Int, prefix: String): Option[String] = {
+        val cand = acc.toSeq
+          .collect { case ((l, n), sc) if l == level && n.startsWith(prefix) => (n, sc) }
+          .sortBy(_._1)
+        if (cand.isEmpty) None
+        else {
+          var best = cand.head
+          cand.tail.foreach(c => if (c._2 > best._2) best = c)
+          Some(best._1)
+        }
+      }
+      val sector = argmax(0, "").map(Dims.naceName).getOrElse("")
+      var prefix = ""
+      (1 to 3).foreach(l => prefix = argmax(l, prefix).getOrElse(prefix))
+      Some((sector, prefix))
+    }
+  }
+
+  /** Pure twin of [[estimates]]' dim join: None unless the walked isco3 is
+    * a real occupation code AND the location names a dim country.
+    */
+  def estimatePure(isco3: String, location: Option[String]): Option[Int] =
+    for {
+      loc <- location
+      country <- Dims.countryByName.get(loc)
+      if Dims.occupationByIsco.contains(isco3)
+    } yield (Dims.monthlySalary(country.iso2, isco3) * 12 *
+      Dims.fxToEur(country.currency)).toInt
 }

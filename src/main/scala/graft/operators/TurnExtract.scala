@@ -106,7 +106,8 @@ object TurnExtract {
     * extract_salary (Rules.extractSalary checks Rules.salaryGate first and
     * returns null below it) — no duplicate Column-side gate.
     */
-  def extract(turns: DataFrame, extractDates: Boolean = false)(
+  def extract(turns: DataFrame, extractDates: Boolean = false,
+      keepTs: Boolean = false)(
       implicit spark: SparkSession): DataFrame = {
     val cl = col("text_clean")
     def gatedDates(cat: String): Column =
@@ -126,10 +127,10 @@ object TurnExtract {
       .select(Seq("conv_id", "turn_idx", "role", "tool", "text", "text_clean", "category",
         "emp_groups", "locations", "orgs", "edu_phrases", "sal",
         "start_dates", "deadline_dates")
-        // the event-time column rides through when present — the streaming
-        // completion path (StreamingTriples) watermarks on it; batch
-        // consumers (ConvFinalize.slim) select their subset regardless
-        .++(if (turns.columns.contains("ts")) Seq("ts") else Nil)
+        // opt-in event-time passthrough for the streaming completion path
+        // (StreamingTriples watermarks on ts); batch callers keep the
+        // original schema so stage checkpoints don't silently widen
+        .++(if (keepTs) Seq("ts") else Nil)
         .map(col): _*)
   }
 }

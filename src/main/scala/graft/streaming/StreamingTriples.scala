@@ -9,7 +9,6 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.ml.SectionTagger
 import graft.model.Triple
 import graft.operators.{ConvExtract, ConvFinalize, ConvFull, SalStruct, TripleEmit, TurnExtract}
-import graft.rules.DictRules
 
 /** Streaming KG construction end-to-end: turns stream in, conversations
   * accumulate in keyed state, and when a conversation goes quiet (no turn
@@ -50,22 +49,79 @@ object StreamingTriples {
       start_dates, deadline_dates)
   }
 
-  final case class ConvBuf(turns: Seq[ConvFinalize.SlimTurn])
+  /** Buffered turns + the RUNNING max event time over all of them — the
+    * timeout must be anchored to the max over the whole buffer, not the
+    * current micro-batch: an in-lateness out-of-order turn arriving later
+    * must never LOWER an already-set timeout (that would complete the
+    * conversation early and split its emission).
+    */
+  final case class ConvBuf(turns: Seq[ConvFinalize.SlimTurn], maxTsMs: Long)
 
   /** Pure conv-level completion: batch ConvFinalize kernel + the pure
     * scoring twins + the shared TripleEmit body + surface-org triples.
     */
   def completeConv(convId: String, turns: Seq[ConvFinalize.SlimTurn]): Seq[Triple] = {
     val c: ConvExtract = ConvFinalize.finalizeConv(convId, turns)
-    val sector = if (c.skills.nonEmpty) Some(DictRules.sector(c.skills)) else None
-    val estimate =
-      if (c.skills.nonEmpty) c.location.flatMap(l => DictRules.estimateSalary(c.skills, Some(l)))
-      else None
+    // Scoring.sectorIscoPure/estimatePure replicate the batch joins' exact
+    // edge semantics (no row when no skill carries taxonomy mass; no
+    // estimate unless the walked code is a real occupation and the
+    // location names a dim country) — DictRules.sector would fabricate a
+    // head-node sector for taxonomy-orphan skill sets the batch path
+    // leaves sector-less
+    val si = graft.operators.Scoring.sectorIscoPure(c.skills)
+    val sector = si.map(_._1)
+    val estimate = si.flatMap { case (_, code) =>
+      graft.operators.Scoring.estimatePure(code, c.location)
+    }
     val full = ConvFull(c.conv_id, c.title, c.skills, c.employment, c.location,
       c.education, c.sal_values, c.currencies, c.work_hours, c.tools,
       c.start_dates, c.deadline_dates, sector, estimate)
     TripleEmit.convTriples(full) ++
       c.orgs.map(s => Triple(convId, "hiring_organization", s))
+  }
+
+  /** Batch-vs-stream parity harness, shared by StreamingTriplesSpec and
+    * the q50 driver gate (one implementation — the gate and the spec
+    * cannot drift): generates `nConvs` conversations, derives the batch
+    * truth + the batch-side org canonical map, streams the same turns
+    * through [[triplesStream]] with two watermark nudges (advance, then
+    * fire timeouts), and returns (streamed triples sans the nudge conv,
+    * batch triples, canonical map).
+    */
+  def parityRun(nConvs: Int, gapMs: Long = 60000L, lateness: String = "1 minute")(
+      implicit spark: SparkSession): (Set[Triple], Set[Triple], Map[String, String]) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val allTurns = (0L until nConvs.toLong)
+      .flatMap(i => graft.sources.TranscriptGen.turnsFor(i, 42L, 0, 0))
+    val tagger = SectionTagger.train(graft.KgPipeline.taggerTrainingFrame(spark, nConvs = 120))
+    val batch = graft.KgPipeline.computeTriples(allTurns.toDS(), tagger).collect().toSet
+    val convs = ConvFinalize.run(TurnExtract.extract(
+      SectionTagger.predict(tagger, graft.KgPipeline.cleanTurns(allTurns.toDS()))))
+    val canon: Map[String, String] = graft.operators.Linking.canonicalize(
+        convs.toDF().select(explode(col("orgs")).as("surface")))
+      .select("surface", "canonical").as[(String, String)].collect().toMap
+    val stream = MemoryStream[graft.model.Turn]
+    val queryName = s"stream_parity_$nConvs"
+    val query = triplesStream(stream.toDF(), tagger, gapMs, lateness)
+      .writeStream.format("memory").queryName(queryName).outputMode("append").start()
+    val streamed =
+      try {
+        stream.addData(allTurns)
+        query.processAllAvailable()
+        val maxTs = allTurns.map(_.ts.getTime).max
+        // watermark advances after the batch that reads the new max event
+        // time, and timeouts fire in the batch AFTER that — two nudges
+        stream.addData(graft.model.Turn("dummy", 0, "user", "x", null,
+          new Timestamp(maxTs + 10 * 60000L)))
+        query.processAllAvailable()
+        stream.addData(graft.model.Turn("dummy", 1, "user", "x", null,
+          new Timestamp(maxTs + 20 * 60000L)))
+        query.processAllAvailable()
+        spark.table(queryName).as[Triple].collect().toSet.filterNot(_.subj == "dummy")
+      } finally query.stop()
+    (streamed, batch, canon)
   }
 
   /** The streaming pipeline: `turns` must carry the input_hint columns
@@ -79,7 +135,7 @@ object StreamingTriples {
     val cleaned = turns.withColumn("text_clean",
       graft.functions.CleanFunctions.clean_text(col("text")))
     val tagged = SectionTagger.predict(tagger, cleaned)
-    val extracted = TurnExtract.extract(tagged)
+    val extracted = TurnExtract.extract(tagged, keepTs = true)
     extracted
       .select("conv_id", "turn_idx", "tool", "text", "emp_groups", "locations",
         "orgs", "edu_phrases", "sal", "start_dates", "deadline_dates", "ts")
@@ -94,10 +150,11 @@ object StreamingTriples {
             completeConv(convId, buf).iterator
           } else {
             val incoming = it.toSeq
-            val buf = state.getOption.map(_.turns).getOrElse(Seq.empty) ++
-              incoming.map(_.slim)
-            state.update(ConvBuf(buf))
-            val maxTs = incoming.map(_.ts.getTime).max
+            val prev = state.getOption
+            val buf = prev.map(_.turns).getOrElse(Seq.empty) ++ incoming.map(_.slim)
+            val maxTs = math.max(prev.map(_.maxTsMs).getOrElse(Long.MinValue),
+              incoming.map(_.ts.getTime).max)
+            state.update(ConvBuf(buf, maxTs))
             // timeout must sit beyond the current watermark or the runtime
             // rejects it; a conversation whose turns are all older than
             // watermark+gap completes at the next watermark advance

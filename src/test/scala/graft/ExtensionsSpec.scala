@@ -241,6 +241,13 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL registry: NULL literals evaluate to NULL like builtin functions") {
+    assert(spark.sql("SELECT graft_clean_string(NULL) AS c").head().isNullAt(0))
+    assert(spark.sql("SELECT graft_word_shingles(NULL, 2) AS s").head().isNullAt(0))
+    assert(spark.sql("SELECT graft_filter_skills_dbscan(NULL) AS k").head().isNullAt(0))
+    assert(spark.sql("SELECT graft_token_jaccard(NULL, array('a')) AS j").head().isNullAt(0))
+  }
+
   test("SQL registry rejects wrong input types at analysis") {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_filter_skills_dbscan(array(1, 2, 3))").collect()

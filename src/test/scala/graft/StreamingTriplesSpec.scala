@@ -21,53 +21,95 @@ import graft.streaming.StreamingTriples
 class StreamingTriplesSpec extends SparkSpec {
 
   test("conversation timeout emits batch-identical triples") {
+    val nConvs = 20
+    val (streamed, batch, canon) = StreamingTriples.parityRun(nConvs)
+    assert(streamed.nonEmpty, "no conversations completed")
+    assert(streamed.map(_.subj).size >= nConvs - 1, "most conversations must complete")
+
+    def nonOrg(s: Set[Triple]) = s.filterNot(_.pred == "hiring_organization")
+    assert(nonOrg(streamed) == nonOrg(batch),
+      s"non-org triples diverged: only-stream=${nonOrg(streamed) -- nonOrg(batch)} " +
+        s"only-batch=${nonOrg(batch) -- nonOrg(streamed)}")
+
+    val streamedOrgsCanon = streamed.filter(_.pred == "hiring_organization")
+      .map(t => Triple(t.subj, t.pred, canon.getOrElse(t.obj, t.obj)))
+    assert(streamedOrgsCanon == batch.filter(_.pred == "hiring_organization"),
+      "org triples diverged after applying the batch canonical map")
+  }
+
+  test("out-of-order in-lateness turns never lower the timeout (single emission)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
-
-    val nConvs = 20
-    val allTurns = (0L until nConvs.toLong).flatMap(i => TranscriptGen.turnsFor(i, 42L, 0, 0))
     val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(spark, nConvs = 120))
-
-    // batch truth + the batch canonical map (surface -> canonical)
-    val batch = KgPipeline.computeTriples(allTurns.toDS(), tagger).collect().toSet
-    val convs = ConvFinalize.run(
-      TurnExtract.extract(SectionTagger.predict(tagger,
-        KgPipeline.cleanTurns(allTurns.toDS()))))
-    val canon: Map[String, String] = Linking.canonicalize(
-        convs.toDF().select(explode(col("orgs")).as("surface")))
-      .select("surface", "canonical").as[(String, String)].collect().toMap
+    def min(m: Double) = new Timestamp((m * 60000L).toLong)
+    val base = TranscriptGen.turnsFor(5L, 42L, 0, 0)
+    // conv X: turns re-timestamped at minutes 0..3, except one held back
+    val xTurns = base.zipWithIndex.map { case (t, i) =>
+      t.copy(conv_id = "convX", ts = min(i * 3.0 / math.max(base.size - 1, 1)))
+    }
+    val held = xTurns(1) // ts ~1 min — will arrive LATE but within lateness
+    val first = xTurns.filterNot(_ eq held)
 
     val stream = MemoryStream[Turn]
     val query = StreamingTriples.triplesStream(stream.toDF(), tagger,
-        gapMs = 60000L, lateness = "1 minute")
-      .writeStream.format("memory").queryName("stream_triples")
+        gapMs = 10 * 60000L, lateness = "30 minutes")
+      .writeStream.format("memory").queryName("stream_ooo")
       .outputMode("append").start()
     try {
-      stream.addData(allTurns)
+      stream.addData(first)                      // timeout -> last + 10min = ~13min
       query.processAllAvailable()
-      val maxTs = allTurns.map(_.ts.getTime).max
-      // watermark advances after the batch that reads the new max event
-      // time, and timeouts fire in the batch AFTER that — two nudges
-      stream.addData(Turn("dummy", 0, "user", "x", null, new Timestamp(maxTs + 10 * 60000L)))
+      stream.addData(held)                       // OLD ts: must NOT lower the timeout
       query.processAllAvailable()
-      stream.addData(Turn("dummy", 1, "user", "x", null, new Timestamp(maxTs + 20 * 60000L)))
+      // advance watermark to ~12min: between the buggy lowered timeout
+      // (held.ts+10min ~ 11min) and the correct one (~13min)
+      stream.addData(Turn("wm", 0, "user", "x", null, min(42)))
+      query.processAllAvailable()
+      stream.addData(Turn("wm", 1, "user", "x", null, min(42.5)))
+      query.processAllAvailable()
+      // a further convX turn still inside the true gap — with the bug the
+      // conv already emitted and this would re-open state -> split emission
+      stream.addData(xTurns.head.copy(turn_idx = 99, ts = min(12.5)))
+      query.processAllAvailable()
+      // now flush everything
+      stream.addData(Turn("wm", 2, "user", "x", null, min(120)))
+      query.processAllAvailable()
+      stream.addData(Turn("wm", 3, "user", "x", null, min(121)))
       query.processAllAvailable()
 
-      val streamed = spark.table("stream_triples").as[Triple].collect().toSet
-        .filterNot(_.subj == "dummy")
-      assert(streamed.nonEmpty, "no conversations completed")
-      assert(streamed.map(_.subj).size >= nConvs - 1, "most conversations must complete")
-
-      def nonOrg(s: Set[Triple]) = s.filterNot(_.pred == "hiring_organization")
-      assert(nonOrg(streamed) == nonOrg(batch),
-        s"non-org triples diverged: only-stream=${nonOrg(streamed) -- nonOrg(batch)} " +
-          s"only-batch=${nonOrg(batch) -- nonOrg(streamed)}")
-
-      val streamedOrgsCanon = streamed.filter(_.pred == "hiring_organization")
-        .map(t => Triple(t.subj, t.pred, canon.getOrElse(t.obj, t.obj)))
-      assert(streamedOrgsCanon == batch.filter(_.pred == "hiring_organization"),
-        "org triples diverged after applying the batch canonical map")
+      val emitted = spark.table("stream_ooo").as[Triple].collect()
+        .filter(_.subj == "convX")
+      // batch truth over the SAME full turn set (incl. the idx-99 extra)
+      val full = (xTurns :+ xTurns.head.copy(turn_idx = 99, ts = min(12.5))).toDS()
+      val batchTriples = KgPipeline.computeTriples(full, tagger).collect()
+        .filter(_.subj == "convX")
+      def nonOrg(t: Seq[Triple]) = t.filterNot(_.pred == "hiring_organization").toSet
+      // single complete emission: the streamed multiset has no duplicates
+      // and matches batch exactly on non-org preds
+      assert(emitted.length == emitted.distinct.length, "split emission produced duplicates")
+      assert(nonOrg(emitted.toSeq) == nonOrg(batchTriples.toSeq),
+        s"partial emission: stream=${nonOrg(emitted.toSeq)} batch=${nonOrg(batchTriples.toSeq)}")
     } finally query.stop()
+  }
+
+  test("sectorIscoPure replicates the batch join's zero-mass edge") {
+    import spark.implicits._
+    import graft.operators.Scoring
+    import graft.sources.Dims
+    // taxonomy-orphan labels (in the skill dict but in NO occupation's
+    // lists) produce NO weight rows -> batch inner join emits no row ->
+    // the pure twin must return None, not a fabricated head-node sector
+    val orphans = Dims.skills.map(_.label).filterNot(l =>
+      Dims.occupations.exists(o => (o.essential ++ o.optional).contains(l)))
+    assert(orphans.nonEmpty, "fixture promises at least one orphan skill")
+    orphans.foreach(l => assert(Scoring.sectorIscoPure(Seq(l)).isEmpty, l))
+    assert(Scoring.sectorIscoPure(Nil).isEmpty)
+    // and on a real skill set the pure twin equals the distributed join
+    val sk = Dims.occupationByIsco("251").essential
+    val batchRow = Scoring.sectorAndIsco(sk.map(s => ("c1", s)).toDF("conv_id", "skill"))
+      .as[(String, String, String)].head()
+    assert(Scoring.sectorIscoPure(sk).contains((batchRow._2, batchRow._3)))
+    // orphan + real mix: the orphan adds nothing, result unchanged
+    assert(Scoring.sectorIscoPure(orphans.head +: sk) == Scoring.sectorIscoPure(sk))
   }
 
   test("completeConv is deterministic and state leaves after timeout emission") {
