@@ -24,6 +24,17 @@ import graft.sources.TranscriptGen
   *     [--extract-dates true] [--merge-append true]
   *     [--jdbc-url jdbc:derby:memory:kg;create=true] [--jdbc-table kg_wide]
   *     [--jdbc-batchsize 1000]
+  *     [--stream true [--stream-in DIR] [--stream-gap-ms 60000]
+  *      [--stream-lateness "1 minute"]]
+  *
+  * `--stream true` replaces the s3-s6 batch stages with the STREAMING
+  * construction path (StreamingTriples): a parquet file-source stream of
+  * turns feeds the event-time-timeout completion operator, and each
+  * micro-batch MERGE-appends its completed conversations' triples into
+  * s6_stream_triples (checkpointed — kill and re-run resumes from the
+  * stream checkpoint without reprocessing). The driver seeds the stream
+  * dir from s0 when absent and appends two far-future sentinel turns at
+  * the end so quiet conversations flush before it exits.
   */
 object PipelineMain {
 
@@ -99,6 +110,54 @@ object PipelineMain {
       val m = PipelineModel.load(path("s2_model"))
       val labels = m.stages.collectFirst { case s: StringIndexerModel => s.labelsArray(0) }.get
       SectionTagger.Trained(m, labels)
+    }
+
+    // ---- streaming mode: the whole construction as one StreamingQuery ----
+    val streaming = a.getOrElse("stream", "false").toBoolean
+    if (streaming) {
+      import java.nio.file.{Files, Paths}
+      val tagger = loadTagger()
+      val streamIn = a.getOrElse("stream-in", s"$out/stream_in")
+      val gapMs = a.getOrElse("stream-gap-ms", "60000").toLong
+      val lateness = a.getOrElse("stream-lateness", "1 minute")
+      if (!Files.exists(Paths.get(streamIn)))
+        spark.read.parquet(path("s0_transcripts")).write.parquet(streamIn)
+      val schema = org.apache.spark.sql.Encoders.product[Turn].schema
+      val turnsStream = spark.readStream.schema(schema).parquet(streamIn)
+      val outPath = path("s6_stream_triples")
+      val sink: (DataFrame, Long) => Unit = (batch, batchId) => {
+        val rows = batch.filter(col("subj") =!= "graft-sentinel")
+        if (!rows.isEmpty) {
+          graft.sources.TableIO.mergeNewKeys(rows, outPath, Seq("subj"),
+            "s6_stream_triples", partitionBy = Seq("pred"))
+          println(s"[graft] stream batch=$batchId merged -> $outPath")
+        }
+      }
+      val q = graft.streaming.StreamingTriples
+        .triplesStream(turnsStream, tagger, gapMs, lateness)
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", s"$out/stream_checkpoint")
+        .foreachBatch(sink)
+        .start()
+      q.processAllAvailable()
+      // sentinel nudges: advance the event-time watermark past every
+      // conversation's timeout, then let the timeouts fire
+      val maxTs = spark.read.parquet(streamIn)
+        .filter(col("conv_id") =!= "graft-sentinel")
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      Seq(10, 20).foreach { m =>
+        Seq(Turn("graft-sentinel", m, "user", "flush", null,
+          new java.sql.Timestamp(maxTs.getTime + m * 60000L))).toDS()
+          .write.mode(SaveMode.Append).parquet(streamIn)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val n = spark.read.parquet(outPath).count()
+      val nConvsDone = spark.read.parquet(outPath).select("subj").distinct().count()
+      println(s"[graft] s6_stream_triples rows=$n convs=$nConvsDone -> $outPath")
+      spark.stop()
+      return
     }
 
     // ---- s3: tag + per-turn mention extraction ----
