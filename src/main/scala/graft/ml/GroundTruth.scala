@@ -23,8 +23,9 @@ object GroundTruth {
     (uni ++ bi).groupBy(identity).map { case (k, v) => k -> v.size }
   }
 
-  def cosine(a: String, b: String): Double = {
-    val (ga, gb) = (grams(a), grams(b))
+  def cosine(a: String, b: String): Double = cosineGrams(grams(a), grams(b))
+
+  private def cosineGrams(ga: Map[String, Int], gb: Map[String, Int]): Double = {
     if (ga.isEmpty || gb.isEmpty) return 0.0
     val dot = ga.iterator.map { case (k, v) => v.toDouble * gb.getOrElse(k, 0) }.sum
     val na = math.sqrt(ga.values.map(v => v.toDouble * v).sum)
@@ -40,11 +41,21 @@ object GroundTruth {
   def label(turns: DataFrame, annotations: DataFrame, threshold: Double = 0.35)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val pairs = turns.select("conv_id", "turn_idx", "text_clean")
-      .join(annotations.select("conv_id", "category", "ann_text"), "conv_id")
-      .as[(String, Int, String, String, String)]
-      .map { case (cid, idx, text, cat, ann) =>
-        (cid, idx, text, cat, cosine(text, ann))
+    // tokenize each side ONCE before the conv-keyed join — computing
+    // grams per PAIR re-tokenized every annotation T times and every turn
+    // A times for a conv with T turns × A annotations
+    val turnTok = turns.select("conv_id", "turn_idx", "text_clean")
+      .as[(String, Int, String)]
+      .map { case (cid, idx, text) => (cid, idx, text, grams(text)) }
+      .toDF("conv_id", "turn_idx", "text_clean", "turn_grams")
+    val annTok = annotations.select("conv_id", "category", "ann_text")
+      .as[(String, String, String)]
+      .map { case (cid, cat, ann) => (cid, cat, grams(ann)) }
+      .toDF("conv_id", "category", "ann_grams")
+    val pairs = turnTok.join(annTok, "conv_id")
+      .as[(String, Int, String, Map[String, Int], String, Map[String, Int])]
+      .map { case (cid, idx, text, gt, cat, gann) =>
+        (cid, idx, text, cat, cosineGrams(gt, gann))
       }
       .toDF("conv_id", "turn_idx", "text_clean", "category", "similarity")
     val w = Window.partitionBy("conv_id", "turn_idx")

@@ -136,11 +136,25 @@ object ExcelScan {
       def dense(m: Map[Int, String]): Seq[String] =
         (0 until width).map(i => m.getOrElse(i, ""))
       // empty/missing header cells get positional names (pandas calls them
-      // "Unnamed: N") — duplicate "" columns would make the DataFrame
-      // unaddressable by name
-      val header = dense(rows.head).zipWithIndex.map {
+      // "Unnamed: N"), and duplicate non-empty names deduplicate
+      // pandas-style ("skills", "skills.1", …) — either class of collision
+      // would make the DataFrame unaddressable by name
+      val named = dense(rows.head).zipWithIndex.map {
         case ("", i) => s"unnamed_$i"
         case (h, _) => h
+      }
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      val header = named.map { h =>
+        val n = seen.getOrElse(h, 0)
+        seen(h) = n + 1
+        if (n == 0) h
+        else {
+          // bump until unique in case "h.N" itself appears as a header
+          var k = n
+          while (named.contains(s"$h.$k") || seen.contains(s"$h.$k")) k += 1
+          seen(s"$h.$k") = 1
+          s"$h.$k"
+        }
       }
       (header, rows.tail.map(dense))
     } finally zip.close()

@@ -82,17 +82,33 @@ object TableIO {
       partitionBy: Seq[String] = Nil)(implicit spark: SparkSession): Long = {
     val exists = Files.exists(Paths.get(markerPath(path)))
     if (!exists) return writeSnapshot(df, path, stage, partitionBy)
-    val existingKeys = spark.read.parquet(path).select(keyCols.map(col): _*).distinct()
+    val existing = spark.read.parquet(path)
+    val existingKeys = existing.select(keyCols.map(col): _*).distinct()
     // null-SAFE key equality: a plain left_anti equality join never matches
     // null keys, so a row with a null key would be re-appended on EVERY
     // run — breaking the idempotence contract for exactly the malformed
     // rows most likely to recur
     val cond = keyCols.map(k => df(k) <=> existingKeys(k)).reduce(_ && _)
-    val fresh = df.join(existingKeys, cond, "left_anti")
+    val fresh = df.join(existingKeys, cond, "left_anti").cache()
+    // INCREMENTAL snapshot id: the content hash is an order-independent
+    // sum of per-row xxhash64 mod 2^64, so the post-merge id is exactly
+    // old + hash(fresh rows) with native Long wrap-around — O(batch), not
+    // a full-table rescan per merge (the docstring's cost contract at
+    // 10^12-turn scale). Fresh rows are hashed in the TABLE's read column
+    // order (partition columns trail in parquet read-back), which is what
+    // the full recompute would hash; TableIOSpec pins incremental == full.
+    // Hash BEFORE the append (also materializing the cache the write then
+    // reuses): writing to `path` makes Spark invalidate cached plans that
+    // scan `path`, and a post-append re-evaluation of the anti-join would
+    // see its own output and hash an empty frame.
+    val oldSid = readSnapshotId(path)
+    val freshSid = snapshotId(fresh.select(existing.columns.map(col): _*))
     val w = fresh.write.mode(SaveMode.Append)
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*).parquet(path)
     else w.parquet(path)
-    val sid = snapshotId(spark.read.parquet(path))
+    fresh.unpersist()
+    val sid = oldSid.map(_ + freshSid)
+      .getOrElse(snapshotId(spark.read.parquet(path)))
     Files.writeString(Paths.get(markerPath(path)),
       s"""{"snapshot_id":$sid,"stage":"$stage"}""")
     sid

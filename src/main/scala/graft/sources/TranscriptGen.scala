@@ -120,7 +120,12 @@ object TranscriptGen {
     val dlYear = 2026 + r.nextInt(2)
     val deadlineText =
       if (r.nextInt(2) == 0) s"$dlDay ${Dims.monthNames(dlMonthIdx)} $dlYear"
-      else f"$dlDay%d.${dlMonthIdx + 1}%02d.$dlYear%d"
+      // monthNames carries 12 full + 12 abbreviated names; the numeric
+      // form must fold the abbreviated half back to calendar months 1-12
+      // (dlMonthIdx + 1 produced impossible months 13-24 for half the
+      // draws — fixed without consuming extra RNG draws, so every other
+      // generated fact keeps its value for a given (seed, i))
+      else f"$dlDay%d.${dlMonthIdx % 12 + 1}%02d.$dlYear%d"
     ConvFacts(
       convId = f"conv-$i%08d",
       occupation = occ,

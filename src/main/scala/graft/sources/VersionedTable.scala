@@ -112,17 +112,32 @@ object VersionedTable {
     val (dropped, retained) = vs.splitAt(vs.size - keep)
     val keepDirs = retained.flatMap(_.dirs).toSet
     val doomed = dropped.flatMap(_.dirs).distinct.filterNot(keepDirs)
+    // COMMIT FIRST, delete after — and atomically: the append-only commit
+    // path is crash-safe by design (a torn tail line is ignored), so the
+    // one rewrite in the lifecycle must not be the hole in that contract.
+    // Crash before the move: manifest untouched, nothing deleted. Crash
+    // after the move, before/among the deletes: dropped versions are
+    // already gone from the manifest (readAsOf gives the clean "expired"
+    // error) and any undeleted dirs are unreferenced storage-only orphans
+    // (reads never touch them; reclaiming them is a vacuum concern).
+    val lines = retained.map(v =>
+      s"""{"seq":${v.seq},"snapshot_id":${v.snapshotId},"dirs":[${v.dirs.map("\"" + _ + "\"").mkString(",")}]}""")
+    val target = manifestPath(table)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     doomed.foreach { d =>
       val root = Paths.get(table, d)
       if (Files.exists(root)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.delete)
+        finally walk.close()
       }
     }
-    val lines = retained.map(v =>
-      s"""{"seq":${v.seq},"snapshot_id":${v.snapshotId},"dirs":[${v.dirs.map("\"" + _ + "\"").mkString(",")}]}""")
-    Files.writeString(manifestPath(table), lines.mkString("", "\n", "\n"))
     doomed
   }
 }

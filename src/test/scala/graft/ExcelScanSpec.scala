@@ -116,6 +116,24 @@ class ExcelScanSpec extends SparkSpec {
     assert(df.select("unnamed_2").count() == 1) // addressable by name
   }
 
+  test("duplicate header names deduplicate pandas-style (skills, skills.1)") {
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c><c r="B1" t="inlineStr"><is><t>skills</t></is></c><c r="C1" t="inlineStr"><is><t>skills</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="inlineStr"><is><t>java</t></is></c><c r="C2" t="inlineStr"><is><t>sql</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val path = java.io.File.createTempFile("graft", ".xlsx").getAbsolutePath
+    writeFixture(path, sheet, None)
+    val (header, rows) = ExcelScan.readSheet(path)
+    assert(header == Seq("id", "skills", "skills.1"))
+    assert(rows == Seq(Seq("1", "java", "sql")))
+    // the previous behavior produced two 'skills' columns — unaddressable
+    val df = ExcelScan.read(spark, path)
+    assert(df.select("skills").head().getString(0) == "java")
+    // pandas-style names contain a dot — Spark callers quote with backticks
+    assert(df.select("`skills.1`").head().getString(0) == "sql")
+  }
+
   test("column reference arithmetic (A=0, Z=25, AA=26)") {
     assert(graft.sources.ExcelScan.colIndex("A1") == 0)
     assert(graft.sources.ExcelScan.colIndex("Z9") == 25)

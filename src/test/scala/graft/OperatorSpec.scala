@@ -205,6 +205,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("linking handles dotted legal suffixes (B.V./S.A.) on both paths") {
+    import spark.implicits._
+    // the generator only plants suffix indices 1-3 (Dims.orgSuffixes note),
+    // so the punctuated variants are pinned here directly
+    val mentions = (Seq.fill(5)("Acme Industries") ++
+      Seq("Acme Industries B.V.", "Acme Industries S.A.") ++
+      Seq.fill(3)("Initech Solutions") ++ Seq("Initech Solutions B.V."))
+      .toDF("surface")
+    Seq(20000L, 0L).foreach { threshold =>
+      val canon = Linking.canonicalize(mentions, localThreshold = threshold)
+        .as[(String, String)].collect().toMap
+      assert(canon("Acme Industries B.V.") == "Acme Industries", s"t=$threshold")
+      assert(canon("Acme Industries S.A.") == "Acme Industries", s"t=$threshold")
+      assert(canon("Initech Solutions B.V.") == "Initech Solutions", s"t=$threshold")
+    }
+  }
+
   test("exact dedup groups identical normalized texts") {
     import spark.implicits._
     val docs = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")

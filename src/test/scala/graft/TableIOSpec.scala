@@ -76,6 +76,10 @@ class TableIOSpec extends SparkSpec {
     assert(spark.read.parquet(pInc).count() == 121, "null-key row appended exactly once")
     assert(TableIO.mergeNewKeys(withNull, pInc, Seq("subj"), "s6",
       partitionBy = Seq("pred")) == sidNull2)
+    // the O(batch) incremental id must equal a from-scratch full-table
+    // hash after any number of merges (additive mod-2^64 content sum)
+    assert(sidNull2 == TableIO.snapshotId(spark.read.parquet(pInc)),
+      "incremental snapshot id diverged from the full recompute")
   }
 
   test("versioned table: overwrite/append commits, time travel, backup-swap read, expire") {
