@@ -143,6 +143,10 @@ object CompiledTagger {
         val cm = lrm.coefficientMatrix
         val k = cm.numRows
         val n = cm.numCols
+        // the serve path indexes coef(c*n + idx) with n = vocab1 + vocab2
+        // + extras — any other assembled width must fall back to the
+        // PipelineModel twin instead of silently reading wrong strides
+        if (n != cv1.vocabulary.length + cv2.vocabulary.length + extraSel.length) return None
         val coef = new Array[Double](k * n)
         cm.foreachActive { case (r, c, v) => coef(r * n + c) = v }
         Some(new CompiledTagger(

@@ -20,6 +20,7 @@ object TextEvals {
     * so a char-level range check is exact — no surrogate pairs in range).
     */
   def hasCjk(s: UTF8String): Boolean = {
+    if (s.isFullAscii) return false // skip the String copy on the dominant case
     val str = s.toString
     var i = 0
     while (i < str.length) {

@@ -66,13 +66,16 @@ object Dedup {
     * than `bucketCap` switch to STAR SAMPLING before the self-join — each
     * member pairs only with the bucket's min id (linear in bucket size)
     * instead of all-pairs. Degenerate buckets (boilerplate families, empty
-    * shingle sets) would otherwise dominate the shuffle at corpus scale,
-    * but a giant near-dup family whose members share the SAME oversized
-    * bucket in every band keeps its connectivity through the star's hub —
-    * dropping such buckets outright would silently lose the whole family
-    * (clusters downstream are connected components, so the hub edges are
-    * enough; only direct pair OUTPUT inside oversized families is
-    * star-shaped).
+    * shingle sets) would otherwise dominate the shuffle at corpus scale.
+    * Precisely stated, the star keeps connectivity for members within the
+    * downstream distance threshold OF THE HUB: a family member near its
+    * peers but far from the bucket-min hub can still lose its edges to
+    * the post-blocking Jaccard verification (the all-pairs edge it needed
+    * was never generated). That residual loss is the accepted trade-off
+    * against the quadratic bucket blowup — dropping oversized buckets
+    * outright (the pre-round-3 behavior) lost the WHOLE family; in
+    * minHashDedup the exact-fingerprint collapse removes the dominant
+    * identical-text families before blocking ever sees them.
     */
   def bandedMinHashPairs(nodes: DataFrame, bands: Int = 12, rowsPerBand: Int = 2,
       bucketCap: Int = 2000, seed: Int = 42): DataFrame = {
@@ -215,8 +218,11 @@ object Dedup {
     */
   def embeddingNearDup(embs: DataFrame, minCosine: Double = 0.95,
       bands: Int = 4, bandBits: Int = 8)(implicit spark: SparkSession): DataFrame = {
-    val planes = SimilaritySearch.hyperplanes(
-      embs.select(size(col("embedding"))).first().getInt(0), bands * bandBits)
+    val dimRow = embs.select(size(col("embedding"))).head(1)
+    if (dimRow.isEmpty)
+      return embs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("cos")).limit(0)
+    val planes = SimilaritySearch.hyperplanes(dimRow.head.getInt(0), bands * bandBits)
     val banded = embs.select(col("vec_id"), col("embedding"),
       posexplode(SimilaritySearch.bandBuckets(col("embedding"), planes, bands, bandBits))
         .as(Seq("band", "bucket")))

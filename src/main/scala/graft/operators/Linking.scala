@@ -151,6 +151,14 @@ object Linking {
     shingles.zipWithIndex.foreach { case (ss, i) =>
       ss.foreach(g => inv.getOrElseUpdate(g, scala.collection.mutable.ArrayBuffer.empty) += i)
     }
+    // the surface COUNT gate above bounds memory for the collected rows,
+    // but pair generation is quadratic within each shingle posting list —
+    // one stop-word-like trigram shared by most surfaces would make the
+    // driver loop O(n^2). Budget the actual pair count and fall back to
+    // the distributed LSH path (with its bucket-cap skew guard) instead.
+    val pairBudget = inv.values.iterator
+      .map(b => b.size.toLong * (b.size - 1) / 2).sum
+    if (pairBudget > 5000000L) return canonicalizeLsh(counts, jaccardDistance)
     val parent = Array.tabulate(rows.length)(identity)
     def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); parent(x) = r; r }
     val seen = scala.collection.mutable.HashSet.empty[Long]
@@ -181,8 +189,12 @@ object Linking {
 
   private def canonicalizeLsh(counts: DataFrame, jaccardDistance: Double)(
       implicit spark: SparkSession): DataFrame = {
+    // vertex id: per-row monotonic id FROZEN by the checkpoint — a
+    // 64-bit content hash would silently alias unrelated surfaces at
+    // 10^9-distinct-surface scale (expected collisions ~ n^2/2^65), and a
+    // CC vertex id only needs uniqueness, not content addressing
     val nodes = counts
-      .withColumn("id", xxhash64(lower(col("surface"))))
+      .withColumn("id", monotonically_increasing_id())
       .withColumn("shingles", shingles(col("surface")))
       .filter(size(col("shingles")) > 0)
       .localCheckpoint()

@@ -257,13 +257,22 @@ object MediaCodecs {
       val padded = len + (len & 1)
       id match {
         case "fmt " =>
+          require(len >= 16, s"fmt chunk too short ($len bytes)")
           val fmtStart = buf.position()
           val audioFormat = buf.getShort
           val channels = buf.getShort
           require(audioFormat == 1 && channels == 1, "only mono PCM supported")
           sampleRate = buf.getInt
+          buf.getInt // byte rate
+          buf.getShort // block align
+          val bits = buf.getShort
+          // a non-16-bit PCM payload would silently decode as garbage
+          // samples (wrong rms/zcr/peak) — corrupt media must surface
+          require(bits == 16, s"only 16-bit PCM supported, got $bits")
           buf.position(fmtStart + padded)
         case "data" =>
+          require(len >= 0 && len <= buf.remaining(),
+            s"data chunk claims $len bytes, ${buf.remaining()} remain")
           samples = new Array[Short](len / 2)
           var i = 0
           while (i < samples.length) { samples(i) = buf.getShort; i += 1 }

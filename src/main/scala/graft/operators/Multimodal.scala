@@ -96,10 +96,12 @@ object Multimodal {
     }(enc)
   }
 
-  /** REAL image features: decode (javax.imageio), thumbnail to 32×32
-    * (exercising the resize kernel on every row), pooled pixel stats of
+  /** REAL image features: decode (javax.imageio) + pooled pixel stats of
     * the ORIGINAL raster. Throws on undecodable payloads — corrupt media
-    * must surface, not score.
+    * must surface, not score. (The resize kernel, MediaCodecs
+    * .resizeNearest, is NOT on this path — it is exercised and pinned by
+    * MultimodalCodecSpec; stats on the full raster are what the q44
+    * analytic gates are derived for.)
     */
   def extractImageFeatures(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)

@@ -169,7 +169,14 @@ object SimilaritySearch {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       bands: Int = 32, bandBits: Int = 4, seed: Int = 42)(
       implicit spark: SparkSession): DataFrame = {
-    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    // head(1): an EMPTY corpus must yield an empty result, not a
+    // NoSuchElementException from first()
+    val dimRow = corpus.select(size(col("embedding"))).head(1)
+    if (dimRow.isEmpty)
+      return queries.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0.0).as("sim"), lit(0).as("rk")).limit(0)
+    val dim = dimRow.head.getInt(0)
     val planes = hyperplanes(dim, bands * bandBits, seed)
     def withBands(df: DataFrame, idAs: String, vAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(vAs),

@@ -40,7 +40,10 @@ object TripleEmit {
     c.currencies.foreach(v => out += Triple(c.conv_id, "salary_currency", v))
     if (c.title.nonEmpty) out += Triple(c.conv_id, "job_title", c.title)
     c.skills.foreach(s => out += Triple(c.conv_id, "skill", s.capitalize))
-    c.sector.foreach(v => out += Triple(c.conv_id, "sector", v))
+    // sectorAndIsco yields sector "" when skills match ISCO but no NACE
+    // weight rows; an empty-object triple must not reach the KG (the
+    // reference sectors() path emits no row in that case)
+    c.sector.filter(_.nonEmpty).foreach(v => out += Triple(c.conv_id, "sector", v))
     c.estimated_salary.foreach(v => out += Triple(c.conv_id, "estimated_salary", v.toString))
     if (c.sal_values.nonEmpty) {
       Rules.yearlySalary(c.sal_values, c.currencies, c.location,
