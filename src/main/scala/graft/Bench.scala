@@ -158,6 +158,13 @@ object Bench {
     val spark = Sessions.local(cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    // Untimed warm-up pass over the whole headline set first: this JVM's
+    // JIT tier-up window is ~15-20 s (BENCH_SCALING.md), so without it the
+    // first heavy queries pay C2 compilation of the shared scan/agg/codegen
+    // paths and measure 2x their steady state (observed: q01 1.50 s cold vs
+    // 0.68 s steady). One full pass amortizes that across the set.
+    headline.foreach(name => SparkEntry.queries.get(name).foreach(fn => fn(spark, sfDir).count()))
+
     val qTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val (_, warm) = time(fn(spark, sfDir).count()) // plan+run once
