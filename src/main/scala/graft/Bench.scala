@@ -90,7 +90,7 @@ object Bench {
     phase("s2_tag")(tagged.count())
     val extracted = TurnExtract.extract(tagged).cache()
     phase("s3_extract")(extracted.count())
-    val convs = ConvFinalize.run(extracted).cache()
+    val convs = ConvFinalize.runClustered(extracted).cache()
     phase("s4_conv")(convs.count())
     val convSkills = convs.select(col("conv_id"), explode(col("skills")).as("skill"))
     val si = Scoring.sectorAndIsco(convSkills).cache()

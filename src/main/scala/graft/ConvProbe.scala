@@ -22,14 +22,28 @@ object ConvProbe {
         appName = "graft-convprobe")
     spark.sparkContext.setLogLevel("WARN")
     val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(spark, nConvs = 200))
-    val turns = TranscriptGen.dataset(spark, nConvs, 42L, 4, 800)
+    val turns = TranscriptGen.dataset(spark, nConvs, 42L, 4, 800).cache()
     val extracted = TurnExtract.extract(
       SectionTagger.predict(tagger, KgPipeline.cleanTurns(turns))).cache()
     println(s"[probe] extracted=${extracted.count()}")
+    // interleave the salted shuffle path and the clustered map-side path so
+    // host-noise windows hit both alike
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       val n = ConvFinalize.run(extracted).count()
-      println(f"[probe] conv pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n convs)")
+      println(f"[probe] conv salted pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n convs)")
+      val t1 = System.nanoTime()
+      val m = ConvFinalize.runClustered(extracted).count()
+      println(f"[probe] conv clustered pass $i: ${(System.nanoTime() - t1) / 1e9}%.2f s ($m convs)")
+    }
+    // the same A/B fused end-to-end (uncached stages, the bench shape)
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val a = KgPipeline.computeTriples(turns, tagger, clusteredConv = false).count()
+      println(f"[probe] fused salted pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($a triples)")
+      val t1 = System.nanoTime()
+      val b = KgPipeline.computeTriples(turns, tagger).count()
+      println(f"[probe] fused clustered pass $i: ${(System.nanoTime() - t1) / 1e9}%.2f s ($b triples)")
     }
     spark.stop()
   }

@@ -43,13 +43,22 @@ object KgPipeline {
 
   /** S2-S6 from cleaned turns to triples. `extractDates` is the X5 flag
     * (reference ships it disabled — ExtractInfo.py:131-132).
+    *
+    * `clusteredConv = true` (default) resolves conversations via
+    * [[ConvFinalize.runClustered]] — every caller of this dataflow feeds
+    * conv-clustered, turn-sorted input (transcript tables sorted by
+    * (conv_id, turn_idx), the generator, the stage checkpoints), and the
+    * clustered path keeps the per-turn payload out of the shuffle while
+    * throwing (never corrupting) on contract violations. Pass false for
+    * arbitrarily-ordered inputs.
     */
   def triplesFromCleaned(cleaned: DataFrame, tagger: SectionTagger.Trained,
-      extractDates: Boolean = false)(
+      extractDates: Boolean = false, clusteredConv: Boolean = true)(
       implicit spark: SparkSession): Dataset[Triple] = {
     val tagged = SectionTagger.predict(tagger, cleaned)
     val extracted = TurnExtract.extract(tagged, extractDates)
-    val convs = ConvFinalize.run(extracted).cache()
+    val convs = (if (clusteredConv) ConvFinalize.runClustered(extracted)
+                 else ConvFinalize.run(extracted)).cache()
 
     val convSkills = convs.select(col("conv_id"), explode(col("skills")).as("skill"))
     val si = Scoring.sectorAndIsco(convSkills).cache()
@@ -65,7 +74,7 @@ object KgPipeline {
   }
 
   def computeTriples(turns: Dataset[Turn], tagger: SectionTagger.Trained,
-      extractDates: Boolean = false)(
+      extractDates: Boolean = false, clusteredConv: Boolean = true)(
       implicit spark: SparkSession): Dataset[Triple] =
-    triplesFromCleaned(cleanTurns(turns), tagger, extractDates)
+    triplesFromCleaned(cleanTurns(turns), tagger, extractDates, clusteredConv)
 }

@@ -21,7 +21,7 @@ import graft.sources.TranscriptGen
   * Usage:
   *   runMain graft.PipelineMain --out /tmp/kg --convs 1000 [--seed 42]
   *     [--from-stage s0] [--to-stage s6] [--skip s2,s3] [--cores 32]
-  *     [--extract-dates true] [--merge-append true]
+  *     [--extract-dates true] [--merge-append true] [--salted-conv true]
   *     [--jdbc-url jdbc:derby:memory:kg;create=true] [--jdbc-table kg_wide]
   *     [--jdbc-batchsize 1000]
   *     [--stream true [--stream-in DIR] [--stream-gap-ms 60000]
@@ -171,7 +171,28 @@ object PipelineMain {
     // ---- s4: per-conversation resolve ----
     if (active("s4_conv")) {
       val extracted = spark.read.parquet(path("s3_extract"))
-      write("s4_conv", ConvFinalize.run(extracted).toDF(), Seq("s3_extract"))
+      // s3_extract preserves s0's conv-clustered, turn-sorted write order
+      // (narrow stages, one parquet file per task), so the clustered path
+      // applies. The scan can still break the layout in one corner: the
+      // reader bin-packs files into partitions by size, so the two file
+      // halves of a conversation that straddled an upstream rowgroup split
+      // may land reordered in one partition. runClustered THROWS on that
+      // (never corrupts) and the driver falls back to the order-insensitive
+      // salted path — the same planner decision an Iceberg sort-order-aware
+      // scan would make. --salted-conv true forces the fallback directly.
+      def writeConv(df: DataFrame): Unit = write("s4_conv", df, Seq("s3_extract"))
+      if (a.getOrElse("salted-conv", "false").toBoolean)
+        writeConv(ConvFinalize.run(extracted).toDF())
+      else
+        try writeConv(ConvFinalize.runClustered(extracted).toDF())
+        catch {
+          case e: Exception if Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(8)
+              .exists(t => Option(t.getMessage).exists(_.contains("ConvFinalize."))) =>
+            println("[graft] s4_conv: scan did not preserve the clustered layout; " +
+              "falling back to the salted path")
+            writeConv(ConvFinalize.run(extracted).toDF())
+        }
     }
 
     // ---- s5: entity linking over org mentions ----

@@ -663,6 +663,37 @@ object SparkEntry {
       a.crossJoin(b)
         .filter(tj > 0.05 && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), round(tj, 4).as("jac"))
+    }),
+    "q51_conv_path_parity" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      // The s4 clustered fast path (ConvFinalize.runClustered — interior
+      // conversations resolved map-side, per-turn payload never shuffled)
+      // vs the order-insensitive salted path, over REAL extracted rows
+      // (generator-labeled categories — no model in the loop, so the gate
+      // isolates the aggregation operator). The clustered input is forced
+      // through an awkward 7-way range split so conversations straddle
+      // partition boundaries and the boundary-partial merge is exercised,
+      // not just the interior path. Collect is bounded: 120 conversations.
+      val nConvs = 120
+      val labeled = sp.range(0, nConvs.toLong)
+        .flatMap(i => graft.sources.TranscriptGen.labeledTurnsFor(i, 42L, 2, 150)
+          .map { case (tn, c) => (tn.conv_id, tn.turn_idx, tn.role, tn.tool, tn.text, c) })
+        .toDF("conv_id", "turn_idx", "role", "tool", "text", "category")
+        .withColumn("text_clean", graft.functions.CleanFunctions.clean_text(col("text")))
+      val extracted = TurnExtract.extract(labeled)
+      val salted = ConvFinalize.run(extracted).collect()
+        .map(c => c.conv_id -> c).toMap
+      val clusteredIn = extracted
+        .repartitionByRange(7, col("conv_id"), col("turn_idx"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+      val clustered = ConvFinalize.runClustered(clusteredIn, bucketSize = 32)
+        .collect().map(c => c.conv_id -> c).toMap
+      Seq(
+        ("clustered_equals_salted", clustered == salted),
+        ("all_convs_resolved", salted.size == nConvs && clustered.size == nConvs),
+        ("skew_conv_present", salted.keySet.exists(_.endsWith("00000000")))
+      ).toDF("invariant", "ok")
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -956,6 +987,10 @@ object SparkEntry {
          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(jac, 4) AS jac FROM j WHERE jac > 0.05""".stripMargin
     },
+    "q51_conv_path_parity" ->
+      """SELECT 'clustered_equals_salted' AS invariant, true AS ok
+        |UNION ALL SELECT 'all_convs_resolved', true
+        |UNION ALL SELECT 'skew_conv_present', true""".stripMargin,
     "q18_near_dup_count" -> {
       val dim = 64
       val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"

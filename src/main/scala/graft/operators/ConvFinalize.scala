@@ -127,13 +127,19 @@ object ConvFinalize {
   /** Phase-1 partial: the merge-associative slice of one contiguous
     * turn-range bucket. `sal_broke` carries the salary short-circuit
     * state across buckets; ordered-distinct seqs merge by filtered concat.
+    * `bucket` is the merge sort key (salted path: turn_idx / bucketSize;
+    * clustered path: the chunk's first turn_idx); `idx_lo`/`idx_hi` are the
+    * covered turn_idx range, used by [[mergePartials]] to reject partials
+    * whose ranges overlap (which can only happen when a caller violated the
+    * contiguous-contiguous-range contract, e.g. a duplicated input).
     */
   final case class ConvPartial(
       conv_id: String, bucket: Int,
       emp_groups: Seq[String], locations: Seq[String], edu_phrases: Seq[String],
       sal_values: Seq[Double], sal_broke: Boolean, currencies: Seq[String],
       text: String, orgs: Seq[String], tools: Seq[String],
-      start_dates: Seq[String], deadline_dates: Seq[String])
+      start_dates: Seq[String], deadline_dates: Seq[String],
+      idx_lo: Int, idx_hi: Int)
 
   def partialOf(convId: String, bucket: Int, turnsUnsorted: Seq[SlimTurn]): ConvPartial = {
     val turns = turnsUnsorted.sortBy(_.turn_idx)
@@ -165,7 +171,9 @@ object ConvFinalize {
       orgs = turns.flatMap(_.orgs).distinct,
       tools = turns.flatMap(t => Option(t.tool)).distinct,
       start_dates = turns.flatMap(_.start_dates).distinct,
-      deadline_dates = turns.flatMap(_.deadline_dates).distinct)
+      deadline_dates = turns.flatMap(_.deadline_dates).distinct,
+      idx_lo = turns.head.turn_idx,
+      idx_hi = turns.last.turn_idx)
   }
 
   private def orderedDedupConcat(seqs: Seq[Seq[String]]): Seq[String] = {
@@ -178,7 +186,19 @@ object ConvFinalize {
     * branch (which inherently needs the full conv text).
     */
   def mergePartials(convId: String, partsUnsorted: Seq[ConvPartial]): ConvExtract = {
-    val parts = partsUnsorted.sortBy(_.bucket)
+    val parts = partsUnsorted.sortBy(p => (p.bucket, p.idx_lo))
+    // contiguous-range invariant: every merge strategy (salted buckets,
+    // clustered chunks, cross-partition boundary partials) produces
+    // disjoint turn_idx ranges; a proper overlap means the same turns
+    // reached two partials (duplicated/interleaved input) and merging
+    // would silently misorder the conversation text — fail instead
+    parts.iterator.sliding(2).withPartial(false).foreach { w =>
+      if (w(1).idx_lo < w.head.idx_hi)
+        throw new IllegalStateException(
+          s"ConvFinalize.mergePartials: overlapping turn ranges for conv_id=$convId " +
+            s"([${w.head.idx_lo},${w.head.idx_hi}] vs [${w(1).idx_lo},${w(1).idx_hi}]) - " +
+            "the input violated the clustered/salted partitioning contract")
+    }
 
     val empGroups = orderedDedupConcat(parts.map(_.emp_groups))
     val employment = Rules.priorityEmployment(empGroups)
@@ -252,5 +272,119 @@ object ConvFinalize {
     slim(extracted)
       .groupByKey(_.conv_id)
       .mapGroups((cid, it) => finalizeConv(cid, it.toSeq))
+  }
+
+  // ------------------------------------------------------------------
+  // Clustered-input fast path
+  // ------------------------------------------------------------------
+
+  /** One-pass scan output: exactly one side set — a fully resolved interior
+    * conversation, or a boundary partial for the cross-partition merge.
+    */
+  final case class ClusteredOut(done: Option[ConvExtract], part: Option[ConvPartial])
+
+  /** Streaming per-partition scan for [[runClustered]]: folds each
+    * contiguous run of one conv_id into ordered [[ConvPartial]] chunks
+    * (bucket = chunk's first turn_idx, so cross-partition partials sort
+    * correctly), resolves interior runs on the spot, and emits the first
+    * and last run of the partition as partials (they may continue in a
+    * neighboring partition). Memory is bounded by one `bucketSize` chunk
+    * plus the current run's partials — never a whole conversation's turns.
+    *
+    * Contract violations do not corrupt: a conv_id recurring after its run
+    * closed, or a turn_idx going backwards inside a run, throws here;
+    * cross-partition duplication is caught by [[runClustered]]'s merge
+    * group (overlap guard in [[mergePartials]] / duplicate-resolution
+    * guard), so the only silent behavior is the correct one.
+    */
+  private[operators] def clusteredScan(
+      rows: Iterator[SlimTurn], bucketSize: Int): Iterator[ClusteredOut] =
+    new scala.collection.AbstractIterator[ClusteredOut] {
+      private val out = scala.collection.mutable.Queue.empty[ClusteredOut]
+      private val seen = new java.util.HashSet[String]()
+      private var firstRun = true
+      private var pending: SlimTurn = if (rows.hasNext) rows.next() else null
+
+      private def consumeRun(): Unit = {
+        val convId = pending.conv_id
+        if (!seen.add(convId))
+          throw new IllegalStateException(
+            s"ConvFinalize.runClustered: conv_id=$convId appears in non-contiguous runs " +
+              "within one partition - the input is not clustered by conv_id; " +
+              "use ConvFinalize.run (salted path) for unclustered inputs")
+        val partials = scala.collection.mutable.ArrayBuffer.empty[ConvPartial]
+        val chunk = scala.collection.mutable.ArrayBuffer.empty[SlimTurn]
+        var lastIdx = Int.MinValue
+        var runOpen = true
+        while (runOpen) {
+          val t = pending
+          if (t.turn_idx < lastIdx)
+            throw new IllegalStateException(
+              s"ConvFinalize.runClustered: turn_idx ${t.turn_idx} after $lastIdx inside " +
+                s"conv_id=$convId - the input is not sorted by (conv_id, turn_idx); " +
+                "use ConvFinalize.run (salted path) for unsorted inputs")
+          lastIdx = t.turn_idx
+          chunk += t
+          if (chunk.length >= bucketSize) {
+            partials += partialOf(convId, chunk.head.turn_idx, chunk.toSeq)
+            chunk.clear()
+          }
+          if (rows.hasNext) {
+            pending = rows.next()
+            if (pending.conv_id != convId) runOpen = false
+          } else { pending = null; runOpen = false }
+        }
+        if (chunk.nonEmpty) partials += partialOf(convId, chunk.head.turn_idx, chunk.toSeq)
+        val lastRun = pending == null
+        if (firstRun || lastRun) partials.foreach(p => out += ClusteredOut(None, Some(p)))
+        else out += ClusteredOut(Some(mergePartials(convId, partials.toSeq)), None)
+        firstRun = false
+      }
+
+      override def hasNext: Boolean = {
+        while (out.isEmpty && pending != null) consumeRun()
+        out.nonEmpty
+      }
+      override def next(): ClusteredOut = {
+        if (!hasNext) throw new NoSuchElementException("clusteredScan")
+        out.dequeue()
+      }
+    }
+
+  /** Fast path for inputs clustered by conv_id and sorted by turn_idx
+    * within each conversation — the natural layout of a transcript table
+    * (an Iceberg table written with SORTED BY (conv_id, turn_idx), the
+    * stage checkpoints, the generator). Interior conversations resolve
+    * entirely map-side, so the per-turn payload (text + mention arrays)
+    * never crosses a shuffle: the only exchanged rows are conversation-level
+    * results plus the few partials of conversations straddling a partition
+    * boundary (≤ 2 per partition) — at fact scale that turns the pipeline's
+    * one turn-volume shuffle into a conversation-volume one.
+    *
+    * Safety: the contract is checked, not trusted. In-partition
+    * interleaving or disorder throws in [[clusteredScan]]; a conversation
+    * duplicated across partitions either merges overlapping ranges
+    * (rejected by [[mergePartials]]) or resolves twice (rejected by the
+    * single-resolution guard below). No violation can silently corrupt a
+    * result — callers with arbitrary inputs use [[run]].
+    */
+  def runClustered(extracted: org.apache.spark.sql.DataFrame, bucketSize: Int = 256)(
+      implicit spark: SparkSession): Dataset[ConvExtract] = {
+    import spark.implicits._
+    slim(extracted)
+      .mapPartitions(it => clusteredScan(it, bucketSize))
+      .groupByKey(r => r.done.map(_.conv_id).getOrElse(r.part.get.conv_id))
+      .mapGroups { (cid, it) =>
+        val rs = it.toSeq
+        val dones = rs.flatMap(_.done)
+        val parts = rs.flatMap(_.part)
+        if (dones.length == 1 && parts.isEmpty) dones.head
+        else if (dones.isEmpty && parts.nonEmpty) mergePartials(cid, parts)
+        else
+          throw new IllegalStateException(
+            s"ConvFinalize.runClustered: conv_id=$cid resolved ${dones.length} times with " +
+              s"${parts.length} loose partials - the input duplicated a conversation across " +
+              "partitions; use ConvFinalize.run (salted path) for such inputs")
+      }
   }
 }

@@ -72,4 +72,90 @@ class ConvFinalizeSpec extends SparkSpec {
     assert(merged == direct)
     assert(merged.sal_values == Seq(40000.0))
   }
+
+  // ---------------- clustered-input fast path ----------------
+
+  /** all messages down the cause chain (Spark wraps executor throws). */
+  private def msgChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+      .map(x => s"${x.getClass.getName}: ${Option(x.getMessage).getOrElse("")}")
+      .mkString(" | ")
+
+  /** clustered layout: convs contiguous, turns sorted — what a transcript
+    * table SORTED BY (conv_id, turn_idx) delivers per partition.
+    */
+  private def clusteredFixture: Seq[SlimTurn] = {
+    val monster = (0 until 150).map { i =>
+      turn("conv_x_monster", i,
+        text = s"monster $i",
+        emp = if (i % 41 == 3) Seq("full-time") else Nil,
+        loc = if (i % 13 == 2) Seq(if (i % 2 == 0) "Germany" else "Poland") else Nil,
+        sal =
+          if (i == 9) Some(SalStruct(Seq(41000.0), Nil, Nil, sw_kw = true))
+          else if (i == 97) Some(SalStruct(Seq(52000.0), Seq("euro"), Seq(52000.0), sw_kw = true))
+          else None,
+        tool = if (i % 77 == 5) "search" else null)
+    }
+    val normal = (0 until 12).flatMap { c =>
+      (0 until 9).map { i =>
+        turn(f"conv_$c%02d", i,
+          emp = if (i == 2) Seq("internship") else Nil,
+          loc = if (i == 1) Seq("France") else Nil,
+          edu = if (i == 4 && c % 3 == 0) Seq("bachelor degree") else Nil,
+          sal = if (i == 3) Some(SalStruct(Seq(30000.0 + c), Nil, Nil, sw_kw = true)) else None)
+      }
+    }
+    normal.take(54) ++ monster ++ normal.drop(54) // monster mid-stream
+  }
+
+  test("clustered fast path == single-phase fold, convs straddling partition boundaries") {
+    import spark.implicits._
+    val rows = clusteredFixture
+    // 7 positional slices over 258 rows cut mid-conversation several times,
+    // and the 150-turn monster spans multiple slices end to end
+    val df = spark.createDataset(spark.sparkContext.parallelize(rows, 7)).toDF()
+    // bucketSize 16 forces multi-chunk runs inside each partition
+    val clustered = ConvFinalize.runClustered(df, bucketSize = 16).collect()
+      .map(c => c.conv_id -> c).toMap
+    val single = ConvFinalize.runSinglePhase(df).collect()
+      .map(c => c.conv_id -> c).toMap
+    assert(clustered.keySet == single.keySet)
+    clustered.keySet.foreach(cid => assert(clustered(cid) == single(cid), s"conv $cid"))
+    // the monster's currency short-circuit crossed chunk AND partition edges
+    assert(clustered("conv_x_monster").sal_values == Seq(52000.0))
+  }
+
+  test("clustered fast path: single-partition input (every run is boundary) still exact") {
+    import spark.implicits._
+    val df = spark.createDataset(spark.sparkContext.parallelize(clusteredFixture, 1)).toDF()
+    val clustered = ConvFinalize.runClustered(df, bucketSize = 16).collect()
+      .map(c => c.conv_id -> c).toMap
+    val single = ConvFinalize.runSinglePhase(df).collect()
+      .map(c => c.conv_id -> c).toMap
+    assert(clustered == single)
+  }
+
+  test("clustered fast path throws on interleaved conv runs instead of corrupting") {
+    import spark.implicits._
+    val rows = Seq(turn("a", 0), turn("b", 0), turn("b", 1), turn("a", 1), turn("c", 0))
+    val df = spark.createDataset(spark.sparkContext.parallelize(rows, 1)).toDF()
+    val e = intercept[Exception](ConvFinalize.runClustered(df).collect())
+    assert(msgChain(e).contains("not clustered"), msgChain(e))
+  }
+
+  test("clustered fast path throws on unsorted turn_idx instead of corrupting") {
+    import spark.implicits._
+    val rows = Seq(turn("z", 0), turn("a", 5), turn("a", 3), turn("a", 7), turn("q", 0))
+    val df = spark.createDataset(spark.sparkContext.parallelize(rows, 1)).toDF()
+    val e = intercept[Exception](ConvFinalize.runClustered(df).collect())
+    assert(msgChain(e).contains("not sorted"), msgChain(e))
+  }
+
+  test("clustered fast path throws when a conversation is duplicated across partitions") {
+    import spark.implicits._
+    val one = spark.createDataset(spark.sparkContext.parallelize(clusteredFixture, 2))
+    val df = one.union(one).toDF() // same convs appear in both copies' partitions
+    val e = intercept[Exception](ConvFinalize.runClustered(df, bucketSize = 16).collect())
+    assert(msgChain(e).contains("ConvFinalize"), msgChain(e))
+  }
 }
