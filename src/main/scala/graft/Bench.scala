@@ -114,20 +114,36 @@ object Bench {
 
   /** Full S1-S6 pipeline over freshly generated turns. The tagger is
     * trained outside the timed region (a persisted model in production).
+    *
+    * Storm-adaptive repetition: this host's hypervisor steal arrives in
+    * sustained multi-minute bursts (BENCH_SCALING.md) and a bench whose
+    * only runs land inside one measures the hypervisor, not the engine.
+    * So after the mandatory two runs, keep re-running (up to `maxRuns`,
+    * within `budgetSec` total measured time) while EVERY run so far saw
+    * steal > 3% — each extra run is another chance to catch a quiet
+    * window, and all runs stay visible in `kg_runs` with the best run's
+    * steal in `steal_pct`.
     */
-  def kgPipeline(spark: SparkSession, nConvs: Long, budgetSec: Double = 120.0): KgResult = {
+  def kgPipeline(spark: SparkSession, nConvs: Long, budgetSec: Double = 120.0,
+      maxRuns: Int = 4): KgResult = {
     implicit val s: SparkSession = spark
     val tagger = SectionTagger.train(KgPipeline.taggerTrainingFrame(spark, nConvs = 200))
     val turns = TranscriptGen.dataset(spark, nConvs, seed = 42L, skewConvs = 4, skewTurns = 800).cache()
     val nTurns = turns.count()
     val (nTriples, m1) = measure(KgPipeline.computeTriples(turns, tagger).count())
-    val runs = if (m1.sec <= budgetSec) {
-      val (_, m2) = measure(KgPipeline.computeTriples(turns, tagger).count())
-      Seq(m1, m2)
-    } else Seq(m1)
+    val runs = scala.collection.mutable.ArrayBuffer(m1)
+    def spent = runs.map(_.sec).sum
+    // unknown steal (-1, /proc/stat unreadable) counts as quiet: without
+    // the signal the extra runs can never terminate early on it
+    def allStormy = runs.forall(_.stealPct > 3.0)
+    while (runs.length < maxRuns && spent + runs.map(_.sec).min <= budgetSec &&
+        (runs.length < 2 || allStormy)) {
+      val (_, m) = measure(KgPipeline.computeTriples(turns, tagger).count())
+      runs += m
+    }
     val stages = kgStages(spark, tagger, turns)
     turns.unpersist()
-    KgResult(nTurns, nTriples, runs, stages)
+    KgResult(nTurns, nTriples, runs.toSeq, stages)
   }
 
   /** Single untimed-train + timed end-to-end run — the measurement unit
