@@ -136,8 +136,13 @@ object Bench {
     // unknown steal (-1, /proc/stat unreadable) counts as quiet: without
     // the signal the extra runs can never terminate early on it
     def allStormy = runs.forall(_.stealPct > 3.0)
-    while (runs.length < maxRuns && spent + runs.map(_.sec).min <= budgetSec &&
-        (runs.length < 2 || allStormy)) {
+    // run 2 is unconditional unless run 1 itself blew the budget (the
+    // pre-adaptive contract) — gating it on projected cost would drop the
+    // second sample exactly when a storm inflates the first; only the
+    // adaptive runs 3+ pay the projected-cost check
+    def more = if (runs.length < 2) runs.head.sec <= budgetSec
+               else allStormy && spent + runs.map(_.sec).min <= budgetSec
+    while (runs.length < maxRuns && more) {
       val (_, m) = measure(KgPipeline.computeTriples(turns, tagger).count())
       runs += m
     }

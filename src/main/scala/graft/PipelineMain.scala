@@ -186,9 +186,17 @@ object PipelineMain {
       else
         try writeConv(ConvFinalize.runClustered(extracted).toDF())
         catch {
+          // Match the dedicated contract-violation type by class (executor
+          // exceptions usually deserialize intact on the driver) or by its
+          // class NAME inside a Spark-wrapped message — never by a broader
+          // substring like "ConvFinalize.", which any unrelated failure
+          // whose stack trace merely passes through the stage would match,
+          // silently re-running (and possibly mis-merging) on the salted
+          // path instead of surfacing the real error.
           case e: Exception if Iterator.iterate(e: Throwable)(_.getCause)
               .takeWhile(_ != null).take(8)
-              .exists(t => Option(t.getMessage).exists(_.contains("ConvFinalize."))) =>
+              .exists(t => t.isInstanceOf[graft.operators.ConvContractViolation] ||
+                Option(t.getMessage).exists(_.contains("ConvContractViolation"))) =>
             println("[graft] s4_conv: scan did not preserve the clustered layout; " +
               "falling back to the salted path")
             writeConv(ConvFinalize.run(extracted).toDF())

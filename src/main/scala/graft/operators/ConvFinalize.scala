@@ -25,6 +25,16 @@ final case class ConvExtract(
     start_dates: Seq[String],
     deadline_dates: Seq[String])
 
+/** Thrown (from executors) when input rows violate the clustered/salted
+  * partitioning contract — duplicated, interleaved, or disordered turns.
+  * A dedicated type so [[graft.PipelineMain]]'s salted-path fallback can
+  * match contract violations by CLASS (or class name inside a
+  * Spark-wrapped message) instead of message substrings, which would also
+  * match unrelated failures whose stack traces merely mention
+  * ConvFinalize (OOM, codegen errors, corrupt reads).
+  */
+final class ConvContractViolation(msg: String) extends IllegalStateException(msg)
+
 /** S5 — the single fact-scale shuffle of the pipeline: group turns by
   * conv_id and resolve per-conv facts (A1-A5 merges + the whole-document
   * dictionary branch X11-X14). Order-sensitivity is pinned by sorting on
@@ -192,9 +202,12 @@ object ConvFinalize {
     // disjoint turn_idx ranges; a proper overlap means the same turns
     // reached two partials (duplicated/interleaved input) and merging
     // would silently misorder the conversation text — fail instead
+    // ranges are INCLUSIVE, so a shared endpoint ([0,5] then [5,9], or two
+    // zero-width [0,0] partials from a duplicated single-turn conversation)
+    // is already the same turn reaching two partials — hence <=, not <
     parts.iterator.sliding(2).withPartial(false).foreach { w =>
-      if (w(1).idx_lo < w.head.idx_hi)
-        throw new IllegalStateException(
+      if (w(1).idx_lo <= w.head.idx_hi)
+        throw new ConvContractViolation(
           s"ConvFinalize.mergePartials: overlapping turn ranges for conv_id=$convId " +
             s"([${w.head.idx_lo},${w.head.idx_hi}] vs [${w(1).idx_lo},${w(1).idx_hi}]) - " +
             "the input violated the clustered/salted partitioning contract")
@@ -288,8 +301,13 @@ object ConvFinalize {
     * (bucket = chunk's first turn_idx, so cross-partition partials sort
     * correctly), resolves interior runs on the spot, and emits the first
     * and last run of the partition as partials (they may continue in a
-    * neighboring partition). Memory is bounded by one `bucketSize` chunk
-    * plus the current run's partials — never a whole conversation's turns.
+    * neighboring partition). Memory: at most one `bucketSize` chunk of RAW
+    * turns at a time, plus the current run's accumulated partials — whose
+    * conv-level payload (concatenated text + mention arrays) does grow
+    * with the conversation, the same per-conversation footprint as the
+    * salted path's phase-2 merge; `seen` additionally holds one conv_id
+    * string per conversation for the partition's lifetime. What is saved
+    * vs. the salted path is the shuffle, not the merge-side footprint.
     *
     * Contract violations do not corrupt: a conv_id recurring after its run
     * closed, or a turn_idx going backwards inside a run, throws here;
@@ -308,7 +326,7 @@ object ConvFinalize {
       private def consumeRun(): Unit = {
         val convId = pending.conv_id
         if (!seen.add(convId))
-          throw new IllegalStateException(
+          throw new ConvContractViolation(
             s"ConvFinalize.runClustered: conv_id=$convId appears in non-contiguous runs " +
               "within one partition - the input is not clustered by conv_id; " +
               "use ConvFinalize.run (salted path) for unclustered inputs")
@@ -318,10 +336,10 @@ object ConvFinalize {
         var runOpen = true
         while (runOpen) {
           val t = pending
-          if (t.turn_idx < lastIdx)
-            throw new IllegalStateException(
+          if (t.turn_idx <= lastIdx) // == is a duplicated turn: (conv_id, turn_idx) is unique
+            throw new ConvContractViolation(
               s"ConvFinalize.runClustered: turn_idx ${t.turn_idx} after $lastIdx inside " +
-                s"conv_id=$convId - the input is not sorted by (conv_id, turn_idx); " +
+                s"conv_id=$convId - the input is not sorted by unique (conv_id, turn_idx); " +
                 "use ConvFinalize.run (salted path) for unsorted inputs")
           lastIdx = t.turn_idx
           chunk += t
@@ -381,7 +399,7 @@ object ConvFinalize {
         if (dones.length == 1 && parts.isEmpty) dones.head
         else if (dones.isEmpty && parts.nonEmpty) mergePartials(cid, parts)
         else
-          throw new IllegalStateException(
+          throw new ConvContractViolation(
             s"ConvFinalize.runClustered: conv_id=$cid resolved ${dones.length} times with " +
               s"${parts.length} loose partials - the input duplicated a conversation across " +
               "partitions; use ConvFinalize.run (salted path) for such inputs")

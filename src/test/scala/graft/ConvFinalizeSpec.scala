@@ -156,6 +156,39 @@ class ConvFinalizeSpec extends SparkSpec {
     val one = spark.createDataset(spark.sparkContext.parallelize(clusteredFixture, 2))
     val df = one.union(one).toDF() // same convs appear in both copies' partitions
     val e = intercept[Exception](ConvFinalize.runClustered(df, bucketSize = 16).collect())
-    assert(msgChain(e).contains("ConvFinalize"), msgChain(e))
+    assert(msgChain(e).contains("ConvContractViolation"), msgChain(e))
+  }
+
+  test("SINGLE-turn conversation duplicated across partitions throws, not merges") {
+    import spark.implicits._
+    // both copies are boundary partials with the zero-width range [0,0] —
+    // the inclusive-range overlap guard must catch the shared endpoint
+    // (a strict '<' would silently merge the turn twice: text "t. t")
+    val rows = Seq(turn("solo", 0, text = "only turn"))
+    val df = spark.createDataset(spark.sparkContext.parallelize(rows, 1))
+      .union(spark.createDataset(spark.sparkContext.parallelize(rows, 1))).toDF()
+    val e = intercept[Exception](ConvFinalize.runClustered(df).collect())
+    assert(msgChain(e).contains("ConvContractViolation"), msgChain(e))
+  }
+
+  test("duplicated boundary turn (shared range endpoint) throws, not double-merges") {
+    import spark.implicits._
+    // partition 1 ends conv "a" at turn 5; partition 2 repeats turn 5 —
+    // partials [0,5] and [5,9] share an endpoint and must be rejected
+    val p1 = (0 to 5).map(i => turn("a", i, text = s"t$i"))
+    val p2 = (5 to 9).map(i => turn("a", i, text = s"t$i"))
+    val df = spark.createDataset(spark.sparkContext.parallelize(p1, 1))
+      .union(spark.createDataset(spark.sparkContext.parallelize(p2, 1))).toDF()
+    val e = intercept[Exception](ConvFinalize.runClustered(df).collect())
+    assert(msgChain(e).contains("ConvContractViolation"), msgChain(e))
+  }
+
+  test("duplicate turn_idx inside a run throws (uniqueness is part of the contract)") {
+    import spark.implicits._
+    val rows = Seq(turn("a", 0), turn("a", 1), turn("a", 1), turn("a", 2))
+    val df = spark.createDataset(spark.sparkContext.parallelize(rows, 1)).toDF()
+    val e = intercept[Exception](ConvFinalize.runClustered(df).collect())
+    assert(msgChain(e).contains("ConvContractViolation") &&
+      msgChain(e).contains("not sorted"), msgChain(e))
   }
 }
