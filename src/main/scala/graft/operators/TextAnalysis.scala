@@ -105,14 +105,26 @@ object TextAnalysis {
        | WHEN ${s("fr")} >= ${s("es")} THEN 'fr' ELSE 'es' END""".stripMargin.replace("\n", " ")
   }
 
-  /** Whitespace token count. */
-  def wsTokenCount(c: Column): Column = size(split(c, "\\s+"))
+  /** Whitespace token count — native single-pass scanner (round 3: token
+    * counting is a full-corpus scan op, and `size(split(...))` both ran
+    * java.util.regex AND materialized the token array per row just to take
+    * its length). [[wsTokenCountRegex]] is the fuzz-pinned Pattern twin.
+    */
+  def wsTokenCount(c: Column): Column = graft.functions.ScanFunctions.ws_token_count(c)
+
+  /** regex twin of [[wsTokenCount]] (differential pin only). */
+  def wsTokenCountRegex(c: Column): Column = size(split(c, "\\s+"))
 
   /** BPE-ish token count: letter runs, digit runs, and single
-    * non-space-non-alnum marks each count as one token.
+    * non-space-non-alnum marks each count as one token. Native scanner;
+    * [[bpeTokenCountRegex]] is the fuzz-pinned Pattern twin.
     */
   val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
-  def bpeTokenCount(c: Column): Column = size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))
+  def bpeTokenCount(c: Column): Column = graft.functions.ScanFunctions.bpe_token_count(c)
+
+  /** regex twin of [[bpeTokenCount]] (differential pin only). */
+  def bpeTokenCountRegex(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))
 
   /** Quality score in [0,1]: stopword-ratio, mean-word-length, and
     * digit-ratio components (re-expression of length/punct/stopword quality
@@ -149,8 +161,17 @@ object TextAnalysis {
 
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * (stable, join-friendly; the rolling-hash variant lives in Dedup.simHash).
+    * The normalizer is the native collapse_ws scanner — fingerprinting
+    * feeds BOTH dedup entry points (Dedup.exactDedup, Dedup.minHashDedup),
+    * so at corpus scale it runs over every document; [[fingerprintRegex]]
+    * is the fuzz-pinned Pattern twin and the DuckDB oracle keeps its
+    * independent RE2 formulation.
     */
   def fingerprint(c: Column): Column =
+    md5(graft.functions.ScanFunctions.collapse_ws(lower(c)))
+
+  /** regex twin of [[fingerprint]] (differential pin only). */
+  def fingerprintRegex(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")))
 
   def fingerprintSql(col: String): String =
@@ -158,9 +179,14 @@ object TextAnalysis {
 
   /** Reduced normalizer with an exact DuckDB twin (the full pipeline clean
     * chain needs lookaround regexes RE2 lacks; it is verified against
-    * Rules.cleanString in ScalaTest instead).
+    * Rules.cleanString in ScalaTest instead). Native ascii_normalize
+    * scanner; [[normalizeRegex]] is the fuzz-pinned Pattern twin.
     */
   def normalize(c: Column): Column =
+    graft.functions.ScanFunctions.ascii_normalize(lower(c))
+
+  /** regex twin of [[normalize]] (differential pin only). */
+  def normalizeRegex(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
   def normalizeSql(col: String): String =

@@ -68,20 +68,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("full-corpus text-analysis scans (q12/q33 langId, q13 quality) carry no regex nodes") {
-    // lang-ID and quality scoring run over EVERY document in a training
-    // pipeline; the CJK gate is the native has_cjk codepoint scan and the
-    // digit-token test is a translate() trick — neither may regress to
-    // rlike/regexp_* (q10/q11/q14 keep regexp by design: their semantics
-    // ARE the pattern, and they are not on the KG per-turn path).
-    Seq("q12_lang_id", "q33_lang_trigram", "q13_quality_score").foreach { q =>
+  test("full-corpus text-analysis scans carry no regex nodes") {
+    // lang-ID, quality scoring, token counting, normalize and fingerprint
+    // all run over EVERY document in a training pipeline (fingerprint
+    // additionally feeds both dedup entry points); each regex kernel was
+    // replaced by a native scanner with a fuzz-pinned Pattern twin
+    // (has_cjk, translate() digit trick, ScanExprs round 3) — none may
+    // regress to rlike/regexp_*.
+    val kernels = Map(
+      "q12_lang_id" -> "has_cjk", "q33_lang_trigram" -> "has_cjk",
+      "q13_quality_score" -> "translate", "q10_normalize" -> "ascii_normalize",
+      "q11_token_counts" -> "ws_token_count", "q14_fingerprint" -> "collapse_ws")
+    kernels.foreach { case (q, kernel) =>
       val p = planOf(q)
       Seq("RLIKE", "regexp_replace", "regexp_extract", "RegExpReplace",
         "RegExpExtract", "Like(").foreach { marker =>
         assert(!p.contains(marker), s"$q plan contains $marker")
       }
-      assert(if (q == "q13_quality_score") p.contains("translate") else p.contains("has_cjk"),
-        s"$q plan missing the regex-free kernel")
+      assert(p.contains(kernel), s"$q plan missing the regex-free kernel $kernel")
     }
   }
 
