@@ -19,6 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * intermediate token ARRAY that `size(split(...))` / `size(
   * regexp_extract_all(...))` materialized per row just to take its length.
   *
+  * All kernels walk the UTF-8 BYTES of the UTF8String directly — no
+  * per-row java.lang.String materialization (TextScanProbe measured the
+  * toString copy+decode dominating the char-level first cut). Every
+  * decision here is byte-decidable: the `\s` class and all kept charsets
+  * are ASCII (single bytes; UTF-8 continuation bytes are >= 0x80 and can
+  * never alias them), and a non-ASCII code point is exactly one leading
+  * byte plus continuations.
+  *
   * Each scanner's Pattern formulation stays in TextAnalysis as a `*Regex`
   * differential twin (fuzz-pinned in TokenScanSpec) and the DuckDB oracles
   * keep their independent RE2 formulations, so semantics remain
@@ -27,22 +35,21 @@ import org.apache.spark.unsafe.types.UTF8String
 object ScanEvals {
 
   /** java.util.regex `\s` (ASCII-only by default): [ \t\n\x0B\f\r]. */
-  @inline private def isJavaWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
+  @inline private def isJavaWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
 
   /** == size(split(s, "\\s+")) with Spark's limit=-1 semantics: the split
     * produces (number of maximal whitespace runs) + 1 fields — a leading
     * run yields a leading empty field and a trailing run a trailing empty
-    * field (kept at limit -1), interior runs separate fields. Whitespace
-    * chars are all BMP/ASCII, so a char-level scan is exact.
+    * field (kept at limit -1), interior runs separate fields.
     */
   def wsTokenCount(s: UTF8String): Int = {
-    val str = s.toString
+    val n = s.numBytes
     var runs = 0
     var inRun = false
     var i = 0
-    while (i < str.length) {
-      if (isJavaWs(str.charAt(i))) {
+    while (i < n) {
+      if (isJavaWs(s.getByte(i))) {
         if (!inRun) { runs += 1; inRun = true }
       } else inRun = false
       i += 1
@@ -51,80 +58,89 @@ object ScanEvals {
   }
 
   /** == count of matches of `[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]`: letter runs
-    * and digit runs count once, every other non-whitespace CODE POINT (the
-    * alternation's char classes match code points, so an astral char is one
-    * token, not two surrogate tokens) counts by itself.
+    * and digit runs count once, every other non-whitespace CODE POINT
+    * counts by itself — at the byte level a non-ASCII code point is its
+    * leading byte (counted as one mark) plus continuation bytes (skipped),
+    * so an astral char is one token, matching the regex's code-point
+    * semantics.
     */
   def bpeTokenCount(s: UTF8String): Int = {
-    val str = s.toString
+    val len = s.numBytes
     var n = 0
     var run = 0 // 0 = none, 1 = letter run, 2 = digit run
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
-      if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) {
+    while (i < len) {
+      val b = s.getByte(i)
+      if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) {
         if (run != 1) { n += 1; run = 1 }
-      } else if (cp >= '0' && cp <= '9') {
+      } else if (b >= '0' && b <= '9') {
         if (run != 2) { n += 1; run = 2 }
-      } else if (cp == 0x20 || (cp >= 0x09 && cp <= 0x0d)) { // java \s
+      } else if (isJavaWs(b)) {
         run = 0
-      } else {
+      } else if ((b & 0xc0) != 0x80) { // ASCII mark or a non-ASCII LEADING byte
         n += 1; run = 0
-      }
-      i += Character.charCount(cp)
+      } // continuation byte: interior of the already-counted code point
+      i += 1
     }
     n
   }
 
   /** == trim(regexp_replace(s, "\\s+", " ")): every maximal whitespace run
     * becomes one space, then the (only possible) leading/trailing space is
-    * trimmed — emitted here directly as "space before the next kept char,
-    * never at the start, pending run dropped at the end".
+    * trimmed — emitted here directly as "space before the next kept byte,
+    * never at the start, pending run dropped at the end". Non-ws bytes copy
+    * through verbatim, so multi-byte code points survive untouched.
     */
   def collapseWs(s: UTF8String): UTF8String = {
-    if (s.numBytes == 0) return s
-    val str = s.toString
-    val sb = new java.lang.StringBuilder(str.length)
+    val len = s.numBytes
+    if (len == 0) return s
+    val out = new Array[Byte](len)
+    var o = 0
     var pending = false
     var i = 0
-    while (i < str.length) {
-      val c = str.charAt(i)
-      if (isJavaWs(c)) pending = true
+    while (i < len) {
+      val b = s.getByte(i)
+      if (isJavaWs(b)) pending = true
       else {
-        if (pending && sb.length > 0) sb.append(' ')
-        sb.append(c)
+        if (pending && o > 0) { out(o) = ' '; o += 1 }
+        out(o) = b
+        o += 1
         pending = false
       }
       i += 1
     }
-    UTF8String.fromString(sb.toString)
+    UTF8String.fromBytes(out, 0, o)
   }
 
   /** == trim(regexp_replace(regexp_replace(s, "[^a-z0-9 ]", ""), " +", " ")):
     * strip everything outside [a-z0-9 ] FIRST (so a stripped char between
     * two spaces leaves one collapsible run, and tabs/newlines vanish rather
-    * than becoming spaces), then collapse space runs and trim. Callers pass
-    * lower(c), so uppercase never reaches the scanner.
+    * than becoming spaces), then collapse space runs and trim. Stripping a
+    * non-ASCII code point byte-by-byte is identical to stripping it whole —
+    * every one of its bytes is >= 0x80 and outside the kept set. Callers
+    * pass lower(c), so uppercase never reaches the scanner.
     */
   def asciiNormalize(s: UTF8String): UTF8String = {
-    if (s.numBytes == 0) return s
-    val str = s.toString
-    val sb = new java.lang.StringBuilder(str.length)
+    val len = s.numBytes
+    if (len == 0) return s
+    val out = new Array[Byte](len)
+    var o = 0
     var pending = false
     var i = 0
-    while (i < str.length) {
-      val c = str.charAt(i)
-      if (c == ' ') pending = true
-      else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-        if (pending && sb.length > 0) sb.append(' ')
-        sb.append(c)
+    while (i < len) {
+      val b = s.getByte(i)
+      if (b == ' ') pending = true
+      else if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pending && o > 0) { out(o) = ' '; o += 1 }
+        out(o) = b
+        o += 1
         pending = false
       }
-      // any other char is stripped by the inner [^a-z0-9 ] pass — it does
+      // any other byte is stripped by the inner [^a-z0-9 ] pass — it does
       // NOT touch the pending-space state ("a . b" -> "a b")
       i += 1
     }
-    UTF8String.fromString(sb.toString)
+    UTF8String.fromBytes(out, 0, o)
   }
 }
 

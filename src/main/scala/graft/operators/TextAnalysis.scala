@@ -4,21 +4,23 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis ops for large-scale training-data pipelines: language ID,
-  * quality scoring, token counting, fingerprinting. All pure Column
-  * expressions (codegen'd, pushdown-friendly). Each op has a DuckDB-SQL
-  * twin generated from the SAME constants (see `oracle*` below) so the
-  * driver's oracle can verify value-exact equivalence.
+  * quality scoring, token counting, fingerprinting. Every op is a
+  * codegen'd, pushdown-friendly scalar: the hot kernels are native
+  * single-pass expressions (ScanExprs/LangExprs — these run over EVERY
+  * document, so no regex and no per-row token arrays), each with its
+  * original Column formulation kept as a fuzz-pinned `*Column`/`*Regex`
+  * differential twin. Each op also has a DuckDB-SQL twin generated from
+  * the SAME constants (see `*Sql` below) so the driver's oracle verifies
+  * value-exact equivalence against an independent engine.
   */
 object TextAnalysis {
 
   // language marker words (tiny deterministic profiles; the semantic shape
   // of the reference's remote language detect, SURVEY §2.2 F7, re-expressed
-  // as a local n-gram/stopword heuristic)
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
-    "de" -> Seq("der", "die", "und", "ist", "das", "mit", "nicht"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
-    "es" -> Seq("el", "los", "las", "una", "es", "para", "por"))
+  // as a local n-gram/stopword heuristic). Constants live in LangEvals so
+  // the native kernels, the Column twins, and the DuckDB SQL twins all
+  // embed the SAME values.
+  val langMarkers: Seq[(String, Seq[String])] = graft.functions.LangEvals.markers
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
@@ -37,9 +39,15 @@ object TextAnalysis {
   def hasCjkRegex(c: Column): Column = c.rlike("[\\x{4e00}-\\x{9fff}]")
 
   /** Deterministic language ID: CJK chars → zh, else marker-word argmax
-    * with the fixed order en > de > fr > es on ties.
+    * with the fixed order en > de > fr > es on ties. Native one-pass
+    * kernel (round 3 — the Column form ran the regex StringSplit FOUR
+    * times per row, once per language score); [[langIdColumn]] is the
+    * fuzz-pinned twin.
     */
-  def langId(c: Column): Column = {
+  def langId(c: Column): Column = graft.functions.LangFunctions.lang_id(lower(c))
+
+  /** Column twin of [[langId]] (differential pin only). */
+  def langIdColumn(c: Column): Column = {
     val s = langMarkers.map { case (l, m) => l -> markerScore(c, m) }.toMap
     when(hasCjk(c), "zh")
       .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
@@ -61,12 +69,8 @@ object TextAnalysis {
 
   // character-trigram profiles (F7 n-gram variant — the brief's
   // "language-ID (n-gram heuristic)"; ASCII-only so the constants embed
-  // identically in Spark and DuckDB SQL)
-  val langTrigrams: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "ing", "and", "ion", "ent", "for", "th "),
-    "de" -> Seq("der", "und", "sch", "ich", "cht", "ein", "die"),
-    "fr" -> Seq("les", "des", "une", "que", "ais", "eur", "ant"),
-    "es" -> Seq("los", "las", "una", "por", "ado", "cion", "par"))
+  // identically in Spark and DuckDB SQL). Shared with the native kernel.
+  val langTrigrams: Seq[(String, Seq[String])] = graft.functions.LangEvals.trigrams
 
   /** all character trigrams of lower(c), empty below length 3. */
   private def trigrams(c: Column): Column = {
@@ -82,8 +86,14 @@ object TextAnalysis {
   /** F7 n-gram language ID: CJK chars → zh, else distinct-trigram-overlap
     * argmax against the profiles, tie order en > de > fr > es (same
     * protocol as [[langId]], trigram evidence instead of marker words).
+    * Native one-pass kernel; [[langIdTrigramColumn]] is the fuzz-pinned
+    * twin.
     */
-  def langIdTrigram(c: Column): Column = {
+  def langIdTrigram(c: Column): Column =
+    graft.functions.LangFunctions.lang_id_trigram(lower(c))
+
+  /** Column twin of [[langIdTrigram]] (differential pin only). */
+  def langIdTrigramColumn(c: Column): Column = {
     val g = trigrams(c)
     val s = langTrigrams.map { case (l, p) => l -> trigramScore(g, p) }.toMap
     when(hasCjk(c), "zh")
@@ -131,10 +141,17 @@ object TextAnalysis {
     * heuristics; all integer-exact so the oracle matches bit-for-bit after
     * rounding).
     */
-  val qualityStopwords: Seq[String] =
-    Seq("the", "and", "of", "to", "a", "in", "is", "for", "with", "on")
+  val qualityStopwords: Seq[String] = graft.functions.LangEvals.qualityStopwords
 
-  def qualityScore(c: Column): Column = {
+  /** Quality score — native one-pass kernel (token tallies folded in a
+    * single walk, no token array); [[qualityScoreColumn]] is the
+    * fuzz-pinned twin, bit-identical including the round-6.
+    */
+  def qualityScore(c: Column): Column =
+    graft.functions.LangFunctions.quality_score(lower(c))
+
+  /** Column twin of [[qualityScore]] (differential pin only). */
+  def qualityScoreColumn(c: Column): Column = {
     val t = toks(c)
     val n = greatest(size(t), lit(1)).cast("double")
     val stopRatio = size(filter(t, x => array_contains(typedlit(qualityStopwords), x))).cast("double") / n

@@ -76,13 +76,15 @@ class PlanSpec extends SparkSpec {
     // (has_cjk, translate() digit trick, ScanExprs round 3) — none may
     // regress to rlike/regexp_*.
     val kernels = Map(
-      "q12_lang_id" -> "has_cjk", "q33_lang_trigram" -> "has_cjk",
-      "q13_quality_score" -> "translate", "q10_normalize" -> "ascii_normalize",
+      "q12_lang_id" -> "lang_id", "q33_lang_trigram" -> "lang_id_trigram",
+      "q13_quality_score" -> "quality_score", "q10_normalize" -> "ascii_normalize",
       "q11_token_counts" -> "ws_token_count", "q14_fingerprint" -> "collapse_ws")
     kernels.foreach { case (q, kernel) =>
       val p = planOf(q)
+      // StringSplit/split( too: split(lower(c), " ") is ALSO a
+      // java.util.regex node, which this marker list originally missed
       Seq("RLIKE", "regexp_replace", "regexp_extract", "RegExpReplace",
-        "RegExpExtract", "Like(").foreach { marker =>
+        "RegExpExtract", "Like(", "StringSplit", "split(").foreach { marker =>
         assert(!p.contains(marker), s"$q plan contains $marker")
       }
       assert(p.contains(kernel), s"$q plan missing the regex-free kernel $kernel")
