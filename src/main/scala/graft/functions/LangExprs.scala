@@ -13,12 +13,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * StringSplit node the PlanSpec marker list never caught — and langId
   * evaluated that split FOUR times per row (once per language score),
   * materializing a token array + distinct + intersect each time. Here each
-  * op is a single scan with zero per-row arrays: marker scores are
-  * boundary-checked indexOf probes (7 markers × 4 languages), trigram
-  * scores are substring probes (profile hit ⇔ the 3-gram appears among the
-  * row's code-point trigrams — an ASCII pattern char-index match is always
-  * code-point aligned), and the quality formula folds token length /
-  * stopword / all-digit tallies in one walk.
+  * op is a single scan with zero per-row arrays: marker scores tokenize on
+  * the single-space byte and length-gate raw byte compares into a 28-bit
+  * seen-mask (popcount per language = the twin's distinct-intersect size),
+  * trigram scores pack each window of 3 consecutive ASCII bytes into 21
+  * bits for an open-addressed profile probe (a byte-window match is always
+  * code-point aligned because continuation/lead bytes are >= 0x80), and
+  * the quality formula folds token length / stopword / all-digit tallies
+  * in one walk.
+  *
+  * Null handling: the expressions are uniformly null-propagating
+  * (nullSafeEval, like every other graft kernel); TextAnalysis.langId /
+  * langIdTrigram coalesce the output to the label their Column twins'
+  * CaseWhen falls through to on null input ("es" / "en"), keeping the
+  * three-way native == twin == DuckDB equivalence total.
   *
   * The Column versions remain as `*Column` differential twins in
   * TextAnalysis (fuzz-pinned in LangScanSpec) and the DuckDB oracles keep
@@ -54,6 +62,12 @@ object LangEvals {
   // across languages (required — a duplicate surface would need its bit
   // set for BOTH languages and first-match lookup would miss one).
   // Markers are ASCII, so token comparison is raw byte equality.
+  // the langBit math below hard-codes 7 entries per language (bit range
+  // l*7 .. l*7+6); pin the arity so an edited profile fails at class-load
+  // instead of as an opaque fuzz divergence
+  require(markers.forall(_._2.length == 7), "marker profiles must have exactly 7 entries")
+  require(trigrams.forall(_._2.length == 7), "trigram profiles must have exactly 7 entries")
+
   private val markerFlat: Array[String] = markers.flatMap(_._2).toArray
   require(markerFlat.distinct.length == markerFlat.length, "duplicate marker surface")
   require(markerFlat.length <= 32, "marker bitmask overflow")
@@ -107,17 +121,17 @@ object LangEvals {
     else if (s2 >= s3) labels(2)
     else labels(3)
 
-  /** marker-entry id for byte-token [start,end) of s, or -1 (length-gated
-    * raw byte compare against the 28-entry flat table — the table is tiny,
-    * so a linear probe with an int length pre-filter beats hashing; a
-    * token containing multi-byte chars has a byte length no ASCII marker
+  /** table-entry id for byte-token [start,end) of s, or -1 (length-gated
+    * raw byte compare against a small flat ASCII table — the tables are
+    * tiny, so a linear probe with an int length pre-filter beats hashing; a
+    * token containing multi-byte chars has a byte length no ASCII entry
     * shares OR fails the byte compare, so no decode is ever needed).
     */
-  private def markerIdAt(s: UTF8String, start: Int, end: Int): Int = {
+  private def tableIdAt(table: Array[Array[Byte]], s: UTF8String, start: Int, end: Int): Int = {
     val tl = end - start
     var k = 0
-    while (k < markerBytes.length) {
-      val w = markerBytes(k)
+    while (k < table.length) {
+      val w = table(k)
       if (w.length == tl) {
         var j = 0
         while (j < tl && s.getByte(start + j) == w(j)) j += 1
@@ -127,6 +141,9 @@ object LangEvals {
     }
     -1
   }
+
+  private def markerIdAt(s: UTF8String, start: Int, end: Int): Int =
+    tableIdAt(markerBytes, s, start, end)
 
   /** == TextAnalysis.langIdColumn(lower-domain): CJK gate then distinct
     * marker-token overlap argmax, in ONE fused byte walk — each lead byte
@@ -204,20 +221,8 @@ object LangEvals {
   private val stopBytes: Array[Array[Byte]] =
     qualityStopwords.map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII)).toArray
 
-  private def isStopword(s: UTF8String, start: Int, end: Int): Boolean = {
-    val tl = end - start
-    var k = 0
-    while (k < stopBytes.length) {
-      val w = stopBytes(k)
-      if (w.length == tl) {
-        var j = 0
-        while (j < tl && s.getByte(start + j) == w(j)) j += 1
-        if (j == tl) return true
-      }
-      k += 1
-    }
-    false
-  }
+  private def isStopword(s: UTF8String, start: Int, end: Int): Boolean =
+    tableIdAt(stopBytes, s, start, end) >= 0
 
   /** == TextAnalysis.qualityScoreColumn(lower-domain): one byte walk over
     * the single-space token structure tallying token count (spaces + 1 —

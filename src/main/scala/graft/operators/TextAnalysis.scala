@@ -42,9 +42,13 @@ object TextAnalysis {
     * with the fixed order en > de > fr > es on ties. Native one-pass
     * kernel (round 3 — the Column form ran the regex StringSplit FOUR
     * times per row, once per language score); [[langIdColumn]] is the
-    * fuzz-pinned twin.
+    * fuzz-pinned twin. The native expression null-propagates like every
+    * graft kernel, while the twin's CaseWhen (and the DuckDB CASE) falls
+    * through to "es" on null text — coalesce keeps the three-way
+    * equivalence total over null rows.
     */
-  def langId(c: Column): Column = graft.functions.LangFunctions.lang_id(lower(c))
+  def langId(c: Column): Column =
+    coalesce(graft.functions.LangFunctions.lang_id(lower(c)), lit("es"))
 
   /** Column twin of [[langId]] (differential pin only). */
   def langIdColumn(c: Column): Column = {
@@ -87,10 +91,13 @@ object TextAnalysis {
     * argmax against the profiles, tie order en > de > fr > es (same
     * protocol as [[langId]], trigram evidence instead of marker words).
     * Native one-pass kernel; [[langIdTrigramColumn]] is the fuzz-pinned
-    * twin.
+    * twin. On null text the twin's trigrams() gate yields an EMPTY array
+    * (all scores 0 → first branch "en"), so the null-propagating native
+    * output coalesces to "en" — unlike [[langId]], whose twin's score
+    * comparisons go null and fall through to "es".
     */
   def langIdTrigram(c: Column): Column =
-    graft.functions.LangFunctions.lang_id_trigram(lower(c))
+    coalesce(graft.functions.LangFunctions.lang_id_trigram(lower(c)), lit("en"))
 
   /** Column twin of [[langIdTrigram]] (differential pin only). */
   def langIdTrigramColumn(c: Column): Column = {

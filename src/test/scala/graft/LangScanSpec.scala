@@ -92,6 +92,25 @@ class LangScanSpec extends SparkSpec {
     }
   }
 
+  test("null text: native == twin == CaseWhen fall-through") {
+    import spark.implicits._
+    val r = Seq[String](null).toDF("text")
+      .select(
+        TextAnalysis.langId(col("text")),
+        TextAnalysis.langIdColumn(col("text")),
+        TextAnalysis.langIdTrigram(col("text")),
+        TextAnalysis.langIdTrigramColumn(col("text")),
+        TextAnalysis.qualityScore(col("text")),
+        TextAnalysis.qualityScoreColumn(col("text")))
+      .collect().head
+    // marker twin: all score comparisons go null -> otherwise("es");
+    // trigram twin: trigrams(null) gates to an EMPTY array -> scores 0 -> "en"
+    assert(r.getString(0) == "es" && r.getString(1) == "es", s"langId null: $r")
+    assert(r.getString(2) == "en" && r.getString(3) == "en", s"trigram null: $r")
+    // quality: size(null)=null propagates through BOTH formulations
+    assert(r.isNullAt(4) && r.isNullAt(5), s"quality null: $r")
+  }
+
   test("tie order en > de > fr > es and the CJK gate") {
     import spark.implicits._
     val cases = Seq(
