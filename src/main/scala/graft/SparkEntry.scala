@@ -702,7 +702,7 @@ object SparkEntry {
     * Spark side (identical IEEE ops → identical boundary behavior).
     */
   private def exactJaccardPairsSql(maxDistance: Double): String = {
-    val toks = "regexp_split_to_array(lower(text), '\\s+')"
+    val toks = "regexp_split_to_array(lower(text), '[\\s\\x0b]+')"
     val sh = s"list_distinct(list_transform(range(0, greatest(len($toks) - 3, 0) + 1), i -> array_to_string(($toks)[i+1:i+3], ' ')))"
     s"""WITH u AS (SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
@@ -768,8 +768,8 @@ object SparkEntry {
     "q10_normalize" ->
       s"SELECT doc_id, ${TextAnalysis.normalizeSql("text")} AS text_norm FROM documents",
     "q11_token_counts" ->
-      s"""SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS ws_tokens,
-         | len(regexp_extract_all(text, '${TextAnalysis.bpeTokenPattern}')) AS bpe_tokens
+      s"""SELECT doc_id, len(regexp_split_to_array(text, '[\\s\\x0b]+')) AS ws_tokens,
+         | len(regexp_extract_all(text, '${TextAnalysis.bpeTokenPatternDuck}')) AS bpe_tokens
          |FROM documents""".stripMargin,
     "q12_lang_id" ->
       s"SELECT doc_id, ${TextAnalysis.langIdSql("text")} AS lang_pred FROM documents",
@@ -816,7 +816,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity)::BIGINT AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q27_ngram_jaccard" -> {
-      val toks = "regexp_split_to_array(lower(text), '\\s+')"
+      val toks = "regexp_split_to_array(lower(text), '[\\s\\x0b]+')"
       val sh = s"list_distinct(list_transform(range(0, greatest(len($toks) - 3, 0) + 1), i -> array_to_string(($toks)[i+1:i+3], ' ')))"
       s"""WITH sh AS (SELECT doc_id, source, $sh AS sh FROM documents),
          |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -978,7 +978,7 @@ object SparkEntry {
       // all-pairs), so a pair lost by the inverted-index rewrite or a
       // boundary disagreement fails the value compare; the |∩|/|∪|
       // operand shape matches the Spark side IEEE-exactly (q27 pattern).
-      val toks = "regexp_split_to_array(lower(text), '\\s+')"
+      val toks = "regexp_split_to_array(lower(text), '[\\s\\x0b]+')"
       val sh = s"list_distinct(list_transform(range(0, greatest(len($toks) - 3, 0) + 1), i -> array_to_string(($toks)[i+1:i+3], ' ')))"
       s"""WITH sh AS (SELECT doc_id, $sh AS sh FROM documents),
          |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -51,7 +51,11 @@ object LangEvals {
     "en" -> Seq("the", "ing", "and", "ion", "ent", "for", "th "),
     "de" -> Seq("der", "und", "sch", "ich", "cht", "ein", "die"),
     "fr" -> Seq("les", "des", "une", "que", "ais", "eur", "ant"),
-    "es" -> Seq("los", "las", "una", "por", "ado", "cion", "par"))
+    // "cio" not "cion": a profile entry longer than 3 chars can never
+    // equal a 3-gram, which left es with only 6 live trigrams and
+    // mislabeled '-cion-' texts (their "ion" window credits en) — the
+    // round-3 review fix; all three formulations share this constant
+    "es" -> Seq("los", "las", "una", "por", "ado", "cio", "par"))
 
   private val zh = UTF8String.fromString("zh")
   private val labels: Array[UTF8String] =
@@ -79,9 +83,9 @@ object LangEvals {
 
   // packed-trigram lookup: profile entries of exactly 3 ASCII chars pack
   // into 21 bits (7 per byte); open-addressed table, linear probing.
-  // Entries that are NOT exactly 3 chars (es ships the 4-char "cion")
-  // can never equal a 3-gram in the twin, so they get a bit that is
-  // simply never set.
+  // A hypothetical entry that is NOT exactly 3 chars could never equal a
+  // 3-gram in the twin, so it gets a bit that is simply never set (kept
+  // as a guard; since the cion->cio fix every entry is 3 chars).
   private val trigramFlat: Array[String] = trigrams.flatMap(_._2).toArray
   require(trigramFlat.distinct.length == trigramFlat.length, "duplicate trigram")
   require(trigramFlat.length <= 32, "trigram bitmask overflow")

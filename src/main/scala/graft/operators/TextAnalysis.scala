@@ -198,8 +198,18 @@ object TextAnalysis {
   def fingerprintRegex(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")))
 
+  /** DuckDB (RE2) `\s` is `[\t\n\f\r ]` — it EXCLUDES vertical tab \x0B,
+    * which Java's `\s` (the semantics every Spark-side tokenizer here pins,
+    * ScanExprs.isJavaWs) includes. Every DuckDB twin therefore spells the
+    * class `[\s\x0b]` so the three-way equivalence holds on VT too.
+    */
+  val duckWs = "[\\s\\x0b]"
+
   def fingerprintSql(col: String): String =
-    s"md5(trim(regexp_replace(lower($col), '\\s+', ' ', 'g')))"
+    s"md5(trim(regexp_replace(lower($col), '$duckWs+', ' ', 'g')))"
+
+  /** DuckDB spelling of [[bpeTokenPattern]] (RE2 `\s` lacks \x0B). */
+  val bpeTokenPatternDuck = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s\\x0b]"
 
   /** Reduced normalizer with an exact DuckDB twin (the full pipeline clean
     * chain needs lookaround regexes RE2 lacks; it is verified against

@@ -26,6 +26,9 @@ class LangScanSpec extends SparkSpec {
     "les des une que grande aventure pour tous",
     "los las una para por el gato grande",
     "schreiben ich mochte nicht", "question ancient entire nation",
+    // '-cion-' text: "cio" (es) and "ion" (en) windows both fire; "par"
+    // tips it to es — the case the 4-char "cion" entry used to lose
+    "informacion para la poblacion", "nacional atencion",
     "1 22 333 4444 the 55", "a a a a a a a a", "to to to to is")
 
   private def fuzz: Seq[String] = {
@@ -35,8 +38,8 @@ class LangScanSpec extends SparkSpec {
         LangEvals.qualityStopwords ++
         Seq("xyz", "qqq", "123", "45", "a1", "grande", "schreiben", "nation",
           "中", "😀", ".", "-", "x\ty", "", "THE", "Der", "ancient", "pour",
-          // "nacional" contains the 4-char es profile entry "cion" as a
-          // SUBSTRING but never as a 3-gram — pins the length-3 guard
+          // '-cion-' words: their windows include BOTH es "cio" and en
+          // "ion" — pins the cross-language overlap handling
           "nacional", "atencion")
     (0 until 400).map { _ =>
       val n = rnd.nextInt(13)
