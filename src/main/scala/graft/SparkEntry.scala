@@ -694,6 +694,31 @@ object SparkEntry {
         ("all_convs_resolved", salted.size == nConvs && clustered.size == nConvs),
         ("skew_conv_present", salted.keySet.exists(_.endsWith("00000000")))
       ).toDF("invariant", "ok")
+    }),
+    // q52: manifest-level file skipping end-to-end — documents split into
+    // three appended file groups by doc_id thirds, then a range read that
+    // must (a) SKIP two of the three groups at the manifest layer (require
+    // enforces it — a pruning regression fails the query, not just a
+    // perf number) and (b) return value-exactly what DuckDB's full-scan
+    // filter over the same parquet computes with the same cut points.
+    "q52_versioned_prune" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val r = docs.agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).collect()(0)
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * (hi - lo) / 3
+      val table = java.nio.file.Files.createTempDirectory("graft-vt").toString
+      VersionedTable.overwrite(docs.where(col("doc_id") <= c1), table)
+      VersionedTable.append(docs.where(col("doc_id") > c1 && col("doc_id") <= c2), table)
+      VersionedTable.append(docs.where(col("doc_id") > c2), table)
+      val cur = VersionedTable.versions(table).last
+      val (keep, skip) = VersionedTable.pruneDirs(table, cur, "doc_id", c1 + 1, c2)
+      require(keep.size == 1 && skip.size == 2,
+        s"manifest pruning regressed: kept ${keep.size} of ${cur.dirs.size} file groups")
+      VersionedTable.readRange(table, "doc_id", c1 + 1, c2)
+        .select("doc_id", "lang", "n_chars")
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -999,5 +1024,13 @@ object SparkEntry {
       s"""SELECT count(*) AS n_pairs FROM embeddings a, embeddings b
          |WHERE a.vec_id < b.vec_id AND b.vec_id < 500 AND a.vec_id < 500
          | AND $dot / ($na * $nb) >= 0.3""".stripMargin
-    })
+    },
+    // DuckDB recomputes the q52 thirds cut points from the same parquet
+    // and full-scan-filters — the Spark side must return the identical
+    // rows while opening only 1 of 3 file groups (`//` = floor division,
+    // matching Long division on the non-negative doc_id range).
+    "q52_versioned_prune" ->
+      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)
+        |SELECT doc_id, lang, n_chars FROM documents, b
+        |WHERE doc_id BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3""".stripMargin)
 }

@@ -1,8 +1,11 @@
 package graft.sources
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.Base64
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
+import org.apache.spark.sql.types.{NumericType, StringType}
 
 /** Iceberg snapshot/time-travel semantics modeled on parquet (the second
   * half of the S1 story beside TableIO's partition-scoped replace): data
@@ -19,7 +22,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `readAsOf(current - 1)`);
   *  - `expire(keep)` = Iceberg's expire_snapshots: drops manifests older
   *    than the newest `keep` and deletes data dirs no retained version
-  *    references.
+  *    references;
+  *  - `compact(...)`  = Iceberg's rewrite_data_files (binpack): folds the
+  *    small file groups a streaming/incremental writer accretes into one,
+  *    committed as a new version GATED on content-identity (same
+  *    snapshot id) — at 100 TB the append path creates thousands of
+  *    small commits per day and reads degrade linearly in file-group
+  *    count without this;
+  *  - per-commit column stats (`_graft_stats.json` beside the data, the
+  *    underscore prefix keeps Spark's parquet reader from touching it) =
+  *    Iceberg's manifest min/max metrics: `readRange` consults them and
+  *    opens ONLY the file groups whose [min,max] intersects the
+  *    predicate — manifest-level file skipping, the layer ABOVE parquet
+  *    row-group pruning (a planner that never lists non-matching files
+  *    beats one that opens each footer to discover the miss).
   *
   * Each manifest row carries the deterministic content snapshot id
   * (TableIO.snapshotId), so an idempotent re-commit is detectable and
@@ -51,10 +67,13 @@ object VersionedTable {
 
   private def commit(table: String, dirs: Seq[String])(
       implicit spark: SparkSession): Version = {
-    val prior = versions(table)
-    val seq = prior.lastOption.map(_.seq + 1).getOrElse(1)
     val sid = TableIO.snapshotId(
       spark.read.parquet(dirs.map(d => s"$table/$d"): _*))
+    commitWith(table, dirs, sid)
+  }
+
+  private def commitWith(table: String, dirs: Seq[String], sid: Long): Version = {
+    val seq = versions(table).lastOption.map(_.seq + 1).getOrElse(1)
     val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
     Files.createDirectories(Paths.get(table))
     Files.writeString(manifestPath(table), line + "\n",
@@ -72,6 +91,7 @@ object VersionedTable {
     val seq = versions(table).lastOption.map(_.seq + 1).getOrElse(1)
     val dir = newDataDir(seq)
     df.write.parquet(s"$table/$dir")
+    writeStats(table, dir)
     commit(table, Seq(dir))
   }
 
@@ -81,7 +101,139 @@ object VersionedTable {
     val seq = prior.map(_.seq + 1).getOrElse(1)
     val dir = newDataDir(seq)
     df.write.parquet(s"$table/$dir")
+    writeStats(table, dir)
     commit(table, prior.map(_.dirs).getOrElse(Seq.empty) :+ dir)
+  }
+
+  // ---- manifest column stats (Iceberg manifest min/max metrics) ----------
+
+  private final case class ColStats(typ: String, min: Option[String], max: Option[String])
+  private final case class DirStats(rows: Long, cols: Map[String, ColStats])
+
+  private def statsPath(table: String, dir: String) =
+    Paths.get(table, dir, "_graft_stats.json")
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(Base64.getDecoder.decode(s), "UTF-8")
+
+  /** One aggregate pass over the just-written file group: row count +
+    * per-column min/max for numeric and string columns, written as a
+    * sidecar INSIDE the data dir (underscore prefix = invisible to the
+    * parquet reader). Strings are Base64'd so the sidecar stays valid
+    * JSON for any payload bytes. This is the write-side half of
+    * manifest-level file skipping; [[pruneDirs]] is the read-side half.
+    */
+  private def writeStats(table: String, dir: String)(
+      implicit spark: SparkSession): Unit = {
+    val df = spark.read.parquet(s"$table/$dir")
+    val statFields = df.schema.fields.filter(f =>
+      f.dataType.isInstanceOf[NumericType] || f.dataType == StringType)
+    val aggs = count(lit(1)).as("_rows") +:
+      statFields.flatMap(f => Seq(min(col(f.name)), max(col(f.name)))).toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val rows = row.getLong(0)
+    val colsJson = statFields.zipWithIndex.map { case (f, i) =>
+      val (typ, mn, mx) = f.dataType match {
+        case StringType =>
+          def s(j: Int) = if (row.isNullAt(j)) None else Some(b64(row.getString(j)))
+          ("s", s(1 + 2 * i), s(2 + 2 * i))
+        case _ =>
+          def n(j: Int) = if (row.isNullAt(j)) None else Some(row.get(j).toString)
+          ("n", n(1 + 2 * i), n(2 + 2 * i))
+      }
+      def v(o: Option[String]) = o.map("\"" + _ + "\"").getOrElse("null")
+      s""""${f.name}":{"t":"$typ","min":${v(mn)},"max":${v(mx)}}"""
+    }.mkString(",")
+    Files.writeString(statsPath(table, dir),
+      s"""{"rows":$rows,"cols":{$colsJson}}""")
+  }
+
+  private val colStatRe =
+    """"([^"]+)":\{"t":"([ns])","min":(null|"[^"]*"),"max":(null|"[^"]*")\}""".r
+
+  private def dirStats(table: String, dir: String): Option[DirStats] = {
+    val p = statsPath(table, dir)
+    if (!Files.exists(p)) return None
+    val json = Files.readString(p)
+    val rows = """"rows":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    rows.map { r =>
+      val cols = colStatRe.findAllMatchIn(json).map { m =>
+        def v(g: String) =
+          if (g == "null") None else Some(g.stripPrefix("\"").stripSuffix("\""))
+        m.group(1) -> ColStats(m.group(2), v(m.group(3)), v(m.group(4)))
+      }.toMap
+      DirStats(r, cols)
+    }
+  }
+
+  /** Manifest-level file skipping: split a version's file groups into
+    * (mustRead, skippable) for the predicate `column BETWEEN lo AND hi`.
+    * A dir is skippable only on positive evidence — stats present AND
+    * (no rows, all-null column, or [min,max] disjoint from [lo,hi]); a
+    * missing sidecar or unstated column keeps the dir (conservative).
+    * Numeric stats compare as BigDecimal, string stats lexicographically
+    * (matching parquet/Iceberg string min-max ordering on the binary
+    * UTF-8 form for the ASCII ids used here).
+    */
+  def pruneDirs(table: String, v: Version, column: String,
+                lo: Any, hi: Any): (Seq[String], Seq[String]) =
+    v.dirs.partition { d =>
+      dirStats(table, d) match {
+        case None => true
+        case Some(st) if st.rows == 0 => false
+        case Some(st) => st.cols.get(column) match {
+          case None => true
+          case Some(cs) if cs.min.isEmpty || cs.max.isEmpty => false // all null
+          case Some(cs) if cs.typ == "n" =>
+            val (mn, mx) = (BigDecimal(cs.min.get), BigDecimal(cs.max.get))
+            mx >= BigDecimal(lo.toString) && mn <= BigDecimal(hi.toString)
+          case Some(cs) =>
+            val (mn, mx) = (unb64(cs.min.get), unb64(cs.max.get))
+            mx >= lo.toString && mn <= hi.toString
+        }
+      }
+    }
+
+  /** Range read through the manifest stats: opens ONLY the file groups
+    * whose [min,max] can intersect `column BETWEEN lo AND hi`, then
+    * applies the exact predicate (parquet row-group pruning still runs
+    * below on whatever survives). At 100 TB this is the difference
+    * between listing/planning thousands of file groups and a handful —
+    * the planner never even names the non-matching files.
+    */
+  def readRange(table: String, column: String, lo: Any, hi: Any)(
+      implicit spark: SparkSession): DataFrame = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed version in $table")
+    val v = vs.last
+    val (keep, _) = pruneDirs(table, v, column, lo, hi)
+    val pred = col(column).between(lit(lo), lit(hi))
+    if (keep.isEmpty) readVersion(table, v).where(lit(false)).where(pred)
+    else spark.read.parquet(keep.map(d => s"$table/$d"): _*).where(pred)
+  }
+
+  /** rewrite_data_files (binpack): fold the latest version's accreted
+    * file groups into `targetGroups` fresh dirs and commit the result as
+    * a new version, GATED on content identity — the recomputed snapshot
+    * id must equal the current version's or the commit is refused. Old
+    * versions remain time-travelable until [[expire]].
+    */
+  def compact(table: String, targetGroups: Int = 1)(
+      implicit spark: SparkSession): Version = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed version in $table")
+    val cur = vs.last
+    if (cur.dirs.size <= 1) return cur
+    val seq = cur.seq + 1
+    val dir = s"data/v$seq-compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    readVersion(table, cur).repartition(targetGroups).write.parquet(s"$table/$dir")
+    val sid = TableIO.snapshotId(spark.read.parquet(s"$table/$dir"))
+    require(sid == cur.snapshotId,
+      s"compaction changed content: $sid != ${cur.snapshotId} — refusing to commit")
+    writeStats(table, dir)
+    commitWith(table, Seq(dir), sid)
   }
 
   /** Latest committed version. */

@@ -120,6 +120,48 @@ class TableIOSpec extends SparkSpec {
     assert(VersionedTable.read(table).count() == 50)
   }
 
+  test("versioned table: manifest column stats prune file groups; compact folds them") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val table = tmp("versioned_stats")
+    // three appends = three file groups with disjoint id ranges + conv prefixes
+    VersionedTable.overwrite(
+      (1L to 100L).map(i => (i, f"conv-a$i%04d")).toDF("id", "conv_id"), table)
+    VersionedTable.append(
+      (1000L to 1100L).map(i => (i, f"conv-b$i%04d")).toDF("id", "conv_id"), table)
+    VersionedTable.append(
+      (5000L to 5100L).map(i => (i, f"conv-c$i%04d")).toDF("id", "conv_id"), table)
+    val cur = VersionedTable.versions(table).last
+    assert(cur.dirs.size == 3)
+    // numeric range hits only the middle group: 2 of 3 dirs skipped
+    val (keepN, skipN) = VersionedTable.pruneDirs(table, cur, "id", 1000L, 1100L)
+    assert(keepN.size == 1 && skipN.size == 2)
+    assert(VersionedTable.readRange(table, "id", 1000L, 1100L).count() == 101)
+    // string range on conv_id prunes lexicographically
+    val (keepS, skipS) = VersionedTable.pruneDirs(table, cur, "conv_id", "conv-c", "conv-d")
+    assert(keepS.size == 1 && skipS.size == 2)
+    assert(VersionedTable.readRange(table, "conv_id", "conv-c", "conv-d").count() == 101)
+    // a range matching nothing opens zero groups and returns empty w/ schema
+    val (keep0, _) = VersionedTable.pruneDirs(table, cur, "id", 7000L, 8000L)
+    assert(keep0.isEmpty)
+    val empty = VersionedTable.readRange(table, "id", 7000L, 8000L)
+    assert(empty.columns.toSeq == Seq("id", "conv_id") && empty.count() == 0)
+    // pruned read == full-scan filter (the correctness invariant of skipping)
+    assert(VersionedTable.readRange(table, "id", 50L, 1050L).as[(Long, String)].collect().sorted.toSeq ==
+      VersionedTable.read(table).where($"id".between(50L, 1050L)).as[(Long, String)].collect().sorted.toSeq)
+    // compact: 3 groups -> 1, content-identical (same snapshot id), new version
+    val compacted = VersionedTable.compact(table)
+    assert(compacted.dirs.size == 1 && compacted.snapshotId == cur.snapshotId)
+    assert(compacted.seq == cur.seq + 1)
+    assert(VersionedTable.read(table).count() == 302)
+    // old multi-group version still time-travelable until expire
+    assert(VersionedTable.readAsOf(table, cur.seq).count() == 302)
+    // stats were rewritten for the compacted group: pruning still exact
+    assert(VersionedTable.readRange(table, "id", 1000L, 1100L).count() == 101)
+    // compacting a single-group version is a no-op (no new commit)
+    assert(VersionedTable.compact(table).seq == compacted.seq)
+  }
+
   test("JDBC sink (S6) round-trips the wide table through embedded Derby") {
     import spark.implicits._
     val wide = Seq(("conv-1", "Data Engineer", "Germany"), ("conv-2", "Nurse", "Poland"))
