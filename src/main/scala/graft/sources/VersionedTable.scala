@@ -187,8 +187,12 @@ object VersionedTable {
           case None => true
           case Some(cs) if cs.min.isEmpty || cs.max.isEmpty => false // all null
           case Some(cs) if cs.typ == "n" =>
-            val (mn, mx) = (BigDecimal(cs.min.get), BigDecimal(cs.max.get))
-            mx >= BigDecimal(lo.toString) && mn <= BigDecimal(hi.toString)
+            // NaN/Infinity extremes (possible on double columns) don't
+            // parse as BigDecimal — fail CONSERVATIVE: read the dir
+            scala.util.Try {
+              val (mn, mx) = (BigDecimal(cs.min.get), BigDecimal(cs.max.get))
+              mx >= BigDecimal(lo.toString) && mn <= BigDecimal(hi.toString)
+            }.getOrElse(true)
           case Some(cs) =>
             val (mn, mx) = (unb64(cs.min.get), unb64(cs.max.get))
             mx >= lo.toString && mn <= hi.toString
@@ -212,6 +216,32 @@ object VersionedTable {
     val pred = col(column).between(lit(lo), lit(hi))
     if (keep.isEmpty) readVersion(table, v).where(lit(false)).where(pred)
     else spark.read.parquet(keep.map(d => s"$table/$d"): _*).where(pred)
+  }
+
+  /** remove_orphan_files: delete data dirs referenced by NO committed
+    * version — the debris of crashed writers (data written, manifest line
+    * never appended) and of an expire that died mid-delete. Safe by the
+    * same contract that makes commits crash-safe: a dir becomes reachable
+    * only via a manifest line, so an unreferenced dir is invisible to
+    * every reader by construction. Returns the deleted dirs.
+    */
+  def vacuum(table: String): Seq[String] = {
+    val dataRoot = Paths.get(table, "data")
+    if (!Files.exists(dataRoot)) return Seq.empty
+    val referenced = versions(table).flatMap(_.dirs).toSet
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(dataRoot)
+    val orphans =
+      try listing.iterator().asScala
+        .map(p => s"data/${p.getFileName}").filterNot(referenced).toList
+      finally listing.close()
+    orphans.foreach { d =>
+      val walk = Files.walk(Paths.get(table, d))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
+    orphans
   }
 
   /** rewrite_data_files (binpack): fold the latest version's accreted

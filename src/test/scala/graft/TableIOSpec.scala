@@ -160,6 +160,15 @@ class TableIOSpec extends SparkSpec {
     assert(VersionedTable.readRange(table, "id", 1000L, 1100L).count() == 101)
     // compacting a single-group version is a no-op (no new commit)
     assert(VersionedTable.compact(table).seq == compacted.seq)
+    // vacuum: a crashed writer's dir (data on disk, no manifest line) is
+    // an orphan — deleted; every committed dir survives and still reads
+    val orphan = java.nio.file.Paths.get(table, "data/v99-deadbeef")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-stray.parquet"), "not-committed")
+    val vacuumed = VersionedTable.vacuum(table)
+    assert(vacuumed == Seq("data/v99-deadbeef") && !Files.exists(orphan))
+    assert(VersionedTable.read(table).count() == 302)
+    assert(VersionedTable.vacuum(table).isEmpty) // idempotent
   }
 
   test("JDBC sink (S6) round-trips the wide table through embedded Derby") {
