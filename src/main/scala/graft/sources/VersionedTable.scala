@@ -65,21 +65,55 @@ object VersionedTable {
     }
   }
 
-  private def commit(table: String, dirs: Seq[String])(
-      implicit spark: SparkSession): Version = {
-    val sid = TableIO.snapshotId(
-      spark.read.parquet(dirs.map(d => s"$table/$d"): _*))
-    commitWith(table, dirs, sid)
+  /** Optimistic-concurrency commit gate (Iceberg's atomic metadata-pointer
+    * swap, expressed as the one primitive a plain filesystem gives us
+    * atomically: directory creation). Concurrent committers serialize
+    * here, and the seq is (re)derived INSIDE the critical section, so two
+    * writers racing an append can never mint the same version. A crashed
+    * holder leaves the lock dir behind; the bounded wait turns that into
+    * a loud error naming the path instead of a silent hang.
+    */
+  private def withCommitLock[T](table: String)(body: => T): T = {
+    val lock = Paths.get(table, "_graft_commit.lock")
+    Files.createDirectories(Paths.get(table))
+    var attempts = 0
+    var acquired = false
+    while (!acquired) {
+      try { Files.createDirectory(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts > 2000) throw new IllegalStateException(
+            s"commit lock held too long — crashed committer? remove $lock to recover")
+          Thread.sleep(5)
+      }
+    }
+    try body finally Files.delete(lock)
   }
 
-  private def commitWith(table: String, dirs: Seq[String], sid: Long): Version = {
-    val seq = versions(table).lastOption.map(_.seq + 1).getOrElse(1)
-    val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
-    Files.createDirectories(Paths.get(table))
-    Files.writeString(manifestPath(table), line + "\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    Version(seq, sid, dirs)
-  }
+  /** Serialized commit: the new version's (dirs, snapshot id) are derived
+    * FROM THE LATEST BASE INSIDE the critical section, so a concurrent
+    * committer that landed first is folded in, never overwritten (the
+    * classic lost-update append race). `f` must be cheap — no Spark jobs
+    * under the lock; appenders use the snapshot id's additivity (sum of
+    * per-row hashes mod 2^64 = Long wraparound addition) to combine a
+    * pre-computed per-dir id with the base's instead of re-scanning.
+    */
+  private def commitTransform(table: String)(
+      f: Option[Version] => (Seq[String], Long)): Version =
+    withCommitLock(table) {
+      val base = versions(table).lastOption
+      val (dirs, sid) = f(base)
+      val seq = base.map(_.seq + 1).getOrElse(1)
+      val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
+      Files.writeString(manifestPath(table), line + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      Version(seq, sid, dirs)
+    }
+
+  private def dirSnapshotId(table: String, dir: String)(
+      implicit spark: SparkSession): Long =
+    TableIO.snapshotId(spark.read.parquet(s"$table/$dir"))
 
   private def newDataDir(seq: Int): String =
     s"data/v$seq-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -88,21 +122,28 @@ object VersionedTable {
     * only it. Old versions stay readable until [[expire]].
     */
   def overwrite(df: DataFrame, table: String)(implicit spark: SparkSession): Version = {
-    val seq = versions(table).lastOption.map(_.seq + 1).getOrElse(1)
-    val dir = newDataDir(seq)
+    val dir = newDataDir(versions(table).lastOption.map(_.seq + 1).getOrElse(1))
     df.write.parquet(s"$table/$dir")
     writeStats(table, dir)
-    commit(table, Seq(dir))
+    val sid = dirSnapshotId(table, dir)
+    commitTransform(table)(_ => (Seq(dir), sid))
   }
 
-  /** Append commit: previous version's dirs + one new dir. */
+  /** Append commit: the base version's dirs + one new dir. The base is
+    * re-resolved inside the commit lock and the ids are combined
+    * additively, so concurrent appenders each land as their own version
+    * with BOTH dirs present — no lost update, and no Spark work while
+    * holding the lock.
+    */
   def append(df: DataFrame, table: String)(implicit spark: SparkSession): Version = {
-    val prior = versions(table).lastOption
-    val seq = prior.map(_.seq + 1).getOrElse(1)
-    val dir = newDataDir(seq)
+    val dir = newDataDir(versions(table).lastOption.map(_.seq + 1).getOrElse(1))
     df.write.parquet(s"$table/$dir")
     writeStats(table, dir)
-    commit(table, prior.map(_.dirs).getOrElse(Seq.empty) :+ dir)
+    val dirSid = dirSnapshotId(table, dir)
+    commitTransform(table) { base =>
+      (base.map(_.dirs).getOrElse(Seq.empty) :+ dir,
+        base.map(_.snapshotId + dirSid).getOrElse(dirSid)) // mod-2^64 sum
+    }
   }
 
   // ---- manifest column stats (Iceberg manifest min/max metrics) ----------
@@ -215,7 +256,8 @@ object VersionedTable {
     val (keep, _) = pruneDirs(table, v, column, lo, hi)
     val pred = col(column).between(lit(lo), lit(hi))
     if (keep.isEmpty) readVersion(table, v).where(lit(false)).where(pred)
-    else spark.read.parquet(keep.map(d => s"$table/$d"): _*).where(pred)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(keep.map(d => s"$table/$d"): _*).where(pred)
   }
 
   /** remove_orphan_files: delete data dirs referenced by NO committed
@@ -248,7 +290,11 @@ object VersionedTable {
     * file groups into `targetGroups` fresh dirs and commit the result as
     * a new version, GATED on content identity — the recomputed snapshot
     * id must equal the current version's or the commit is refused. Old
-    * versions remain time-travelable until [[expire]].
+    * versions remain time-travelable until [[expire]]. Compacting a
+    * schema-EVOLVED version passes the gate too — the rewrite widens
+    * pre-evolution rows with null columns, and xxhash64 skips null
+    * fields, so the widened rows hash identically and compaction doubles
+    * as schema normalization (TableIOSpec pins this).
     */
   def compact(table: String, targetGroups: Int = 1)(
       implicit spark: SparkSession): Version = {
@@ -263,7 +309,15 @@ object VersionedTable {
     require(sid == cur.snapshotId,
       s"compaction changed content: $sid != ${cur.snapshotId} — refusing to commit")
     writeStats(table, dir)
-    commitWith(table, Seq(dir), sid)
+    commitTransform(table) { base =>
+      // Iceberg rewrite_data_files conflict rule: if anyone committed
+      // after the version we rewrote, committing the rewrite would erase
+      // their rows — fail loudly, caller retries against the new tip.
+      if (!base.exists(_.seq == cur.seq)) throw new IllegalStateException(
+        s"concurrent commit during compaction of v${cur.seq} " +
+          s"(tip is now v${base.map(_.seq).getOrElse(0)}) — retry")
+      (Seq(dir), sid)
+    }
   }
 
   /** Latest committed version. */
@@ -281,16 +335,24 @@ object VersionedTable {
     readVersion(table, v)
   }
 
+  /** Version reads union-merge the file groups' schemas (Iceberg add-column
+    * evolution: an append may carry columns older groups lack — merged
+    * reads surface them with nulls for pre-evolution rows instead of
+    * failing or silently projecting the first footer's schema).
+    */
   private def readVersion(table: String, v: Version)(
       implicit spark: SparkSession): DataFrame =
-    spark.read.parquet(v.dirs.map(d => s"$table/$d"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(v.dirs.map(d => s"$table/$d"): _*)
 
   /** expire_snapshots: keep the newest `keep` versions, delete data dirs
     * referenced by no retained version. Returns the deleted dirs.
     */
-  def expire(table: String, keep: Int)(implicit spark: SparkSession): Seq[String] = {
+  // holds the commit lock across the read→rewrite so a concurrent append
+  // can't land between them and be erased by the manifest replacement
+  def expire(table: String, keep: Int)(implicit spark: SparkSession): Seq[String] = withCommitLock(table) {
     val vs = versions(table)
-    if (vs.size <= keep) return Seq.empty
+    if (vs.size <= keep) Seq.empty else {
     val (dropped, retained) = vs.splitAt(vs.size - keep)
     val keepDirs = retained.flatMap(_.dirs).toSet
     val doomed = dropped.flatMap(_.dirs).distinct.filterNot(keepDirs)
@@ -321,5 +383,5 @@ object VersionedTable {
       }
     }
     doomed
-  }
+  }}
 }
