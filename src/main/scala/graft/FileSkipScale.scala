@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Scale evidence for VersionedTable's manifest-level file skipping
+  * (q52's semantics, measured): the sf0.1 documents table is committed as
+  * G range-contiguous appends — the shape a streaming/incremental writer
+  * accretes — then a one-group range predicate is answered twice:
+  *
+  *  - full scan: latest version (all G file groups) + filter, i.e. what a
+  *    reader without manifest stats must do (parquet row-group min/max
+  *    still prunes below, so this is the FAIR baseline, not a strawman);
+  *  - pruned: readRange opens only the groups whose manifest [min,max]
+  *    intersects — here exactly 1 of G (asserted, not assumed).
+  *
+  * At 100 TB the same ratio is the difference between planning/listing
+  * thousands of file groups and a handful. Diagnostic main — results in
+  * BENCH_SCALING.md round 3.
+  */
+object FileSkipScale {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val groups = sys.env.getOrElse("SPARK_GRAFT_GROUPS", "32").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    implicit val spark: SparkSession = Sessions.local(cpus, appName = "graft-fileskip")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars", "text")
+    val b = docs.agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).collect()(0)
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val width = (hi - lo) / groups + 1
+
+    val table = java.nio.file.Files.createTempDirectory("graft-fss").toString
+    val buildStart = System.nanoTime()
+    for (g <- 0 until groups) {
+      val glo = lo + g * width
+      VersionedTable.append(
+        docs.where(col("doc_id").between(glo, glo + width - 1)), table)
+    }
+    val buildSec = (System.nanoTime() - buildStart) / 1e9
+    val cur = VersionedTable.versions(table).last
+    require(cur.dirs.size == groups, s"expected $groups file groups, got ${cur.dirs.size}")
+
+    // query window = exactly the middle group's range
+    val qlo = lo + (groups / 2) * width
+    val qhi = qlo + width - 1
+    val (keep, skip) = VersionedTable.pruneDirs(table, cur, "doc_id", qlo, qhi)
+    require(keep.size == 1 && skip.size == groups - 1,
+      s"pruning must keep exactly 1 group, kept ${keep.size}")
+
+    // answer shape: count + content checksum so both paths provably
+    // compute the same result over the heavy text column
+    def answer(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(xxhash64(col("doc_id"), col("text"))
+        .cast("decimal(38,0)"))).collect()(0)
+
+    def fullScan() = answer(
+      VersionedTable.read(table).where(col("doc_id").between(qlo, qhi)))
+    def pruned() = answer(
+      VersionedTable.readRange(table, "doc_id", qlo, qhi))
+
+    // warm-up both paths once, then interleaved min-of-3 (host noise)
+    val aFull0 = fullScan(); val aPruned0 = pruned()
+    require(aFull0 == aPruned0, s"pruned answer diverged: $aPruned0 != $aFull0")
+    val (tFull, tPruned) = (0 until 3).map { _ =>
+      val (_, tf) = Bench.time(fullScan())
+      val (_, tp) = Bench.time(pruned())
+      (tf, tp)
+    }.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
+
+    println(
+      f"""{"metric":"file_skip","rows":${aFull0.getLong(0)},"groups":$groups,"groups_opened":${keep.size},"sec_full_scan":$tFull%.3f,"sec_pruned":$tPruned%.3f,"speedup":${tFull / tPruned}%.2f,"build_sec":$buildSec%.1f,"cores":$cpus}""")
+    spark.stop()
+  }
+}
