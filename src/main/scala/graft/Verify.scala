@@ -15,8 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // local-iteration filter (driver leaves it unset = run everything)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // local-iteration filter (driver leaves it unset = run everything);
+    // an empty or typo'd selection fails LOUDLY — silently running zero
+    // queries and exiting 0 would read as a pass
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { sel =>
+      require(sel.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
+      val unknown = sel.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -3,9 +3,9 @@ package graft.sources
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util.Base64
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, min}
-import org.apache.spark.sql.types.{NumericType, StringType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, xxhash64}
+import org.apache.spark.sql.types.{NumericType, StringType, StructType}
 
 /** Iceberg snapshot/time-travel semantics modeled on parquet (the second
   * half of the S1 story beside TableIO's partition-scoped replace): data
@@ -111,10 +111,6 @@ object VersionedTable {
       Version(seq, sid, dirs)
     }
 
-  private def dirSnapshotId(table: String, dir: String)(
-      implicit spark: SparkSession): Long =
-    TableIO.snapshotId(spark.read.parquet(s"$table/$dir"))
-
   private def newDataDir(seq: Int): String =
     s"data/v$seq-${java.util.UUID.randomUUID().toString.take(8)}"
 
@@ -124,8 +120,7 @@ object VersionedTable {
   def overwrite(df: DataFrame, table: String)(implicit spark: SparkSession): Version = {
     val dir = newDataDir(versions(table).lastOption.map(_.seq + 1).getOrElse(1))
     df.write.parquet(s"$table/$dir")
-    writeStats(table, dir)
-    val sid = dirSnapshotId(table, dir)
+    val sid = writeStats(table, dir)
     commitTransform(table)(_ => (Seq(dir), sid))
   }
 
@@ -138,8 +133,7 @@ object VersionedTable {
   def append(df: DataFrame, table: String)(implicit spark: SparkSession): Version = {
     val dir = newDataDir(versions(table).lastOption.map(_.seq + 1).getOrElse(1))
     df.write.parquet(s"$table/$dir")
-    writeStats(table, dir)
-    val dirSid = dirSnapshotId(table, dir)
+    val dirSid = writeStats(table, dir)
     commitTransform(table) { base =>
       (base.map(_.dirs).getOrElse(Seq.empty) :+ dir,
         base.map(_.snapshotId + dirSid).getOrElse(dirSid)) // mod-2^64 sum
@@ -149,7 +143,8 @@ object VersionedTable {
   // ---- manifest column stats (Iceberg manifest min/max metrics) ----------
 
   private final case class ColStats(typ: String, min: Option[String], max: Option[String])
-  private final case class DirStats(rows: Long, cols: Map[String, ColStats])
+  private final case class DirStats(rows: Long, schema: Option[StructType],
+      cols: Map[String, ColStats])
 
   private def statsPath(table: String, dir: String) =
     Paths.get(table, dir, "_graft_stats.json")
@@ -159,36 +154,47 @@ object VersionedTable {
   private def unb64(s: String): String =
     new String(Base64.getDecoder.decode(s), "UTF-8")
 
-  /** One aggregate pass over the just-written file group: row count +
-    * per-column min/max for numeric and string columns, written as a
-    * sidecar INSIDE the data dir (underscore prefix = invisible to the
-    * parquet reader). Strings are Base64'd so the sidecar stays valid
-    * JSON for any payload bytes. This is the write-side half of
-    * manifest-level file skipping; [[pruneDirs]] is the read-side half.
+  /** ONE aggregate pass over the just-written file group computing the
+    * whole manifest entry: row count, the dir's content snapshot id (the
+    * same xxhash64-sum TableIO.snapshotId computes — folded in here so a
+    * commit never scans its data twice), and per-column min/max for
+    * numeric and string columns. Written as a sidecar INSIDE the data dir
+    * (underscore prefix = invisible to the parquet reader) along with the
+    * group's schema as DDL, so schema-union questions are answerable from
+    * sidecars without touching parquet footers. Strings are Base64'd so
+    * the sidecar stays valid JSON for any payload bytes. Returns the
+    * dir's snapshot id. This is the write-side half of manifest-level
+    * file skipping; [[pruneDirs]] is the read-side half.
     */
   private def writeStats(table: String, dir: String)(
-      implicit spark: SparkSession): Unit = {
+      implicit spark: SparkSession): Long = {
     val df = spark.read.parquet(s"$table/$dir")
     val statFields = df.schema.fields.filter(f =>
       f.dataType.isInstanceOf[NumericType] || f.dataType == StringType)
     val aggs = count(lit(1)).as("_rows") +:
+      sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("_sid") +:
       statFields.flatMap(f => Seq(min(col(f.name)), max(col(f.name)))).toSeq
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = row.getLong(0)
+    val sid =
+      if (row.isNullAt(1)) 0L // empty group
+      else row.getDecimal(1).toBigInteger
+        .mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
     val colsJson = statFields.zipWithIndex.map { case (f, i) =>
       val (typ, mn, mx) = f.dataType match {
         case StringType =>
           def s(j: Int) = if (row.isNullAt(j)) None else Some(b64(row.getString(j)))
-          ("s", s(1 + 2 * i), s(2 + 2 * i))
+          ("s", s(2 + 2 * i), s(3 + 2 * i))
         case _ =>
           def n(j: Int) = if (row.isNullAt(j)) None else Some(row.get(j).toString)
-          ("n", n(1 + 2 * i), n(2 + 2 * i))
+          ("n", n(2 + 2 * i), n(3 + 2 * i))
       }
       def v(o: Option[String]) = o.map("\"" + _ + "\"").getOrElse("null")
       s""""${f.name}":{"t":"$typ","min":${v(mn)},"max":${v(mx)}}"""
     }.mkString(",")
     Files.writeString(statsPath(table, dir),
-      s"""{"rows":$rows,"cols":{$colsJson}}""")
+      s"""{"rows":$rows,"schema":"${b64(df.schema.toDDL)}","cols":{$colsJson}}""")
+    sid
   }
 
   private val colStatRe =
@@ -199,14 +205,29 @@ object VersionedTable {
     if (!Files.exists(p)) return None
     val json = Files.readString(p)
     val rows = """"rows":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    val schema = """"schema":"([^"]*)"""".r.findFirstMatchIn(json)
+      .flatMap(m => scala.util.Try(StructType.fromDDL(unb64(m.group(1)))).toOption)
     rows.map { r =>
       val cols = colStatRe.findAllMatchIn(json).map { m =>
         def v(g: String) =
           if (g == "null") None else Some(g.stripPrefix("\"").stripSuffix("\""))
         m.group(1) -> ColStats(m.group(2), v(m.group(3)), v(m.group(4)))
       }.toMap
-      DirStats(r, cols)
+      DirStats(r, schema, cols)
     }
+  }
+
+  /** Union schema of a version's file groups, answered purely from the
+    * stats sidecars (no parquet footer reads) — None if any group lacks
+    * one. Field order: first occurrence across dirs in manifest order.
+    */
+  private def unionSchema(table: String, v: Version): Option[StructType] = {
+    val schemas = v.dirs.map(d => dirStats(table, d).flatMap(_.schema))
+    if (schemas.exists(_.isEmpty)) None
+    else Some(schemas.flatten.foldLeft(new StructType()) { (acc, sch) =>
+      sch.fields.foldLeft(acc)((a, f) =>
+        if (a.fieldNames.contains(f.name)) a else a.add(f))
+    })
   }
 
   /** Manifest-level file skipping: split a version's file groups into
@@ -214,9 +235,11 @@ object VersionedTable {
     * A dir is skippable only on positive evidence — stats present AND
     * (no rows, all-null column, or [min,max] disjoint from [lo,hi]); a
     * missing sidecar or unstated column keeps the dir (conservative).
-    * Numeric stats compare as BigDecimal, string stats lexicographically
-    * (matching parquet/Iceberg string min-max ordering on the binary
-    * UTF-8 form for the ASCII ids used here).
+    * Numeric stats compare as BigDecimal; string stats compare in
+    * UNSIGNED UTF-8 BYTE order — the ordering Spark's UTF8String min/max
+    * actually produced the stats under (Java's UTF-16 compareTo disagrees
+    * above the BMP, where a surrogate pair sorts below \\uffff, and a
+    * wrong-order comparison here would silently skip matching groups).
     */
   def pruneDirs(table: String, v: Version, column: String,
                 lo: Any, hi: Any): (Seq[String], Seq[String]) =
@@ -236,10 +259,23 @@ object VersionedTable {
             }.getOrElse(true)
           case Some(cs) =>
             val (mn, mx) = (unb64(cs.min.get), unb64(cs.max.get))
-            mx >= lo.toString && mn <= hi.toString
+            utf8Compare(mx, lo.toString) >= 0 && utf8Compare(mn, hi.toString) <= 0
         }
       }
     }
+
+  /** Unsigned UTF-8 byte comparison — Spark's UTF8String ordering. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 
   /** Range read through the manifest stats: opens ONLY the file groups
     * whose [min,max] can intersect `column BETWEEN lo AND hi`, then
@@ -254,28 +290,63 @@ object VersionedTable {
     require(vs.nonEmpty, s"no committed version in $table")
     val v = vs.last
     val (keep, _) = pruneDirs(table, v, column, lo, hi)
-    val pred = col(column).between(lit(lo), lit(hi))
-    if (keep.isEmpty) readVersion(table, v).where(lit(false)).where(pred)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(keep.map(d => s"$table/$d"): _*).where(pred)
+    // the version's FULL schema from sidecars alone (no footer reads) —
+    // a pruned read must present the same columns as a full read even
+    // when the evolved columns live only in skipped groups, and the
+    // nothing-matches case must not re-pay the O(groups) footer probing
+    // the feature exists to avoid
+    val full = unionSchema(table, v)
+    val base: DataFrame =
+      if (keep.nonEmpty)
+        spark.read.option("mergeSchema", "true")
+          .parquet(keep.map(d => s"$table/$d"): _*)
+      else full match {
+        case Some(sch) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+        case None => readVersion(table, v).where(lit(false))
+      }
+    val widened = full match {
+      case Some(sch) if base.columns.toSet != sch.fieldNames.toSet &&
+          base.columns.toSet.subsetOf(sch.fieldNames.toSet) =>
+        val have = base.columns.toSet
+        base.select(sch.fields.toIndexedSeq.map(f =>
+          if (have(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      case _ => base
+    }
+    widened.where(col(column).between(lit(lo), lit(hi)))
   }
 
   /** remove_orphan_files: delete data dirs referenced by NO committed
     * version — the debris of crashed writers (data written, manifest line
-    * never appended) and of an expire that died mid-delete. Safe by the
-    * same contract that makes commits crash-safe: a dir becomes reachable
-    * only via a manifest line, so an unreferenced dir is invisible to
-    * every reader by construction. Returns the deleted dirs.
+    * never appended) and of an expire that died mid-delete. A dir becomes
+    * reachable only via a manifest line, so an unreferenced dir is
+    * invisible to every reader — but an IN-FLIGHT writer's dir is also
+    * unreferenced until its commit lands, which is why (exactly like
+    * Iceberg's remove_orphan_files `older_than`) only dirs whose newest
+    * file is older than `olderThanMillis` qualify: a live writer's data
+    * is always younger than any sane threshold. Returns the deleted dirs.
     */
-  def vacuum(table: String): Seq[String] = {
+  def vacuum(table: String,
+      olderThanMillis: Long = 24L * 3600 * 1000): Seq[String] = {
     val dataRoot = Paths.get(table, "data")
     if (!Files.exists(dataRoot)) return Seq.empty
     val referenced = versions(table).flatMap(_.dirs).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
     import scala.jdk.CollectionConverters._
+    def newestMtime(root: java.nio.file.Path): Long = {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala
+        .map(p => Files.getLastModifiedTime(p).toMillis).max
+      finally walk.close()
+    }
     val listing = Files.list(dataRoot)
     val orphans =
       try listing.iterator().asScala
-        .map(p => s"data/${p.getFileName}").filterNot(referenced).toList
+        .map(p => s"data/${p.getFileName}")
+        .filterNot(referenced)
+        .filter(d => newestMtime(Paths.get(table, d)) <= cutoff)
+        .toList
       finally listing.close()
     orphans.foreach { d =>
       val walk = Files.walk(Paths.get(table, d))
@@ -305,10 +376,9 @@ object VersionedTable {
     val seq = cur.seq + 1
     val dir = s"data/v$seq-compact-${java.util.UUID.randomUUID().toString.take(8)}"
     readVersion(table, cur).repartition(targetGroups).write.parquet(s"$table/$dir")
-    val sid = TableIO.snapshotId(spark.read.parquet(s"$table/$dir"))
+    val sid = writeStats(table, dir)
     require(sid == cur.snapshotId,
       s"compaction changed content: $sid != ${cur.snapshotId} — refusing to commit")
-    writeStats(table, dir)
     commitTransform(table) { base =>
       // Iceberg rewrite_data_files conflict rule: if anyone committed
       // after the version we rewrote, committing the rewrite would erase
@@ -348,30 +418,39 @@ object VersionedTable {
   /** expire_snapshots: keep the newest `keep` versions, delete data dirs
     * referenced by no retained version. Returns the deleted dirs.
     */
-  // holds the commit lock across the read→rewrite so a concurrent append
-  // can't land between them and be erased by the manifest replacement
-  def expire(table: String, keep: Int)(implicit spark: SparkSession): Seq[String] = withCommitLock(table) {
-    val vs = versions(table)
-    if (vs.size <= keep) Seq.empty else {
-    val (dropped, retained) = vs.splitAt(vs.size - keep)
-    val keepDirs = retained.flatMap(_.dirs).toSet
-    val doomed = dropped.flatMap(_.dirs).distinct.filterNot(keepDirs)
-    // COMMIT FIRST, delete after — and atomically: the append-only commit
-    // path is crash-safe by design (a torn tail line is ignored), so the
-    // one rewrite in the lifecycle must not be the hole in that contract.
-    // Crash before the move: manifest untouched, nothing deleted. Crash
-    // after the move, before/among the deletes: dropped versions are
-    // already gone from the manifest (readAsOf gives the clean "expired"
-    // error) and any undeleted dirs are unreferenced storage-only orphans
-    // (reads never touch them; reclaiming them is a vacuum concern).
-    val lines = retained.map(v =>
-      s"""{"seq":${v.seq},"snapshot_id":${v.snapshotId},"dirs":[${v.dirs.map("\"" + _ + "\"").mkString(",")}]}""")
-    val target = manifestPath(table)
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.writeString(tmp, lines.mkString("", "\n", "\n"))
-    Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  def expire(table: String, keep: Int)(implicit spark: SparkSession): Seq[String] = {
+    // ONLY the manifest read→rewrite holds the commit lock (so a racing
+    // append can't be erased by the replacement); the data-dir deletes
+    // run AFTER release — they can be slow on large tables and would
+    // otherwise make live committers time out on a healthy lock. Deleting
+    // outside the lock is safe: by then the doomed dirs are unreferenced
+    // by every manifest line, so no reader can reach them.
+    val doomed = withCommitLock(table) {
+      val vs = versions(table)
+      if (vs.size <= keep) Seq.empty
+      else {
+        val (dropped, retained) = vs.splitAt(vs.size - keep)
+        val keepDirs = retained.flatMap(_.dirs).toSet
+        // COMMIT FIRST, delete after — and atomically: the append-only
+        // commit path is crash-safe by design (a torn tail line is
+        // ignored), so the one rewrite in the lifecycle must not be the
+        // hole in that contract. Crash before the move: manifest
+        // untouched, nothing deleted. Crash after the move, before/among
+        // the deletes: dropped versions are already gone from the
+        // manifest (readAsOf gives the clean "expired" error) and any
+        // undeleted dirs are unreferenced storage-only orphans that
+        // [[vacuum]] reclaims.
+        val lines = retained.map(v =>
+          s"""{"seq":${v.seq},"snapshot_id":${v.snapshotId},"dirs":[${v.dirs.map("\"" + _ + "\"").mkString(",")}]}""")
+        val target = manifestPath(table)
+        val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+        Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+        Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dropped.flatMap(_.dirs).distinct.filterNot(keepDirs)
+      }
+    }
     doomed.foreach { d =>
       val root = Paths.get(table, d)
       if (Files.exists(root)) {
@@ -383,5 +462,5 @@ object VersionedTable {
       }
     }
     doomed
-  }}
+  }
 }

@@ -165,10 +165,25 @@ class TableIOSpec extends SparkSpec {
     val orphan = java.nio.file.Paths.get(table, "data/v99-deadbeef")
     Files.createDirectories(orphan)
     Files.writeString(orphan.resolve("part-stray.parquet"), "not-committed")
-    val vacuumed = VersionedTable.vacuum(table)
+    // the default older_than threshold protects an IN-FLIGHT writer's
+    // still-young dir: a fresh orphan is NOT deleted
+    assert(VersionedTable.vacuum(table).isEmpty)
+    assert(Files.exists(orphan))
+    // past the threshold it is debris — deleted, committed dirs untouched
+    val vacuumed = VersionedTable.vacuum(table, olderThanMillis = 0L)
     assert(vacuumed == Seq("data/v99-deadbeef") && !Files.exists(orphan))
     assert(VersionedTable.read(table).count() == 302)
-    assert(VersionedTable.vacuum(table).isEmpty) // idempotent
+    assert(VersionedTable.vacuum(table, olderThanMillis = 0L).isEmpty) // idempotent
+    // string pruning orders by UTF-8 bytes, not UTF-16 code units: a
+    // supplementary-plane max (U+10000) must still satisfy range queries
+    // at ￿ (Java compareTo would rank it BELOW and skip the group)
+    val utable = tmp("versioned_utf8")
+    VersionedTable.overwrite(
+      Seq(("￿", 1L), ("𐀀", 2L)).toDF("k", "n"), utable)
+    val ucur = VersionedTable.versions(utable).last
+    val (ukeep, _) = VersionedTable.pruneDirs(utable, ucur, "k", "￿", "￿")
+    assert(ukeep.size == 1, "UTF-8-ordered stats wrongly skipped the group")
+    assert(VersionedTable.readRange(utable, "k", "￿", "￿").count() == 1)
   }
 
   test("versioned table: concurrent appends serialize losslessly; schema evolves on read") {
@@ -200,6 +215,15 @@ class TableIOSpec extends SparkSpec {
     assert(evolved.columns.toSet == Set("id", "src", "score"))
     assert(evolved.where($"score".isNull).count() == 7)
     assert(evolved.where($"score" === 0.9).count() == 1)
+    // a pruned range read presents the SAME schema as the full read even
+    // when the evolved column lives only in skipped groups (widened from
+    // the sidecar union schema, no footer reads)...
+    val preEvo = VersionedTable.readRange(table, "id", 0L, 6L)
+    assert(preEvo.columns.toSet == Set("id", "src", "score"))
+    assert(preEvo.count() == 7 && preEvo.where($"score".isNull).count() == 7)
+    // ...including the nothing-matches case (zero groups opened)
+    val none = VersionedTable.readRange(table, "id", 999L, 1000L)
+    assert(none.columns.toSet == Set("id", "src", "score") && none.count() == 0)
     // compacting the schema-evolved version passes the content-identity
     // gate (xxhash64 skips null fields, so null-widened rows hash the
     // same) and doubles as schema normalization: one group, full schema
