@@ -45,6 +45,22 @@ object VersionedTable {
 
   final case class Version(seq: Int, snapshotId: Long, dirs: Seq[String])
 
+  /** Txn ids already committed to `table` — the read side of exactly-once
+    * appends: a manifest line may carry `"txn":"<b64>"` naming the
+    * idempotence key its committer supplied (Iceberg's WAP / Flink-sink
+    * `txn-id` pattern). A replayed micro-batch whose txn is in this set
+    * must land as a no-op, never a duplicate append.
+    */
+  def committedTxns(table: String): Set[String] = {
+    val p = manifestPath(table)
+    if (!Files.exists(p)) return Set.empty
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(p).asScala.iterator
+      .filter(l => l.nonEmpty && l.endsWith("}"))
+      .flatMap(l => """"txn":"([^"]*)"""".r.findFirstMatchIn(l).map(m => unb64(m.group(1))))
+      .toSet
+  }
+
   private def manifestPath(table: String) = Paths.get(table, "_graft_manifest.jsonl")
 
   def versions(table: String): Seq[Version] = {
@@ -101,14 +117,26 @@ object VersionedTable {
     */
   private def commitTransform(table: String)(
       f: Option[Version] => (Seq[String], Long)): Version =
+    commitWith(table)(base => Some(f(base)))
+      .getOrElse(throw new IllegalStateException("unreachable: unconditional commit aborted"))
+
+  /** Like [[commitTransform]] but `f` may ABORT by returning None (the
+    * committer saw, inside the critical section, that its work is already
+    * represented — e.g. a replayed txn), and may attach a txn idempotence
+    * key to the manifest line. Returns None on abort.
+    */
+  private def commitWith(table: String, txn: Option[String] = None)(
+      f: Option[Version] => Option[(Seq[String], Long)]): Option[Version] =
     withCommitLock(table) {
       val base = versions(table).lastOption
-      val (dirs, sid) = f(base)
-      val seq = base.map(_.seq + 1).getOrElse(1)
-      val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
-      Files.writeString(manifestPath(table), line + "\n",
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-      Version(seq, sid, dirs)
+      f(base).map { case (dirs, sid) =>
+        val seq = base.map(_.seq + 1).getOrElse(1)
+        val txnJson = txn.map(t => s""","txn":"${b64(t)}"""").getOrElse("")
+        val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]$txnJson}"""
+        Files.writeString(manifestPath(table), line + "\n",
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        Version(seq, sid, dirs)
+      }
     }
 
   private def newDataDir(seq: Int): String =
@@ -139,6 +167,46 @@ object VersionedTable {
         base.map(_.snapshotId + dirSid).getOrElse(dirSid)) // mod-2^64 sum
     }
   }
+
+  /** Exactly-once append: `txn` is the caller's idempotence key (for a
+    * streaming sink, `<queryName>#<batchId>`). If a version carrying this
+    * txn is already committed the call is a NO-OP returning the current
+    * version — the foreachBatch replay a crashed streaming query performs
+    * after restart (re-delivering the batch whose sink write succeeded but
+    * whose checkpoint commit didn't) lands here and duplicates nothing.
+    * The pre-lock check makes the replay path cheap (no Spark job); the
+    * in-lock re-check makes it CORRECT under two racing committers with
+    * the same txn — the loser's already-written data dir is released as an
+    * orphan for [[vacuum]]. Returns (version, committedNow).
+    */
+  def appendOnce(df: DataFrame, table: String, txn: String)(
+      implicit spark: SparkSession): (Version, Boolean) = {
+    Files.createDirectories(Paths.get(table))
+    if (committedTxns(table).contains(txn))
+      return (versions(table).last, false)
+    val dir = newDataDir(versions(table).lastOption.map(_.seq + 1).getOrElse(1))
+    df.write.parquet(s"$table/$dir")
+    val dirSid = writeStats(table, dir)
+    commitWith(table, txn = Some(txn)) { base =>
+      if (committedTxns(table).contains(txn)) None
+      else Some((base.map(_.dirs).getOrElse(Seq.empty) :+ dir,
+        base.map(_.snapshotId + dirSid).getOrElse(dirSid)))
+    } match {
+      case Some(v) => (v, true)
+      case None => // lost the same-txn race; our dir is unreachable debris
+        deleteRecursively(Paths.get(table, dir))
+        (versions(table).last, false)
+    }
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
 
   // ---- manifest column stats (Iceberg manifest min/max metrics) ----------
 
@@ -193,8 +261,25 @@ object VersionedTable {
       s""""${f.name}":{"t":"$typ","min":${v(mn)},"max":${v(mx)}}"""
     }.mkString(",")
     Files.writeString(statsPath(table, dir),
-      s"""{"rows":$rows,"schema":"${b64(df.schema.toDDL)}","cols":{$colsJson}}""")
+      s"""{"rows":$rows,"sid":$sid,"schema":"${b64(df.schema.toDDL)}","cols":{$colsJson}}""")
     sid
+  }
+
+  /** A file group's content snapshot id, from its stats sidecar when
+    * present (every dir written since sids were persisted) or recomputed
+    * by one scan otherwise. Row-level commits ([[deleteRange]], [[merge]])
+    * derive a new version's id as the mod-2^64 SUM of its dirs' ids — the
+    * same additivity [[append]] uses — so carried-over file groups never
+    * need re-reading to re-derive the table id.
+    */
+  private def dirSid(table: String, dir: String)(implicit spark: SparkSession): Long =
+    statsSidecarSid(table, dir).getOrElse(
+      TableIO.snapshotId(spark.read.parquet(s"$table/$dir")))
+
+  private def statsSidecarSid(table: String, dir: String): Option[Long] = {
+    val p = statsPath(table, dir)
+    if (!Files.exists(p)) None
+    else """"sid":(-?\d+)""".r.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
   }
 
   private val colStatRe =
@@ -388,6 +473,106 @@ object VersionedTable {
           s"(tip is now v${base.map(_.seq).getOrElse(0)}) — retry")
       (Seq(dir), sid)
     }
+  }
+
+  /** Write a file group and return (content snapshot id, row count). An
+    * empty result still writes a schema-carrying parquet file (Spark's
+    * writer runs at least one task), so reads of a version that deleted
+    * everything keep their schema.
+    */
+  private def writeGroup(table: String, dir: String, df: DataFrame)(
+      implicit spark: SparkSession): (Long, Long) = {
+    df.write.parquet(s"$table/$dir")
+    val sid = writeStats(table, dir)
+    (sid, dirStats(table, dir).map(_.rows).getOrElse(0L))
+  }
+
+  /** Row-level DELETE, copy-on-write, SCOPED BY THE MANIFEST STATS: only
+    * the file groups whose [min,max] intersects `column BETWEEN lo AND hi`
+    * are read and rewritten; every other group is carried into the new
+    * version by reference (same dir name, zero IO). Rows with a NULL
+    * `column` never match a BETWEEN and are kept. At 100 TB a retention
+    * delete (e.g. drop one day from a time-grouped table) touches the
+    * handful of groups whose range intersects — the same pruning that
+    * makes [[readRange]] O(groups matched) makes the delete's write
+    * amplification O(groups matched) instead of O(table).
+    */
+  def deleteRange(table: String, column: String, lo: Any, hi: Any)(
+      implicit spark: SparkSession): Version = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed version in $table")
+    val cur = vs.last
+    val (touched, untouched) = pruneDirs(table, cur, column, lo, hi)
+    if (touched.isEmpty) return cur // stats prove nothing matches
+    val seq = cur.seq + 1
+    val dir = s"data/v$seq-del-${java.util.UUID.randomUUID().toString.take(8)}"
+    val touchedDf = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(d => s"$table/$d"): _*)
+    val remainder = touchedDf.where(
+      col(column).isNull || !col(column).between(lit(lo), lit(hi)))
+    val (remSid, remRows) = writeGroup(table, dir, remainder)
+    // an all-deleted rewrite contributes nothing — drop it unless it is
+    // the only group left (then it carries the schema for empty reads)
+    val keepRem = remRows > 0 || untouched.isEmpty
+    if (!keepRem) deleteRecursively(Paths.get(table, dir))
+    val newDirs = untouched ++ (if (keepRem) Seq(dir) else Seq.empty)
+    val sid = untouched.map(d => dirSid(table, d)).sum + (if (keepRem) remSid else 0L)
+    commitWith(table) { base =>
+      if (!base.exists(_.seq == cur.seq)) throw new IllegalStateException(
+        s"concurrent commit during delete against v${cur.seq} " +
+          s"(tip is now v${base.map(_.seq).getOrElse(0)}) — retry")
+      Some((newDirs, sid))
+    }.get
+  }
+
+  /** MERGE (upsert) keyed on `key`: rows of `batch` replace same-key rows
+    * of the table; keys the table lacks insert. Copy-on-write scoped by
+    * the manifest stats — only file groups whose [min,max] intersects the
+    * batch's key RANGE are anti-joined and rewritten (the batch is
+    * broadcast: a merge batch is small next to a 100-TB table); groups
+    * outside the range carry over by reference, unread. Batch rows with a
+    * NULL key insert (no match is possible); table rows with a NULL key
+    * are never replaced. One commit line lands the rewrite + the batch
+    * atomically — readers see either the old version or the fully merged
+    * one. This is the reference's backup-table merge dance
+    * (MergeAndExportInfo.py:85-89) as a single snapshot commit.
+    */
+  def merge(batch: DataFrame, table: String, key: String)(
+      implicit spark: SparkSession): Version = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed version in $table")
+    val cur = vs.last
+    val seq = cur.seq + 1
+    val sfx = java.util.UUID.randomUUID().toString.take(8)
+    val batchDir = s"data/v$seq-mrg-new-$sfx"
+    val (batchSid, batchRows) = writeGroup(table, batchDir, batch)
+    if (batchRows == 0) { deleteRecursively(Paths.get(table, batchDir)); return cur }
+    val bounds = spark.read.parquet(s"$table/$batchDir")
+      .agg(min(col(key)), max(col(key))).collect()(0)
+    val (touched, untouched) =
+      if (bounds.isNullAt(0)) (Seq.empty[String], cur.dirs) // all-null keys: pure insert
+      else pruneDirs(table, cur, key, bounds.get(0), bounds.get(1))
+    val remDirKeptSid: Option[(String, Long)] = if (touched.isEmpty) None else {
+      val remDir = s"data/v$seq-mrg-rem-$sfx"
+      val touchedDf = spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(d => s"$table/$d"): _*)
+      val keys = spark.read.parquet(s"$table/$batchDir")
+        .select(col(key)).where(col(key).isNotNull).distinct()
+      val remainder = touchedDf.join(
+        org.apache.spark.sql.functions.broadcast(keys), Seq(key), "left_anti")
+      val (remSid, remRows) = writeGroup(table, remDir, remainder)
+      if (remRows > 0) Some((remDir, remSid))
+      else { deleteRecursively(Paths.get(table, remDir)); None }
+    }
+    val newDirs = untouched ++ remDirKeptSid.map(_._1).toSeq :+ batchDir
+    val sid = untouched.map(d => dirSid(table, d)).sum +
+      remDirKeptSid.map(_._2).getOrElse(0L) + batchSid
+    commitWith(table) { base =>
+      if (!base.exists(_.seq == cur.seq)) throw new IllegalStateException(
+        s"concurrent commit during merge against v${cur.seq} " +
+          s"(tip is now v${base.map(_.seq).getOrElse(0)}) — retry")
+      Some((newDirs, sid))
+    }.get
   }
 
   /** Latest committed version. */

@@ -235,6 +235,112 @@ class TableIOSpec extends SparkSpec {
     assert(compacted.count() == 8 && compacted.where($"score".isNull).count() == 7)
   }
 
+  test("versioned table: copy-on-write deleteRange touches only intersecting groups") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val table = tmp("versioned_del")
+    // three disjoint-range groups + a null-id row in the first group
+    VersionedTable.overwrite(
+      ((1L to 100L).map(i => (Some(i), s"a$i")) :+ ((None: Option[Long], "null-row")))
+        .toDF("id", "v"), table)
+    VersionedTable.append((1000L to 1100L).map(i => (i, s"b$i")).toDF("id", "v"), table)
+    VersionedTable.append((5000L to 5100L).map(i => (i, s"c$i")).toDF("id", "v"), table)
+    val pre = VersionedTable.versions(table).last
+    assert(pre.dirs.size == 3)
+
+    // delete the middle group's range: groups 1 and 3 must carry over BY
+    // REFERENCE (same dir names — zero rewrite IO), group 2 rewritten
+    val v = VersionedTable.deleteRange(table, "id", 1000L, 1050L)
+    assert(v.dirs.size == 3)
+    assert(v.dirs.count(pre.dirs.contains) == 2, "an untouched group was rewritten")
+    val after = VersionedTable.read(table)
+    assert(after.count() == 202 + 50) // 303 - 51 deleted
+    assert(after.where($"id".between(1000L, 1050L)).count() == 0)
+    // NULL rows never match a BETWEEN — kept
+    assert(after.where($"id".isNull).count() == 1)
+    // additive snapshot id == full recompute
+    assert(v.snapshotId == TableIO.snapshotId(after))
+    // pre-delete version still time-travels
+    assert(VersionedTable.readAsOf(table, pre.seq).count() == 303)
+
+    // a range the stats prove absent: NO new commit at all
+    val noop = VersionedTable.deleteRange(table, "id", 90000L, 99000L)
+    assert(noop.seq == v.seq)
+
+    // delete EVERYTHING: schema survives via the schema-carrying empty group
+    val all = VersionedTable.deleteRange(table, "id", 0L, 10000L)
+    val emptied = VersionedTable.read(table)
+    // the null-id row survives a full-range delete too (BETWEEN is null)
+    assert(emptied.count() == 1 && emptied.columns.toSeq == Seq("id", "v"))
+    val wiped = VersionedTable.deleteRange(table, "v", "a", "z")
+    assert(wiped.seq == all.seq + 1)
+    val gone = VersionedTable.read(table)
+    assert(gone.count() == 0 && gone.columns.toSeq == Seq("id", "v"))
+    // the emptied table still accepts appends
+    VersionedTable.append(Seq((7L, "fresh")).toDF("id", "v"), table)
+    assert(VersionedTable.read(table).count() == 1)
+  }
+
+  test("versioned table: merge upserts through the pruned groups only") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val table = tmp("versioned_merge")
+    VersionedTable.overwrite((1L to 100L).map(i => (i, s"old$i")).toDF("id", "v"), table)
+    VersionedTable.append((1000L to 1100L).map(i => (i, s"old$i")).toDF("id", "v"), table)
+    VersionedTable.append(
+      ((5000L to 5100L).map(i => (Some(i), s"old$i")) :+ ((None: Option[Long], "null-key")))
+        .toDF("id", "v"), table)
+    val pre = VersionedTable.versions(table).last
+
+    // batch: update 5000-5010, insert 6000-6005 and one null-key row —
+    // key range [5000, 6005] intersects ONLY the third group
+    val batch = ((5000L to 5010L).map(i => (Some(i), s"new$i")) ++
+      (6000L to 6005L).map(i => (Some(i), s"ins$i")) :+
+      ((None: Option[Long], "null-insert"))).toDF("id", "v")
+    val v = VersionedTable.merge(batch, table, "id")
+    assert(v.dirs.count(pre.dirs.contains) == 2, "a non-intersecting group was rewritten")
+    val after = VersionedTable.read(table)
+    // 303 original + 6 inserts + 1 null insert (11 updates replace in place)
+    assert(after.count() == 310)
+    assert(after.where($"v".startsWith("new")).count() == 11)
+    assert(after.where($"id".between(5000L, 5010L) && $"v".startsWith("old")).count() == 0)
+    assert(after.where($"v" === "ins6003").count() == 1)
+    // table's null-key row survived; batch's null-key row inserted
+    assert(after.where($"id".isNull).count() == 2)
+    assert(v.snapshotId == TableIO.snapshotId(after))
+    // pre-merge version intact
+    assert(VersionedTable.readAsOf(table, pre.seq).where($"v".startsWith("new")).count() == 0)
+    // empty batch: no-op, no commit
+    assert(VersionedTable.merge(batch.where(lit(false)), table, "id").seq == v.seq)
+    // re-merging the keyed rows is content-idempotent (same snapshot id);
+    // the null-key row is excluded — null keys INSERT by contract, so
+    // replaying one duplicates it (exactly-once replay is appendOnce's job)
+    assert(VersionedTable.merge(batch.where($"id".isNotNull), table, "id")
+      .snapshotId == v.snapshotId)
+  }
+
+  test("versioned table: appendOnce is exactly-once per txn key") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val table = tmp("versioned_txn")
+    val (v1, did1) = VersionedTable.appendOnce((1L to 10L).toDF("id"), table, "sink#0")
+    assert(did1 && v1.seq == 1)
+    // the crash-replay delivery: same txn, same (or any) data — NO-OP
+    val (v2, did2) = VersionedTable.appendOnce((1L to 10L).toDF("id"), table, "sink#0")
+    assert(!did2 && v2.seq == 1)
+    assert(VersionedTable.versions(table).size == 1)
+    assert(VersionedTable.read(table).count() == 10)
+    // the replayed writer's data dir was released, not leaked
+    val dataDirs = java.nio.file.Files.list(java.nio.file.Paths.get(table, "data"))
+    val nDirs = try dataDirs.count() finally dataDirs.close()
+    assert(nDirs == 1, "a replayed append leaked its orphan dir")
+    // next batch commits normally and the ledger remembers both
+    val (v3, did3) = VersionedTable.appendOnce((11L to 15L).toDF("id"), table, "sink#1")
+    assert(did3 && v3.seq == 2 && VersionedTable.read(table).count() == 15)
+    assert(VersionedTable.committedTxns(table) == Set("sink#0", "sink#1"))
+    assert(v3.snapshotId == TableIO.snapshotId(VersionedTable.read(table)))
+  }
+
   test("JDBC sink (S6) round-trips the wide table through embedded Derby") {
     import spark.implicits._
     val wide = Seq(("conv-1", "Data Engineer", "Germany"), ("conv-2", "Nurse", "Poland"))
