@@ -25,7 +25,7 @@ import graft.sources.TranscriptGen
   *     [--jdbc-url jdbc:derby:memory:kg;create=true] [--jdbc-table kg_wide]
   *     [--jdbc-batchsize 1000]
   *     [--stream true [--stream-in DIR] [--stream-gap-ms 60000]
-  *      [--stream-lateness "1 minute"]]
+  *      [--stream-lateness "1 minute"] [--stream-sink merge|versioned]]
   *
   * `--stream true` replaces the s3-s6 batch stages with the STREAMING
   * construction path (StreamingTriples): a parquet file-source stream of
@@ -35,6 +35,16 @@ import graft.sources.TranscriptGen
   * stream checkpoint without reprocessing). The driver seeds the stream
   * dir from s0 when absent and appends two far-future sentinel turns at
   * the end so quiet conversations flush before it exits.
+  *
+  * `--stream-sink versioned` lands the stream in a VersionedTable at
+  * s6_stream_triples_v through the EXACTLY-ONCE batch commit
+  * (VersionedTable.appendOnce keyed `kg_stream#<batchId>`): a replayed
+  * micro-batch after a crash between sink write and checkpoint commit
+  * no-ops through the manifest txn ledger. Per-batch cost is O(batch) —
+  * one appended file group + one manifest line — where the default
+  * merge sink's anti-join reads the existing table's key set every
+  * batch (O(table) at 10^12-turn scale); the accreted micro-batch
+  * groups fold back via VersionedTable.compact.
   */
 object PipelineMain {
 
@@ -124,10 +134,22 @@ object PipelineMain {
         spark.read.parquet(path("s0_transcripts")).write.parquet(streamIn)
       val schema = org.apache.spark.sql.Encoders.product[Turn].schema
       val turnsStream = spark.readStream.schema(schema).parquet(streamIn)
-      val outPath = path("s6_stream_triples")
+      val versionedSink = a.getOrElse("stream-sink", "merge") == "versioned"
+      val outPath =
+        if (versionedSink) path("s6_stream_triples_v") else path("s6_stream_triples")
       val sink: (DataFrame, Long) => Unit = (batch, batchId) => {
         val rows = batch.filter(col("subj") =!= "graft-sentinel")
-        if (!rows.isEmpty) {
+        if (versionedSink) {
+          // exactly-once: the txn ledger absorbs a crash-replayed batch;
+          // empty batches skip (replaying an empty batch appends nothing
+          // either way, and skipping avoids one empty group per idle tick)
+          if (!rows.isEmpty) {
+            val (_, committed) = graft.sources.VersionedTable.appendOnce(
+              rows, outPath, s"kg_stream#$batchId")
+            println(s"[graft] stream batch=$batchId " +
+              s"${if (committed) "appended exactly-once" else "replay no-op"} -> $outPath")
+          }
+        } else if (!rows.isEmpty) {
           graft.sources.TableIO.mergeNewKeys(rows, outPath, Seq("subj"),
             "s6_stream_triples", partitionBy = Seq("pred"))
           println(s"[graft] stream batch=$batchId merged -> $outPath")
@@ -153,9 +175,13 @@ object PipelineMain {
         q.processAllAvailable()
       }
       q.stop()
-      val n = spark.read.parquet(outPath).count()
-      val nConvsDone = spark.read.parquet(outPath).select("subj").distinct().count()
-      println(s"[graft] s6_stream_triples rows=$n convs=$nConvsDone -> $outPath")
+      val streamed =
+        if (versionedSink) graft.sources.VersionedTable.read(outPath)
+        else spark.read.parquet(outPath)
+      val n = streamed.count()
+      val nConvsDone = streamed.select("subj").distinct().count()
+      println(s"[graft] ${if (versionedSink) "s6_stream_triples_v" else "s6_stream_triples"} " +
+        s"rows=$n convs=$nConvsDone -> $outPath")
       spark.stop()
       return
     }
