@@ -719,6 +719,57 @@ object SparkEntry {
         s"manifest pruning regressed: kept ${keep.size} of ${cur.dirs.size} file groups")
       VersionedTable.readRange(table, "doc_id", c1 + 1, c2)
         .select("doc_id", "lang", "n_chars")
+    }),
+    // q53: row-level ops + exactly-once, cross-engine — build a versioned
+    // table from `documents` in halves (the second half through a txn-keyed
+    // appendOnce whose CRASH REPLAY, re-delivering the FULL table as its
+    // payload, must no-op through the manifest ledger), DELETE the second
+    // quarter by doc_id range, then MERGE-upsert a batch straddling the
+    // delete boundary with n_chars shifted +1000 (updates survivors,
+    // re-inserts deleted keys). DuckDB recomputes the identical final state
+    // from documents.parquet alone — a bug in any of the four ops (or a
+    // duplicate from the replayed txn) breaks the value match.
+    "q53_versioned_rowops" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val r = docs.agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).collect()(0)
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val mid = lo + (hi - lo) / 2
+      val (d1, d2) = (lo + (hi - lo) / 4, mid)
+      val (u1, u2) = (lo + 3 * (hi - lo) / 8, lo + 5 * (hi - lo) / 8)
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-rowops").toString
+      VersionedTable.overwrite(docs.where(col("doc_id") <= mid), table)
+      val (_, first) = VersionedTable.appendOnce(docs.where(col("doc_id") > mid), table, "load#1")
+      val (_, replay) = VersionedTable.appendOnce(docs, table, "load#1")
+      require(first && !replay,
+        "exactly-once ledger regressed: first commit and its replay must be (true, false)")
+      VersionedTable.deleteRange(table, "doc_id", d1, d2)
+      VersionedTable.merge(
+        docs.where(col("doc_id").between(u1, u2))
+          .withColumn("n_chars", col("n_chars") + lit(1000L)), table, "doc_id")
+      VersionedTable.read(table).select("doc_id", "lang", "n_chars")
+    }),
+    // q54: TIME TRAVEL past destructive rewrites — same table lifecycle as
+    // q53 (overwrite, appendOnce, delete, merge), then read AS OF v2: the
+    // old manifest must reconstruct the exact pre-delete/pre-merge table
+    // even though later versions rewrote its file groups copy-on-write.
+    // DuckDB's twin is the untouched source table itself.
+    "q54_versioned_time_travel" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val r = docs.agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).collect()(0)
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val mid = lo + (hi - lo) / 2
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-tt").toString
+      VersionedTable.overwrite(docs.where(col("doc_id") <= mid), table)
+      VersionedTable.appendOnce(docs.where(col("doc_id") > mid), table, "load#1")
+      VersionedTable.deleteRange(table, "doc_id", lo + (hi - lo) / 4, mid)
+      VersionedTable.merge(
+        docs.where(col("doc_id").between(lo + 3 * (hi - lo) / 8, lo + 5 * (hi - lo) / 8))
+          .withColumn("n_chars", col("n_chars") + lit(1000L)), table, "doc_id")
+      VersionedTable.readAsOf(table, 2).select("doc_id", "lang", "n_chars")
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1032,5 +1083,21 @@ object SparkEntry {
     "q52_versioned_prune" ->
       """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)
         |SELECT doc_id, lang, n_chars FROM documents, b
-        |WHERE doc_id BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3""".stripMargin)
+        |WHERE doc_id BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3""".stripMargin,
+    // q53: DuckDB re-derives the post-(append ∪ delete ∪ upsert) state from
+    // the source table with the same quantile cut points — upserted range
+    // carries n_chars+1000 and re-inserts the deleted overlap; the rest
+    // survives unless it sat in the deleted second quarter.
+    "q53_versioned_rowops" ->
+      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |c AS (SELECT lo + (hi - lo) // 4 AS d1, lo + (hi - lo) // 2 AS d2,
+        |             lo + 3 * (hi - lo) // 8 AS u1, lo + 5 * (hi - lo) // 8 AS u2 FROM b)
+        |SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents, c
+        | WHERE doc_id BETWEEN u1 AND u2
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM documents, c
+        | WHERE NOT doc_id BETWEEN d1 AND d2 AND NOT doc_id BETWEEN u1 AND u2""".stripMargin,
+    // q54: v2 (pre-delete, pre-merge) must equal the untouched source.
+    "q54_versioned_time_travel" ->
+      "SELECT doc_id, lang, n_chars FROM documents")
 }
