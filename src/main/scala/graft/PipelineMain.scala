@@ -144,8 +144,8 @@ object PipelineMain {
           // empty batches skip (replaying an empty batch appends nothing
           // either way, and skipping avoids one empty group per idle tick)
           if (!rows.isEmpty) {
-            val (_, committed) = graft.sources.VersionedTable.appendOnce(
-              rows, outPath, s"kg_stream#$batchId")
+            val committed = graft.streaming.VersionedSink.commitBatch(
+              rows, outPath, "kg_stream", batchId)
             println(s"[graft] stream batch=$batchId " +
               s"${if (committed) "appended exactly-once" else "replay no-op"} -> $outPath")
           }

@@ -49,37 +49,54 @@ object VersionedTable {
     * appends: a manifest line may carry `"txn":"<b64>"` naming the
     * idempotence key its committer supplied (Iceberg's WAP / Flink-sink
     * `txn-id` pattern). A replayed micro-batch whose txn is in this set
-    * must land as a no-op, never a duplicate append.
+    * must land as a no-op, never a duplicate append. Includes keys whose
+    * versions [[expire]] dropped (they survive in the sidecar ledger —
+    * a replay is MOST likely exactly when its version is old).
     */
-  def committedTxns(table: String): Set[String] = {
-    val p = manifestPath(table)
-    if (!Files.exists(p)) return Set.empty
-    import scala.jdk.CollectionConverters._
-    Files.readAllLines(p).asScala.iterator
-      .filter(l => l.nonEmpty && l.endsWith("}"))
-      .flatMap(l => """"txn":"([^"]*)"""".r.findFirstMatchIn(l).map(m => unb64(m.group(1))))
-      .toSet
-  }
+  def committedTxns(table: String): Set[String] = manifestState(table).txns
 
   private def manifestPath(table: String) = Paths.get(table, "_graft_manifest.jsonl")
+  private def txnLedgerPath(table: String) = Paths.get(table, "_graft_txns.jsonl")
 
-  def versions(table: String): Seq[Version] = {
-    val p = manifestPath(table)
-    if (!Files.exists(p)) return Seq.empty
+  /** One committed manifest line parsed, or None for a malformed line
+    * (e.g. torn by a crash mid-append) — an UNCOMMITTED version: the
+    * manifest line is the commit point, so a torn tail must never brick
+    * reads of previously committed versions.
+    */
+  private def parseLine(line: String): Option[Version] =
+    for {
+      seq <- """"seq":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+      sid <- """"snapshot_id":(-?\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+      dirsRaw <- """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(line).map(_.group(1))
+      if line.endsWith("}")
+    } yield Version(seq, sid,
+      dirsRaw.split(',').filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+
+  private final case class ManifestState(lines: Seq[String],
+      versions: Seq[Version], txns: Set[String])
+
+  /** Versions + committed txn keys from ONE manifest read (plus the small
+    * expired-txn ledger) — every commit-path consumer goes through here so
+    * per-commit manifest IO is one file read, not one per question.
+    */
+  private def manifestState(table: String): ManifestState = {
     import scala.jdk.CollectionConverters._
-    // a malformed line (e.g. torn by a crash mid-append) is an UNCOMMITTED
-    // version: skip it — the manifest line is the commit point, so a torn
-    // tail must never brick reads of previously committed versions
-    Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty).flatMap { line =>
-      for {
-        seq <- """"seq":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
-        sid <- """"snapshot_id":(-?\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
-        dirsRaw <- """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(line).map(_.group(1))
-        if line.endsWith("}")
-      } yield Version(seq, sid,
-        dirsRaw.split(',').filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+    val ledger: Set[String] = {
+      val p = txnLedgerPath(table)
+      if (!Files.exists(p)) Set.empty
+      else Files.readAllLines(p).asScala.iterator.filter(_.nonEmpty)
+        .flatMap(l => scala.util.Try(unb64(l)).toOption).toSet
     }
+    val p = manifestPath(table)
+    if (!Files.exists(p)) return ManifestState(Seq.empty, Seq.empty, ledger)
+    val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    val txns = lines.iterator.filter(_.endsWith("}"))
+      .flatMap(l => """"txn":"([^"]*)"""".r.findFirstMatchIn(l).map(m => unb64(m.group(1))))
+      .toSet ++ ledger
+    ManifestState(lines, lines.flatMap(parseLine), txns)
   }
+
+  def versions(table: String): Seq[Version] = manifestState(table).versions
 
   /** Optimistic-concurrency commit gate (Iceberg's atomic metadata-pointer
     * swap, expressed as the one primitive a plain filesystem gives us
@@ -128,8 +145,12 @@ object VersionedTable {
   private def commitWith(table: String, txn: Option[String] = None)(
       f: Option[Version] => Option[(Seq[String], Long)]): Option[Version] =
     withCommitLock(table) {
-      val base = versions(table).lastOption
-      f(base).map { case (dirs, sid) =>
+      val st = manifestState(table) // ONE in-lock read: base + txn ledger
+      // the idempotence re-check lives in the commit primitive itself —
+      // two racers with the same txn serialize here and the loser aborts
+      if (txn.exists(st.txns.contains)) None
+      else f(st.versions.lastOption).map { case (dirs, sid) =>
+        val base = st.versions.lastOption
         val seq = base.map(_.seq + 1).getOrElse(1)
         val txnJson = txn.map(t => s""","txn":"${b64(t)}"""").getOrElse("")
         val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]$txnJson}"""
@@ -182,20 +203,21 @@ object VersionedTable {
   def appendOnce(df: DataFrame, table: String, txn: String)(
       implicit spark: SparkSession): (Version, Boolean) = {
     Files.createDirectories(Paths.get(table))
-    if (committedTxns(table).contains(txn))
-      return (versions(table).last, false)
-    val dir = newDataDir(versions(table).lastOption.map(_.seq + 1).getOrElse(1))
+    val st = manifestState(table) // ONE pre-lock read: replay check + seq
+    if (st.txns.contains(txn))
+      return (st.versions.lastOption.getOrElse(Version(0, 0L, Seq.empty)), false)
+    val dir = newDataDir(st.versions.lastOption.map(_.seq + 1).getOrElse(1))
     df.write.parquet(s"$table/$dir")
     val dirSid = writeStats(table, dir)
+    // commitWith itself re-checks the txn inside the lock and aborts
     commitWith(table, txn = Some(txn)) { base =>
-      if (committedTxns(table).contains(txn)) None
-      else Some((base.map(_.dirs).getOrElse(Seq.empty) :+ dir,
+      Some((base.map(_.dirs).getOrElse(Seq.empty) :+ dir,
         base.map(_.snapshotId + dirSid).getOrElse(dirSid)))
     } match {
       case Some(v) => (v, true)
       case None => // lost the same-txn race; our dir is unreachable debris
         deleteRecursively(Paths.get(table, dir))
-        (versions(table).last, false)
+        (versions(table).lastOption.getOrElse(Version(0, 0L, Seq.empty)), false)
     }
   }
 
@@ -433,12 +455,7 @@ object VersionedTable {
         .filter(d => newestMtime(Paths.get(table, d)) <= cutoff)
         .toList
       finally listing.close()
-    orphans.foreach { d =>
-      val walk = Files.walk(Paths.get(table, d))
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      finally walk.close()
-    }
+    orphans.foreach(d => deleteRecursively(Paths.get(table, d)))
     orphans
   }
 
@@ -547,11 +564,24 @@ object VersionedTable {
     val batchDir = s"data/v$seq-mrg-new-$sfx"
     val (batchSid, batchRows) = writeGroup(table, batchDir, batch)
     if (batchRows == 0) { deleteRecursively(Paths.get(table, batchDir)); return cur }
-    val bounds = spark.read.parquet(s"$table/$batchDir")
-      .agg(min(col(key)), max(col(key))).collect()(0)
-    val (touched, untouched) =
-      if (bounds.isNullAt(0)) (Seq.empty[String], cur.dirs) // all-null keys: pure insert
-      else pruneDirs(table, cur, key, bounds.get(0), bounds.get(1))
+    // the batch's key bounds come from the stats sidecar writeGroup just
+    // produced — no second scan of data already aggregated once (pruneDirs
+    // compares via toString/BigDecimal, so the sidecar's string forms are
+    // exactly what it needs)
+    val (touched, untouched) = dirStats(table, batchDir).flatMap(_.cols.get(key)) match {
+      case Some(cs) if cs.min.isEmpty =>
+        (Seq.empty[String], cur.dirs) // all-null keys: pure insert
+      case Some(cs) =>
+        val (lo, hi) =
+          if (cs.typ == "s") (unb64(cs.min.get), unb64(cs.max.get))
+          else (cs.min.get, cs.max.get)
+        pruneDirs(table, cur, key, lo, hi)
+      case None => // key type outside the stats domain: one bounded scan
+        val b = spark.read.parquet(s"$table/$batchDir")
+          .agg(min(col(key)), max(col(key))).collect()(0)
+        if (b.isNullAt(0)) (Seq.empty[String], cur.dirs)
+        else pruneDirs(table, cur, key, b.get(0), b.get(1))
+    }
     val remDirKeptSid: Option[(String, Long)] = if (touched.isEmpty) None else {
       val remDir = s"data/v$seq-mrg-rem-$sfx"
       val touchedDf = spark.read.option("mergeSchema", "true")
@@ -611,11 +641,28 @@ object VersionedTable {
     // outside the lock is safe: by then the doomed dirs are unreferenced
     // by every manifest line, so no reader can reach them.
     val doomed = withCommitLock(table) {
-      val vs = versions(table)
+      val st = manifestState(table)
+      val vs = st.versions
       if (vs.size <= keep) Seq.empty
       else {
         val (dropped, retained) = vs.splitAt(vs.size - keep)
+        val retainedSeqs = retained.map(_.seq).toSet
         val keepDirs = retained.flatMap(_.dirs).toSet
+        def lineSeq(l: String) = parseLine(l).map(_.seq)
+        // retained versions keep their ORIGINAL manifest lines verbatim —
+        // in particular their "txn" idempotence keys, which a re-rendered
+        // line would silently erase (breaking exactly-once the moment a
+        // retention job runs); dropped versions' txn keys survive in the
+        // append-only sidecar ledger, written FIRST so a crash between
+        // the two writes leaves at worst a harmless duplicate key
+        val keptLines = st.lines.filter(l => lineSeq(l).exists(retainedSeqs))
+        val droppedTxnsB64 = st.lines
+          .filter(l => l.endsWith("}") && lineSeq(l).exists(s => !retainedSeqs(s)))
+          .flatMap(l => """"txn":"([^"]*)"""".r.findFirstMatchIn(l).map(_.group(1)))
+        if (droppedTxnsB64.nonEmpty)
+          Files.writeString(txnLedgerPath(table),
+            droppedTxnsB64.mkString("", "\n", "\n"),
+            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
         // COMMIT FIRST, delete after — and atomically: the append-only
         // commit path is crash-safe by design (a torn tail line is
         // ignored), so the one rewrite in the lifecycle must not be the
@@ -625,27 +672,16 @@ object VersionedTable {
         // manifest (readAsOf gives the clean "expired" error) and any
         // undeleted dirs are unreferenced storage-only orphans that
         // [[vacuum]] reclaims.
-        val lines = retained.map(v =>
-          s"""{"seq":${v.seq},"snapshot_id":${v.snapshotId},"dirs":[${v.dirs.map("\"" + _ + "\"").mkString(",")}]}""")
         val target = manifestPath(table)
         val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-        Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+        Files.writeString(tmp, keptLines.mkString("", "\n", "\n"))
         Files.move(tmp, target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         dropped.flatMap(_.dirs).distinct.filterNot(keepDirs)
       }
     }
-    doomed.foreach { d =>
-      val root = Paths.get(table, d)
-      if (Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        val walk = Files.walk(root)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
-        finally walk.close()
-      }
-    }
+    doomed.foreach(d => deleteRecursively(Paths.get(table, d)))
     doomed
   }
 }

@@ -38,8 +38,14 @@ object VersionedSink {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[T], batchId: Long) =>
-        VersionedTable.appendOnce(batch.toDF(), table, s"$queryName#$batchId")
-        ()
+        // stateful upstreams run NO-DATA micro-batches to fire event-time
+        // timeouts; skip the empty ones or the table accretes one empty
+        // file group + manifest line per idle tick. Exactness holds: an
+        // unrecorded empty batch replays as another empty no-op.
+        if (!batch.isEmpty) {
+          VersionedTable.appendOnce(batch.toDF(), table, s"$queryName#$batchId")
+          ()
+        }
       }
       .start()
 

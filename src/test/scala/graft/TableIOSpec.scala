@@ -341,6 +341,37 @@ class TableIOSpec extends SparkSpec {
     assert(v3.snapshotId == TableIO.snapshotId(VersionedTable.read(table)))
   }
 
+  test("versioned table: expire preserves the exactly-once txn ledger") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val table = tmp("versioned_txn_expire")
+    VersionedTable.appendOnce((1L to 5L).toDF("id"), table, "sink#0")
+    VersionedTable.appendOnce((6L to 10L).toDF("id"), table, "sink#1")
+    VersionedTable.appendOnce((11L to 15L).toDF("id"), table, "sink#2")
+    // retention drops v1/v2 — their txn keys move to the sidecar ledger;
+    // the retained v3's key stays inline on its verbatim manifest line.
+    // (expire returns DELETED dirs; append-accreted versions share every
+    // dir with the retained head, so nothing is deletable here — the
+    // manifest truncation is what we assert)
+    VersionedTable.expire(table, keep = 1)
+    assert(VersionedTable.versions(table).map(_.seq) == Seq(3))
+    assert(VersionedTable.committedTxns(table) == Set("sink#0", "sink#1", "sink#2"))
+    // the crash-replay window AFTER a retention pass: every old batch
+    // must still no-op — this is exactly where a re-rendered manifest
+    // (or a dropped ledger) would silently duplicate rows
+    for (t <- Seq("sink#0", "sink#1", "sink#2")) {
+      val (_, did) = VersionedTable.appendOnce((1L to 5L).toDF("id"), table, t)
+      assert(!did, s"replayed $t committed after expire")
+    }
+    assert(VersionedTable.read(table).count() == 15)
+    // a second expire with nothing to drop leaves the ledger intact
+    assert(VersionedTable.expire(table, keep = 1).isEmpty)
+    assert(VersionedTable.committedTxns(table) == Set("sink#0", "sink#1", "sink#2"))
+    // and genuinely new txns still commit
+    val (_, did) = VersionedTable.appendOnce((16L to 20L).toDF("id"), table, "sink#3")
+    assert(did && VersionedTable.read(table).count() == 20)
+  }
+
   test("JDBC sink (S6) round-trips the wide table through embedded Derby") {
     import spark.implicits._
     val wide = Seq(("conv-1", "Data Engineer", "Germany"), ("conv-2", "Nurse", "Poland"))
