@@ -770,6 +770,38 @@ object SparkEntry {
         docs.where(col("doc_id").between(lo + 3 * (hi - lo) / 8, lo + 5 * (hi - lo) / 8))
           .withColumn("n_chars", col("n_chars") + lit(1000L)), table, "doc_id")
       VersionedTable.readAsOf(table, 2).select("doc_id", "lang", "n_chars")
+    }),
+    // q55: SORT-strategy rewrite_data_files — documents loaded as three
+    // doc_id%3 slices, so every file group spans the full key range and the
+    // manifest stats can skip NOTHING (require pins that too); after
+    // rewriteSorted the same middle-third range read must skip at least
+    // half the (now range-disjoint) groups AND value-match DuckDB's
+    // full-scan filter with the q52 cut points. This is the maintenance op
+    // that turns stats pruning exact on accreted layouts.
+    "q55_versioned_sorted_rewrite" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val r = docs.agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).collect()(0)
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * (hi - lo) / 3
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-sorted").toString
+      VersionedTable.overwrite(docs.where(pmod(col("doc_id"), lit(3)) === 0), table)
+      VersionedTable.append(docs.where(pmod(col("doc_id"), lit(3)) === 1), table)
+      VersionedTable.append(docs.where(pmod(col("doc_id"), lit(3)) === 2), table)
+      val before = VersionedTable.versions(table).last
+      val (keepB, _) = VersionedTable.pruneDirs(table, before, "doc_id", c1 + 1, c2)
+      require(keepB.size == 3,
+        s"interleaved groups must all overlap the range: kept ${keepB.size} of 3")
+      val after = VersionedTable.rewriteSorted(table, "doc_id", targetGroups = 8)
+      require(after.snapshotId == before.snapshotId,
+        "sorted rewrite must preserve the content snapshot id")
+      val (keepA, skipA) = VersionedTable.pruneDirs(table, after, "doc_id", c1 + 1, c2)
+      require(skipA.size >= after.dirs.size / 2,
+        s"sorted layout should skip most groups: kept ${keepA.size} of ${after.dirs.size}")
+      VersionedTable.readRange(table, "doc_id", c1 + 1, c2)
+        .select("doc_id", "lang", "n_chars")
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1099,5 +1131,11 @@ object SparkEntry {
         | WHERE NOT doc_id BETWEEN d1 AND d2 AND NOT doc_id BETWEEN u1 AND u2""".stripMargin,
     // q54: v2 (pre-delete, pre-merge) must equal the untouched source.
     "q54_versioned_time_travel" ->
-      "SELECT doc_id, lang, n_chars FROM documents")
+      "SELECT doc_id, lang, n_chars FROM documents",
+    // q55: the sorted-rewrite range read must equal the same full-scan
+    // filter q52 uses — the rewrite changes layout, never content.
+    "q55_versioned_sorted_rewrite" ->
+      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)
+        |SELECT doc_id, lang, n_chars FROM documents, b
+        |WHERE doc_id BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3""".stripMargin)
 }

@@ -492,6 +492,76 @@ object VersionedTable {
     }
   }
 
+  /** rewrite_data_files (SORT strategy): re-cluster the latest version by
+    * `column` into up to `targetGroups` RANGE-DISJOINT file groups — one
+    * shuffle (`repartitionByRange` + a within-partition sort), each range
+    * partition fanned into its own dir by a `partitionBy` staging write
+    * (no per-group re-scan, no driver-side cut-point collection), then
+    * committed as a new version GATED on content identity exactly like
+    * [[compact]]. This is what turns the manifest stats from "sometimes
+    * skips" into "names only the matching file groups": append/streaming
+    * accretion interleaves key ranges so every group overlaps every
+    * predicate and [[pruneDirs]] can skip nothing — after the sorted
+    * rewrite a range predicate opens O(range/groupWidth) groups. At
+    * 100 TB this is the standing maintenance op behind fast scans (run it
+    * per partition/day as data settles), and a delete/merge keyed on
+    * `column` gets the same benefit: write amplification drops to the
+    * groups the key range actually touches. Null keys sort first (range
+    * partitioner semantics) and land in the first group, whose stats then
+    * show the column nullable-min — BETWEEN predicates never match null,
+    * so pruning stays correct. Old versions stay time-travelable; the
+    * commit appends a manifest line (txn keys untouched).
+    */
+  def rewriteSorted(table: String, column: String, targetGroups: Int = 8)(
+      implicit spark: SparkSession): Version = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed version in $table")
+    val cur = vs.last
+    val seq = cur.seq + 1
+    val sfx = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"data/v$seq-sortstage-$sfx"
+    // the _g projection must sit ABOVE the range exchange (spark_partition_id
+    // is nondeterministic, so Catalyst won't push it below); sorting by
+    // (_g, column) is the same per-partition order as (column) — _g is
+    // constant within a partition — while satisfying the file writer's
+    // partition-column ordering requirement, so no second sort is inserted
+    // and files come out key-ordered for parquet row-group pruning below
+    // the manifest layer
+    readVersion(table, cur)
+      .repartitionByRange(targetGroups, col(column))
+      .withColumn("_g", org.apache.spark.sql.functions.spark_partition_id())
+      .sortWithinPartitions(col("_g"), col(column))
+      .write.partitionBy("_g").parquet(s"$table/$staging")
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(Paths.get(table, staging))
+    val groups =
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_g=")).toList.sortBy(_.stripPrefix("_g=").toInt)
+      finally listing.close()
+    val dirs = groups.map { g =>
+      val d = s"data/v$seq-sort${g.stripPrefix("_g=")}-$sfx"
+      Files.move(Paths.get(table, staging, g), Paths.get(table, d))
+      d
+    }
+    deleteRecursively(Paths.get(table, staging))
+    if (dirs.isEmpty) return cur // 0-row table: keep its schema-carrying group
+    var sid = 0L
+    dirs.foreach(d => sid += writeStats(table, d)) // mod-2^64 additive
+    if (sid != cur.snapshotId) {
+      dirs.foreach(d => deleteRecursively(Paths.get(table, d)))
+      throw new IllegalStateException(
+        s"sorted rewrite changed content: $sid != ${cur.snapshotId} — refusing to commit")
+    }
+    commitTransform(table) { base =>
+      // same conflict rule as [[compact]]: a commit that landed after the
+      // version we rewrote would be erased by committing the rewrite
+      if (!base.exists(_.seq == cur.seq)) throw new IllegalStateException(
+        s"concurrent commit during sorted rewrite of v${cur.seq} " +
+          s"(tip is now v${base.map(_.seq).getOrElse(0)}) — retry")
+      (dirs, sid)
+    }
+  }
+
   /** Write a file group and return (content snapshot id, row count). An
     * empty result still writes a schema-carrying parquet file (Spark's
     * writer runs at least one task), so reads of a version that deleted

@@ -372,6 +372,44 @@ class TableIOSpec extends SparkSpec {
     assert(did && VersionedTable.read(table).count() == 20)
   }
 
+  test("versioned table: sorted rewrite makes range pruning exact") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val table = tmp("versioned_sorted_rewrite")
+    // three mod-3 slices: every file group spans the FULL key range, so
+    // before the rewrite the manifest stats can skip nothing
+    def slice(k: Long) =
+      (1L to 999L).filter(_ % 3 == k).map(i => (Option(i), s"row$i")).toDF("k", "v")
+    VersionedTable.overwrite(slice(0), table)
+    VersionedTable.append(slice(1), table)
+    VersionedTable.append(slice(2), table)
+    // plus null-key rows: BETWEEN never matches them but they must survive
+    VersionedTable.append(
+      Seq((Option.empty[Long], "null1"), (Option.empty[Long], "null2")).toDF("k", "v"), table)
+    val before = VersionedTable.versions(table).last
+    val (keepB, skipB) = VersionedTable.pruneDirs(table, before, "k", 500L, 500L)
+    assert(keepB.size == 3 && skipB.size == 1, // only the all-null group skips
+      s"interleaved groups should all overlap: kept=$keepB skipped=$skipB")
+
+    val after = VersionedTable.rewriteSorted(table, "k", targetGroups = 4)
+    // content identity: same rows, same content snapshot id
+    assert(after.snapshotId == before.snapshotId)
+    assert(VersionedTable.read(table).count() == 1001)
+    assert(VersionedTable.read(table).where(col("k").isNull).count() == 2)
+    // range-disjoint groups: a single dense key now lives in EXACTLY one
+    val (keepA, skipA) = VersionedTable.pruneDirs(table, after, "k", 500L, 500L)
+    assert(keepA.size == 1 && skipA.size == after.dirs.size - 1,
+      s"sorted rewrite should isolate one group: kept=$keepA of ${after.dirs.size}")
+    // pruned read == exact filter
+    val got = VersionedTable.readRange(table, "k", 100L, 200L)
+      .select("k", "v").as[(Long, String)].collect().toSet
+    val want = (100L to 200L).map(i => (i, s"row$i")).toSet
+    assert(got == want)
+    // the rewrite is a commit, not a rewrite of history: time travel to the
+    // pre-rewrite version still reads the accreted layout
+    assert(VersionedTable.readAsOf(table, before.seq).count() == 1001)
+  }
+
   test("JDBC sink (S6) round-trips the wide table through embedded Derby") {
     import spark.implicits._
     val wide = Seq(("conv-1", "Data Engineer", "Germany"), ("conv-2", "Nurse", "Poland"))
