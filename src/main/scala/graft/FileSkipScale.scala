@@ -75,6 +75,36 @@ object FileSkipScale {
 
     println(
       f"""{"metric":"file_skip","rows":${aFull0.getLong(0)},"groups":$groups,"groups_opened":${keep.size},"sec_full_scan":$tFull%.3f,"sec_pruned":$tPruned%.3f,"speedup":${tFull / tPruned}%.2f,"build_sec":$buildSec%.1f,"cores":$cpus}""")
+
+    // ---- phase 2: INTERLEAVED accretion + sorted rewrite ----------------
+    // The realistic worst case: a writer that appends by arrival order
+    // (doc_id % G slices here) gives every file group the FULL key range,
+    // so the manifest stats can skip nothing and readRange degenerates to
+    // the full scan. rewriteSorted is the maintenance op that repairs the
+    // layout; this leg measures the same range query before and after it.
+    val table2 = java.nio.file.Files.createTempDirectory("graft-fss-il").toString
+    for (g <- 0 until groups)
+      VersionedTable.append(docs.where(pmod(col("doc_id"), lit(groups)) === g), table2)
+    val il = VersionedTable.versions(table2).last
+    val (keepIl, _) = VersionedTable.pruneDirs(table2, il, "doc_id", qlo, qhi)
+    require(keepIl.size == groups,
+      s"interleaved groups must all overlap the range, kept ${keepIl.size}")
+    def prunedIl() = answer(VersionedTable.readRange(table2, "doc_id", qlo, qhi))
+    val aPre = prunedIl()
+    require(aPre == aFull0, s"interleaved answer diverged: $aPre != $aFull0")
+    val tPre = (0 until 3).map(_ => Bench.time(prunedIl())._2).min
+
+    val (sorted, tRewrite) =
+      Bench.time(VersionedTable.rewriteSorted(table2, "doc_id", targetGroups = groups))
+    val (keepS, _) = VersionedTable.pruneDirs(table2, sorted, "doc_id", qlo, qhi)
+    require(keepS.size <= 2, // range boundaries are sampler-placed, not ours
+      s"sorted layout should isolate the range, kept ${keepS.size} of ${sorted.dirs.size}")
+    val aPost = prunedIl()
+    require(aPost == aFull0, s"post-rewrite answer diverged: $aPost != $aFull0")
+    val tPost = (0 until 3).map(_ => Bench.time(prunedIl())._2).min
+
+    println(
+      f"""{"metric":"sorted_rewrite","rows":${aFull0.getLong(0)},"groups":$groups,"opened_pre":${keepIl.size},"opened_post":${keepS.size},"sec_range_pre":$tPre%.3f,"sec_range_post":$tPost%.3f,"speedup":${tPre / tPost}%.2f,"rewrite_sec":$tRewrite%.1f,"cores":$cpus}""")
     spark.stop()
   }
 }
