@@ -410,6 +410,91 @@ class TableIOSpec extends SparkSpec {
     assert(VersionedTable.readAsOf(table, before.seq).count() == 1001)
   }
 
+  test("versioned table: full lifecycle — stream-accrete, compact, replay, sorted rewrite, narrow delete, merge, expire, vacuum") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val table = tmp("versioned_lifecycle")
+
+    // -- stream accretion: 8 exactly-once micro-batches of INTERLEAVED keys
+    // (id % 8) — the arrival-order layout real streaming ingest produces,
+    // where every file group spans the full key range — plus one null-key row
+    def batch(g: Long) = (0L until 800L).filter(_ % 8 == g)
+      .map(i => (Option(i), s"v$i")).toDF("id", "v")
+    for (g <- 0L until 8L) {
+      val (_, did) = VersionedTable.appendOnce(batch(g), table, s"stream#$g")
+      assert(did, s"batch $g should commit")
+    }
+    VersionedTable.appendOnce(
+      Seq((Option.empty[Long], "null-row")).toDF("id", "v"), table, "stream#8")
+    // a crash replay mid-stream no-ops
+    assert(!VersionedTable.appendOnce(batch(3), table, "stream#3")._2)
+    val accreted = VersionedTable.versions(table).last
+    assert(accreted.dirs.size == 9)
+    // on this layout the stats can skip only the all-null group
+    val (keepAcc, _) = VersionedTable.pruneDirs(table, accreted, "id", 100L, 120L)
+    assert(keepAcc.size == 8, s"accreted layout should keep 8 groups, kept ${keepAcc.size}")
+
+    // -- binpack compaction: content identity gated; the txn ledger
+    // survives the rewrite commit, so replays STILL no-op after it
+    val compacted = VersionedTable.compact(table, targetGroups = 2)
+    assert(compacted.snapshotId == accreted.snapshotId)
+    assert(!VersionedTable.appendOnce(batch(5), table, "stream#5")._2,
+      "replay committed after compaction")
+
+    // -- sorted rewrite: same content, range-disjoint groups
+    val sorted = VersionedTable.rewriteSorted(table, "id", targetGroups = 8)
+    assert(sorted.snapshotId == accreted.snapshotId)
+    val (keepSorted, _) = VersionedTable.pruneDirs(table, sorted, "id", 100L, 120L)
+    assert(keepSorted.size <= 2,
+      s"sorted layout should isolate the range, kept ${keepSorted.size}")
+
+    // -- narrow delete: write amplification bounded by the sorted layout —
+    // groups outside [100,120] carry over BY REFERENCE
+    val del = VersionedTable.deleteRange(table, "id", 100L, 120L)
+    assert(del.dirs.count(sorted.dirs.contains) >= sorted.dirs.size - 2,
+      "delete rewrote groups outside its key range")
+
+    // -- merge straddling the delete hole: restore one deleted key, insert one
+    val merged = VersionedTable.merge(
+      Seq((Option(110L), "restored110"), (Option(115L), "new115")).toDF("id", "v"),
+      table, "id")
+    assert(merged.dirs.count(del.dirs.contains) >= del.dirs.size - 2,
+      "merge rewrote groups outside its batch key range")
+
+    // -- independent truth: the final state re-derived in memory
+    val expect = (0L until 800L).filterNot(i => i >= 100L && i <= 120L)
+      .map(i => (i, s"v$i")).toMap + (110L -> "restored110") + (115L -> "new115")
+    val rows = VersionedTable.read(table).as[(Option[Long], String)].collect()
+    assert(rows.collect { case (None, v) => v }.toSeq == Seq("null-row"),
+      "the null-key row must ride through rewrite/delete/merge untouched")
+    assert(rows.collect { case (Some(k), v) => (k, v) }.toMap == expect)
+    assert(merged.snapshotId == TableIO.snapshotId(VersionedTable.read(table)))
+
+    // -- history: every stage is still time-travelable pre-expire
+    assert(VersionedTable.readAsOf(table, accreted.seq).count() == 801)
+    assert(VersionedTable.readAsOf(table, del.seq).count() == 780)
+
+    // -- expire to the head: history gone, exactly-once ledger intact
+    VersionedTable.expire(table, keep = 1)
+    assert(VersionedTable.versions(table).map(_.seq) == Seq(merged.seq))
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOf(table, accreted.seq)
+    }
+    for (g <- 0L until 8L)
+      assert(!VersionedTable.appendOnce(batch(g), table, s"stream#$g")._2,
+        s"stream#$g replayed as a commit after expire")
+
+    // -- vacuum reclaims a crash orphan without touching referenced data
+    val orphan = java.nio.file.Paths.get(table, "data/crashed-writer-leftover")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-0.parquet"), "junk")
+    val removed = VersionedTable.vacuum(table, olderThanMillis = -1000L)
+    assert(removed == Seq("data/crashed-writer-leftover"))
+    val finalRows = VersionedTable.read(table)
+    assert(finalRows.count() == 782)
+    assert(merged.snapshotId == TableIO.snapshotId(finalRows))
+  }
+
   test("JDBC sink (S6) round-trips the wide table through embedded Derby") {
     import spark.implicits._
     val wide = Seq(("conv-1", "Data Engineer", "Germany"), ("conv-2", "Nurse", "Poland"))
