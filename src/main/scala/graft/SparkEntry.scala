@@ -802,6 +802,33 @@ object SparkEntry {
         s"sorted layout should skip most groups: kept ${keepA.size} of ${after.dirs.size}")
       VersionedTable.readRange(table, "doc_id", c1 + 1, c2)
         .select("doc_id", "lang", "n_chars")
+    }),
+    // q56: the FileIndex seam — the SAME range predicate as q52 expressed
+    // as a PLAIN declarative filter over VersionedTable.scan (no readRange
+    // call): Catalyst pushes the filter into the scan and GraftFileIndex
+    // answers with only the matching file group, asserted via lastKeptDirs.
+    // The oracle is the identical DuckDB full-scan filter, so the pruned
+    // declarative read is pinned value-exact every round.
+    "q56_versioned_scan_pushdown" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val r = docs.agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).collect()(0)
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val c1 = lo + (hi - lo) / 3
+      val c2 = lo + 2 * (hi - lo) / 3
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-scan").toString
+      VersionedTable.overwrite(docs.where(col("doc_id") <= c1), table)
+      VersionedTable.append(docs.where(col("doc_id") > c1 && col("doc_id") <= c2), table)
+      VersionedTable.append(docs.where(col("doc_id") > c2), table)
+      val (scan, idx) = VersionedTable.scanIndexed(table)
+      val out = scan.where(col("doc_id").between(c1 + 1, c2))
+        .select("doc_id", "lang", "n_chars")
+      val n = out.count() // plans + executes: listFiles sees the pushed filter
+      require(idx.lastKeptDirs.size == 1,
+        s"pushdown pruning regressed: planned ${idx.lastKeptDirs.size} of 3 file groups")
+      require(n > 0, "pruned scan returned no rows")
+      out
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1135,6 +1162,12 @@ object SparkEntry {
     // q55: the sorted-rewrite range read must equal the same full-scan
     // filter q52 uses — the rewrite changes layout, never content.
     "q55_versioned_sorted_rewrite" ->
+      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)
+        |SELECT doc_id, lang, n_chars FROM documents, b
+        |WHERE doc_id BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3""".stripMargin,
+    // q56: the declarative filter over the FileIndex-planned scan must
+    // equal the same full-scan filter — pruning changes IO, never rows.
+    "q56_versioned_scan_pushdown" ->
       """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)
         |SELECT doc_id, lang, n_chars FROM documents, b
         |WHERE doc_id BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3""".stripMargin)

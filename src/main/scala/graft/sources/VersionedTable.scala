@@ -304,6 +304,27 @@ object VersionedTable {
     else """"sid":(-?\d+)""".r.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
   }
 
+  /** Decoded manifest stats for one file group — the read-side contract
+    * [[GraftFileIndex]] plans against: `rows`, the group's schema (absent
+    * for pre-stats dirs), and per-column min/max with strings ALREADY
+    * un-Base64'd (comparisons happen in UTF-8 byte order downstream).
+    * `min == None` with `rows > 0` means the column is all-null in this
+    * group; a column missing from `cols` but present in `schema` is a
+    * non-stats type (keep conservatively); a column missing from `schema`
+    * does not exist in the group at all — merged reads surface it as null.
+    */
+  final case class GroupColStats(isString: Boolean, min: Option[String], max: Option[String])
+  final case class GroupStats(rows: Long, schema: Option[StructType],
+      cols: Map[String, GroupColStats])
+
+  def groupStats(table: String, dir: String): Option[GroupStats] =
+    dirStats(table, dir).map { st =>
+      GroupStats(st.rows, st.schema, st.cols.map { case (n, cs) =>
+        val dec = if (cs.typ == "s") (s: String) => unb64(s) else identity[String] _
+        n -> GroupColStats(cs.typ == "s", cs.min.map(dec), cs.max.map(dec))
+      })
+    }
+
   private val colStatRe =
     """"([^"]+)":\{"t":"([ns])","min":(null|"[^"]*"),"max":(null|"[^"]*")\}""".r
 
@@ -680,6 +701,48 @@ object VersionedTable {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed version in $table")
     readVersion(table, vs.last)
+  }
+
+  /** Latest version as a DataFrame whose scan plans through
+    * [[GraftFileIndex]]: Catalyst's own pushed-down data filters drive
+    * manifest-level file skipping, so a plain `scan(t).where(...)` (or the
+    * same query via `spark.sql` over a temp view) opens only the file
+    * groups whose stats can match — no special `readRange` call needed.
+    * This is the Delta/Iceberg integration shape: the table format plugs
+    * in at the FileIndex seam and the rest of the planner (column pruning,
+    * parquet row-group pruning, AQE) composes above and below it.
+    */
+  def scan(table: String)(implicit spark: SparkSession): DataFrame =
+    scanIndexed(table)._1
+
+  /** [[scan]] plus its FileIndex, so callers (tests, metrics) can observe
+    * which file groups the last query actually planned.
+    */
+  def scanIndexed(table: String)(
+      implicit spark: SparkSession): (DataFrame, GraftFileIndex) = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed version in $table")
+    val v = vs.last
+    // full schema from sidecars when every group carries one (no footer
+    // reads); pre-stats tables fall back to one mergeSchema inference
+    val schema = unionSchema(table, v).getOrElse(readVersion(table, v).schema)
+    val groups = v.dirs.map(d => FileGroup(d, groupStats(table, d), listDataFiles(table, d)))
+    val idx = new GraftFileIndex(spark, table, groups)
+    (idx.toDataFrame(schema), idx)
+  }
+
+  /** The parquet data files of one committed file group (sidecars and
+    * hidden files excluded) — driver-side listing of exactly the dirs the
+    * manifest names, the same O(groups) planner cost `readVersion` pays.
+    */
+  private def listDataFiles(table: String, dir: String)(
+      implicit spark: SparkSession): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(s"$table/$dir")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq.filter(f => f.isFile && {
+      val n = f.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
   }
 
   /** Time travel: the table exactly as of version `seq`. */

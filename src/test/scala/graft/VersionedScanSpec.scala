@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** The FileIndex seam: plain declarative filters over `VersionedTable.scan`
+  * must (a) return exactly what a full merged read returns, and (b) plan
+  * only the file groups whose manifest stats can match — manifest-level
+  * file skipping driven by Catalyst's own pushed-down data filters, with
+  * the skipped-group count asserted from the executed plan's numFiles
+  * metric, not inferred from timing.
+  */
+class VersionedScanSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-vscan-$name").resolve("t").toString
+
+  /** Four range-disjoint appends over id: [0,99], [100,199], [200,299],
+    * [300,399]; each group carries one parquet file (repartition(1)).
+    */
+  private def rangedTable(): String = {
+    import spark.implicits._
+    val p = tmp("ranged")
+    def slice(lo: Int): DataFrame =
+      (lo until lo + 100).map(i => (i.toLong, s"name$i", i % 7)).toDF("id", "name", "grp")
+        .repartition(1)
+    VersionedTable.overwrite(slice(0), p)
+    (1 to 3).foreach(k => VersionedTable.append(slice(k * 100), p))
+    p
+  }
+
+  private def numFilesPlanned(df: DataFrame): Long = {
+    df.collect() // metrics populate on execution
+    val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1)
+    scans.head.metrics("numFiles").value
+  }
+
+  test("a plain between filter over scan opens only the matching file group") {
+    val p = rangedTable()
+    val (df, idx) = VersionedTable.scanIndexed(p)
+    val q = df.where(col("id").between(150, 180))
+    assert(numFilesPlanned(q) == 1)
+    assert(idx.lastKeptDirs.size == 1)
+    // value-exact vs the full merged read under the same predicate
+    val full = VersionedTable.read(p).where(col("id").between(150, 180))
+    assert(q.orderBy("id").collect().toSeq == full.orderBy("id").collect().toSeq)
+    assert(q.count() == 31)
+  }
+
+  test("spark.sql over a temp view gets the same manifest-level skipping") {
+    val p = rangedTable()
+    val (df, idx) = VersionedTable.scanIndexed(p)
+    df.createOrReplaceTempView("vscan_t")
+    val q = spark.sql("SELECT sum(id) AS s FROM vscan_t WHERE id >= 300")
+    assert(q.collect()(0).getLong(0) == (300L to 399L).sum)
+    assert(idx.lastKeptDirs.size == 1)
+  }
+
+  test("an equality far outside every range plans zero files") {
+    val p = rangedTable()
+    val (df, idx) = VersionedTable.scanIndexed(p)
+    val q = df.where(col("id") === 5000)
+    assert(q.count() == 0)
+    assert(idx.lastKeptDirs.isEmpty)
+  }
+
+  test("an OR spanning two ranges keeps exactly those two groups") {
+    val p = rangedTable()
+    val (df, idx) = VersionedTable.scanIndexed(p)
+    val q = df.where(col("id") === 50 || col("id") === 350)
+    assert(q.count() == 2)
+    assert(idx.lastKeptDirs.size == 2)
+  }
+
+  test("string bounds prune in UTF-8 byte order, and startsWith prunes") {
+    import spark.implicits._
+    val p = tmp("strings")
+    VersionedTable.overwrite(
+      Seq(("apple", 1L), ("banana", 2L)).toDF("k", "v").repartition(1), p)
+    VersionedTable.append(
+      Seq(("melon", 3L), ("peach", 4L)).toDF("k", "v").repartition(1), p)
+    val (df, idx) = VersionedTable.scanIndexed(p)
+    assert(df.where(col("k") > "z").count() == 0)
+    assert(idx.lastKeptDirs.isEmpty)
+    assert(df.where(col("k") === "melon").count() == 1)
+    assert(idx.lastKeptDirs.size == 1)
+    assert(df.where(col("k").startsWith("ba")).count() == 1)
+    assert(idx.lastKeptDirs.size == 1)
+    // a prefix past every group's range prunes everything
+    assert(df.where(col("k").startsWith("zz")).count() == 0)
+    assert(idx.lastKeptDirs.isEmpty)
+  }
+
+  test("filters the stats cannot reason about keep every group (conservative)") {
+    val p = rangedTable()
+    val (df, idx) = VersionedTable.scanIndexed(p)
+    // arithmetic over the column defeats min/max reasoning -> no skipping,
+    // but results stay exact
+    val q = df.where(col("id") % 100 === 50)
+    assert(q.count() == 4)
+    assert(idx.lastKeptDirs.size == 4)
+  }
+
+  test("IsNotNull skips an all-null group; schema-evolved column skips old groups") {
+    import spark.implicits._
+    val p = tmp("evolve")
+    VersionedTable.overwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), p)
+    VersionedTable.append(
+      Seq((null.asInstanceOf[java.lang.Long], "x")).toDF("id", "v").repartition(1), p)
+    // add-column evolution: only the newest group carries `extra`
+    VersionedTable.append(
+      Seq((10L, "c", 99L)).toDF("id", "v", "extra").repartition(1), p)
+    val (df, idx) = VersionedTable.scanIndexed(p)
+    assert(df.columns.toSet == Set("id", "v", "extra"))
+    // id IS NOT NULL proves the all-null group away
+    df.where(col("id").isNotNull).collect()
+    assert(idx.lastKeptDirs.size == 2)
+    // a predicate on the evolved column skips groups that lack it entirely
+    assert(df.where(col("extra") === 99).count() == 1)
+    assert(idx.lastKeptDirs.size == 1)
+    // full scan equality vs the mergeSchema read
+    assert(df.orderBy(col("v")).collect().toSeq ==
+      VersionedTable.read(p).select("id", "v", "extra").orderBy(col("v")).collect().toSeq)
+  }
+
+  test("scan sees exactly the latest committed version (row-level ops included)") {
+    import spark.implicits._
+    val p = tmp("rowops")
+    VersionedTable.overwrite(
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1), p)
+    VersionedTable.deleteRange(p, "id", 10L, 19L)
+    VersionedTable.merge(Seq((1L, "MERGED"), (200L, "NEW")).toDF("id", "v"), p, "id")
+    val got = VersionedTable.scan(p).orderBy("id").as[(Long, String)].collect().toSeq
+    val want = VersionedTable.read(p).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == want)
+    assert(got.size == 41) // 50 - 10 deleted + 1 insert; the merge hit replaces in place
+    assert(got.head == (1L, "MERGED") && got.last == (200L, "NEW"))
+  }
+}
