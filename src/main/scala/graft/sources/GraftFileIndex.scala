@@ -73,14 +73,17 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
 
   override def sizeInBytes: Long = groups.flatMap(_.files.map(_.getLen)).sum
 
-  /** The scan as a DataFrame: a parquet HadoopFsRelation planned through
-    * this index, with the version's full union schema declared so groups
-    * missing an evolved column read it as null (no mergeSchema inference
-    * pass — the schema came from the sidecars).
+  /** The scan as a parquet HadoopFsRelation planned through this index,
+    * with the version's full union schema declared so groups missing an
+    * evolved column read it as null (no mergeSchema inference pass — the
+    * schema came from the sidecars).
     */
+  def relation(schema: StructType): HadoopFsRelation =
+    HadoopFsRelation(
+      this, new StructType(), schema, None, new ParquetFileFormat, Map.empty)(spark)
+
   def toDataFrame(schema: StructType): DataFrame =
-    spark.baseRelationToDataFrame(HadoopFsRelation(
-      this, new StructType(), schema, None, new ParquetFileFormat, Map.empty)(spark))
+    spark.baseRelationToDataFrame(relation(schema))
 
   // ---- stats-vs-filter evaluation -----------------------------------------
 

@@ -716,26 +716,49 @@ object VersionedTable {
     scanIndexed(table)._1
 
   /** [[scan]] plus its FileIndex, so callers (tests, metrics) can observe
-    * which file groups the last query actually planned.
+    * which file groups the last query actually planned. `asOf` plans a
+    * retained historical version instead of the latest (time travel with
+    * full pruning — Delta's `versionAsOf`).
     */
-  def scanIndexed(table: String)(
+  def scanIndexed(table: String, asOf: Option[Int] = None)(
       implicit spark: SparkSession): (DataFrame, GraftFileIndex) = {
+    val (rel, idx) = scanRelation(table, asOf)
+    (spark.baseRelationToDataFrame(rel), idx)
+  }
+
+  /** The pruning-capable relation behind [[scan]] — also what the
+    * `graft-versioned` format's batch read path hands the planner.
+    */
+  def scanRelation(table: String, asOf: Option[Int] = None)(implicit spark: SparkSession):
+      (org.apache.spark.sql.execution.datasources.HadoopFsRelation, GraftFileIndex) = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed version in $table")
-    val v = vs.last
-    // full schema from sidecars when every group carries one (no footer
-    // reads); pre-stats tables fall back to one mergeSchema inference
+    val v = asOf match {
+      case None => vs.last
+      case Some(seq) => vs.find(_.seq == seq).getOrElse(throw new IllegalArgumentException(
+        s"version $seq not found (expired or never committed) in $table"))
+    }
     val schema = unionSchema(table, v).getOrElse(readVersion(table, v).schema)
     val groups = v.dirs.map(d => FileGroup(d, groupStats(table, d), listDataFiles(table, d)))
     val idx = new GraftFileIndex(spark, table, groups)
-    (idx.toDataFrame(schema), idx)
+    (idx.relation(schema), idx)
+  }
+
+  /** The latest version's full union schema — from the stats sidecars
+    * when every group carries one (no footer reads); pre-stats tables
+    * fall back to one mergeSchema inference pass.
+    */
+  def tableSchema(table: String)(implicit spark: SparkSession): StructType = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed version in $table")
+    unionSchema(table, vs.last).getOrElse(readVersion(table, vs.last).schema)
   }
 
   /** The parquet data files of one committed file group (sidecars and
     * hidden files excluded) — driver-side listing of exactly the dirs the
     * manifest names, the same O(groups) planner cost `readVersion` pays.
     */
-  private def listDataFiles(table: String, dir: String)(
+  private[graft] def listDataFiles(table: String, dir: String)(
       implicit spark: SparkSession): Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(s"$table/$dir")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -130,6 +130,26 @@ class VersionedScanSpec extends SparkSpec {
       VersionedTable.read(p).select("id", "v", "extra").orderBy(col("v")).collect().toSeq)
   }
 
+  test("spark.read.format(graft-versioned) reads, prunes, and time-travels") {
+    import spark.implicits._
+    val p = rangedTable()
+    val df = spark.read.format("graft-versioned").load(p)
+    // full read equality vs the manifest-resolved read
+    assert(df.orderBy("id").collect().toSeq ==
+      VersionedTable.read(p).orderBy("id").collect().toSeq)
+    // the declarative filter prunes through the same FileIndex seam —
+    // numFiles from the executed plan, each group wrote exactly one file
+    assert(numFilesPlanned(df.where(col("id").between(250, 260))) == 1)
+    // time travel: v1 held only the first slice
+    val v1 = spark.read.format("graft-versioned").option("versionAsOf", 1).load(p)
+    assert(v1.select(max(col("id"))).as[Long].collect()(0) == 99L)
+    assert(v1.count() == 100)
+    // an unretained version errors loudly
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned").option("versionAsOf", 99).load(p).count()
+    }
+  }
+
   test("scan sees exactly the latest committed version (row-level ops included)") {
     import spark.implicits._
     val p = tmp("rowops")

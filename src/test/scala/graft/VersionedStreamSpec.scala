@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.sources.VersionedTable
+import graft.streaming.VersionedSink
+
+/** The versioned streaming SOURCE: offsets are manifest version seqs,
+  * micro-batches deliver exactly the appended file groups, compaction
+  * delivers nothing, data rewrites fail loudly, restart resumes from the
+  * checkpointed version, and source→sink composition is exactly-once
+  * end-to-end.
+  */
+class VersionedStreamSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-vstream-$name").resolve("t").toString
+
+  private def rows(lo: Int, hi: Int): DataFrame = {
+    import spark.implicits._
+    (lo to hi).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(1)
+  }
+
+  test("initial snapshot, then only appended commits, then compaction = nothing") {
+    val p = tmp("tail")
+    VersionedTable.overwrite(rows(1, 10), p)
+    val delivered = mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft-versioned").load(p)
+      .writeStream.trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0)).toSet
+        delivered.synchronized { delivered += ids }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.flatten.toSet) == (1L to 10L).toSet)
+      VersionedTable.append(rows(11, 20), p)
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.flatten.toSet) == (1L to 20L).toSet)
+      // compaction rewrites layout, not content: nothing re-delivered
+      VersionedTable.compact(p)
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.flatten.toSet) == (1L to 20L).toSet)
+      // appends after compaction flow normally
+      VersionedTable.append(rows(21, 25), p)
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.flatten.toSet) == (1L to 25L).toSet)
+      val total = delivered.synchronized(delivered.map(_.size).sum)
+      assert(total == 25, s"a row was delivered twice: $total != 25")
+    } finally q.stop()
+  }
+
+  test("pushed-down filters prune the micro-batch's file groups too") {
+    val p = tmp("prune")
+    VersionedTable.overwrite(rows(1, 100), p)
+    val got = mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-versioned").load(p)
+      .where(col("id") > 90) // pushed into the batch scan
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.append(rows(101, 110), p) // in range
+      VersionedTable.append(rows(-50, -41), p) // stats-provably out of range
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) == (91L to 110L).toSet)
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpointed version — no re-delivery") {
+    val p = tmp("restart")
+    val ckpt = Files.createTempDirectory("graft-vstream-ckpt").toString
+    VersionedTable.overwrite(rows(1, 5), p)
+    val first = mutable.ArrayBuffer.empty[Long]
+    val q1 = spark.readStream.format("graft-versioned").load(p)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0))
+        first.synchronized { first ++= ids }; ()
+      }.start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(first.synchronized(first.toSet) == (1L to 5L).toSet)
+
+    VersionedTable.append(rows(6, 9), p) // lands while the stream is down
+    val second = mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream.format("graft-versioned").load(p)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0))
+        second.synchronized { second ++= ids }; ()
+      }.start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    // only the commit that landed while down — the snapshot is not replayed
+    assert(second.synchronized(second.toSet) == (6L to 9L).toSet)
+  }
+
+  test("a data rewrite (deleteRange) fails the stream loudly") {
+    val p = tmp("rewrite")
+    VersionedTable.overwrite(rows(1, 10), p)
+    val q = spark.readStream.format("graft-versioned").load(p)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) => b.count(); () }.start()
+    try {
+      q.processAllAvailable()
+      VersionedTable.deleteRange(p, "id", 3L, 5L)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("rewrote data") ||
+        Option(e.getCause).exists(_.getMessage.contains("rewrote data")))
+    } finally q.stop()
+  }
+
+  test("source -> sink composition is exactly-once table-to-table") {
+    val p = tmp("src")
+    val out = tmp("dst")
+    val ckpt = Files.createTempDirectory("graft-vstream-e2e-ckpt").toString
+    VersionedTable.overwrite(rows(1, 10), p)
+    def run(): Unit = {
+      val stream = spark.readStream.format("graft-versioned").load(p)
+        .withColumn("doubled", col("id") * 2)
+      val q = VersionedSink.exactlyOnce(stream, out, ckpt, "vst_e2e")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    VersionedTable.append(rows(11, 30), p)
+    run() // restart: resumes mid-table, appends only the new commit
+    val got = VersionedTable.read(out).orderBy("id")
+      .select("id", "doubled").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (1L to 30L).map(i => (i, i * 2)))
+    // replaying the whole second run against the same checkpoint is a no-op
+    val sidBefore = VersionedTable.versions(out).last.snapshotId
+    run()
+    assert(VersionedTable.versions(out).last.snapshotId == sidBefore)
+  }
+}
