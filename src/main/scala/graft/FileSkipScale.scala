@@ -63,18 +63,26 @@ object FileSkipScale {
       VersionedTable.read(table).where(col("doc_id").between(qlo, qhi)))
     def pruned() = answer(
       VersionedTable.readRange(table, "doc_id", qlo, qhi))
+    // the FileIndex seam: the SAME declarative filter, pruned by
+    // Catalyst's pushdown through GraftFileIndex — no readRange call
+    val (scanDf, scanIdx) = VersionedTable.scanIndexed(table)
+    def prunedScan() = answer(scanDf.where(col("doc_id").between(qlo, qhi)))
 
-    // warm-up both paths once, then interleaved min-of-3 (host noise)
-    val aFull0 = fullScan(); val aPruned0 = pruned()
+    // warm-up all paths once, then interleaved min-of-3 (host noise)
+    val aFull0 = fullScan(); val aPruned0 = pruned(); val aScan0 = prunedScan()
     require(aFull0 == aPruned0, s"pruned answer diverged: $aPruned0 != $aFull0")
-    val (tFull, tPruned) = (0 until 3).map { _ =>
+    require(aFull0 == aScan0, s"FileIndex scan answer diverged: $aScan0 != $aFull0")
+    require(scanIdx.lastKeptDirs.size == 1,
+      s"FileIndex pushdown kept ${scanIdx.lastKeptDirs.size} groups, expected 1")
+    val (tFull, tPruned, tScan) = (0 until 3).map { _ =>
       val (_, tf) = Bench.time(fullScan())
       val (_, tp) = Bench.time(pruned())
-      (tf, tp)
-    }.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
+      val (_, ts) = Bench.time(prunedScan())
+      (tf, tp, ts)
+    }.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2), math.min(a._3, b._3)))
 
     println(
-      f"""{"metric":"file_skip","rows":${aFull0.getLong(0)},"groups":$groups,"groups_opened":${keep.size},"sec_full_scan":$tFull%.3f,"sec_pruned":$tPruned%.3f,"speedup":${tFull / tPruned}%.2f,"build_sec":$buildSec%.1f,"cores":$cpus}""")
+      f"""{"metric":"file_skip","rows":${aFull0.getLong(0)},"groups":$groups,"groups_opened":${keep.size},"sec_full_scan":$tFull%.3f,"sec_pruned":$tPruned%.3f,"sec_scan_pushdown":$tScan%.3f,"speedup":${tFull / tPruned}%.2f,"build_sec":$buildSec%.1f,"cores":$cpus}""")
 
     // ---- phase 2: INTERLEAVED accretion + sorted rewrite ----------------
     // The realistic worst case: a writer that appends by arrival order
