@@ -25,7 +25,8 @@ import graft.sources.TranscriptGen
   *     [--jdbc-url jdbc:derby:memory:kg;create=true] [--jdbc-table kg_wide]
   *     [--jdbc-batchsize 1000]
   *     [--stream true [--stream-in DIR] [--stream-gap-ms 60000]
-  *      [--stream-lateness "1 minute"] [--stream-sink merge|versioned]]
+  *      [--stream-lateness "1 minute"] [--stream-sink merge|versioned]
+  *      [--stream-source file|versioned]]
   *
   * `--stream true` replaces the s3-s6 batch stages with the STREAMING
   * construction path (StreamingTriples): a parquet file-source stream of
@@ -45,6 +46,14 @@ import graft.sources.TranscriptGen
   * merge sink's anti-join reads the existing table's key set every
   * batch (O(table) at 10^12-turn scale); the accreted micro-batch
   * groups fold back via VersionedTable.compact.
+  *
+  * `--stream-source versioned` replaces the file-source stream with the
+  * `graft-versioned` streaming source: turns live in a VersionedTable
+  * (seeded from s0 when empty) and the query tails its manifest commits
+  * — offsets are version seqs, each micro-batch reads only the newly
+  * appended file groups. With both flags the pipeline is table-to-table:
+  * resumable from two checkpointed offsets, exactly-once on the sink's
+  * txn ledger, and incremental cost O(new commits) end to end.
   */
 object PipelineMain {
 
@@ -127,13 +136,29 @@ object PipelineMain {
     if (streaming) {
       import java.nio.file.{Files, Paths}
       val tagger = loadTagger()
-      val streamIn = a.getOrElse("stream-in", s"$out/stream_in")
+      // --stream-source versioned: the input side of the table-to-table
+      // story — turns live in a VersionedTable and the query TAILS its
+      // commits (offsets = version seqs, each batch reads only the newly
+      // appended file groups). With --stream-sink versioned both edges of
+      // the pipeline are manifest-committed: resume is two checkpointed
+      // offsets and replay safety is the sink's txn ledger.
+      val srcVersioned = a.getOrElse("stream-source", "file") == "versioned"
+      val streamIn = a.getOrElse("stream-in",
+        if (srcVersioned) s"$out/s0_turns_v" else s"$out/stream_in")
       val gapMs = a.getOrElse("stream-gap-ms", "60000").toLong
       val lateness = a.getOrElse("stream-lateness", "1 minute")
-      if (!Files.exists(Paths.get(streamIn)))
-        spark.read.parquet(path("s0_transcripts")).write.parquet(streamIn)
-      val schema = org.apache.spark.sql.Encoders.product[Turn].schema
-      val turnsStream = spark.readStream.schema(schema).parquet(streamIn)
+      val turnsStream =
+        if (srcVersioned) {
+          if (graft.sources.VersionedTable.versions(streamIn).isEmpty)
+            graft.sources.VersionedTable.overwrite(
+              spark.read.parquet(path("s0_transcripts")), streamIn)
+          spark.readStream.format("graft-versioned").load(streamIn)
+        } else {
+          if (!Files.exists(Paths.get(streamIn)))
+            spark.read.parquet(path("s0_transcripts")).write.parquet(streamIn)
+          val schema = org.apache.spark.sql.Encoders.product[Turn].schema
+          spark.readStream.schema(schema).parquet(streamIn)
+        }
       val versionedSink = a.getOrElse("stream-sink", "merge") == "versioned"
       val outPath =
         if (versionedSink) path("s6_stream_triples_v") else path("s6_stream_triples")
@@ -165,13 +190,18 @@ object PipelineMain {
       q.processAllAvailable()
       // sentinel nudges: advance the event-time watermark past every
       // conversation's timeout, then let the timeouts fire
-      val maxTs = spark.read.parquet(streamIn)
+      val inputNow: () => DataFrame =
+        if (srcVersioned) () => graft.sources.VersionedTable.read(streamIn)
+        else () => spark.read.parquet(streamIn)
+      val maxTs = inputNow()
         .filter(col("conv_id") =!= "graft-sentinel")
         .agg(max(col("ts"))).head().getTimestamp(0)
       Seq(10, 20).foreach { m =>
-        Seq(Turn("graft-sentinel", m, "user", "flush", null,
+        val sentinel = Seq(Turn("graft-sentinel", m, "user", "flush", null,
           new java.sql.Timestamp(maxTs.getTime + m * 60000L))).toDS()
-          .write.mode(SaveMode.Append).parquet(streamIn)
+        if (srcVersioned)
+          graft.sources.VersionedTable.append(sentinel.toDF(), streamIn)
+        else sentinel.write.mode(SaveMode.Append).parquet(streamIn)
         q.processAllAvailable()
       }
       q.stop()
