@@ -97,13 +97,25 @@ final class VersionedTableSource(spark: SparkSession, table: String)
 }
 
 /** Registers `format("graft-versioned")` (via the DataSourceRegister
-  * service entry) with the table path in `.load(path)` — BOTH directions:
-  * `spark.read` plans the latest version (or `.option("versionAsOf", n)`
-  * for time travel) through the pruning FileIndex, and `spark.readStream`
-  * tails commits via [[VersionedTableSource]].
+  * service entry) with the table path in `.load(path)` / `.start(path)` —
+  * all four directions:
+  *
+  *  - `spark.read` plans the latest version (or `.option("versionAsOf",
+  *    n)` for time travel) through the pruning FileIndex;
+  *  - `spark.readStream` tails commits via [[VersionedTableSource]];
+  *  - `df.write` commits a version per SaveMode (Append appends a file
+  *    group, Overwrite snapshots, ErrorIfExists/Ignore honor existing
+  *    commits);
+  *  - `ds.writeStream` lands micro-batches through the exactly-once
+  *    txn-keyed append ([[graft.sources.VersionedTable.appendOnce]] keyed
+  *    `<txnAppId>#<batchId>`) — a crash-replayed batch no-ops through the
+  *    manifest ledger, the same guarantee as [[VersionedSink]] without
+  *    writing a foreachBatch by hand.
   */
 final class VersionedTableProvider extends StreamSourceProvider
-    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
 
@@ -128,4 +140,45 @@ final class VersionedTableProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new VersionedTableSource(sqlContext.sparkSession, tablePath(parameters))
+
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]):
+      org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    implicit val s: SparkSession = sqlContext.sparkSession
+    val table = tablePath(parameters)
+    val exists = VersionedTable.versions(table).nonEmpty
+    mode match {
+      case SaveMode.Append => VersionedTable.append(data.toDF(), table)
+      case SaveMode.Overwrite => VersionedTable.overwrite(data.toDF(), table)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"$table already has committed versions (mode ErrorIfExists)")
+        VersionedTable.overwrite(data.toDF(), table)
+      case SaveMode.Ignore => if (!exists) VersionedTable.overwrite(data.toDF(), table)
+    }
+    VersionedTable.scanRelation(table)._1
+  }
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    val table = tablePath(parameters)
+    // the idempotence namespace: stable across restarts of the same
+    // logical query (a queryName-derived default would be too, but an
+    // explicit option survives renames)
+    val appId = parameters.getOrElse("txnAppId", "graft-versioned-sink")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        implicit val s: SparkSession = sqlContext.sparkSession
+        // the engine hands an IncrementalExecution-backed frame; re-wrap
+        // its planned rows as a batch plan (ForeachBatchSink's trick)
+        VersionedTable.appendOnce(StreamRelation.asBatch(data), table, s"$appId#$batchId")
+      }
+      override def name(): String = s"graft-versioned[$table]"
+      override def toString: String = name()
+    }
+  }
 }

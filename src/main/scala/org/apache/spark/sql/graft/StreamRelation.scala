@@ -17,4 +17,17 @@ object StreamRelation {
   def streamingScan(spark: SparkSession, rel: HadoopFsRelation): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession],
       LogicalRelation(rel, isStreaming = true))
+
+  /** The inverse doorway for the V1 streaming SINK: the DataFrame handed
+    * to `Sink.addBatch` is backed by the engine's IncrementalExecution
+    * and cannot be re-planned by a normal batch write. This is the same
+    * re-wrap ForeachBatchSink performs — reuse the already-planned
+    * physical rows as a fresh batch-mode plan.
+    */
+  def asBatch(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[Dataset[_]]
+    Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
 }

@@ -116,6 +116,45 @@ class VersionedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("df.write.format(graft-versioned) honors every SaveMode") {
+    val p = tmp("write")
+    rows(1, 5).write.format("graft-versioned").save(p)   // ErrorIfExists default
+    assert(VersionedTable.versions(p).map(_.seq) == Seq(1))
+    intercept[IllegalStateException] {
+      rows(1, 5).write.format("graft-versioned").save(p)
+    }
+    rows(6, 8).write.format("graft-versioned").mode("append").save(p)
+    rows(9, 9).write.format("graft-versioned").mode("ignore").save(p) // no-op
+    assert(VersionedTable.read(p).count() == 8)
+    rows(10, 12).write.format("graft-versioned").mode("overwrite").save(p)
+    assert(VersionedTable.read(p).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 11L, 12L))
+    assert(VersionedTable.versions(p).map(_.seq) == Seq(1, 2, 3)) // ignore committed nothing
+  }
+
+  test("writeStream.format(graft-versioned) is an exactly-once sink") {
+    val src = tmp("sinksrc")
+    val dst = tmp("sinkdst")
+    val ckpt = Files.createTempDirectory("graft-vsink-ckpt").toString
+    VersionedTable.overwrite(rows(1, 10), src)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-versioned").load(src)
+        .writeStream.format("graft-versioned")
+        .option("checkpointLocation", ckpt).option("txnAppId", "vsink_spec")
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    VersionedTable.append(rows(11, 20), src)
+    run()
+    assert(VersionedTable.read(dst).select("id").collect().map(_.getLong(0)).toSet ==
+      (1L to 20L).toSet)
+    // a full replay against the same checkpoint commits nothing new
+    val sid = VersionedTable.versions(dst).last.snapshotId
+    run()
+    assert(VersionedTable.versions(dst).last.snapshotId == sid)
+  }
+
   test("source -> sink composition is exactly-once table-to-table") {
     val p = tmp("src")
     val out = tmp("dst")
