@@ -82,9 +82,6 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
     HadoopFsRelation(
       this, new StructType(), schema, None, new ParquetFileFormat, Map.empty)(spark)
 
-  def toDataFrame(schema: StructType): DataFrame =
-    spark.baseRelationToDataFrame(relation(schema))
-
   // ---- stats-vs-filter evaluation -----------------------------------------
 
   /** What the stats know about one column in one group. */

@@ -739,10 +739,16 @@ object VersionedTable {
         s"version $seq not found (expired or never committed) in $table"))
     }
     val schema = unionSchema(table, v).getOrElse(readVersion(table, v).schema)
-    val groups = v.dirs.map(d => FileGroup(d, groupStats(table, d), listDataFiles(table, d)))
-    val idx = new GraftFileIndex(spark, table, groups)
+    val idx = new GraftFileIndex(spark, table, fileGroups(table, v.dirs))
     (idx.relation(schema), idx)
   }
+
+  /** Dirs + their stats sidecars + data-file listings, the FileIndex's
+    * planning input — shared by the batch scan and the streaming source.
+    */
+  private[graft] def fileGroups(table: String, dirs: Seq[String])(
+      implicit spark: SparkSession): Seq[FileGroup] =
+    dirs.map(d => FileGroup(d, groupStats(table, d), listDataFiles(table, d)))
 
   /** The latest version's full union schema — from the stats sidecars
     * when every group carries one (no footer reads); pre-stats tables

@@ -1,15 +1,13 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamRelation
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
-import graft.sources.{FileGroup, GraftFileIndex, VersionedTable}
+import graft.sources.{GraftFileIndex, VersionedTable}
 
 /** `spark.readStream.format("graft-versioned").load(table)` — subscribe
   * to a VersionedTable's commits (the Delta-source pattern, and the other
@@ -79,14 +77,21 @@ final class VersionedTableSource(spark: SparkSession, table: String)
             case _ => Seq.empty
           }.toSeq
     }
-    val groups = newDirs.map(d =>
-      FileGroup(d, VersionedTable.groupStats(table, d),
-        VersionedTable.listDataFiles(table, d)))
+    val groups = VersionedTable.fileGroups(table, newDirs)
+    // an append that EVOLVED the schema mid-stream would otherwise have
+    // its new columns silently projected away by the construction-pinned
+    // schema — fail loudly instead (Delta's behavior): a restart re-pins
+    // the widened schema and resumes from the checkpointed offset
+    val pinned = schema.fieldNames.toSet
+    for (g <- groups; sch <- g.stats.flatMap(_.schema);
+         extra = sch.fieldNames.filterNot(pinned) if extra.nonEmpty)
+      throw new IllegalStateException(
+        s"schema of $table evolved mid-stream (commit added ${extra.mkString(", ")} " +
+          s"in ${g.dir}) — restart the stream to pick up the widened schema")
     // the same FileIndex seam as the batch scan: data filters a streaming
     // query pushes down prune the batch's file groups too
     val idx = new GraftFileIndex(spark, table, groups)
-    StreamRelation.streamingScan(spark, HadoopFsRelation(
-      idx, new StructType(), schema, None, new ParquetFileFormat, Map.empty)(spark))
+    StreamRelation.streamingScan(spark, idx.relation(schema))
   }
 
   override def commit(end: OffsetV1): Unit = ()
@@ -126,7 +131,14 @@ final class VersionedTableProvider extends StreamSourceProvider
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     implicit val s: SparkSession = sqlContext.sparkSession
-    (shortName(), schema.getOrElse(VersionedTable.tableSchema(tablePath(parameters))))
+    val table = VersionedTable.tableSchema(tablePath(parameters))
+    // the engine binds source output to the declared schema POSITIONALLY,
+    // so honoring a reordered/differing user schema would mis-bind columns
+    // silently — the table's manifest owns the schema here
+    schema.filter(_ != table).foreach(us => throw new IllegalArgumentException(
+      s"graft-versioned streams the table's own schema ($table); " +
+        s"a differing user-specified schema ($us) is not supported"))
+    (shortName(), table)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -166,16 +178,33 @@ final class VersionedTableProvider extends StreamSourceProvider
       outputMode: org.apache.spark.sql.streaming.OutputMode):
       org.apache.spark.sql.execution.streaming.Sink = {
     val table = tablePath(parameters)
-    // the idempotence namespace: stable across restarts of the same
-    // logical query (a queryName-derived default would be too, but an
-    // explicit option survives renames)
-    val appId = parameters.getOrElse("txnAppId", "graft-versioned-sink")
+    // append-only sink: Update/Complete re-emit rows across batches, and
+    // committing those as appends would silently duplicate — reject at
+    // query start, not at the first corrupted batch
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-versioned sink supports Append output mode only, got $outputMode")
+    // the idempotence namespace must be UNIQUE PER LOGICAL QUERY and
+    // stable across its restarts — two queries sharing a namespace would
+    // silently swallow each other's batches as txn replays. The
+    // checkpoint location has exactly those properties (and without a
+    // checkpoint batchIds restart at 0, so exactly-once keys would
+    // misfire anyway); an explicit txnAppId overrides it.
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-versioned sink needs a txn namespace: set checkpointLocation " +
+          "(recommended) or an explicit txnAppId option"))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         implicit val s: SparkSession = sqlContext.sparkSession
         // the engine hands an IncrementalExecution-backed frame; re-wrap
-        // its planned rows as a batch plan (ForeachBatchSink's trick)
-        VersionedTable.appendOnce(StreamRelation.asBatch(data), table, s"$appId#$batchId")
+        // its planned rows as a batch plan (ForeachBatchSink's trick).
+        // Empty batches skip: stateful queries run no-data batches every
+        // idle tick, and committing each would accrete one empty file
+        // group + manifest line per tick (see VersionedSink)
+        val batch = StreamRelation.asBatch(data)
+        if (!batch.isEmpty)
+          VersionedTable.appendOnce(batch, table, s"$appId#$batchId")
       }
       override def name(): String = s"graft-versioned[$table]"
       override def toString: String = name()

@@ -116,6 +116,33 @@ class VersionedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mid-stream schema evolution fails loudly; restart resumes with the widened schema") {
+    import spark.implicits._
+    val p = tmp("evolvestream")
+    val ckpt = Files.createTempDirectory("graft-vstream-evo-ckpt").toString
+    VersionedTable.overwrite(rows(1, 3), p)
+    val cols = mutable.ArrayBuffer.empty[Set[String]]
+    def start() = spark.readStream.format("graft-versioned").load(p)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val c = b.columns.toSet; b.count()
+        cols.synchronized { cols += c }; ()
+      }.start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      VersionedTable.append(
+        Seq((10L, "x", 7L)).toDF("id", "v", "extra").repartition(1), p)
+      val e = intercept[StreamingQueryException] { q1.processAllAvailable() }
+      assert(e.toString.contains("evolved mid-stream") ||
+        Option(e.getCause).exists(_.getMessage.contains("evolved mid-stream")))
+    } finally q1.stop()
+    // restart re-pins the widened schema and delivers the evolved commit
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(cols.synchronized(cols.last) == Set("id", "v", "extra"))
+  }
+
   test("df.write.format(graft-versioned) honors every SaveMode") {
     val p = tmp("write")
     rows(1, 5).write.format("graft-versioned").save(p)   // ErrorIfExists default
