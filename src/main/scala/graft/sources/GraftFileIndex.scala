@@ -82,6 +82,15 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
     HadoopFsRelation(
       this, new StructType(), schema, None, new ParquetFileFormat, Map.empty)(spark)
 
+  /** The table's exact row count from the manifest stats alone, or None
+    * if any group lacks a sidecar — what lets `count(*)` answer without
+    * touching a data file (plans.ManifestCountRule).
+    */
+  def totalRowsFromStats: Option[Long] = {
+    val counts = groups.map(_.stats.map(_.rows))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   // ---- stats-vs-filter evaluation -----------------------------------------
 
   /** What the stats know about one column in one group. */

@@ -792,6 +792,35 @@ object VersionedTable {
     spark.read.option("mergeSchema", "true")
       .parquet(v.dirs.map(d => s"$table/$d"): _*)
 
+  /** DESCRIBE HISTORY analogue: one row per retained version — seq,
+    * content snapshot id, file-group count, exact row count from the
+    * stats sidecars (null for pre-stats groups), and the commit KIND
+    * inferred from manifest evidence alone: `overwrite` (fresh dir set),
+    * `append` (superset), `rewrite` (dirs changed, content id unchanged —
+    * compact/rewriteSorted), `rowlevel` (dirs partially replaced, id
+    * changed — delete/merge). The first retained version reads `base`
+    * (its predecessor may be expired, so its kind is unknowable).
+    */
+  def history(table: String)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val vs = versions(table)
+    val rows = vs.zip(None +: vs.map(Some(_))).map { case (v, prev) =>
+      val rowCounts = v.dirs.map(d => dirStats(table, d).map(_.rows))
+      val nRows: Option[Long] =
+        if (rowCounts.exists(_.isEmpty)) None else Some(rowCounts.flatten.sum)
+      val kind = prev match {
+        case None => "base"
+        case Some(p) if v.dirs.toSet == p.dirs.toSet => "noop"
+        case Some(p) if p.dirs.forall(v.dirs.contains) => "append"
+        case Some(p) if v.snapshotId == p.snapshotId => "rewrite"
+        case Some(p) if p.dirs.exists(v.dirs.contains) => "rowlevel"
+        case Some(_) => "overwrite"
+      }
+      (v.seq, v.snapshotId, v.dirs.size, nRows, kind)
+    }
+    rows.toDF("version", "snapshot_id", "n_file_groups", "n_rows", "operation")
+  }
+
   /** expire_snapshots: keep the newest `keep` versions, delete data dirs
     * referenced by no retained version. Returns the deleted dirs.
     */

@@ -130,6 +130,27 @@ class VersionedScanSpec extends SparkSpec {
       VersionedTable.read(p).select("id", "v", "extra").orderBy(col("v")).collect().toSeq)
   }
 
+  test("count(*) answers from manifest stats alone — no file scan planned") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import spark.implicits._
+    val p = rangedTable()
+    val df = spark.read.format("graft-versioned").load(p)
+    df.createOrReplaceTempView("vcount_t")
+    val q = spark.sql("SELECT count(*) AS n FROM vcount_t")
+    assert(q.as[Long].collect()(0) == 400L)
+    // the optimized plan is a LocalRelation — the rule fired, no scan
+    assert(q.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty,
+      q.queryExecution.optimizedPlan.toString)
+    // a filter defeats the metadata answer but stays correct via the scan
+    val f = spark.sql("SELECT count(*) AS n FROM vcount_t WHERE id >= 100")
+    assert(f.as[Long].collect()(0) == 300L)
+    assert(f.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.isEmpty)
+    // count(col) needs null counts the stats lack — falls back to the scan
+    val c = spark.sql("SELECT count(id) AS n FROM vcount_t")
+    assert(c.as[Long].collect()(0) == 400L)
+    assert(c.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.isEmpty)
+  }
+
   test("spark.read.format(graft-versioned) reads, prunes, and time-travels") {
     import spark.implicits._
     val p = rangedTable()
@@ -148,6 +169,36 @@ class VersionedScanSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       spark.read.format("graft-versioned").option("versionAsOf", 99).load(p).count()
     }
+  }
+
+  test("CREATE TEMPORARY VIEW ... USING graft-versioned works from pure SQL") {
+    import spark.implicits._
+    val p = rangedTable()
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW vddl_t USING `graft-versioned` OPTIONS (path '$p')")
+    assert(spark.sql("SELECT count(*) AS n FROM vddl_t").as[Long].collect()(0) == 400L)
+    assert(spark.sql("SELECT sum(id) AS s FROM vddl_t WHERE id BETWEEN 100 AND 199")
+      .as[Long].collect()(0) == (100L to 199L).sum)
+  }
+
+  test("history infers commit kinds from manifest evidence") {
+    import spark.implicits._
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"n$i")).toDF("id", "name").repartition(1)
+    val p = tmp("history")
+    VersionedTable.overwrite(mk(1, 20), p)
+    VersionedTable.append(mk(21, 30), p)
+    // delete scoped to group 1 only: group 2 carries over -> rowlevel
+    // (on a single-group table a delete rewrites everything and reads
+    // "overwrite" — by dirs alone the two are genuinely the same commit)
+    VersionedTable.deleteRange(p, "id", 5L, 9L)
+    VersionedTable.compact(p)
+    VersionedTable.overwrite(mk(50, 52), p)
+    val h = VersionedTable.history(p)
+      .orderBy("version").select("version", "n_rows", "operation")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+    assert(h == Seq((1, 20L, "base"), (2, 30L, "append"), (3, 25L, "rowlevel"),
+      (4, 25L, "rewrite"), (5, 3L, "overwrite")))
   }
 
   test("scan sees exactly the latest committed version (row-level ops included)") {
