@@ -34,16 +34,69 @@ import graft.sources.{GraftFileIndex, VersionedTable}
   * versions or reset the checkpoint) — replaying from an offset whose
   * manifest lines are gone cannot be answered correctly.
   */
-final class VersionedTableSource(spark: SparkSession, table: String)
-    extends Source {
+final class VersionedTableSource(spark: SparkSession, table: String,
+    maxVersionsPerTrigger: Option[Int] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   override val schema: StructType = {
     implicit val s: SparkSession = spark
     VersionedTable.tableSchema(table)
   }
 
-  override def getOffset: Option[OffsetV1] =
-    VersionedTable.versions(table).lastOption.map(v => LongOffset(v.seq.toLong))
+  private def seqFile = metadataPath.map(m => java.nio.file.Paths.get(m, "graft-last-end"))
+
+  /** Newest end offset this source has already handed to getBatch — the
+    * base the rate limit advances from. Persisted in the engine-provided
+    * per-source metadata dir (the FileStreamSource seen-log mechanism) so
+    * a RESTART against a long commit backlog is also capped — the case
+    * the limit exists for; without the file the first trigger of a fresh
+    * query is the initial snapshot, which is one version regardless.
+    */
+  @volatile private var lastEndSeq: Option[Int] =
+    seqFile.filter(java.nio.file.Files.exists(_)).flatMap(p =>
+      scala.util.Try(java.nio.file.Files.readString(p).trim.toInt).toOption)
+
+  private def recordEnd(seq: Int): Unit = {
+    lastEndSeq = Some(lastEndSeq.fold(seq)(math.max(_, seq)))
+    // single-writer (the engine's microbatch thread); tmp+move keeps a
+    // torn write from parsing, and a lost write only weakens the cap by
+    // one trigger, never correctness (offsets live in the engine log)
+    if (maxVersionsPerTrigger.isDefined) seqFile.foreach { p =>
+      scala.util.Try {
+        java.nio.file.Files.createDirectories(p.getParent)
+        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+        java.nio.file.Files.writeString(tmp, lastEndSeq.get.toString)
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** Rate limiting (Delta's maxFilesPerTrigger analogue, at version
+    * granularity — a version is the atomic unit of this source): cap how
+    * far each micro-batch advances, so a restart against a long backlog
+    * of commits drains in bounded batches instead of one giant one. The
+    * cap never splits a version and never stalls: at least one new
+    * version is always offered.
+    */
+  override def getOffset: Option[OffsetV1] = {
+    val latest = VersionedTable.versions(table).lastOption.map(_.seq)
+    (latest, maxVersionsPerTrigger) match {
+      case (None, _) => None
+      case (Some(l), None) => Some(LongOffset(l.toLong))
+      case (Some(l), Some(k)) =>
+        // base = what getBatch last consumed through (recovered from the
+        // metadata file across restarts); with no base this is a fresh
+        // query whose first batch is the initial snapshot — one version,
+        // so the unthrottled offer is still version-bounded
+        val capped = lastEndSeq match {
+          case Some(base) => math.min(l, base + k)
+          case None => l
+        }
+        Some(LongOffset(capped.toLong))
+    }
+  }
 
   /** Offsets arrive as LongOffset pre-restart and SerializedOffset after
     * checkpoint recovery; LongOffset's json is the bare number either way.
@@ -53,6 +106,7 @@ final class VersionedTableSource(spark: SparkSession, table: String)
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     implicit val s: SparkSession = spark
     val endSeq = seqOf(end)
+    recordEnd(endSeq)
     val vs = VersionedTable.versions(table)
     def at(seq: Int) = vs.find(_.seq == seq).getOrElse(throw new IllegalStateException(
       s"stream offset v$seq of $table expired before delivery — " +
@@ -151,7 +205,10 @@ final class VersionedTableProvider extends StreamSourceProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new VersionedTableSource(sqlContext.sparkSession, tablePath(parameters))
+    new VersionedTableSource(sqlContext.sparkSession, tablePath(parameters),
+      parameters.get("maxVersionsPerTrigger").map(_.trim.toInt).map { k =>
+        require(k > 0, s"maxVersionsPerTrigger must be positive, got $k"); k
+      }, Option(metadataPath))
 
   override def createRelation(sqlContext: SQLContext,
       mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],

@@ -116,6 +116,38 @@ class VersionedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger drains a commit backlog in capped batches, across restart") {
+    val p = tmp("ratelimit")
+    val ckpt = Files.createTempDirectory("graft-vstream-rate-ckpt").toString
+    VersionedTable.overwrite(rows(0, 9), p)
+    (1 to 6).foreach(k => VersionedTable.append(rows(k * 10, k * 10 + 9), p)) // backlog: 7 versions
+    val batches = mutable.ArrayBuffer.empty[Set[Long]]
+    def start() = spark.readStream.format("graft-versioned")
+      .option("maxVersionsPerTrigger", "2").load(p)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0)).toSet
+        batches.synchronized { batches += ids }; ()
+      }.start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // initial snapshot (v7's full content is NOT what a fresh stream sees:
+    // the first batch is the snapshot at the OFFERED offset, here the tip
+    // since no base exists yet; every later trigger advances <= 2 versions)
+    val afterFirst = batches.synchronized(batches.toList)
+    assert(afterFirst.flatten.toSet == (0L to 69L).toSet)
+    // append 6 more while the stream is DOWN — the restart backlog
+    (7 to 12).foreach(k => VersionedTable.append(rows(k * 10, k * 10 + 9), p))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val tail = batches.synchronized(batches.toList).drop(afterFirst.size)
+    assert(tail.flatten.toSet == (70L to 129L).toSet)
+    // capped: 6 backlog versions drained in >= 3 batches of <= 2 versions
+    // (20 rows) each — never one giant catch-up batch
+    assert(tail.size >= 3, s"backlog drained in ${tail.size} batches: $tail")
+    assert(tail.forall(_.size <= 20), s"a batch exceeded 2 versions: ${tail.map(_.size)}")
+  }
+
   test("mid-stream schema evolution fails loudly; restart resumes with the widened schema") {
     import spark.implicits._
     val p = tmp("evolvestream")
