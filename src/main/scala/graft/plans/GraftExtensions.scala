@@ -37,7 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SimilarityJoinRule)
-    ext.injectOptimizerRule(_ => ManifestCountRule)
+    ext.injectOptimizerRule(_ => ManifestAggRule)
 
     ext.injectFunction(one("graft_clean_string")(CleanStringExpr))
     ext.injectFunction(two("graft_token_jaccard")(TokenJaccardExpr(_, _)))

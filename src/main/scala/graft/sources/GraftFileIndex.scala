@@ -84,12 +84,17 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
 
   /** The table's exact row count from the manifest stats alone, or None
     * if any group lacks a sidecar — what lets `count(*)` answer without
-    * touching a data file (plans.ManifestCountRule).
+    * touching a data file (plans.ManifestAggRule).
     */
   def totalRowsFromStats: Option[Long] = {
     val counts = groups.map(_.stats.map(_.rows))
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
+
+  /** Each group's stats sidecar in manifest order (None = no sidecar) —
+    * the evidence plans.ManifestAggRule folds min/max over.
+    */
+  def groupStatsSeq: Seq[Option[GroupStats]] = groups.map(_.stats)
 
   // ---- stats-vs-filter evaluation -----------------------------------------
 

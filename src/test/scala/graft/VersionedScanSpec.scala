@@ -130,25 +130,46 @@ class VersionedScanSpec extends SparkSpec {
       VersionedTable.read(p).select("id", "v", "extra").orderBy(col("v")).collect().toSeq)
   }
 
-  test("count(*) answers from manifest stats alone — no file scan planned") {
+  test("count(*)/min/max answer from manifest stats alone — no file scan planned") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.DataFrame
     import spark.implicits._
+    def folded(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
     val p = rangedTable()
     val df = spark.read.format("graft-versioned").load(p)
     df.createOrReplaceTempView("vcount_t")
     val q = spark.sql("SELECT count(*) AS n FROM vcount_t")
     assert(q.as[Long].collect()(0) == 400L)
-    // the optimized plan is a LocalRelation — the rule fired, no scan
-    assert(q.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty,
-      q.queryExecution.optimizedPlan.toString)
+    assert(folded(q), q.queryExecution.optimizedPlan.toString)
+    // the watermark query of every incremental pipeline: one metadata row
+    val mm = spark.sql("SELECT min(id) AS lo, max(id) AS hi, max(name) AS mx, count(*) AS n FROM vcount_t")
+    assert(mm.collect()(0).toSeq == Seq(0L, 399L, "name99", 400L))
+    assert(folded(mm), mm.queryExecution.optimizedPlan.toString)
     // a filter defeats the metadata answer but stays correct via the scan
     val f = spark.sql("SELECT count(*) AS n FROM vcount_t WHERE id >= 100")
     assert(f.as[Long].collect()(0) == 300L)
-    assert(f.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.isEmpty)
+    assert(!folded(f))
     // count(col) needs null counts the stats lack — falls back to the scan
     val c = spark.sql("SELECT count(id) AS n FROM vcount_t")
     assert(c.as[Long].collect()(0) == 400L)
-    assert(c.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.isEmpty)
+    assert(!folded(c))
+    // min over a computed expression cannot come from stats
+    val e = spark.sql("SELECT min(id + 1) AS n FROM vcount_t")
+    assert(e.as[Long].collect()(0) == 1L)
+    assert(!folded(e))
+    // all-null and schema-evolved groups: min skips them, count includes
+    val p2 = tmp("aggnull")
+    VersionedTable.overwrite(
+      Seq((1L, "a"), (9L, "b")).toDF("id", "v").repartition(1), p2)
+    VersionedTable.append(
+      Seq((null.asInstanceOf[java.lang.Long], "x")).toDF("id", "v").repartition(1), p2)
+    VersionedTable.append(Seq((4L, "c", 2L)).toDF("id", "v", "extra").repartition(1), p2)
+    val df2 = spark.read.format("graft-versioned").load(p2)
+    df2.createOrReplaceTempView("vagg_t")
+    val m2 = spark.sql("SELECT min(id) AS lo, max(extra) AS hx, count(*) AS n FROM vagg_t")
+    assert(m2.collect()(0).toSeq == Seq(1L, 2L, 4L))
+    assert(folded(m2), m2.queryExecution.optimizedPlan.toString)
   }
 
   test("spark.read.format(graft-versioned) reads, prunes, and time-travels") {
