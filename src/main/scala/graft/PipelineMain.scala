@@ -27,6 +27,8 @@ import graft.sources.TranscriptGen
   *     [--stream true [--stream-in DIR] [--stream-gap-ms 60000]
   *      [--stream-lateness "1 minute"] [--stream-sink merge|versioned]
   *      [--stream-source file|versioned]]
+  *     [--maintain TABLE [--maintain-sort-by COL] [--maintain-keep 3]
+  *      [--maintain-compact-groups 1] [--maintain-vacuum-hours 24]]
   *
   * `--stream true` replaces the s3-s6 batch stages with the STREAMING
   * construction path (StreamingTriples): a parquet file-source stream of
@@ -62,7 +64,9 @@ object PipelineMain {
 
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)
-    val out = a("out")
+    // --maintain targets a table directly and needs no --out
+    val out = a.getOrElse("out", a.getOrElse("maintain",
+      throw new IllegalArgumentException("--out is required")))
     val nConvs = a.getOrElse("convs", "1000").toLong
     val seed = a.getOrElse("seed", "42").toLong
     val from = a.getOrElse("from-stage", "s0")
@@ -74,6 +78,50 @@ object PipelineMain {
     implicit val spark: SparkSession = Sessions.local(cores, appName = "graft-pipeline")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    // ---- maintenance mode: the standing table-care recipe ----------------
+    // `--maintain <versioned-table>` runs what a daily ops job runs as data
+    // settles: optional SORT rewrite (--maintain-sort-by COL makes range
+    // pruning exact on accreted layouts), binpack compaction (fold the
+    // micro-batch groups a streaming writer accretes), expire_snapshots
+    // (--maintain-keep N, default 3 — txn ledger preserved), and
+    // remove_orphan_files (--maintain-vacuum-hours H, default 24; 0 sweeps
+    // immediately for tests). Every step is content-identity safe by
+    // construction and prints its evidence.
+    a.get("maintain").foreach { table =>
+      import graft.sources.VersionedTable
+      val before = VersionedTable.versions(table)
+      require(before.nonEmpty, s"no committed version in $table")
+      println(s"[graft] maintain $table: v${before.last.seq}, " +
+        s"${before.last.dirs.size} file groups, ${before.size} retained versions")
+      // sorted rewrite and binpack compaction are ALTERNATIVES: the sort
+      // already folds every accreted group into targetGroups range-
+      // disjoint ones, and compacting afterwards would merge them back
+      // into range-overlapping files, undoing exactly the layout the
+      // sort bought (both are Iceberg rewrite_data_files strategies —
+      // you pick one per run)
+      a.get("maintain-sort-by") match {
+        case Some(col) =>
+          val g = a.getOrElse("maintain-sort-groups", "8").toInt
+          val v = VersionedTable.rewriteSorted(table, col, g)
+          println(s"[graft] maintain sorted-rewrite by $col -> v${v.seq} (${v.dirs.size} groups)")
+        case None =>
+          val c = VersionedTable.compact(table,
+            a.getOrElse("maintain-compact-groups", "1").toInt)
+          println(s"[graft] maintain compact -> v${c.seq} (${c.dirs.size} groups)")
+      }
+      val keep = a.getOrElse("maintain-keep", "3").toInt
+      val expired = VersionedTable.expire(table, keep)
+      val vacuumMs = (a.getOrElse("maintain-vacuum-hours", "24").toDouble * 3600 * 1000).toLong
+      val orphans = VersionedTable.vacuum(table, vacuumMs)
+      val after = VersionedTable.versions(table)
+      println(s"[graft] maintain expired=${expired.size} orphans=${orphans.size} " +
+        s"retained=${after.size} tip=v${after.last.seq} " +
+        s"snapshot=${after.last.snapshotId} (content unchanged: " +
+        s"${after.last.snapshotId == before.last.snapshotId})")
+      spark.stop()
+      return
+    }
 
     val fromIdx = stageNames.indexWhere(_.startsWith(from))
     val toIdx = stageNames.indexWhere(_.startsWith(to))
