@@ -829,6 +829,30 @@ object SparkEntry {
         s"pushdown pruning regressed: planned ${idx.lastKeptDirs.size} of 3 file groups")
       require(n > 0, "pruned scan returned no rows")
       out
+    }),
+    // q57: the FULL standing maintenance cycle — arrival-order accretion
+    // (4 interleaved appends), sorted rewrite, expire to 1 version, vacuum
+    // — must be invisible to readers: the post-maintenance scan value-
+    // matches DuckDB's plain full-scan of the source, while the layout
+    // assertions prove the maintenance actually happened (8 range-disjoint
+    // groups, 4 versions expired, snapshot id unchanged throughout).
+    "q57_versioned_maintenance" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-maint").toString
+      (0 until 4).foreach(g => VersionedTable.append(
+        docs.where(pmod(col("doc_id"), lit(4)) === g), table))
+      val accreted = VersionedTable.versions(table).last
+      val sorted = VersionedTable.rewriteSorted(table, "doc_id", targetGroups = 8)
+      require(sorted.snapshotId == accreted.snapshotId, "sort changed content")
+      val expired = VersionedTable.expire(table, keep = 1)
+      require(expired.size >= 4, s"expected >= 4 expired dirs, got ${expired.size}")
+      VersionedTable.vacuum(table, olderThanMillis = 0L)
+      val vs = VersionedTable.versions(table)
+      require(vs.size == 1 && vs.last.snapshotId == accreted.snapshotId,
+        "maintenance must leave one retained version with identical content")
+      VersionedTable.scan(table).select("doc_id", "lang", "n_chars")
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1170,5 +1194,8 @@ object SparkEntry {
     "q56_versioned_scan_pushdown" ->
       """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)
         |SELECT doc_id, lang, n_chars FROM documents, b
-        |WHERE doc_id BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3""".stripMargin)
+        |WHERE doc_id BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3""".stripMargin,
+    // q57: a maintenance cycle changes layout and retention, never rows.
+    "q57_versioned_maintenance" ->
+      "SELECT doc_id, lang, n_chars FROM documents")
 }
