@@ -234,7 +234,7 @@ object VersionedTable {
 
   private final case class ColStats(typ: String, min: Option[String], max: Option[String])
   private final case class DirStats(rows: Long, schema: Option[StructType],
-      cols: Map[String, ColStats])
+      cols: Map[String, ColStats], files: Option[Seq[(String, Long)]])
 
   private def statsPath(table: String, dir: String) =
     Paths.get(table, dir, "_graft_stats.json")
@@ -282,8 +282,24 @@ object VersionedTable {
       def v(o: Option[String]) = o.map("\"" + _ + "\"").getOrElse("null")
       s""""${f.name}":{"t":"$typ","min":${v(mn)},"max":${v(mx)}}"""
     }.mkString(",")
+    // the manifest names the files (Iceberg's shape): one local listing at
+    // write time makes every future planning pass zero-listing — the scan
+    // builds its file set from sidecar entries alone, so a pruned query
+    // never names the skipped groups' files, let alone stats them
+    val filesJson = {
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(Paths.get(table, dir))
+      try listing.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && {
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        .map(p => s"""{"n":"${b64(p.getFileName.toString)}","b":${Files.size(p)}}""")
+        .mkString(",")
+      finally listing.close()
+    }
     Files.writeString(statsPath(table, dir),
-      s"""{"rows":$rows,"sid":$sid,"schema":"${b64(df.schema.toDDL)}","cols":{$colsJson}}""")
+      s"""{"rows":$rows,"sid":$sid,"schema":"${b64(df.schema.toDDL)}","files":[$filesJson],"cols":{$colsJson}}""")
     sid
   }
 
@@ -315,14 +331,14 @@ object VersionedTable {
     */
   final case class GroupColStats(isString: Boolean, min: Option[String], max: Option[String])
   final case class GroupStats(rows: Long, schema: Option[StructType],
-      cols: Map[String, GroupColStats])
+      cols: Map[String, GroupColStats], files: Option[Seq[(String, Long)]] = None)
 
   def groupStats(table: String, dir: String): Option[GroupStats] =
     dirStats(table, dir).map { st =>
       GroupStats(st.rows, st.schema, st.cols.map { case (n, cs) =>
         val dec = if (cs.typ == "s") (s: String) => unb64(s) else identity[String] _
         n -> GroupColStats(cs.typ == "s", cs.min.map(dec), cs.max.map(dec))
-      })
+      }, st.files)
     }
 
   private val colStatRe =
@@ -335,13 +351,17 @@ object VersionedTable {
     val rows = """"rows":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
     val schema = """"schema":"([^"]*)"""".r.findFirstMatchIn(json)
       .flatMap(m => scala.util.Try(StructType.fromDDL(unb64(m.group(1)))).toOption)
+    // pre-upgrade sidecars lack the files list: None = caller must list
+    val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json).map(m =>
+      """\{"n":"([^"]*)","b":(\d+)\}""".r.findAllMatchIn(m.group(1))
+        .map(f => (unb64(f.group(1)), f.group(2).toLong)).toSeq)
     rows.map { r =>
       val cols = colStatRe.findAllMatchIn(json).map { m =>
         def v(g: String) =
           if (g == "null") None else Some(g.stripPrefix("\"").stripSuffix("\""))
         m.group(1) -> ColStats(m.group(2), v(m.group(3)), v(m.group(4)))
       }.toMap
-      DirStats(r, schema, cols)
+      DirStats(r, schema, cols, files)
     }
   }
 
@@ -743,12 +763,25 @@ object VersionedTable {
     (idx.relation(schema), idx)
   }
 
-  /** Dirs + their stats sidecars + data-file listings, the FileIndex's
-    * planning input — shared by the batch scan and the streaming source.
+  /** Dirs + their stats sidecars + data files, the FileIndex's planning
+    * input — shared by the batch scan and the streaming source. The file
+    * set comes from the sidecar's manifest entries (zero directory
+    * listings at plan time — the Iceberg shape: skipped groups' files are
+    * never even named); only pre-upgrade sidecars fall back to a listing.
     */
   private[graft] def fileGroups(table: String, dirs: Seq[String])(
       implicit spark: SparkSession): Seq[FileGroup] =
-    dirs.map(d => FileGroup(d, groupStats(table, d), listDataFiles(table, d)))
+    dirs.map { d =>
+      val st = groupStats(table, d)
+      val files = st.flatMap(_.files) match {
+        case Some(named) => named.map { case (name, bytes) =>
+          new org.apache.hadoop.fs.FileStatus(bytes, false, 1, 128L * 1024 * 1024, 0L,
+            new org.apache.hadoop.fs.Path(s"$table/$d/$name"))
+        }
+        case None => listDataFiles(table, d)
+      }
+      FileGroup(d, st, files)
+    }
 
   /** The latest version's full union schema — from the stats sidecars
     * when every group carries one (no footer reads); pre-stats tables

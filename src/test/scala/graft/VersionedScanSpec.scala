@@ -172,6 +172,29 @@ class VersionedScanSpec extends SparkSpec {
     assert(folded(m2), m2.queryExecution.optimizedPlan.toString)
   }
 
+  test("the sidecar names the data files — planning needs no directory listing") {
+    import spark.implicits._
+    val p = tmp("namedfiles")
+    VersionedTable.overwrite(
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2), p)
+    val dir = VersionedTable.versions(p).last.dirs.head
+    val named = VersionedTable.groupStats(p, dir).flatMap(_.files)
+    assert(named.isDefined && named.get.size == 2, s"sidecar files: $named")
+    // the named set matches reality (names + sizes), and the scan planned
+    // from it reads correctly
+    val listed = java.nio.file.Files.list(java.nio.file.Paths.get(p, dir))
+    val real = try {
+      import scala.jdk.CollectionConverters._
+      listed.iterator().asScala.filter { f =>
+        val n = f.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+        .map(f => (f.getFileName.toString, java.nio.file.Files.size(f))).toSet
+    } finally listed.close()
+    assert(named.get.toSet == real)
+    assert(VersionedTable.scan(p).count() == 50)
+  }
+
   test("spark.read.format(graft-versioned) reads, prunes, and time-travels") {
     import spark.implicits._
     val p = rangedTable()
