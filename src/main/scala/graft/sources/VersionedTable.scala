@@ -433,37 +433,13 @@ object VersionedTable {
     * the planner never even names the non-matching files.
     */
   def readRange(table: String, column: String, lo: Any, hi: Any)(
-      implicit spark: SparkSession): DataFrame = {
-    val vs = versions(table)
-    require(vs.nonEmpty, s"no committed version in $table")
-    val v = vs.last
-    val (keep, _) = pruneDirs(table, v, column, lo, hi)
-    // the version's FULL schema from sidecars alone (no footer reads) —
-    // a pruned read must present the same columns as a full read even
-    // when the evolved columns live only in skipped groups, and the
-    // nothing-matches case must not re-pay the O(groups) footer probing
-    // the feature exists to avoid
-    val full = unionSchema(table, v)
-    val base: DataFrame =
-      if (keep.nonEmpty)
-        spark.read.option("mergeSchema", "true")
-          .parquet(keep.map(d => s"$table/$d"): _*)
-      else full match {
-        case Some(sch) =>
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
-        case None => readVersion(table, v).where(lit(false))
-      }
-    val widened = full match {
-      case Some(sch) if base.columns.toSet != sch.fieldNames.toSet &&
-          base.columns.toSet.subsetOf(sch.fieldNames.toSet) =>
-        val have = base.columns.toSet
-        base.select(sch.fields.toIndexedSeq.map(f =>
-          if (have(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)): _*)
-      case _ => base
-    }
-    widened.where(col(column).between(lit(lo), lit(hi)))
-  }
+      implicit spark: SparkSession): DataFrame =
+    // one declarative filter over the FileIndex-planned scan: Catalyst
+    // pushes the BETWEEN into GraftFileIndex.listFiles, which applies the
+    // same stats evidence as [[pruneDirs]] (plus schema widening and the
+    // nothing-matches empty case, with zero directory listings) — this
+    // method survives as the named convenience for the planner seam
+    scan(table).where(col(column).between(lit(lo), lit(hi)))
 
   /** remove_orphan_files: delete data dirs referenced by NO committed
     * version — the debris of crashed writers (data written, manifest line
