@@ -495,6 +495,33 @@ class TableIOSpec extends SparkSpec {
     assert(merged.snapshotId == TableIO.snapshotId(finalRows))
   }
 
+  test("bucketed tables join with no exchange and no sort (J1 co-location)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val turns = (1 to 400).map(i => (s"conv${i % 50}", i, s"text$i")).toDF("conv_id", "turn_idx", "text")
+    val facts = (0 until 50).map(i => (s"conv$i", s"title$i")).toDF("conv_id", "title")
+    TableIO.writeBucketed(turns, tmp("bk-turns"), "bk_turns", 8, Seq("conv_id"))
+    TableIO.writeBucketed(facts, tmp("bk-facts"), "bk_facts", 8, Seq("conv_id"))
+    val joined = spark.table("bk_turns").join(spark.table("bk_facts"), "conv_id")
+    assert(joined.count() == 400)
+    // the join must be co-located by LAYOUT: no shuffle on either side,
+    // and the bucket-local sortBy even removes the merge-join sorts
+    val executed = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(executed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"bucketed join shuffled:\n$executed")
+    assert(executed.collect { case s: SortExec => s }.isEmpty,
+      s"bucketed join re-sorted:\n$executed")
+    // value parity with the plain (shuffling) join
+    val plain = turns.join(facts, "conv_id").orderBy("conv_id", "turn_idx")
+    assert(joined.orderBy("conv_id", "turn_idx").collect().toSeq ==
+      plain.select(joined.columns.map(col): _*).collect().toSeq)
+  }
+
   test("JDBC sink (S6) round-trips the wide table through embedded Derby") {
     import spark.implicits._
     val wide = Seq(("conv-1", "Data Engineer", "Germany"), ("conv-2", "Nurse", "Poland"))
