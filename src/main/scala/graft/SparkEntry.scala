@@ -853,6 +853,33 @@ object SparkEntry {
       require(vs.size == 1 && vs.last.snapshotId == accreted.snapshotId,
         "maintenance must leave one retained version with identical content")
       VersionedTable.scan(table).select("doc_id", "lang", "n_chars")
+    }),
+    // q58: the bucketed co-located join (J1's target layout) — documents
+    // and a per-lang dim written bucketBy(8, lang)+sortBy, joined with a
+    // plan REQUIRED to contain no shuffle exchange and no sort, values
+    // pinned against DuckDB's plain join.
+    "q58_bucketed_join" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.SortExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val dim = docs.groupBy("lang").agg(count(lit(1)).as("lang_docs"))
+      val base = java.nio.file.Files.createTempDirectory("graft-bk").toString
+      graft.sources.TableIO.writeBucketed(docs, s"$base/docs", "q58_docs", 8, Seq("lang"))
+      graft.sources.TableIO.writeBucketed(dim, s"$base/dim", "q58_dim", 8, Seq("lang"))
+      val joined = s.table("q58_docs").join(s.table("q58_dim"), "lang")
+        .select("doc_id", "lang", "n_chars", "lang_docs")
+      joined.count() // materialize so the adaptive plan is final
+      val executed = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      require(executed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "bucketed join shuffled — co-location regressed")
+      require(executed.collect { case e: SortExec => e }.isEmpty,
+        "bucketed join re-sorted — sortBy layout regressed")
+      joined
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1197,5 +1224,10 @@ object SparkEntry {
         |WHERE doc_id BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3""".stripMargin,
     // q57: a maintenance cycle changes layout and retention, never rows.
     "q57_versioned_maintenance" ->
-      "SELECT doc_id, lang, n_chars FROM documents")
+      "SELECT doc_id, lang, n_chars FROM documents",
+    // q58: bucketing changes the plan (no exchange), never the rows.
+    "q58_bucketed_join" ->
+      """WITH dim AS (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, dim.lang_docs
+        |FROM documents d JOIN dim ON d.lang = dim.lang""".stripMargin)
 }
