@@ -98,4 +98,46 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("HashAggregate") && p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("AQE splits a planted hot-key join partition at runtime (skew join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // session-level knobs so skew triggers at test scale (defaults need
+    // 256 MB partitions); restored after — the same two knobs a real
+    // deployment tunes (north_rule: "AQE skew handling tuned explicitly")
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "200k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      // one hot conversation (80% of all rows) + a uniform tail — the
+      // planted-skew shape TranscriptGen.skewConvs models. The payload is
+      // per-row and hash-random: shuffle skew is measured on COMPRESSED
+      // map-output bytes, so a constant pad (foldable, and LZ4-collapsible)
+      // never trips the threshold
+      val left = spark.range(200000)
+        .select(when(col("id") < 160000, lit("hot")).otherwise(concat(lit("c"), col("id"))).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(2000)
+        .select(when(col("id") === 0, lit("hot")).otherwise(concat(lit("c"), col("id"))).as("k"),
+          md5(col("id").cast("string")).as("rpayload"))
+      val joined = left.join(right, "k")
+      // execute THIS DataFrame's own QueryExecution — the skew decision is
+      // a runtime re-plan, so inspecting an unexecuted plan (or the
+      // separate QueryExecution a .count() builds) sees only the initial one
+      assert(joined.collect().length == 160000) // only the hot key intersects
+      val executed = (joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      // string assertion: the final plan lives inside ResultQueryStage (a
+      // leaf — collect() cannot descend into query stages)
+      assert(executed.contains("skew=true") && executed.contains("skewed"),
+        s"AQE did not mark the join as skew-handled:\n$executed")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
