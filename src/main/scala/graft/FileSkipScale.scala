@@ -61,10 +61,15 @@ object FileSkipScale {
 
     def fullScan() = answer(
       VersionedTable.read(table).where(col("doc_id").between(qlo, qhi)))
+    // Since readRange became scan+filter, BOTH pruned legs go through the
+    // same GraftFileIndex pushdown; what still differs is index lifetime:
+    // readRange re-resolves manifest + stats and builds a fresh index per
+    // call (cold planner), while the scanIndexed leg reuses one in-memory
+    // index across queries (warm planner — what a long-lived session or a
+    // catalog-cached table sees). The JSON keys keep their historical
+    // names; read them as cold-plan vs warm-plan.
     def pruned() = answer(
       VersionedTable.readRange(table, "doc_id", qlo, qhi))
-    // the FileIndex seam: the SAME declarative filter, pruned by
-    // Catalyst's pushdown through GraftFileIndex — no readRange call
     val (scanDf, scanIdx) = VersionedTable.scanIndexed(table)
     def prunedScan() = answer(scanDf.where(col("doc_id").between(qlo, qhi)))
 

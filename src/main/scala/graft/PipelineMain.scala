@@ -27,8 +27,9 @@ import graft.sources.TranscriptGen
   *     [--stream true [--stream-in DIR] [--stream-gap-ms 60000]
   *      [--stream-lateness "1 minute"] [--stream-sink merge|versioned]
   *      [--stream-source file|versioned]]
-  *     [--maintain TABLE [--maintain-sort-by COL] [--maintain-keep 3]
-  *      [--maintain-compact-groups 1] [--maintain-vacuum-hours 24]]
+  *     [--maintain TABLE [--maintain-sort-by COL] [--maintain-sort-groups 8]
+  *      [--maintain-keep 3] [--maintain-compact-groups 1]
+  *      [--maintain-vacuum-hours 24]]
   *
   * `--stream true` replaces the s3-s6 batch stages with the STREAMING
   * construction path (StreamingTriples): a parquet file-source stream of
@@ -111,8 +112,16 @@ object PipelineMain {
           println(s"[graft] maintain compact -> v${c.seq} (${c.dirs.size} groups)")
       }
       val keep = a.getOrElse("maintain-keep", "3").toInt
+      // keep=0 would drop EVERY retained version and data dir — an
+      // irreversible one-character CLI mistake; Iceberg's
+      // expire_snapshots has the same floor (retain_last >= 1)
+      require(keep >= 1, s"--maintain-keep must be >= 1 (got $keep)")
       val expired = VersionedTable.expire(table, keep)
-      val vacuumMs = (a.getOrElse("maintain-vacuum-hours", "24").toDouble * 3600 * 1000).toLong
+      val vacuumHours = a.getOrElse("maintain-vacuum-hours", "24").toDouble
+      // a negative horizon puts the cutoff in the future, sweeping dirs
+      // that in-flight writers created moments ago
+      require(vacuumHours >= 0, s"--maintain-vacuum-hours must be >= 0 (got $vacuumHours)")
+      val vacuumMs = (vacuumHours * 3600 * 1000).toLong
       val orphans = VersionedTable.vacuum(table, vacuumMs)
       val after = VersionedTable.versions(table)
       println(s"[graft] maintain expired=${expired.size} orphans=${orphans.size} " +

@@ -868,18 +868,38 @@ object SparkEntry {
       val base = java.nio.file.Files.createTempDirectory("graft-bk").toString
       graft.sources.TableIO.writeBucketed(docs, s"$base/docs", "q58_docs", 8, Seq("lang"))
       graft.sources.TableIO.writeBucketed(dim, s"$base/dim", "q58_dim", 8, Seq("lang"))
-      val joined = s.table("q58_docs").join(s.table("q58_dim"), "lang")
-        .select("doc_id", "lang", "n_chars", "lang_docs")
-      joined.count() // materialize so the adaptive plan is final
-      val executed = joined.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
+      // Force the sort-merge path: under the session's 8 MB broadcast
+      // threshold the tiny dim would broadcast-hash-join, which contains no
+      // exchange/sort REGARDLESS of bucketing and would make both pins
+      // vacuous. The legacy conf lets the scan report the sortBy ordering
+      // (one file per bucket, guaranteed by writeBucketed) so the SMJ needs
+      // no SortExec either — the full co-located layout, as a 100 TB
+      // fact-fact join would use it.
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevOrd = s.conf.getOption(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering").getOrElse("false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try {
+        val joined = s.table("q58_docs").join(s.table("q58_dim"), "lang")
+          .select("doc_id", "lang", "n_chars", "lang_docs")
+        // exchange/sort absence is a static planning property (AQE reuses
+        // exchanges, it never removes them), so the initial physical plan
+        // is the right object to inspect
+        val executed = joined.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        require(executed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          "bucketed join shuffled — co-location regressed")
+        require(executed.collect { case e: SortExec => e }.isEmpty,
+          "bucketed join re-sorted — sortBy layout regressed")
+        joined.cache().count() // materialize under the forced-SMJ confs
+        joined
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
       }
-      require(executed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
-        "bucketed join shuffled — co-location regressed")
-      require(executed.collect { case e: SortExec => e }.isEmpty,
-        "bucketed join re-sorted — sortBy layout regressed")
-      joined
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle

@@ -149,7 +149,12 @@ object ManifestAggRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
+    // !agg.isStreaming: a micro-batch plan's ungrouped aggregate is a
+    // STATEFUL running total across batches; folding it to this batch's
+    // sidecar stats would silently replace the accumulated value with the
+    // last batch's count. Stats answering is a batch-only optimization.
+    case agg @ Aggregate(Nil, aggExprs, child, _)
+        if aggExprs.nonEmpty && !agg.isStreaming =>
       indexOf(child) match {
         case Some(idx) =>
           val folded = aggExprs.map(e => foldOutput(e, child, idx))

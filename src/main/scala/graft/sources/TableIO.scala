@@ -135,7 +135,14 @@ object TableIO {
       buckets: Int, keys: Seq[String])(implicit spark: SparkSession): Unit = {
     require(keys.nonEmpty, "bucketed write needs at least one key column")
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    df.write.mode(SaveMode.Overwrite)
+    // One writer task per bucket: repartition on the bucket keys with the
+    // bucket count (same murmur3 hash as the bucket-id assignment) so each
+    // bucket lands in exactly ONE file. Spark's scan only reports the
+    // sortBy ordering (letting a sort-merge join skip its SortExec) when
+    // every bucket is a single file; multi-file buckets also defeat
+    // bucket-pruning locality at scale.
+    df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path)

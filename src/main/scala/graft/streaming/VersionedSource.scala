@@ -43,7 +43,18 @@ final class VersionedTableSource(spark: SparkSession, table: String,
     VersionedTable.tableSchema(table)
   }
 
-  private def seqFile = metadataPath.map(m => java.nio.file.Paths.get(m, "graft-last-end"))
+  /** The engine hands `metadataPath` as a QUALIFIED URI (`file:/…/sources/0`,
+    * or `hdfs://…` on a real cluster), so it must resolve through the Hadoop
+    * filesystem of the checkpoint — `java.nio.Paths.get` would read the URI
+    * as a relative local path and drop the file in the driver's cwd, which
+    * both litters the working directory and loses the recovery state on any
+    * restart from a different cwd or a non-local checkpoint FS.
+    */
+  private def seqFile: Option[org.apache.hadoop.fs.Path] =
+    metadataPath.map(m => new org.apache.hadoop.fs.Path(m, "graft-last-end"))
+
+  private def fsOf(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Newest end offset this source has already handed to getBatch — the
     * base the rate limit advances from. Persisted in the engine-provided
@@ -53,8 +64,17 @@ final class VersionedTableSource(spark: SparkSession, table: String,
     * query is the initial snapshot, which is one version regardless.
     */
   @volatile private var lastEndSeq: Option[Int] =
-    seqFile.filter(java.nio.file.Files.exists(_)).flatMap(p =>
-      scala.util.Try(java.nio.file.Files.readString(p).trim.toInt).toOption)
+    seqFile.flatMap { p =>
+      scala.util.Try {
+        val fs = fsOf(p)
+        if (fs.exists(p)) {
+          val in = fs.open(p)
+          try Some(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+          finally in.close()
+        } else None
+      }.toOption.flatten
+    }
 
   private def recordEnd(seq: Int): Unit = {
     lastEndSeq = Some(lastEndSeq.fold(seq)(math.max(_, seq)))
@@ -63,12 +83,18 @@ final class VersionedTableSource(spark: SparkSession, table: String,
     // one trigger, never correctness (offsets live in the engine log)
     if (maxVersionsPerTrigger.isDefined) seqFile.foreach { p =>
       scala.util.Try {
-        java.nio.file.Files.createDirectories(p.getParent)
-        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-        java.nio.file.Files.writeString(tmp, lastEndSeq.get.toString)
-        java.nio.file.Files.move(tmp, p,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val fs = fsOf(p)
+        fs.mkdirs(p.getParent)
+        val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(lastEndSeq.get.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        // FileContext rename is the atomic-overwrite primitive Spark's own
+        // HDFSMetadataLog uses; plain FileSystem.rename won't overwrite
+        org.apache.hadoop.fs.FileContext.getFileContext(
+          p.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
     }
   }

@@ -504,22 +504,41 @@ class TableIOSpec extends SparkSpec {
     val facts = (0 until 50).map(i => (s"conv$i", s"title$i")).toDF("conv_id", "title")
     TableIO.writeBucketed(turns, tmp("bk-turns"), "bk_turns", 8, Seq("conv_id"))
     TableIO.writeBucketed(facts, tmp("bk-facts"), "bk_facts", 8, Seq("conv_id"))
-    val joined = spark.table("bk_turns").join(spark.table("bk_facts"), "conv_id")
-    assert(joined.count() == 400)
-    // the join must be co-located by LAYOUT: no shuffle on either side,
-    // and the bucket-local sortBy even removes the merge-join sorts
-    val executed = joined.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    // Disable broadcast for the scope: these tiny sides would otherwise
+    // broadcast-hash-join, which contains no exchange/sort REGARDLESS of
+    // bucketing — the assertions below would pass with bucketing deleted.
+    // The legacy conf makes the scan report the sortBy ordering (buckets
+    // are single-file, writeBucketed guarantees it) so the forced SMJ
+    // needs no SortExec either.
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevOrd = spark.conf.getOption(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering").getOrElse("false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val joined = spark.table("bk_turns").join(spark.table("bk_facts"), "conv_id")
+      assert(joined.count() == 400)
+      // the join must be co-located by LAYOUT: no shuffle on either side,
+      // and the bucket-local sortBy even removes the merge-join sorts
+      val executed = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(executed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed join shuffled:\n$executed")
+      assert(executed.collect { case s: SortExec => s }.isEmpty,
+        s"bucketed join re-sorted:\n$executed")
+      assert(executed.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.nonEmpty, s"expected a sort-merge join under broadcast=-1:\n$executed")
+      // value parity with the plain (shuffling) join
+      val plain = turns.join(facts, "conv_id").orderBy("conv_id", "turn_idx")
+      assert(joined.orderBy("conv_id", "turn_idx").collect().toSeq ==
+        plain.select(joined.columns.map(col): _*).collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
     }
-    assert(executed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
-      s"bucketed join shuffled:\n$executed")
-    assert(executed.collect { case s: SortExec => s }.isEmpty,
-      s"bucketed join re-sorted:\n$executed")
-    // value parity with the plain (shuffling) join
-    val plain = turns.join(facts, "conv_id").orderBy("conv_id", "turn_idx")
-    assert(joined.orderBy("conv_id", "turn_idx").collect().toSeq ==
-      plain.select(joined.columns.map(col): _*).collect().toSeq)
   }
 
   test("JDBC sink (S6) round-trips the wide table through embedded Derby") {

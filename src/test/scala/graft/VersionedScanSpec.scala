@@ -192,6 +192,11 @@ class VersionedScanSpec extends SparkSpec {
         .map(f => (f.getFileName.toString, java.nio.file.Files.size(f))).toSet
     } finally listed.close()
     assert(named.get.toSet == real)
+    // content aggregate, NOT count(*): the ManifestAggRule answers a bare
+    // count from the sidecar without opening a file, which would let a
+    // corrupt `files` entry pass — sum(id) forces a real read through the
+    // manifest-named file list
+    assert(VersionedTable.scan(p).agg(sum("id")).collect()(0).getLong(0) == 1275L)
     assert(VersionedTable.scan(p).count() == 50)
   }
 

@@ -56,6 +56,26 @@ class VersionedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a streaming ungrouped aggregate accumulates — ManifestAggRule must not fold it") {
+    // Regression: without the !isStreaming guard, the sidecar-stats rule
+    // folded each micro-batch's Aggregate(Nil, count) into a batch
+    // LocalRelation, so Complete-mode output showed the LAST BATCH's row
+    // count instead of the running total.
+    val p = tmp("streamagg")
+    VersionedTable.overwrite(rows(1, 10), p)
+    val q = spark.readStream.format("graft-versioned").load(p)
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("vstream_agg").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vstream_agg").collect().map(_.getLong(0)).toSeq == Seq(10L))
+      VersionedTable.append(rows(11, 13), p) // 3-row batch: the fold would report 3
+      q.processAllAvailable()
+      assert(spark.table("vstream_agg").collect().map(_.getLong(0)).toSeq == Seq(13L))
+    } finally q.stop()
+  }
+
   test("pushed-down filters prune the micro-batch's file groups too") {
     val p = tmp("prune")
     VersionedTable.overwrite(rows(1, 100), p)
