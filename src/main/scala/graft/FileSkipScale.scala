@@ -118,6 +118,43 @@ object FileSkipScale {
 
     println(
       f"""{"metric":"sorted_rewrite","rows":${aFull0.getLong(0)},"groups":$groups,"opened_pre":${keepIl.size},"opened_post":${keepS.size},"sec_range_pre":$tPre%.3f,"sec_range_post":$tPost%.3f,"speedup":${tPre / tPost}%.2f,"rewrite_sec":$tRewrite%.1f,"cores":$cpus}""")
+
+    // ---- phase 3: bloom point lookup ------------------------------------
+    // The case neither range stats nor a sorted rewrite can repair:
+    // equality on a high-cardinality key that is NOT the clustering column
+    // (md5(doc_id) here — every group's key range spans the hex space, so
+    // [min,max] keeps everything). Bloom sidecars are the only
+    // manifest-level evidence; this leg measures the same point lookup as
+    // a full scan vs the bloom-pruned FileIndex scan.
+    val table3 = java.nio.file.Files.createTempDirectory("graft-fss-bloom").toString
+    VersionedTable.setBloomColumns(table3, Seq("key"), fpp = 0.001)
+    val keyed = docs.select(
+      md5(col("doc_id").cast("string")).as("key"), col("doc_id"), col("text"))
+    val bloomBuild0 = System.nanoTime()
+    for (g <- 0 until groups)
+      VersionedTable.append(keyed.where(pmod(col("doc_id"), lit(groups)) === g), table3)
+    val bloomBuildSec = (System.nanoTime() - bloomBuild0) / 1e9
+    val probe = java.security.MessageDigest.getInstance("MD5")
+      .digest(hi.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def answerK(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(xxhash64(col("doc_id"), col("text"))
+        .cast("decimal(38,0)"))).collect()(0)
+    def fullK() = answerK(VersionedTable.read(table3).where(col("key") === probe))
+    val (scanK, idxK) = VersionedTable.scanIndexed(table3)
+    def bloomK() = answerK(scanK.where(col("key") === probe))
+    val aFk = fullK(); val aBk = bloomK()
+    require(aFk == aBk && aFk.getLong(0) >= 1L,
+      s"bloom lookup diverged: $aBk != $aFk (rows ${aFk.getLong(0)})")
+    require(idxK.lastKeptDirs.size == 1,
+      s"bloom pruning kept ${idxK.lastKeptDirs.size} of $groups groups, expected 1")
+    val (tFk, tBk) = (0 until 3).map { _ =>
+      val (_, tf) = Bench.time(fullK())
+      val (_, tb) = Bench.time(bloomK())
+      (tf, tb)
+    }.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
+
+    println(
+      f"""{"metric":"bloom_skip","rows":${aFk.getLong(0)},"groups":$groups,"groups_opened":${idxK.lastKeptDirs.size},"sec_full_scan":$tFk%.3f,"sec_bloom_pruned":$tBk%.3f,"speedup":${tFk / tBk}%.2f,"build_sec":$bloomBuildSec%.1f,"cores":$cpus}""")
     spark.stop()
   }
 }

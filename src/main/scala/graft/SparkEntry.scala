@@ -900,6 +900,41 @@ object SparkEntry {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
         s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
       }
+    }),
+    // q59: bloom-sidecar file skipping (the Iceberg Puffin analogue) — the
+    // point-lookup case min/max stats can NEVER prune: documents keyed by
+    // md5(doc_id) land in four groups split by doc_id % 4, so every
+    // group's [min,max] key range spans the hex space (require asserts
+    // it). The lookup for min(doc_id)'s key must open exactly one group
+    // (bloom evidence, require-enforced) and value-match DuckDB's
+    // full-scan filter computing the same md5 probe.
+    "q59_bloom_point_lookup" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select(
+        substring(md5(col("doc_id").cast("string")), 1, 16).as("key"),
+        col("doc_id"), col("n_chars"))
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-bloom").toString
+      VersionedTable.setBloomColumns(table, Seq("key"), fpp = 0.001)
+      VersionedTable.overwrite(docs.where(pmod(col("doc_id"), lit(4)) === 0), table)
+      (1 to 3).foreach(k =>
+        VersionedTable.append(docs.where(pmod(col("doc_id"), lit(4)) === k), table))
+      val lo = docs.agg(min(col("doc_id")).cast("long")).collect()(0).getLong(0)
+      val probe = java.security.MessageDigest.getInstance("MD5")
+        .digest(lo.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val cur = VersionedTable.versions(table).last
+      cur.dirs.foreach { dir => // prove range stats alone could not prune
+        val cs = VersionedTable.groupStats(table, dir).get.cols("key")
+        require(cs.min.get <= probe && probe <= cs.max.get,
+          s"fixture broke: group key range excludes the probe — bloom not exercised")
+      }
+      val (scan, idx) = VersionedTable.scanIndexed(table)
+      val out = scan.where(col("key") === probe).select("key", "doc_id", "n_chars")
+      val n = out.count() // plans + executes: listFiles sees the pushed filter
+      require(n >= 1, "bloom point lookup returned no rows")
+      require(idx.lastKeptDirs.size == 1,
+        s"bloom pruning regressed: planned ${idx.lastKeptDirs.size} of 4 file groups")
+      out
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1249,5 +1284,13 @@ object SparkEntry {
     "q58_bucketed_join" ->
       """WITH dim AS (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang)
         |SELECT d.doc_id, d.lang, d.n_chars, dim.lang_docs
-        |FROM documents d JOIN dim ON d.lang = dim.lang""".stripMargin)
+        |FROM documents d JOIN dim ON d.lang = dim.lang""".stripMargin,
+    // q59: DuckDB recomputes the same md5 point-lookup by full scan — the
+    // bloom-pruned versioned read changes IO (1 of 4 groups), never rows.
+    "q59_bloom_point_lookup" ->
+      """WITH p AS (SELECT substr(md5(cast(min(doc_id) AS varchar)), 1, 16) AS probe
+        |           FROM documents)
+        |SELECT substr(md5(cast(doc_id AS varchar)), 1, 16) AS key, doc_id, n_chars
+        |FROM documents, p
+        |WHERE substr(md5(cast(doc_id AS varchar)), 1, 16) = probe""".stripMargin)
 }

@@ -60,7 +60,7 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
     // filter can match it; a 0-row group never survives (safe even with
     // no filters — there is nothing to read)
     val kept = groups.filter { g =>
-      !g.stats.exists(_.rows == 0L) && dataFilters.forall(f => mayMatch(f, g.stats))
+      !g.stats.exists(_.rows == 0L) && dataFilters.forall(f => mayMatch(f, g))
     }
     lastKeptDirs = kept.map(_.dir)
     Seq(PartitionDirectory(InternalRow.empty, kept.flatMap(_.files).toArray))
@@ -142,76 +142,108 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
   private def mayEq(b: GroupColStats, v: String): Boolean =
     mayGe(b, v, strict = false) && mayLe(b, v, strict = false)
 
-  /** Can ANY row of a group with stats `st` satisfy `e`? Conservative:
+  /** Does the group's bloom sidecar PROVE `v` absent from `colName`? The
+    * probe hashes in the exact domain [[VersionedTable.writeBlooms]] put
+    * values under: strings as UTF-8 bytes, integrals widened to Long. A
+    * value outside that domain (null, fractional, exotic) is no evidence.
+    * False = keep is the bloom's one-sided contract — `mightContain` can
+    * false-positive (keep a matchless group) but never false-negative.
+    */
+  private def bloomExcludes(g: FileGroup, colName: String, v: Any): Boolean =
+    VersionedTable.groupBloom(tablePath, g.dir, colName).exists { bf =>
+      v match {
+        case u: UTF8String => !bf.mightContainBinary(u.getBytes)
+        case b: Byte => !bf.mightContainLong(b.toLong)
+        case s: Short => !bf.mightContainLong(s.toLong)
+        case i: Int => !bf.mightContainLong(i.toLong)
+        case l: Long => !bf.mightContainLong(l)
+        case _ => false
+      }
+    }
+
+  /** Equality evidence = range stats AND bloom: the group may hold `v`
+    * only if [min,max] admits it and (when a bloom exists) the bloom does
+    * not prove it absent. The two are independent — a pre-stats group with
+    * a bloom still prunes, a pre-bloom group still range-prunes.
+    */
+  private def mayEqOn(g: FileGroup, name: String, v: Any): Boolean =
+    (knowledge(g.stats, name) match {
+      case AllNull => false
+      case Bounds(b) => litValue(v).forall(mayEq(b, _))
+      case Unknown => true
+    }) && !bloomExcludes(g, name, v)
+
+  /** Can ANY row of file group `g` satisfy `e`? Conservative:
     * unsupported shapes answer true. Comparison cases cover both operand
     * orders (Catalyst does not normalize literal position).
     */
-  private def mayMatch(e: Expression, st: Option[GroupStats]): Boolean = e match {
-    case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
-    case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
+  private def mayMatch(e: Expression, g: FileGroup): Boolean = {
+    val st = g.stats
+    e match {
+      case And(l, r) => mayMatch(l, g) && mayMatch(r, g)
+      case Or(l, r) => mayMatch(l, g) || mayMatch(r, g)
 
-    case IsNotNull(a: AttributeReference) => knowledge(st, a.name) match {
-      case AllNull => false
-      case _ => true
-    }
-    case IsNull(_) => true // min/max stats carry no null counts
-
-    case EqualTo(a: AttributeReference, Literal(v, _)) => withBounds(st, a, v)(mayEq)
-    case EqualTo(Literal(v, _), a: AttributeReference) => withBounds(st, a, v)(mayEq)
-    case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
-      withBounds(st, a, v)(mayEq)
-    case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
-      withBounds(st, a, v)(mayEq)
-
-    case GreaterThan(a: AttributeReference, Literal(v, _)) =>
-      withBounds(st, a, v)(mayGe(_, _, strict = true))
-    case GreaterThan(Literal(v, _), a: AttributeReference) =>
-      withBounds(st, a, v)(mayLe(_, _, strict = true))
-    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-      withBounds(st, a, v)(mayGe(_, _, strict = false))
-    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
-      withBounds(st, a, v)(mayLe(_, _, strict = false))
-    case LessThan(a: AttributeReference, Literal(v, _)) =>
-      withBounds(st, a, v)(mayLe(_, _, strict = true))
-    case LessThan(Literal(v, _), a: AttributeReference) =>
-      withBounds(st, a, v)(mayGe(_, _, strict = true))
-    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-      withBounds(st, a, v)(mayLe(_, _, strict = false))
-    case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
-      withBounds(st, a, v)(mayGe(_, _, strict = false))
-
-    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      knowledge(st, a.name) match {
+      case IsNotNull(a: AttributeReference) => knowledge(st, a.name) match {
         case AllNull => false
-        case Bounds(b) => vs.exists {
-          case Literal(v, _) => litValue(v).forall(mayEq(b, _))
-          case _ => true
-        }
-        case Unknown => true
-      }
-    case InSet(a: AttributeReference, hset) => knowledge(st, a.name) match {
-      case AllNull => false
-      case Bounds(b) => hset.exists(v => litValue(v).forall(mayEq(b, _)))
-      case Unknown => true
-    }
-
-    // s startsWith p  <=>  p <= s < succ(p); overlap with [min,max] iff
-    // max >= p and min's first |p| BYTES compare <= p (equivalently
-    // min < succ(p), with no carry arithmetic needed)
-    case StartsWith(a: AttributeReference, Literal(v, _)) =>
-      knowledge(st, a.name) match {
-        case AllNull => false
-        case Bounds(b) if b.isString => litValue(v).forall { p =>
-          val pb = UTF8String.fromString(p)
-          val mn = UTF8String.fromString(b.min.get)
-          val mnPrefix = mn.substring(0, math.min(mn.numChars(), pb.numChars()))
-          mayGe(b, p, strict = false) &&
-            (mnPrefix.compareTo(pb) <= 0 || mn.numChars() < pb.numChars())
-        }
         case _ => true
       }
+      case IsNull(_) => true // min/max stats carry no null counts
 
-    case _ => true
+      case EqualTo(a: AttributeReference, Literal(v, _)) => mayEqOn(g, a.name, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => mayEqOn(g, a.name, v)
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
+        mayEqOn(g, a.name, v)
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
+        mayEqOn(g, a.name, v)
+
+      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+        withBounds(st, a, v)(mayGe(_, _, strict = true))
+      case GreaterThan(Literal(v, _), a: AttributeReference) =>
+        withBounds(st, a, v)(mayLe(_, _, strict = true))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        withBounds(st, a, v)(mayGe(_, _, strict = false))
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        withBounds(st, a, v)(mayLe(_, _, strict = false))
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        withBounds(st, a, v)(mayLe(_, _, strict = true))
+      case LessThan(Literal(v, _), a: AttributeReference) =>
+        withBounds(st, a, v)(mayGe(_, _, strict = true))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        withBounds(st, a, v)(mayLe(_, _, strict = false))
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        withBounds(st, a, v)(mayGe(_, _, strict = false))
+
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        knowledge(st, a.name) match {
+          case AllNull => false
+          case _ => vs.exists {
+            case Literal(v, _) => mayEqOn(g, a.name, v)
+            case _ => true
+          }
+        }
+      case InSet(a: AttributeReference, hset) => knowledge(st, a.name) match {
+        case AllNull => false
+        case _ => hset.exists(v => mayEqOn(g, a.name, v))
+      }
+
+      // s startsWith p  <=>  p <= s < succ(p); overlap with [min,max] iff
+      // max >= p and min's first |p| BYTES compare <= p (equivalently
+      // min < succ(p), with no carry arithmetic needed)
+      case StartsWith(a: AttributeReference, Literal(v, _)) =>
+        knowledge(st, a.name) match {
+          case AllNull => false
+          case Bounds(b) if b.isString => litValue(v).forall { p =>
+            val pb = UTF8String.fromString(p)
+            val mn = UTF8String.fromString(b.min.get)
+            val mnPrefix = mn.substring(0, math.min(mn.numChars(), pb.numChars()))
+            mayGe(b, p, strict = false) &&
+              (mnPrefix.compareTo(pb) <= 0 || mn.numChars() < pb.numChars())
+          }
+          case _ => true
+        }
+
+      case _ => true
+    }
   }
 
   private def withBounds(st: Option[GroupStats], a: AttributeReference, v: Any)(

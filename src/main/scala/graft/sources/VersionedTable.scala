@@ -300,7 +300,122 @@ object VersionedTable {
     }
     Files.writeString(statsPath(table, dir),
       s"""{"rows":$rows,"sid":$sid,"schema":"${b64(df.schema.toDDL)}","files":[$filesJson],"cols":{$colsJson}}""")
+    // every commit path funnels through here, so a configured bloom column
+    // follows the data through append/compact/rewrite/delete/merge alike
+    writeBlooms(table, dir, df, rows)
     sid
+  }
+
+  // ---- per-group bloom filters (Iceberg Puffin blob analogue) ------------
+  //
+  // Min/max stats prune RANGE predicates; a point lookup on a
+  // high-cardinality, non-clustered key (conv_id, content hash) defeats
+  // them — every accreted group's [min,max] spans the keyspace, so an
+  // equality scan opens all of them. Iceberg's answer is a bloom-filter
+  // blob per data file (Puffin); ours is a bloom sidecar per file group,
+  // built at write time for the columns named in the table's props file
+  // and consulted by GraftFileIndex for EqualTo / In / InSet. At 100 TB
+  // this is what makes "fetch one conversation's triples" open a handful
+  // of file groups instead of every commit since the last sorted rewrite.
+
+  private def propsPath(table: String) = Paths.get(table, "_graft_props.json")
+  private def bloomPath(table: String, dir: String) =
+    Paths.get(table, dir, "_graft_blooms.json")
+
+  /** Declare the columns every FUTURE commit writes a per-group bloom
+    * sidecar for (strings and integral types; other types are skipped —
+    * float equality is pathological and the hashing domain must be exact).
+    * Already-committed groups keep pruning on stats alone until a rewrite
+    * (compact / rewriteSorted) regenerates them with blooms — the same
+    * "new config applies from the next rewrite" contract as Iceberg's
+    * write properties.
+    */
+  def setBloomColumns(table: String, cols: Seq[String], fpp: Double = 0.01): Unit = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    Files.createDirectories(Paths.get(table))
+    Files.writeString(propsPath(table),
+      s"""{"bloom_cols":[${cols.map(c => "\"" + b64(c) + "\"").mkString(",")}],"bloom_fpp":$fpp}""")
+  }
+
+  /** The table's configured bloom columns + target false-positive rate. */
+  def bloomColumns(table: String): (Seq[String], Double) = {
+    val p = propsPath(table)
+    if (!Files.exists(p)) return (Seq.empty, 0.01)
+    val json = Files.readString(p)
+    val cols = """"bloom_cols":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .map(_.group(1).split(',').iterator.map(_.trim).filter(_.nonEmpty)
+        .map(s => unb64(s.stripPrefix("\"").stripSuffix("\""))).toSeq)
+      .getOrElse(Seq.empty)
+    val fpp = """"bloom_fpp":([0-9.eE+-]+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble).getOrElse(0.01)
+    (cols, fpp)
+  }
+
+  /** Build and write the group's bloom sidecar: ONE extra pass over the
+    * just-written group computing every configured column's bloom
+    * together (mapPartitions-shaped treeAggregate — the group is the unit
+    * of maintenance IO, never the table). Hashing domain, shared with the
+    * read side: strings as UTF-8 bytes (`putBinary`), integrals as Long
+    * (`putLong`) — so an int32 column probed with a Long literal still
+    * hits. Null values are not inserted (equality never matches null).
+    */
+  private def writeBlooms(table: String, dir: String, df: DataFrame, rows: Long): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val (cols, fpp) = bloomColumns(table)
+    if (cols.isEmpty || rows <= 0) return
+    val present = cols.filter(c => df.schema.fields.exists(f => f.name == c &&
+      (f.dataType == StringType || f.dataType == ByteType || f.dataType == ShortType ||
+        f.dataType == IntegerType || f.dataType == LongType)))
+    if (present.isEmpty) return
+    val isStr = present.map(c => df.schema(c).dataType == StringType).toArray
+    val n = present.size
+    def zero() = Array.fill(n)(
+      org.apache.spark.util.sketch.BloomFilter.create(math.max(rows, 64L), fpp))
+    val blooms = df.select(present.map(col): _*).rdd.treeAggregate(zero())(
+      (acc, row) => {
+        var i = 0
+        while (i < n) {
+          if (!row.isNullAt(i)) {
+            if (isStr(i)) acc(i).putBinary(row.getString(i).getBytes("UTF-8"))
+            else acc(i).putLong(row.get(i).asInstanceOf[Number].longValue())
+          }
+          i += 1
+        }
+        acc
+      },
+      (a, b) => { var i = 0; while (i < n) { a(i).mergeInPlace(b(i)); i += 1 }; a })
+    val entries = present.zip(blooms).map { case (c, bf) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      s""""${b64(c)}":"${Base64.getEncoder.encodeToString(bos.toByteArray)}""""
+    }
+    Files.writeString(bloomPath(table, dir), s"""{"cols":{${entries.mkString(",")}}}""")
+  }
+
+  /** Deserialized bloom for (table, dir, column), or None when the group
+    * has no bloom sidecar / no entry for the column (pre-config groups,
+    * unsupported types) — absence is conservative: the caller keeps the
+    * group. Cached: committed file groups are immutable by design, so a
+    * sidecar read once stays valid for the JVM's lifetime.
+    */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), Option[org.apache.spark.util.sketch.BloomFilter]]()
+
+  def groupBloom(table: String, dir: String, column: String):
+      Option[org.apache.spark.util.sketch.BloomFilter] = {
+    if (bloomCache.size > 4096) bloomCache.clear() // crude cap; re-read is cheap
+    bloomCache.computeIfAbsent((table, dir, column), { _ =>
+      val p = bloomPath(table, dir)
+      if (!Files.exists(p)) None
+      else {
+        val json = Files.readString(p)
+        val re = ("\"" + java.util.regex.Pattern.quote(b64(column)) + "\":\"([^\"]*)\"").r
+        re.findFirstMatchIn(json).map { m =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(Base64.getDecoder.decode(m.group(1))))
+        }
+      }
+    })
   }
 
   /** A file group's content snapshot id, from its stats sidecar when
