@@ -26,7 +26,8 @@ import graft.sources.TranscriptGen
   *     [--jdbc-batchsize 1000]
   *     [--stream true [--stream-in DIR] [--stream-gap-ms 60000]
   *      [--stream-lateness "1 minute"] [--stream-sink merge|versioned]
-  *      [--stream-source file|versioned]]
+  *      [--stream-source file|versioned]
+  *      [--bloom-cols subj[,col...] [--bloom-fpp 0.01]]]
   *     [--maintain TABLE [--maintain-sort-by COL] [--maintain-sort-groups 8]
   *      [--maintain-keep 3] [--maintain-compact-groups 1]
   *      [--maintain-vacuum-hours 24]]
@@ -219,6 +220,16 @@ object PipelineMain {
       val versionedSink = a.getOrElse("stream-sink", "merge") == "versioned"
       val outPath =
         if (versionedSink) path("s6_stream_triples_v") else path("s6_stream_triples")
+      // --bloom-cols subj[,pred,...]: declare bloom-sidecar columns on the
+      // landed triple table — every appendOnce batch then carries blooms,
+      // so "fetch one conversation's triples" opens only the bloom-positive
+      // file groups (equality pruning where min/max stats never can; see
+      // VersionedTable.setBloomColumns / q59)
+      a.get("bloom-cols").filter(_ => versionedSink).foreach { cs =>
+        graft.sources.VersionedTable.setBloomColumns(outPath,
+          cs.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+          a.getOrElse("bloom-fpp", "0.01").toDouble)
+      }
       val sink: (DataFrame, Long) => Unit = (batch, batchId) => {
         val rows = batch.filter(col("subj") =!= "graft-sentinel")
         if (versionedSink) {
