@@ -28,7 +28,8 @@ import graft.sources.TranscriptGen
   *      [--stream-lateness "1 minute"] [--stream-sink merge|versioned]
   *      [--stream-source file|versioned]
   *      [--bloom-cols subj[,col...] [--bloom-fpp 0.01]]]
-  *     [--maintain TABLE [--maintain-sort-by COL] [--maintain-sort-groups 8]
+  *     [--maintain TABLE [--maintain-sort-by COL | --maintain-zorder-by C1,C2]
+  *      [--maintain-sort-groups 8]
   *      [--maintain-keep 3] [--maintain-compact-groups 1]
   *      [--maintain-vacuum-hours 24]]
   *
@@ -96,18 +97,23 @@ object PipelineMain {
       require(before.nonEmpty, s"no committed version in $table")
       println(s"[graft] maintain $table: v${before.last.seq}, " +
         s"${before.last.dirs.size} file groups, ${before.size} retained versions")
-      // sorted rewrite and binpack compaction are ALTERNATIVES: the sort
-      // already folds every accreted group into targetGroups range-
-      // disjoint ones, and compacting afterwards would merge them back
+      // z-order / sorted rewrite / binpack compaction are ALTERNATIVES:
+      // the rewrites already fold every accreted group into targetGroups
+      // clustered ones, and compacting afterwards would merge them back
       // into range-overlapping files, undoing exactly the layout the
-      // sort bought (both are Iceberg rewrite_data_files strategies —
+      // rewrite bought (all are Iceberg rewrite_data_files strategies —
       // you pick one per run)
-      a.get("maintain-sort-by") match {
-        case Some(col) =>
+      (a.get("maintain-zorder-by"), a.get("maintain-sort-by")) match {
+        case (Some(cols), _) =>
+          val g = a.getOrElse("maintain-sort-groups", "8").toInt
+          val cs = cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          val v = VersionedTable.rewriteZOrder(table, cs, g)
+          println(s"[graft] maintain zorder-rewrite by ${cs.mkString(",")} -> v${v.seq} (${v.dirs.size} groups)")
+        case (None, Some(col)) =>
           val g = a.getOrElse("maintain-sort-groups", "8").toInt
           val v = VersionedTable.rewriteSorted(table, col, g)
           println(s"[graft] maintain sorted-rewrite by $col -> v${v.seq} (${v.dirs.size} groups)")
-        case None =>
+        case (None, None) =>
           val c = VersionedTable.compact(table,
             a.getOrElse("maintain-compact-groups", "1").toInt)
           println(s"[graft] maintain compact -> v${c.seq} (${c.dirs.size} groups)")

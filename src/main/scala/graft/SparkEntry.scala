@@ -935,6 +935,41 @@ object SparkEntry {
       require(idx.lastKeptDirs.size == 1,
         s"bloom pruning regressed: planned ${idx.lastKeptDirs.size} of 4 file groups")
       out
+    }),
+    // q60: the ZORDER rewrite — documents accreted as three doc_id%3
+    // slices (every group spans BOTH axes; stats prune nothing), then
+    // rewriteZOrder(doc_id, n_chars) into 16 groups and a conjunctive 2-D
+    // box (middle doc_id third × lower n_chars half). The rewrite must
+    // preserve the content snapshot id, the box must open at most half
+    // the groups (require — a single-column sort leaves one axis a full
+    // scan; z-order is the layout that serves both), and the rows must
+    // value-match DuckDB's full-scan filter with the same cut points.
+    "q60_zorder_box" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val r = docs.agg(
+        min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"),
+        min(col("n_chars")).cast("long"), max(col("n_chars")).cast("long")).collect()(0)
+      val (lo, hi, nlo, nhi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val nMid = nlo + (nhi - nlo) / 2
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-z").toString
+      VersionedTable.overwrite(docs.where(pmod(col("doc_id"), lit(3)) === 0), table)
+      (1 to 2).foreach(k =>
+        VersionedTable.append(docs.where(pmod(col("doc_id"), lit(3)) === k), table))
+      val before = VersionedTable.versions(table).last
+      val v = VersionedTable.rewriteZOrder(table, Seq("doc_id", "n_chars"), targetGroups = 16)
+      require(v.snapshotId == before.snapshotId, "z-order rewrite changed content")
+      val (scan, idx) = VersionedTable.scanIndexed(table)
+      val out = scan
+        .where(col("doc_id").between(c1 + 1, c2) && col("n_chars").between(nlo, nMid))
+        .select("doc_id", "lang", "n_chars")
+      val n = out.count()
+      require(n > 0, "z-order box returned no rows")
+      require(idx.lastKeptDirs.size <= v.dirs.size / 2,
+        s"z-order pruning regressed: planned ${idx.lastKeptDirs.size} of ${v.dirs.size} groups")
+      out
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1292,5 +1327,13 @@ object SparkEntry {
         |           FROM documents)
         |SELECT substr(md5(cast(doc_id AS varchar)), 1, 16) AS key, doc_id, n_chars
         |FROM documents, p
-        |WHERE substr(md5(cast(doc_id AS varchar)), 1, 16) = probe""".stripMargin)
+        |WHERE substr(md5(cast(doc_id AS varchar)), 1, 16) = probe""".stripMargin,
+    // q60: the z-ordered 2-D box must equal DuckDB's full-scan filter with
+    // the same cut points — the rewrite changes layout/IO, never rows.
+    "q60_zorder_box" ->
+      """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi,
+        |                  min(n_chars) AS nlo, max(n_chars) AS nhi FROM documents)
+        |SELECT doc_id, lang, n_chars FROM documents, b
+        |WHERE doc_id BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3
+        |  AND n_chars BETWEEN nlo AND nlo + (nhi - nlo) // 2""".stripMargin)
 }

@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util.Base64
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, xxhash64}
 import org.apache.spark.sql.types.{NumericType, StringType, StructType}
 
@@ -645,24 +645,111 @@ object VersionedTable {
     * commit appends a manifest line (txn keys untouched).
     */
   def rewriteSorted(table: String, column: String, targetGroups: Int = 8)(
+      implicit spark: SparkSession): Version =
+    rewriteByRange(table, _ => Seq(col(column)), targetGroups, "sort")
+
+  /** rewrite_data_files (ZORDER strategy): re-cluster the latest version
+    * along SEVERAL dimensions at once by range-partitioning on a Morton
+    * (bit-interleaved) key, so each resulting file group's [min,max] is
+    * narrow on EVERY z-ordered column and a conjunctive multi-dimensional
+    * range predicate prunes at the manifest layer — the case a
+    * single-column sort structurally cannot serve (sorting by `a` leaves
+    * every group spanning all of `b`). Same content-identity gate, commit
+    * shape and time-travel story as [[rewriteSorted]].
+    *
+    * The z key quantizes each column to 16 bits (numerics scaled by the
+    * version's [min,max] from one agg pass; strings by their first two
+    * bytes) and interleaves. Quantization affects CLUSTERING QUALITY
+    * only — the committed per-group stats are exact, so pruning stays
+    * evidence-based no matter how coarse the key. Null dimension values
+    * fold to the z origin (range comparisons never match null, so the
+    * all-in-one-group placement costs nothing). At 100 TB this is the
+    * standing maintenance op for tables with two access axes — e.g.
+    * triples probed by (conv range × time range) — where either
+    * single-column layout leaves the other axis a full scan.
+    */
+  def rewriteZOrder(table: String, columns: Seq[String], targetGroups: Int = 8)(
       implicit spark: SparkSession): Version = {
+    require(columns.size >= 2,
+      s"z-order needs >= 2 columns, got $columns (use rewriteSorted for one)")
+    require(columns.size <= 4, s"z-order interleaves at most 4 columns, got $columns")
+    rewriteByRange(table, df => Seq(zValue(df, columns)), targetGroups, "zorder")
+  }
+
+  /** The 16-bits-per-column Morton key as a pure Column expression (one
+    * agg pass for per-dimension bounds, then codegen'd shifts/masks — no
+    * UDF). Every dimension — string prefixes included — is normalized by
+    * its OBSERVED [min,max] before interleaving, otherwise a narrow-band
+    * dimension (e.g. keys all starting 'a'..'z', a 10% slice of the byte
+    * space) contributes constant top bits and the z key degenerates to a
+    * single-column sort on the other axis.
+    */
+  private def zValue(df: DataFrame, columns: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.{ascii, coalesce, greatest, least, shiftleft, shiftright, substring}
+    import org.apache.spark.sql.types.NumericType
+    columns.foreach(c => require(df.schema.fieldNames.contains(c), s"no column $c"))
+    // each dimension as a raw double: numerics cast, strings by their
+    // first two bytes (prefix locality — quality only, stats stay exact)
+    val raws: Seq[Column] = columns.map { c =>
+      df.schema(c).dataType match {
+        case _: NumericType => col(c).cast("double")
+        case StringType =>
+          // null propagates (a null raw is EXCLUDED from the min/max agg —
+          // coalescing here would drag lo to 0 and squash real prefixes
+          // into constant top bits); a 1-char string's second byte is 0
+          ((ascii(substring(col(c), 1, 1)).cast("long") % 256L) * 256L +
+            coalesce(ascii(substring(col(c), 2, 1)), lit(0)).cast("long") % 256L)
+            .cast("double")
+        case _ => lit(0.0) // non-orderable type: contributes nothing
+      }
+    }
+    val aggs = raws.flatMap(r => Seq(min(r), max(r)))
+    val b = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val u16s: Seq[Column] = raws.zipWithIndex.map { case (raw, i) =>
+      val lo = if (b.isNullAt(2 * i)) 0.0 else b.getDouble(2 * i)
+      val hi = if (b.isNullAt(2 * i + 1)) 0.0 else b.getDouble(2 * i + 1)
+      if (hi <= lo) lit(0L)
+      else least(lit(65535L), greatest(lit(0L),
+        ((raw - lit(lo)) / lit(hi - lo) * 65535.0).cast("long")))
+    }
+    val safe = u16s.map(u => coalesce(u, lit(0L)))
+    val n = safe.size
+    (0 until 16).flatMap { b =>
+      safe.zipWithIndex.map { case (u, i) =>
+        shiftleft(shiftright(u, b).bitwiseAND(lit(1L)), b * n + i)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Shared body of the SORT and ZORDER rewrites: one
+    * `repartitionByRange` shuffle on the cluster expressions, each range
+    * partition fanned into its own file group by a `partitionBy` staging
+    * write (no per-group re-scan, no driver-side cut-point collection),
+    * committed as a new version GATED on content identity like
+    * [[compact]]. `clusterExprs` sees the version's DataFrame so it can
+    * derive bounds (z-order) before producing the expressions.
+    */
+  private def rewriteByRange(table: String, clusterExprs: DataFrame => Seq[Column],
+      targetGroups: Int, tag: String)(implicit spark: SparkSession): Version = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed version in $table")
     val cur = vs.last
     val seq = cur.seq + 1
     val sfx = java.util.UUID.randomUUID().toString.take(8)
-    val staging = s"data/v$seq-sortstage-$sfx"
+    val staging = s"data/v$seq-${tag}stage-$sfx"
     // the _g projection must sit ABOVE the range exchange (spark_partition_id
     // is nondeterministic, so Catalyst won't push it below); sorting by
-    // (_g, column) is the same per-partition order as (column) — _g is
+    // (_g, exprs) is the same per-partition order as (exprs) — _g is
     // constant within a partition — while satisfying the file writer's
     // partition-column ordering requirement, so no second sort is inserted
     // and files come out key-ordered for parquet row-group pruning below
     // the manifest layer
-    readVersion(table, cur)
-      .repartitionByRange(targetGroups, col(column))
+    val src = readVersion(table, cur)
+    val exprs = clusterExprs(src)
+    src
+      .repartitionByRange(targetGroups, exprs: _*)
       .withColumn("_g", org.apache.spark.sql.functions.spark_partition_id())
-      .sortWithinPartitions(col("_g"), col(column))
+      .sortWithinPartitions(col("_g") +: exprs: _*)
       .write.partitionBy("_g").parquet(s"$table/$staging")
     import scala.jdk.CollectionConverters._
     val listing = Files.list(Paths.get(table, staging))
@@ -671,7 +758,7 @@ object VersionedTable {
         .filter(_.startsWith("_g=")).toList.sortBy(_.stripPrefix("_g=").toInt)
       finally listing.close()
     val dirs = groups.map { g =>
-      val d = s"data/v$seq-sort${g.stripPrefix("_g=")}-$sfx"
+      val d = s"data/v$seq-$tag${g.stripPrefix("_g=")}-$sfx"
       Files.move(Paths.get(table, staging, g), Paths.get(table, d))
       d
     }
@@ -682,13 +769,13 @@ object VersionedTable {
     if (sid != cur.snapshotId) {
       dirs.foreach(d => deleteRecursively(Paths.get(table, d)))
       throw new IllegalStateException(
-        s"sorted rewrite changed content: $sid != ${cur.snapshotId} — refusing to commit")
+        s"$tag rewrite changed content: $sid != ${cur.snapshotId} — refusing to commit")
     }
     commitTransform(table) { base =>
       // same conflict rule as [[compact]]: a commit that landed after the
       // version we rewrote would be erased by committing the rewrite
       if (!base.exists(_.seq == cur.seq)) throw new IllegalStateException(
-        s"concurrent commit during sorted rewrite of v${cur.seq} " +
+        s"concurrent commit during $tag rewrite of v${cur.seq} " +
           s"(tip is now v${base.map(_.seq).getOrElse(0)}) — retry")
       (dirs, sid)
     }
