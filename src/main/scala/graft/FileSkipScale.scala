@@ -155,6 +155,49 @@ object FileSkipScale {
 
     println(
       f"""{"metric":"bloom_skip","rows":${aFk.getLong(0)},"groups":$groups,"groups_opened":${idxK.lastKeptDirs.size},"sec_full_scan":$tFk%.3f,"sec_bloom_pruned":$tBk%.3f,"speedup":${tFk / tBk}%.2f,"build_sec":$bloomBuildSec%.1f,"cores":$cpus}""")
+
+    // ---- phase 4: ZORDER rewrite, the second access axis ------------------
+    // table2 is sorted by doc_id (phase 2): a doc_id range is served, but
+    // an n_chars predicate is STRUCTURALLY a full scan — every sorted
+    // group spans the whole n_chars distribution. rewriteZOrder(doc_id,
+    // n_chars) trades some doc_id granularity for locality on BOTH axes;
+    // the measured legs are the second-axis band (the query the sort can
+    // never serve) and the conjunctive 2-D box.
+    val nQ1 = docs.stat.approxQuantile("n_chars", Array(0.25), 0.001)(0).toLong
+    val bandCond = col("n_chars") <= nQ1 // lower quarter BY COUNT (long tail)
+    val boxCond = // second doc_id quarter x lower n_chars quarter
+      col("doc_id").between(lo + (hi - lo) / 4, lo + (hi - lo) / 2) && bandCond
+    def answer2(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(xxhash64(col("doc_id"), col("text"))
+        .cast("decimal(38,0)"))).collect()(0)
+    val (sortedDf, sortedIdx) = VersionedTable.scanIndexed(table2)
+    val aSortBand = answer2(sortedDf.where(bandCond))
+    val openedSortBand = sortedIdx.lastKeptDirs.size
+    require(openedSortBand == groups,
+      s"the sorted layout must full-scan the second axis, opened $openedSortBand")
+    val aSortBox = answer2(sortedDf.where(boxCond))
+    val openedSortBox = sortedIdx.lastKeptDirs.size
+    val (zv, tZRewrite) =
+      Bench.time(VersionedTable.rewriteZOrder(table2, Seq("doc_id", "n_chars"), groups))
+    val (zDf, zIdx) = VersionedTable.scanIndexed(table2)
+    val aZBand = answer2(zDf.where(bandCond))
+    val openedZBand = zIdx.lastKeptDirs.size
+    require(aZBand == aSortBand, s"z-order band diverged: $aZBand != $aSortBand")
+    require(openedZBand <= groups / 2,
+      s"z-order must bound the second-axis band: opened $openedZBand of $groups")
+    val aZBox = answer2(zDf.where(boxCond))
+    val openedZBox = zIdx.lastKeptDirs.size
+    require(aZBox == aSortBox, s"z-order box diverged: $aZBox != $aSortBox")
+    def sortBand() = answer2(sortedDf.where(bandCond))
+    def zBand() = answer2(zDf.where(bandCond))
+    val (tSortBand, tZBand) = (0 until 3).map { _ =>
+      val (_, tsb) = Bench.time(sortBand())
+      val (_, tzb) = Bench.time(zBand())
+      (tsb, tzb)
+    }.reduce((a, b) => (math.min(a._1, b._1), math.min(a._2, b._2)))
+
+    println(
+      f"""{"metric":"zorder_second_axis","rows":${aZBand.getLong(0)},"groups":${zv.dirs.size},"band_opened_sorted":$openedSortBand,"band_opened_zorder":$openedZBand,"box_opened_sorted":$openedSortBox,"box_opened_zorder":$openedZBox,"sec_band_sorted":$tSortBand%.3f,"sec_band_zorder":$tZBand%.3f,"speedup":${tSortBand / tZBand}%.2f,"rewrite_sec":$tZRewrite%.1f,"cores":$cpus}""")
     spark.stop()
   }
 }

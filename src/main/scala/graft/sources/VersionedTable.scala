@@ -676,45 +676,55 @@ object VersionedTable {
     rewriteByRange(table, df => Seq(zValue(df, columns)), targetGroups, "zorder")
   }
 
-  /** The 16-bits-per-column Morton key as a pure Column expression (one
-    * agg pass for per-dimension bounds, then codegen'd shifts/masks — no
-    * UDF). Every dimension — string prefixes included — is normalized by
-    * its OBSERVED [min,max] before interleaving, otherwise a narrow-band
-    * dimension (e.g. keys all starting 'a'..'z', a 10% slice of the byte
-    * space) contributes constant top bits and the z key degenerates to a
-    * single-column sort on the other axis.
+  /** The Morton key as a pure Column expression: each dimension is
+    * quantized to an 8-bit bucket by its EMPIRICAL QUANTILES (one
+    * approxQuantile pass), then the bucket bits interleave via codegen'd
+    * shifts/masks — no UDF. Rank-based quantization is load-bearing, not
+    * a nicety: scaling by [min,max] parks a long-tailed dimension's rows
+    * (document lengths, timestamps with stragglers) in a sliver of the
+    * bucket space, its interleaved bits go constant, and the curve
+    * degenerates to a 1-D sort on the other axis — measured before this
+    * design: a doc_id×n_chars box opened exactly as many groups as the
+    * plain sort. Quantile buckets make every dimension uniform BY COUNT,
+    * which is what balances the z cells (the same reason Delta's
+    * OPTIMIZE ZORDER uses range-partition ids per column). Strings ride
+    * a 2-byte-prefix numeric proxy (prefix locality — quality only; the
+    * committed stats stay exact). Null raws bucket to 0 (the filter
+    * lambda's null predicate keeps nothing).
     */
   private def zValue(df: DataFrame, columns: Seq[String]): Column = {
-    import org.apache.spark.sql.functions.{ascii, coalesce, greatest, least, shiftleft, shiftright, substring}
+    import org.apache.spark.sql.functions.{array, ascii, coalesce, filter, shiftleft, shiftright, size, substring}
     import org.apache.spark.sql.types.NumericType
     columns.foreach(c => require(df.schema.fieldNames.contains(c), s"no column $c"))
-    // each dimension as a raw double: numerics cast, strings by their
-    // first two bytes (prefix locality — quality only, stats stay exact)
     val raws: Seq[Column] = columns.map { c =>
       df.schema(c).dataType match {
         case _: NumericType => col(c).cast("double")
         case StringType =>
-          // null propagates (a null raw is EXCLUDED from the min/max agg —
-          // coalescing here would drag lo to 0 and squash real prefixes
-          // into constant top bits); a 1-char string's second byte is 0
+          // null propagates (excluded from the quantile summary); a
+          // 1-char string's second byte is 0
           ((ascii(substring(col(c), 1, 1)).cast("long") % 256L) * 256L +
             coalesce(ascii(substring(col(c), 2, 1)), lit(0)).cast("long") % 256L)
             .cast("double")
         case _ => lit(0.0) // non-orderable type: contributes nothing
       }
     }
-    val aggs = raws.flatMap(r => Seq(min(r), max(r)))
-    val b = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val u16s: Seq[Column] = raws.zipWithIndex.map { case (raw, i) =>
-      val lo = if (b.isNullAt(2 * i)) 0.0 else b.getDouble(2 * i)
-      val hi = if (b.isNullAt(2 * i + 1)) 0.0 else b.getDouble(2 * i + 1)
-      if (hi <= lo) lit(0L)
-      else least(lit(65535L), greatest(lit(0L),
-        ((raw - lit(lo)) / lit(hi - lo) * 65535.0).cast("long")))
+    val names = raws.indices.map(i => s"_z$i")
+    val proxy = df.select(raws.zip(names).map { case (r, nm) => r.as(nm) }: _*)
+    val probs = (1 until 256).map(_ / 256.0).toArray
+    val cuts = proxy.stat.approxQuantile(names.toArray, probs, 0.005)
+    val u8s: Seq[Column] = raws.zip(cuts.toSeq).map { case (raw, q) =>
+      // duplicate cut points are KEPT: a dimension with few distinct
+      // values (or heavy ties) then still spreads across the full 8-bit
+      // width (value v buckets to ~256·P(X<=v)), which keeps the
+      // interleave power-of-two aligned — collapsing duplicates would
+      // compress such a dimension into the low bits and fragment boxes
+      val qs = q.sorted
+      if (qs.isEmpty) lit(0L) // all-null dimension
+      else size(filter(array(qs.map(lit(_)): _*), c => raw >= c)).cast("long")
     }
-    val safe = u16s.map(u => coalesce(u, lit(0L)))
+    val safe = u8s.map(u => coalesce(u, lit(0L)))
     val n = safe.size
-    (0 until 16).flatMap { b =>
+    (0 until 8).flatMap { b =>
       safe.zipWithIndex.map { case (u, i) =>
         shiftleft(shiftright(u, b).bitwiseAND(lit(1L)), b * n + i)
       }

@@ -19,13 +19,16 @@ class ZOrderSpec extends SparkSpec {
   private def tmp(name: String): String =
     Files.createTempDirectory(s"graft-zorder-$name").resolve("t").toString
 
-  /** 1600 grid points (x, y) in [0,40)², appended as 4 interleaved slices
-    * by (x + y) % 4 — every slice spans both full axes.
+  /** 16384 grid points (x, y) in [0,128)², appended as 4 interleaved
+    * slices by (x + y) % 4 — every slice spans both full axes. 128 values
+    * per axis >> 64 groups, so GROUP COUNT (not key cardinality) bounds
+    * what any layout can isolate — a coarser grid hands the 1-D sort one
+    * key per group and makes the comparison vacuous.
     */
   private def gridTable(): String = {
     import spark.implicits._
     val p = tmp("grid")
-    val all = for { x <- 0 until 40; y <- 0 until 40 }
+    val all = for { x <- 0 until 128; y <- 0 until 128 }
       yield (x.toLong, y.toLong, s"v$x-$y")
     def slice(k: Int): DataFrame =
       all.filter(t => (t._1 + t._2) % 4 == k).toDF("x", "y", "v").repartition(1)
@@ -40,45 +43,43 @@ class ZOrderSpec extends SparkSpec {
     (n, idx.lastKeptDirs.size)
   }
 
-  private val box = col("x").between(0, 9) && col("y").between(0, 9)
+  private val box = col("x").between(0, 31) && col("y").between(0, 31)
+  private val yBand = col("y").between(0, 31)
 
-  test("z-order makes a 2-D box prune; a 1-D sort cannot") {
+  test("z-order trades the sorted axis for pruning on BOTH axes") {
     val p = gridTable()
     val before = VersionedTable.versions(p).last
 
     // precondition: arrival-order groups span both axes -> nothing prunes
     val (n0, kept0) = keptFor(p, box)
-    assert(n0 == 100 && kept0 == 4)
+    assert(n0 == 1024 && kept0 == 4)
 
-    // a sort by x isolates the x range but every group spans all of y:
-    // x in [0,9] is 1/4 of the keyspace -> 4 of 16 groups, best case
-    VersionedTable.rewriteSorted(p, "x", targetGroups = 16)
-    val (n1, kept1) = keptFor(p, box)
-    assert(n1 == 100)
-    assert(kept1 >= 4, s"sorted layout cannot beat the x-range share, kept $kept1")
+    // 1-D sort by x, 64 groups: the x share of the box prunes (1/4 of the
+    // keyspace -> ~16 groups) but a y-band is STRUCTURALLY a full scan —
+    // every sorted group spans all of y
+    VersionedTable.rewriteSorted(p, "x", targetGroups = 64)
+    val sortGroups = VersionedTable.versions(p).last.dirs.size
+    val (nb1, keptBoxSort) = keptFor(p, box)
+    val (ny1, keptYSort) = keptFor(p, yBand)
+    assert(nb1 == 1024 && ny1 == 4096)
+    assert(keptBoxSort >= 14, s"x share of the box bounds the sort, kept $keptBoxSort")
+    assert(keptYSort == sortGroups, s"sorted-by-x must full-scan a y-band, kept $keptYSort")
 
-    // the z-order rewrite clusters BOTH axes: the [0,9]^2 box is 1/16 of
-    // the area and z-contiguous -> strictly fewer groups than the sort
-    val v = VersionedTable.rewriteZOrder(p, Seq("x", "y"), targetGroups = 16)
+    // the z-order rewrite clusters BOTH axes: the quarter-by-quarter box
+    // covers ~4 of the 64 z cells (2-3x Morton/sampling fragmentation
+    // tolerated) and the y-band drops from all-64 to its cell share
+    val v = VersionedTable.rewriteZOrder(p, Seq("x", "y"), targetGroups = 64)
     assert(v.snapshotId == before.snapshotId) // content-identity gate held
-    val (n2, kept2) = keptFor(p, box)
-    assert(n2 == 100)
-    assert(kept2 < kept1, s"z-order kept $kept2, sort kept $kept1")
-    assert(kept2 <= 2, s"z-order should isolate the origin box, kept $kept2")
+    val (nb2, keptBoxZ) = keptFor(p, box)
+    val (ny2, keptYZ) = keptFor(p, yBand)
+    assert(nb2 == 1024 && ny2 == 4096)
+    assert(keptBoxZ < keptBoxSort, s"box: z kept $keptBoxZ, sort kept $keptBoxSort")
+    assert(keptBoxZ <= 12, s"box: z-order should isolate ~4 cells, kept $keptBoxZ")
+    assert(keptYZ <= 32, s"y-band: z kept $keptYZ of 64 (sort kept all $sortGroups)")
 
     // full content still exact vs a fresh re-derivation
     assert(VersionedTable.read(p).orderBy("x", "y").collect().toSeq ==
       VersionedTable.readAsOf(p, before.seq).orderBy("x", "y").collect().toSeq)
-  }
-
-  test("both z-ordered axes prune independently too") {
-    val p = gridTable()
-    VersionedTable.rewriteZOrder(p, Seq("x", "y"), targetGroups = 16)
-    // a y-only band: z-order gives PARTIAL locality on each axis — must
-    // beat the no-layout 16-group full keep, exactness unchanged
-    val (n, kept) = keptFor(p, col("y").between(0, 4))
-    assert(n == 200)
-    assert(kept < 16, s"y-band kept $kept of 16")
   }
 
   test("string dimension, null keys and history kind") {
