@@ -970,6 +970,26 @@ object SparkEntry {
       require(idx.lastKeptDirs.size <= v.dirs.size / 2,
         s"z-order pruning regressed: planned ${idx.lastKeptDirs.size} of ${v.dirs.size} groups")
       out
+    }),
+    // q61: the incremental append read (Iceberg incremental scan) —
+    // documents committed as v1=slice0, v2=slice1, v3=COMPACTION (layout
+    // only), v4=slice2; readChangesBetween(v1, v4] must deliver exactly
+    // slices 1 and 2 — the compaction's rewritten file groups contribute
+    // NOTHING even though they carry every v1 row — and value-match
+    // DuckDB's recomputation of the same modulo slices.
+    "q61_incremental_read" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-inc").toString
+      VersionedTable.overwrite(docs.where(pmod(col("doc_id"), lit(3)) === 0), table)
+      VersionedTable.append(docs.where(pmod(col("doc_id"), lit(3)) === 1), table)
+      VersionedTable.compact(table)
+      VersionedTable.append(docs.where(pmod(col("doc_id"), lit(3)) === 2), table)
+      val out = VersionedTable.readChangesBetween(table, 1, 4)
+        .select("doc_id", "lang", "n_chars")
+      require(out.count() > 0, "incremental read returned no rows")
+      out
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1335,5 +1355,9 @@ object SparkEntry {
         |                  min(n_chars) AS nlo, max(n_chars) AS nhi FROM documents)
         |SELECT doc_id, lang, n_chars FROM documents, b
         |WHERE doc_id BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3
-        |  AND n_chars BETWEEN nlo AND nlo + (nhi - nlo) // 2""".stripMargin)
+        |  AND n_chars BETWEEN nlo AND nlo + (nhi - nlo) // 2""".stripMargin,
+    // q61: the incremental read past a compaction must equal exactly the
+    // two appended slices — never the compaction's rewritten rows.
+    "q61_incremental_read" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 0")
 }

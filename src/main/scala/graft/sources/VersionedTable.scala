@@ -995,6 +995,63 @@ object VersionedTable {
     })
   }
 
+  /** The file groups APPENDED across versions (fromSeq, toSeq] — the one
+    * manifest walk behind both the streaming source's micro-batches and
+    * [[readChangesBetween]]. Per step, decided from manifest evidence
+    * alone: an append (dirs superset) contributes its new dirs; a
+    * layout-only rewrite — compact / rewriteSorted / rewriteZOrder, dirs
+    * replaced but the content snapshot id UNCHANGED — contributes nothing
+    * (the rows all flowed through earlier versions); a data rewrite
+    * (overwrite / deleteRange / merge) throws — a row-level change is not
+    * representable as appended rows, and failing loudly at the exact
+    * version beats silently re-delivering or dropping. Both endpoints
+    * must still be retained (expire makes the walk unanswerable).
+    */
+  private[graft] def appendedDirsBetween(table: String, fromSeq: Int,
+      toSeq: Int): Seq[String] = {
+    require(fromSeq <= toSeq, s"fromSeq $fromSeq > toSeq $toSeq")
+    val vs = versions(table)
+    def at(seq: Int) = vs.find(_.seq == seq).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $seq of $table not found (expired or never committed)"))
+    at(fromSeq); at(toSeq)
+    if (fromSeq == toSeq) return Seq.empty
+    vs.filter(v => v.seq >= fromSeq && v.seq <= toSeq).sortBy(_.seq)
+      .sliding(2).flatMap {
+        case Seq(a, b) =>
+          val prior = a.dirs.toSet
+          val added = b.dirs.filterNot(prior)
+          val removed = prior -- b.dirs.toSet
+          if (removed.isEmpty) added
+          else if (b.snapshotId == a.snapshotId) Seq.empty // layout-only rewrite
+          else throw new IllegalStateException(
+            s"commit v${b.seq} of $table rewrote data in place " +
+              "(overwrite/delete/merge) — the range is not representable " +
+              "as appended rows; read versions instead")
+        case _ => Seq.empty
+      }.toSeq
+  }
+
+  /** Incremental append read (Iceberg's incremental scan / Delta CDF's
+    * insert slice): ONLY the rows appended in versions (fromSeq, toSeq],
+    * planned purely from the manifests — the daily-batch consumer's
+    * complement of the streaming source. A scheduled job records the last
+    * version it processed and reads forward from there at O(new data)
+    * cost, no streaming checkpoint, no re-scan of the table. Declarative
+    * filters prune the delta's file groups through the same
+    * [[GraftFileIndex]] seam as batch scans (stats + blooms); the schema
+    * is `toSeq`'s union schema, so pre-evolution delta groups surface
+    * evolved columns as null exactly like full reads.
+    */
+  def readChangesBetween(table: String, fromSeq: Int, toSeq: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    val dirs = appendedDirsBetween(table, fromSeq, toSeq)
+    val to = versions(table).find(_.seq == toSeq).get // checked by the walk
+    val schema = unionSchema(table, to).getOrElse(readVersion(table, to).schema)
+    val idx = new GraftFileIndex(spark, table, fileGroups(table, dirs))
+    spark.baseRelationToDataFrame(idx.relation(schema))
+  }
+
   /** Time travel: the table exactly as of version `seq`. */
   def readAsOf(table: String, seq: Int)(implicit spark: SparkSession): DataFrame = {
     val v = versions(table).find(_.seq == seq)

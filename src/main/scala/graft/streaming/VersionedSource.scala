@@ -139,23 +139,12 @@ final class VersionedTableSource(spark: SparkSession, table: String,
         "retain more versions (expire keep) or reset the stream checkpoint"))
     val newDirs: Seq[String] = start.map(seqOf) match {
       case None => at(endSeq).dirs // initial batch: the full snapshot at end
-      case Some(s0) if s0 == endSeq => Seq.empty
       case Some(s0) =>
-        at(s0) // loud expiry check for the base of the walk
-        vs.filter(v => v.seq >= s0 && v.seq <= endSeq).sortBy(_.seq)
-          .sliding(2).flatMap {
-            case Seq(a, b) =>
-              val prior = a.dirs.toSet
-              val added = b.dirs.filterNot(prior)
-              val removed = prior -- b.dirs.toSet
-              if (removed.isEmpty) added
-              else if (b.snapshotId == a.snapshotId) Seq.empty // compaction
-              else throw new IllegalStateException(
-                s"commit v${b.seq} of $table rewrote data in place " +
-                  "(overwrite/delete/merge) — not representable as an " +
-                  "append stream; stream from an append-only table")
-            case _ => Seq.empty
-          }.toSeq
+        at(s0) // loud expiry check with the STREAM remedy in the message
+        // the shared manifest walk (also behind readChangesBetween):
+        // appends contribute their new dirs, layout-only rewrites nothing,
+        // data rewrites throw
+        VersionedTable.appendedDirsBetween(table, s0, endSeq)
     }
     val groups = VersionedTable.fileGroups(table, newDirs)
     // an append that EVOLVED the schema mid-stream would otherwise have

@@ -250,6 +250,45 @@ class VersionedScanSpec extends SparkSpec {
       (4, 25L, "rewrite"), (5, 3L, "overwrite")))
   }
 
+  test("readChangesBetween delivers exactly the appended rows, skipping rewrites") {
+    import spark.implicits._
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"n$i")).toDF("id", "name").repartition(1)
+    val p = tmp("changes")
+    VersionedTable.overwrite(mk(1, 20), p)   // v1
+    VersionedTable.append(mk(21, 30), p)     // v2
+    VersionedTable.compact(p)                // v3: layout-only, no new rows
+    VersionedTable.append(mk(31, 45), p)     // v4
+    def ids(from: Int, to: Int) =
+      VersionedTable.readChangesBetween(p, from, to)
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(ids(1, 2) == (21L to 30L))
+    assert(ids(1, 4) == (21L to 45L)) // compaction contributes nothing
+    assert(ids(2, 4) == (31L to 45L)) // ...even as the walk's start frontier
+    assert(ids(3, 4) == (31L to 45L))
+    assert(ids(4, 4) == Seq.empty)
+    // the delta prunes through the same FileIndex seam as batch scans
+    assert(VersionedTable.readChangesBetween(p, 1, 4)
+      .where(col("id") === 35).count() == 1)
+    // a data rewrite inside the range fails loudly
+    VersionedTable.deleteRange(p, "id", 5L, 9L) // v5
+    val e = intercept[IllegalStateException](ids(1, 5))
+    assert(e.getMessage.contains("rewrote data"))
+    // ...but a range that stops before it still answers
+    assert(ids(1, 4) == (21L to 45L))
+    // an expired endpoint fails loudly too
+    VersionedTable.expire(p, keep = 2)
+    intercept[IllegalArgumentException](ids(1, 4))
+    // schema evolution: the delta surfaces the evolved column (the range
+    // starts AFTER the v5 delete — crossing it would rightly throw)
+    VersionedTable.append(mk(200, 205), p)                                     // v6
+    VersionedTable.append(Seq((100L, "x", 7L)).toDF("id", "name", "extra"), p) // v7
+    val d = VersionedTable.readChangesBetween(p, 5, 7)
+    assert(d.columns.toSet == Set("id", "name", "extra"))
+    assert(d.count() == 7) // v6's six rows + v7's one
+    assert(d.where(col("extra").isNotNull).count() == 1)
+  }
+
   test("scan sees exactly the latest committed version (row-level ops included)") {
     import spark.implicits._
     val p = tmp("rowops")
