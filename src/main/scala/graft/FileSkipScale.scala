@@ -136,12 +136,9 @@ object FileSkipScale {
     val bloomBuildSec = (System.nanoTime() - bloomBuild0) / 1e9
     val probe = java.security.MessageDigest.getInstance("MD5")
       .digest(hi.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def answerK(df: org.apache.spark.sql.DataFrame) =
-      df.agg(count(lit(1)), sum(xxhash64(col("doc_id"), col("text"))
-        .cast("decimal(38,0)"))).collect()(0)
-    def fullK() = answerK(VersionedTable.read(table3).where(col("key") === probe))
+    def fullK() = answer(VersionedTable.read(table3).where(col("key") === probe))
     val (scanK, idxK) = VersionedTable.scanIndexed(table3)
-    def bloomK() = answerK(scanK.where(col("key") === probe))
+    def bloomK() = answer(scanK.where(col("key") === probe))
     val aFk = fullK(); val aBk = bloomK()
     require(aFk == aBk && aFk.getLong(0) >= 1L,
       s"bloom lookup diverged: $aBk != $aFk (rows ${aFk.getLong(0)})")
@@ -167,29 +164,26 @@ object FileSkipScale {
     val bandCond = col("n_chars") <= nQ1 // lower quarter BY COUNT (long tail)
     val boxCond = // second doc_id quarter x lower n_chars quarter
       col("doc_id").between(lo + (hi - lo) / 4, lo + (hi - lo) / 2) && bandCond
-    def answer2(df: org.apache.spark.sql.DataFrame) =
-      df.agg(count(lit(1)), sum(xxhash64(col("doc_id"), col("text"))
-        .cast("decimal(38,0)"))).collect()(0)
     val (sortedDf, sortedIdx) = VersionedTable.scanIndexed(table2)
-    val aSortBand = answer2(sortedDf.where(bandCond))
+    val aSortBand = answer(sortedDf.where(bandCond))
     val openedSortBand = sortedIdx.lastKeptDirs.size
     require(openedSortBand == groups,
       s"the sorted layout must full-scan the second axis, opened $openedSortBand")
-    val aSortBox = answer2(sortedDf.where(boxCond))
+    val aSortBox = answer(sortedDf.where(boxCond))
     val openedSortBox = sortedIdx.lastKeptDirs.size
     val (zv, tZRewrite) =
       Bench.time(VersionedTable.rewriteZOrder(table2, Seq("doc_id", "n_chars"), groups))
     val (zDf, zIdx) = VersionedTable.scanIndexed(table2)
-    val aZBand = answer2(zDf.where(bandCond))
+    val aZBand = answer(zDf.where(bandCond))
     val openedZBand = zIdx.lastKeptDirs.size
     require(aZBand == aSortBand, s"z-order band diverged: $aZBand != $aSortBand")
     require(openedZBand <= groups / 2,
       s"z-order must bound the second-axis band: opened $openedZBand of $groups")
-    val aZBox = answer2(zDf.where(boxCond))
+    val aZBox = answer(zDf.where(boxCond))
     val openedZBox = zIdx.lastKeptDirs.size
     require(aZBox == aSortBox, s"z-order box diverged: $aZBox != $aSortBox")
-    def sortBand() = answer2(sortedDf.where(bandCond))
-    def zBand() = answer2(zDf.where(bandCond))
+    def sortBand() = answer(sortedDf.where(bandCond))
+    def zBand() = answer(zDf.where(bandCond))
     val (tSortBand, tZBand) = (0 until 3).map { _ =>
       val (_, tsb) = Bench.time(sortBand())
       val (_, tzb) = Bench.time(zBand())

@@ -103,6 +103,9 @@ object PipelineMain {
       // into range-overlapping files, undoing exactly the layout the
       // rewrite bought (all are Iceberg rewrite_data_files strategies —
       // you pick one per run)
+      require(a.get("maintain-zorder-by").isEmpty || a.get("maintain-sort-by").isEmpty,
+        "--maintain-sort-by and --maintain-zorder-by are exclusive rewrite " +
+          "strategies — pass one per run")
       (a.get("maintain-zorder-by"), a.get("maintain-sort-by")) match {
         case (Some(cols), _) =>
           val g = a.getOrElse("maintain-sort-groups", "8").toInt
@@ -231,7 +234,12 @@ object PipelineMain {
       // so "fetch one conversation's triples" opens only the bloom-positive
       // file groups (equality pruning where min/max stats never can; see
       // VersionedTable.setBloomColumns / q59)
-      a.get("bloom-cols").filter(_ => versionedSink).foreach { cs =>
+      a.get("bloom-cols").foreach { cs =>
+        // silently dropping the flag would leave the user believing point
+        // lookups are bloom-indexed while every scan opens all groups
+        require(versionedSink,
+          "--bloom-cols needs --stream-sink versioned (blooms live in the " +
+            "versioned table's sidecars)")
         graft.sources.VersionedTable.setBloomColumns(outPath,
           cs.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
           a.getOrElse("bloom-fpp", "0.01").toDouble)

@@ -990,6 +990,42 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
       require(out.count() > 0, "incremental read returned no rows")
       out
+    }),
+    // q62: TIME-RANGE file skipping — the transcripts schema's `ts` axis.
+    // Events accrete as three contiguous time windows (the natural shape
+    // of streaming ingest); a time-window read through the plain
+    // declarative scan must open exactly 1 of 3 file groups (manifest
+    // timestamp stats, stored as epoch micros — the domain Catalyst's
+    // timestamp literals compare in) and value-match DuckDB's full-scan
+    // filter with the same micros cut points.
+    "q62_versioned_time_prune" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      // events.ts is TIMESTAMP_NTZ; under the session's pinned UTC the
+      // naive micros equal epoch micros, and the BETWEEN literals must be
+      // NTZ too or Spark wraps the attribute in a cast and the comparison
+      // stops pushing down to the FileIndex
+      val tsUs = unix_micros(col("ts").cast("timestamp"))
+      val ev = t(s, d, "events").select("event_id", "ts", "event_type", "value")
+      val r = ev.agg(min(tsUs), max(tsUs)).collect()(0)
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-ts").toString
+      VersionedTable.overwrite(ev.where(tsUs <= c1), table)
+      VersionedTable.append(ev.where(tsUs > c1 && tsUs <= c2), table)
+      VersionedTable.append(ev.where(tsUs > c2), table)
+      val (scan, idx) = VersionedTable.scanIndexed(table)
+      val out = scan
+        .where(col("ts").between(
+          timestamp_micros(lit(c1 + 1)).cast("timestamp_ntz"),
+          timestamp_micros(lit(c2)).cast("timestamp_ntz")))
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_type"), col("value"))
+      val n = out.count()
+      require(n > 0, "time-window read returned no rows")
+      require(idx.lastKeptDirs.size == 1,
+        s"timestamp pruning regressed: planned ${idx.lastKeptDirs.size} of 3 file groups")
+      out
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1359,5 +1395,11 @@ object SparkEntry {
     // q61: the incremental read past a compaction must equal exactly the
     // two appended slices — never the compaction's rewritten rows.
     "q61_incremental_read" ->
-      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 0")
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 0",
+    // q62: the pruned time-window read must equal DuckDB's full-scan
+    // filter with the same epoch-micros cut points.
+    "q62_versioned_time_prune" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events)
+        |SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events, b
+        |WHERE epoch_us(ts) BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3""".stripMargin)
 }

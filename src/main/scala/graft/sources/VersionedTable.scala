@@ -258,12 +258,35 @@ object VersionedTable {
     */
   private def writeStats(table: String, dir: String)(
       implicit spark: SparkSession): Long = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$table/$dir")
+    // NTZ literals carry NAIVE wall-clock micros; the only session where
+    // unix_micros(cast to ltz) produces exactly that domain is UTC (which
+    // Sessions pins). Under any other zone the stats would be offset-
+    // shifted and could WRONGLY SKIP boundary groups — so NTZ columns are
+    // excluded from stats there (conservative: groups are kept).
+    val ntzOk =
+      spark.sessionState.conf.sessionLocalTimeZone == "UTC" ||
+        spark.sessionState.conf.sessionLocalTimeZone == "Etc/UTC"
     val statFields = df.schema.fields.filter(f =>
-      f.dataType.isInstanceOf[NumericType] || f.dataType == StringType)
+      f.dataType.isInstanceOf[NumericType] || f.dataType == StringType ||
+        f.dataType == TimestampType || f.dataType == DateType ||
+        (f.dataType == TimestampNTZType && ntzOk))
+    // timestamps/dates record as epoch micros / days — EXACTLY the domain
+    // Catalyst literals compare in (Literal(_, TimestampType) is Long
+    // micros, DateType is Int days), so the read side prunes time ranges
+    // with zero special-casing; a seconds truncation here would round max
+    // DOWN and wrongly skip boundary rows
+    def statCol(f: org.apache.spark.sql.types.StructField): Column = f.dataType match {
+      case TimestampType => org.apache.spark.sql.functions.unix_micros(col(f.name))
+      case TimestampNTZType =>
+        org.apache.spark.sql.functions.unix_micros(col(f.name).cast(TimestampType))
+      case DateType => org.apache.spark.sql.functions.unix_date(col(f.name))
+      case _ => col(f.name)
+    }
     val aggs = count(lit(1)).as("_rows") +:
       sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("_sid") +:
-      statFields.flatMap(f => Seq(min(col(f.name)), max(col(f.name)))).toSeq
+      statFields.flatMap(f => Seq(min(statCol(f)), max(statCol(f)))).toSeq
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rows = row.getLong(0)
     val sid =
@@ -333,8 +356,17 @@ object VersionedTable {
   def setBloomColumns(table: String, cols: Seq[String], fpp: Double = 0.01): Unit = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     Files.createDirectories(Paths.get(table))
-    Files.writeString(propsPath(table),
+    // tmp + atomic move (the recordEnd primitive): a crash mid-write or a
+    // concurrent commit's bloomColumns read must never see torn JSON —
+    // a torn props file parses as "no bloom columns" and every later
+    // commit would silently stop building sidecars
+    val target = propsPath(table)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp,
       s"""{"bloom_cols":[${cols.map(c => "\"" + b64(c) + "\"").mkString(",")}],"bloom_fpp":$fpp}""")
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The table's configured bloom columns + target false-positive rate. */
@@ -360,18 +392,35 @@ object VersionedTable {
     * hits. Null values are not inserted (equality never matches null).
     */
   private def writeBlooms(table: String, dir: String, df: DataFrame, rows: Long): Unit = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
     val (cols, fpp) = bloomColumns(table)
     if (cols.isEmpty || rows <= 0) return
+    val ntzOk = { // same UTC gate as writeStats, same reason
+      val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+      tz == "UTC" || tz == "Etc/UTC"
+    }
     val present = cols.filter(c => df.schema.fields.exists(f => f.name == c &&
       (f.dataType == StringType || f.dataType == ByteType || f.dataType == ShortType ||
-        f.dataType == IntegerType || f.dataType == LongType)))
+        f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == TimestampType || f.dataType == DateType ||
+        (f.dataType == TimestampNTZType && ntzOk))))
     if (present.isEmpty) return
     val isStr = present.map(c => df.schema(c).dataType == StringType).toArray
     val n = present.size
     def zero() = Array.fill(n)(
       org.apache.spark.util.sketch.BloomFilter.create(math.max(rows, 64L), fpp))
-    val blooms = df.select(present.map(col): _*).rdd.treeAggregate(zero())(
+    // timestamps/dates hash as epoch micros / days — the same Long domain
+    // Catalyst equality literals arrive in on the read side
+    val projected = present.map { c =>
+      df.schema(c).dataType match {
+        case TimestampType => org.apache.spark.sql.functions.unix_micros(col(c))
+        case TimestampNTZType =>
+          org.apache.spark.sql.functions.unix_micros(col(c).cast(TimestampType))
+        case DateType => org.apache.spark.sql.functions.unix_date(col(c)).cast("long")
+        case _ => col(c)
+      }
+    }
+    val blooms = df.select(projected: _*).rdd.treeAggregate(zero())(
       (acc, row) => {
         var i = 0
         while (i < n) {
@@ -657,13 +706,16 @@ object VersionedTable {
     * every group spanning all of `b`). Same content-identity gate, commit
     * shape and time-travel story as [[rewriteSorted]].
     *
-    * The z key quantizes each column to 16 bits (numerics scaled by the
-    * version's [min,max] from one agg pass; strings by their first two
-    * bytes) and interleaves. Quantization affects CLUSTERING QUALITY
-    * only — the committed per-group stats are exact, so pruning stays
-    * evidence-based no matter how coarse the key. Null dimension values
-    * fold to the z origin (range comparisons never match null, so the
-    * all-in-one-group placement costs nothing). At 100 TB this is the
+    * The z key buckets each column to 8 bits by its EMPIRICAL QUANTILES
+    * (one approxQuantile pass — see [[zValue]] for why rank beats range
+    * scaling) and interleaves the bucket bits. Quantization affects
+    * CLUSTERING QUALITY only — the committed per-group stats are exact,
+    * so pruning stays evidence-based no matter how coarse the key. Null
+    * dimension values fold to the z origin (range comparisons never
+    * match null, so the all-in-one-group placement costs nothing).
+    * Dimensions must be numeric, string, timestamp or date — an
+    * unsupported type throws rather than silently degenerating the
+    * curve to a 1-D sort on the other axes. At 100 TB this is the
     * standing maintenance op for tables with two access axes — e.g.
     * triples probed by (conv range × time range) — where either
     * single-column layout leaves the other axis a full scan.
@@ -699,13 +751,25 @@ object VersionedTable {
     val raws: Seq[Column] = columns.map { c =>
       df.schema(c).dataType match {
         case _: NumericType => col(c).cast("double")
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          col(c).cast(org.apache.spark.sql.types.TimestampType)
+            .cast("double") // epoch seconds (quality only)
+        case org.apache.spark.sql.types.DateType =>
+          org.apache.spark.sql.functions.unix_date(col(c)).cast("double")
         case StringType =>
           // null propagates (excluded from the quantile summary); a
           // 1-char string's second byte is 0
           ((ascii(substring(col(c), 1, 1)).cast("long") % 256L) * 256L +
             coalesce(ascii(substring(col(c), 2, 1)), lit(0)).cast("long") % 256L)
             .cast("double")
-        case _ => lit(0.0) // non-orderable type: contributes nothing
+        case other =>
+          // a constant fallback would SILENTLY degenerate the curve to a
+          // 1-D sort on the other axes — the advertised layout contract
+          // would break with a success message
+          throw new IllegalArgumentException(
+            s"z-order dimension $c has unsupported type $other " +
+              "(numeric, string, timestamp or date)")
       }
     }
     val names = raws.indices.map(i => s"_z$i")
@@ -1008,9 +1072,12 @@ object VersionedTable {
     * must still be retained (expire makes the walk unanswerable).
     */
   private[graft] def appendedDirsBetween(table: String, fromSeq: Int,
+      toSeq: Int): Seq[String] =
+    appendedDirsIn(versions(table), table, fromSeq, toSeq)
+
+  private def appendedDirsIn(vs: Seq[Version], table: String, fromSeq: Int,
       toSeq: Int): Seq[String] = {
     require(fromSeq <= toSeq, s"fromSeq $fromSeq > toSeq $toSeq")
-    val vs = versions(table)
     def at(seq: Int) = vs.find(_.seq == seq).getOrElse(
       throw new IllegalArgumentException(
         s"version $seq of $table not found (expired or never committed)"))
@@ -1045,8 +1112,12 @@ object VersionedTable {
     */
   def readChangesBetween(table: String, fromSeq: Int, toSeq: Int)(
       implicit spark: SparkSession): DataFrame = {
-    val dirs = appendedDirsBetween(table, fromSeq, toSeq)
-    val to = versions(table).find(_.seq == toSeq).get // checked by the walk
+    // ONE manifest read feeds both the walk and the schema lookup — a
+    // second read could see a concurrent expire land in between and turn
+    // the designed "expired" error into a bare NoSuchElement
+    val vs = versions(table)
+    val dirs = appendedDirsIn(vs, table, fromSeq, toSeq)
+    val to = vs.find(_.seq == toSeq).get // existence checked by the walk
     val schema = unionSchema(table, to).getOrElse(readVersion(table, to).schema)
     val idx = new GraftFileIndex(spark, table, fileGroups(table, dirs))
     spark.baseRelationToDataFrame(idx.relation(schema))

@@ -82,6 +82,31 @@ class ZOrderSpec extends SparkSpec {
       VersionedTable.readAsOf(p, before.seq).orderBy("x", "y").collect().toSeq)
   }
 
+  test("timestamp dimensions cluster; unsupported types throw, never degrade") {
+    import spark.implicits._
+    val p = tmp("ts")
+    // independent axes (a y correlated with ts scatters the 2-D structure
+    // and nothing can cluster it): 20 days x 20 y values
+    val rows = (0 until 400).map { i =>
+      (new java.sql.Timestamp(1700000000000L + (i % 20) * 86400000L),
+        (i / 20).toLong, i % 2 == 0)
+    }
+    VersionedTable.overwrite(rows.toDF("ts", "y", "flag").repartition(1), p)
+    VersionedTable.append(rows.toDF("ts", "y", "flag").repartition(1), p)
+    val before = VersionedTable.versions(p).last
+    val v = VersionedTable.rewriteZOrder(p, Seq("ts", "y"), targetGroups = 8)
+    assert(v.snapshotId == before.snapshotId)
+    val (df, idx) = VersionedTable.scanIndexed(p)
+    val lo = new java.sql.Timestamp(1700000000000L)
+    val hiT = new java.sql.Timestamp(1700000000000L + 4L * 86400000L)
+    assert(df.where(col("ts").between(lo, hiT)).count() == 200)
+    assert(idx.lastKeptDirs.size < 8, s"ts band kept ${idx.lastKeptDirs.size}")
+    // a boolean dimension would silently degenerate the curve — it throws
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.rewriteZOrder(p, Seq("flag", "y"), targetGroups = 8))
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
   test("string dimension, null keys and history kind") {
     import spark.implicits._
     val p = tmp("strnull")
