@@ -126,6 +126,13 @@ object ManifestAggRule extends Rule[LogicalPlan] {
     case FloatType => Try(s.toFloat).toOption
     case d: DecimalType =>
       Try(Decimal(new java.math.BigDecimal(s), d.precision, d.scale)).toOption
+    // the sidecar stores timestamps as epoch micros and dates as epoch
+    // days (writeStats) — exactly the Catalyst internal values, so the
+    // watermark query `min(ts), max(ts), count(*)` folds to metadata.
+    // NTZ stats exist only when written under UTC (naive == epoch), and
+    // naive micros are tz-free to read back.
+    case TimestampType | TimestampNTZType => Try(s.toLong).toOption
+    case DateType => Try(s.toInt).toOption
     case _ => None
   }
 

@@ -170,6 +170,18 @@ class VersionedScanSpec extends SparkSpec {
     val m2 = spark.sql("SELECT min(id) AS lo, max(extra) AS hx, count(*) AS n FROM vagg_t")
     assert(m2.collect()(0).toSeq == Seq(1L, 2L, 4L))
     assert(folded(m2), m2.queryExecution.optimizedPlan.toString)
+    // the watermark query over a TIMESTAMP axis folds too (stats carry
+    // epoch micros — Catalyst's own internal value)
+    val p3 = tmp("aggts")
+    def ts(i: Long) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    VersionedTable.overwrite(
+      Seq((1L, ts(10)), (2L, ts(500))).toDF("id", "ts").repartition(1), p3)
+    VersionedTable.append(
+      Seq((3L, ts(2)), (4L, ts(300))).toDF("id", "ts").repartition(1), p3)
+    spark.read.format("graft-versioned").load(p3).createOrReplaceTempView("vts_t")
+    val m3 = spark.sql("SELECT min(ts) AS lo, max(ts) AS hi, count(*) AS n FROM vts_t")
+    assert(m3.collect()(0).toSeq == Seq(ts(2), ts(500), 4L))
+    assert(folded(m3), m3.queryExecution.optimizedPlan.toString)
   }
 
   test("the sidecar names the data files — planning needs no directory listing") {
