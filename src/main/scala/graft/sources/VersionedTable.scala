@@ -1123,6 +1123,52 @@ object VersionedTable {
     spark.baseRelationToDataFrame(idx.relation(schema))
   }
 
+  // ---- tags (Iceberg snapshot refs) ---------------------------------------
+
+  private def refsPath(table: String) = Paths.get(table, "_graft_refs.json")
+
+  /** Named tags → version seq (Iceberg's `tag` refs). */
+  def tags(table: String): Map[String, Int] = {
+    val p = refsPath(table)
+    if (!Files.exists(p)) Map.empty
+    else """"([^"]+)":(\d+)""".r.findAllMatchIn(Files.readString(p))
+      .map(m => unb64(m.group(1)) -> m.group(2).toInt).toMap
+  }
+
+  private def writeTags(table: String, t: Map[String, Int]): Unit = {
+    val target = refsPath(table)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp,
+      t.toSeq.sortBy(_._1).map { case (n, s) => s""""${b64(n)}":$s""" }
+        .mkString("{", ",", "}"))
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Tag a retained version with a durable name (Iceberg `create_tag`):
+    * a tagged version SURVIVES [[expire]] no matter the retention count —
+    * the publish-point semantics behind the reference's backup-table
+    * dance (MergeAndExportInfo.py:85-89): tag what you published, expire
+    * freely, roll back by reading the tag. Serialized under the commit
+    * lock (two concurrent taggers must not lose each other's ref).
+    */
+  def tag(table: String, name: String, seq: Int): Unit = withCommitLock(table) {
+    require(versions(table).exists(_.seq == seq),
+      s"cannot tag version $seq of $table: not retained (or never committed)")
+    writeTags(table, tags(table) + (name -> seq))
+  }
+
+  def dropTag(table: String, name: String): Unit = withCommitLock(table) {
+    writeTags(table, tags(table) - name)
+  }
+
+  /** Time travel by tag name. */
+  def readAsOfTag(table: String, name: String)(
+      implicit spark: SparkSession): DataFrame =
+    readAsOf(table, tags(table).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on $table")))
+
   /** Time travel: the table exactly as of version `seq`. */
   def readAsOf(table: String, seq: Int)(implicit spark: SparkSession): DataFrame = {
     val v = versions(table).find(_.seq == seq)
@@ -1185,8 +1231,14 @@ object VersionedTable {
       val vs = st.versions
       if (vs.size <= keep) Seq.empty
       else {
-        val (dropped, retained) = vs.splitAt(vs.size - keep)
-        val retainedSeqs = retained.map(_.seq).toSet
+        // tagged versions are EXEMPT from retention (Iceberg ref
+        // semantics): expire keeps the newest `keep` plus every version a
+        // tag names, so a published snapshot survives any retention policy
+        // until its tag is dropped
+        val taggedSeqs = tags(table).values.toSet
+        val suffixSeqs = vs.drop(vs.size - keep).map(_.seq).toSet
+        val retainedSeqs = suffixSeqs ++ taggedSeqs
+        val (retained, dropped) = vs.partition(v => retainedSeqs(v.seq))
         val keepDirs = retained.flatMap(_.dirs).toSet
         def lineSeq(l: String) = parseLine(l).map(_.seq)
         // retained versions keep their ORIGINAL manifest lines verbatim —

@@ -213,8 +213,13 @@ final class VersionedTableProvider extends StreamSourceProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
     implicit val s: SparkSession = sqlContext.sparkSession
-    VersionedTable.scanRelation(tablePath(parameters),
-      parameters.get("versionAsOf").map(_.trim.toInt))._1
+    val table = tablePath(parameters)
+    val asOf = parameters.get("versionAsOf").map(_.trim.toInt)
+      .orElse(parameters.get("tagAsOf").map { name =>
+        VersionedTable.tags(table).getOrElse(name,
+          throw new IllegalArgumentException(s"no tag '$name' on $table"))
+      })
+    VersionedTable.scanRelation(table, asOf)._1
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

@@ -301,6 +301,40 @@ class VersionedScanSpec extends SparkSpec {
     assert(d.where(col("extra").isNotNull).count() == 1)
   }
 
+  test("tags survive expire and time-travel by name (Iceberg ref semantics)") {
+    import spark.implicits._
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"n$i")).toDF("id", "name").repartition(1)
+    val p = tmp("tags")
+    VersionedTable.overwrite(mk(1, 10), p)  // v1
+    VersionedTable.append(mk(11, 20), p)    // v2 <- published
+    VersionedTable.append(mk(21, 30), p)    // v3
+    VersionedTable.append(mk(31, 40), p)    // v4
+    VersionedTable.tag(p, "published", 2)
+    // tagging an unretained version fails loudly
+    intercept[IllegalArgumentException](VersionedTable.tag(p, "x", 99))
+    val publishedRows = VersionedTable.readAsOf(p, 2).orderBy("id").collect().toSeq
+    // retention would drop v1-v3, but the tag protects v2 (and its dirs)
+    val expired = VersionedTable.expire(p, keep = 1)
+    assert(VersionedTable.versions(p).map(_.seq) == Seq(2, 4))
+    intercept[IllegalArgumentException](VersionedTable.readAsOf(p, 3))
+    assert(VersionedTable.readAsOfTag(p, "published").orderBy("id").collect().toSeq
+      == publishedRows)
+    // the tag also resolves through the format reader
+    assert(spark.read.format("graft-versioned").option("tagAsOf", "published")
+      .load(p).count() == 20)
+    // v2's dirs must not have been deleted by the expire
+    assert(expired.forall(d => !VersionedTable.versions(p)
+      .find(_.seq == 2).get.dirs.contains(d)))
+    // dropping the tag releases the version at the next retention pass
+    VersionedTable.dropTag(p, "published")
+    VersionedTable.expire(p, keep = 1)
+    assert(VersionedTable.versions(p).map(_.seq) == Seq(4))
+    intercept[IllegalArgumentException](VersionedTable.readAsOfTag(p, "published"))
+    // the tip is untouched throughout
+    assert(VersionedTable.read(p).count() == 40)
+  }
+
   test("scan sees exactly the latest committed version (row-level ops included)") {
     import spark.implicits._
     val p = tmp("rowops")
