@@ -244,6 +244,29 @@ object VersionedTable {
   private def unb64(s: String): String =
     new String(Base64.getDecoder.decode(s), "UTF-8")
 
+  /** tmp + atomic rename: a crash mid-write or a concurrent reader must
+    * never see torn content (shared by props/refs writes and expire's
+    * manifest rewrite).
+    */
+  private def atomicWrite(target: java.nio.file.Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** NTZ literals carry NAIVE wall-clock micros; the only session where
+    * `unix_micros(cast to ltz)` produces exactly that domain is UTC
+    * (which Sessions pins). Under any other zone NTZ stats/blooms would
+    * be offset-shifted and could WRONGLY SKIP boundary groups — so NTZ
+    * columns are excluded there (conservative: groups are kept).
+    */
+  private def ntzStatsOk(spark: SparkSession): Boolean = {
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    tz == "UTC" || tz == "Etc/UTC"
+  }
+
   /** ONE aggregate pass over the just-written file group computing the
     * whole manifest entry: row count, the dir's content snapshot id (the
     * same xxhash64-sum TableIO.snapshotId computes — folded in here so a
@@ -260,14 +283,7 @@ object VersionedTable {
       implicit spark: SparkSession): Long = {
     import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$table/$dir")
-    // NTZ literals carry NAIVE wall-clock micros; the only session where
-    // unix_micros(cast to ltz) produces exactly that domain is UTC (which
-    // Sessions pins). Under any other zone the stats would be offset-
-    // shifted and could WRONGLY SKIP boundary groups — so NTZ columns are
-    // excluded from stats there (conservative: groups are kept).
-    val ntzOk =
-      spark.sessionState.conf.sessionLocalTimeZone == "UTC" ||
-        spark.sessionState.conf.sessionLocalTimeZone == "Etc/UTC"
+    val ntzOk = ntzStatsOk(spark)
     val statFields = df.schema.fields.filter(f =>
       f.dataType.isInstanceOf[NumericType] || f.dataType == StringType ||
         f.dataType == TimestampType || f.dataType == DateType ||
@@ -356,17 +372,10 @@ object VersionedTable {
   def setBloomColumns(table: String, cols: Seq[String], fpp: Double = 0.01): Unit = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     Files.createDirectories(Paths.get(table))
-    // tmp + atomic move (the recordEnd primitive): a crash mid-write or a
-    // concurrent commit's bloomColumns read must never see torn JSON —
-    // a torn props file parses as "no bloom columns" and every later
-    // commit would silently stop building sidecars
-    val target = propsPath(table)
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.writeString(tmp,
+    // atomic: a torn props file parses as "no bloom columns" and every
+    // later commit would silently stop building sidecars
+    atomicWrite(propsPath(table),
       s"""{"bloom_cols":[${cols.map(c => "\"" + b64(c) + "\"").mkString(",")}],"bloom_fpp":$fpp}""")
-    Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The table's configured bloom columns + target false-positive rate. */
@@ -395,10 +404,7 @@ object VersionedTable {
     import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
     val (cols, fpp) = bloomColumns(table)
     if (cols.isEmpty || rows <= 0) return
-    val ntzOk = { // same UTC gate as writeStats, same reason
-      val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
-      tz == "UTC" || tz == "Etc/UTC"
-    }
+    val ntzOk = ntzStatsOk(df.sparkSession)
     val present = cols.filter(c => df.schema.fields.exists(f => f.name == c &&
       (f.dataType == StringType || f.dataType == ByteType || f.dataType == ShortType ||
         f.dataType == IntegerType || f.dataType == LongType ||
@@ -1075,7 +1081,7 @@ object VersionedTable {
       toSeq: Int): Seq[String] =
     appendedDirsIn(versions(table), table, fromSeq, toSeq)
 
-  private def appendedDirsIn(vs: Seq[Version], table: String, fromSeq: Int,
+  private[graft] def appendedDirsIn(vs: Seq[Version], table: String, fromSeq: Int,
       toSeq: Int): Seq[String] = {
     require(fromSeq <= toSeq, s"fromSeq $fromSeq > toSeq $toSeq")
     def at(seq: Int) = vs.find(_.seq == seq).getOrElse(
@@ -1089,7 +1095,19 @@ object VersionedTable {
           val prior = a.dirs.toSet
           val added = b.dirs.filterNot(prior)
           val removed = prior -- b.dirs.toSet
-          if (removed.isEmpty) added
+          // tag-exempt expire can retain NON-ADJACENT commits (a tagged
+          // island inside a dropped range): across such a gap the step is
+          // unclassifiable from manifest evidence — an interior data
+          // rewrite could hide behind a dirs-superset (silently delivering
+          // post-rewrite rows as "appends") or an interior compaction
+          // could masquerade as a data rewrite. Identical-dirs gaps are
+          // provably empty; anything else fails loudly.
+          if (b.seq != a.seq + 1 && (added.nonEmpty || removed.nonEmpty))
+            throw new IllegalStateException(
+              s"versions between v${a.seq} and v${b.seq} of $table expired — " +
+                "the appended-rows walk cannot be answered across the gap; " +
+                "retain more versions or read full snapshots")
+          else if (removed.isEmpty) added
           else if (b.snapshotId == a.snapshotId) Seq.empty // layout-only rewrite
           else throw new IllegalStateException(
             s"commit v${b.seq} of $table rewrote data in place " +
@@ -1135,16 +1153,10 @@ object VersionedTable {
       .map(m => unb64(m.group(1)) -> m.group(2).toInt).toMap
   }
 
-  private def writeTags(table: String, t: Map[String, Int]): Unit = {
-    val target = refsPath(table)
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.writeString(tmp,
+  private def writeTags(table: String, t: Map[String, Int]): Unit =
+    atomicWrite(refsPath(table),
       t.toSeq.sortBy(_._1).map { case (n, s) => s""""${b64(n)}":$s""" }
         .mkString("{", ",", "}"))
-    Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
 
   /** Tag a retained version with a durable name (Iceberg `create_tag`):
     * a tagged version SURVIVES [[expire]] no matter the retention count —
@@ -1154,6 +1166,7 @@ object VersionedTable {
     * lock (two concurrent taggers must not lose each other's ref).
     */
   def tag(table: String, name: String, seq: Int): Unit = withCommitLock(table) {
+    require(name.nonEmpty, "tag name must be non-empty")
     require(versions(table).exists(_.seq == seq),
       s"cannot tag version $seq of $table: not retained (or never committed)")
     writeTags(table, tags(table) + (name -> seq))
@@ -1163,11 +1176,15 @@ object VersionedTable {
     writeTags(table, tags(table) - name)
   }
 
+  /** The version seq a tag names, or a loud error. */
+  def resolveTag(table: String, name: String): Int =
+    tags(table).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on $table"))
+
   /** Time travel by tag name. */
   def readAsOfTag(table: String, name: String)(
       implicit spark: SparkSession): DataFrame =
-    readAsOf(table, tags(table).getOrElse(name,
-      throw new IllegalArgumentException(s"no tag '$name' on $table")))
+    readAsOf(table, resolveTag(table, name))
 
   /** Time travel: the table exactly as of version `seq`. */
   def readAsOf(table: String, seq: Int)(implicit spark: SparkSession): DataFrame = {
@@ -1264,12 +1281,7 @@ object VersionedTable {
         // manifest (readAsOf gives the clean "expired" error) and any
         // undeleted dirs are unreferenced storage-only orphans that
         // [[vacuum]] reclaims.
-        val target = manifestPath(table)
-        val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-        Files.writeString(tmp, keptLines.mkString("", "\n", "\n"))
-        Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        atomicWrite(manifestPath(table), keptLines.mkString("", "\n", "\n"))
         dropped.flatMap(_.dirs).distinct.filterNot(keepDirs)
       }
     }

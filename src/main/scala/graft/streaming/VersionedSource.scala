@@ -107,17 +107,22 @@ final class VersionedTableSource(spark: SparkSession, table: String,
     * version is always offered.
     */
   override def getOffset: Option[OffsetV1] = {
-    val latest = VersionedTable.versions(table).lastOption.map(_.seq)
-    (latest, maxVersionsPerTrigger) match {
+    val vs = VersionedTable.versions(table)
+    (vs.lastOption.map(_.seq), maxVersionsPerTrigger) match {
       case (None, _) => None
       case (Some(l), None) => Some(LongOffset(l.toLong))
       case (Some(l), Some(k)) =>
         // base = what getBatch last consumed through (recovered from the
         // metadata file across restarts); with no base this is a fresh
         // query whose first batch is the initial snapshot — one version,
-        // so the unthrottled offer is still version-bounded
+        // so the unthrottled offer is still version-bounded. The cap
+        // advances along RETAINED seqs, not base+k arithmetic: tag-exempt
+        // expire leaves gaps in the sequence, and an arithmetic cap could
+        // name an expired seq and wedge every subsequent trigger on it.
         val capped = lastEndSeq match {
-          case Some(base) => math.min(l, base + k)
+          case Some(base) =>
+            vs.iterator.map(_.seq).filter(_ > base).take(k).reduceOption(math.max)
+              .getOrElse(l)
           case None => l
         }
         Some(LongOffset(capped.toLong))
@@ -141,10 +146,11 @@ final class VersionedTableSource(spark: SparkSession, table: String,
       case None => at(endSeq).dirs // initial batch: the full snapshot at end
       case Some(s0) =>
         at(s0) // loud expiry check with the STREAM remedy in the message
-        // the shared manifest walk (also behind readChangesBetween):
-        // appends contribute their new dirs, layout-only rewrites nothing,
-        // data rewrites throw
-        VersionedTable.appendedDirsBetween(table, s0, endSeq)
+        // the shared manifest walk (also behind readChangesBetween),
+        // fed the SAME `vs` read as the at() check — a second manifest
+        // read could see a concurrent expire land in between and bypass
+        // the stream-remedy error above
+        VersionedTable.appendedDirsIn(vs, table, s0, endSeq)
     }
     val groups = VersionedTable.fileGroups(table, newDirs)
     // an append that EVOLVED the schema mid-stream would otherwise have
@@ -214,11 +220,10 @@ final class VersionedTableProvider extends StreamSourceProvider
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
     implicit val s: SparkSession = sqlContext.sparkSession
     val table = tablePath(parameters)
+    require(!(parameters.contains("versionAsOf") && parameters.contains("tagAsOf")),
+      "versionAsOf and tagAsOf are mutually exclusive — pass one")
     val asOf = parameters.get("versionAsOf").map(_.trim.toInt)
-      .orElse(parameters.get("tagAsOf").map { name =>
-        VersionedTable.tags(table).getOrElse(name,
-          throw new IllegalArgumentException(s"no tag '$name' on $table"))
-      })
+      .orElse(parameters.get("tagAsOf").map(VersionedTable.resolveTag(table, _)))
     VersionedTable.scanRelation(table, asOf)._1
   }
 

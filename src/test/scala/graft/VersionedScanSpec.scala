@@ -335,6 +335,29 @@ class VersionedScanSpec extends SparkSpec {
     assert(VersionedTable.read(p).count() == 40)
   }
 
+  test("the appended-rows walk refuses tag-created history gaps") {
+    import spark.implicits._
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"n$i")).toDF("id", "name").repartition(1)
+    val p = tmp("gap")
+    VersionedTable.overwrite(mk(1, 10), p) // v1, tagged
+    VersionedTable.append(mk(11, 20), p)   // v2 (will expire)
+    VersionedTable.append(mk(21, 30), p)   // v3
+    VersionedTable.tag(p, "base", 1)
+    VersionedTable.expire(p, keep = 1)     // retained: {1 (tagged), 3}
+    assert(VersionedTable.versions(p).map(_.seq) == Seq(1, 3))
+    // v1 -> v3 skips the expired v2: the step is unclassifiable (a data
+    // rewrite could hide in the gap) — loud refusal, not silent delivery
+    val e = intercept[IllegalStateException](
+      VersionedTable.readChangesBetween(p, 1, 3).count())
+    assert(e.getMessage.contains("expired"))
+    // the empty tag name would write a ref the reader can never resolve
+    intercept[IllegalArgumentException](VersionedTable.tag(p, "", 1))
+    // reading full snapshots across the gap stays fine
+    assert(VersionedTable.readAsOfTag(p, "base").count() == 10)
+    assert(VersionedTable.read(p).count() == 30)
+  }
+
   test("scan sees exactly the latest committed version (row-level ops included)") {
     import spark.implicits._
     val p = tmp("rowops")
