@@ -1111,8 +1111,8 @@ object VersionedTable {
           else if (b.snapshotId == a.snapshotId) Seq.empty // layout-only rewrite
           else throw new IllegalStateException(
             s"commit v${b.seq} of $table rewrote data in place " +
-              "(overwrite/delete/merge) — the range is not representable " +
-              "as appended rows; read versions instead")
+              "(overwrite/delete/merge/rollback) — the range is not " +
+              "representable as appended rows; read versions instead")
         case _ => Seq.empty
       }.toSeq
   }
@@ -1186,6 +1186,41 @@ object VersionedTable {
       implicit spark: SparkSession): DataFrame =
     readAsOf(table, resolveTag(table, name))
 
+  /** The table's named refs as a DataFrame (Iceberg's `refs` metadata
+    * table beside [[history]] and [[filesMetadata]]): one row per tag.
+    */
+  def refs(table: String)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    tags(table).toSeq.sortBy(_._1).toDF("name", "version")
+  }
+
+  /** rollback_to_snapshot (Delta's RESTORE): make retained version `seq`
+    * the CURRENT state again by committing a NEW version carrying exactly
+    * its file groups and content snapshot id. History is never rewritten —
+    * the versions being undone stay time-travelable until [[expire]], the
+    * rollback itself is auditable ([[history]] labels it), and a second
+    * rollback rolls forward. Data dirs are immutable and shared by
+    * reference, so the commit is metadata-only: O(1) IO regardless of
+    * table size — the operational fix for "yesterday's emit was bad" on a
+    * 100-TB triple table. Rolling back to the current tip is a no-op (no
+    * empty commit). The target resolves INSIDE the commit lock, so a
+    * racing expire cannot delete the dirs between check and commit.
+    */
+  def rollbackTo(table: String, seq: Int): Version = {
+    require(versions(table).nonEmpty, s"no committed version in $table")
+    commitWith(table) { base =>
+      val target = versions(table).find(_.seq == seq).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot roll back $table to version $seq: not retained (or never committed)"))
+      if (base.exists(_.seq == seq)) None // already the tip
+      else Some((target.dirs, target.snapshotId))
+    }.getOrElse(versions(table).last)
+  }
+
+  /** [[rollbackTo]] by tag name — "roll back to what we published". */
+  def rollbackToTag(table: String, name: String): Version =
+    rollbackTo(table, resolveTag(table, name))
+
   /** Time travel: the table exactly as of version `seq`. */
   def readAsOf(table: String, seq: Int)(implicit spark: SparkSession): DataFrame = {
     val v = versions(table).find(_.seq == seq)
@@ -1216,13 +1251,19 @@ object VersionedTable {
   def history(table: String)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val vs = versions(table)
-    val rows = vs.zip(None +: vs.map(Some(_))).map { case (v, prev) =>
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      val prev = if (i == 0) None else Some(vs(i - 1))
       val rowCounts = v.dirs.map(d => dirStats(table, d).map(_.rows))
       val nRows: Option[Long] =
         if (rowCounts.exists(_.isEmpty)) None else Some(rowCounts.flatten.sum)
       val kind = prev match {
         case None => "base"
         case Some(p) if v.dirs.toSet == p.dirs.toSet => "noop"
+        // an exact (id, dirs) replay of a STRICTLY EARLIER version is a
+        // [[rollbackTo]] commit — checked before the structural cases,
+        // which would misread it (dirs usually shrink vs the undone tip)
+        case Some(_) if vs.take(i).exists(e =>
+          e.snapshotId == v.snapshotId && e.dirs.toSet == v.dirs.toSet) => "rollback"
         case Some(p) if p.dirs.forall(v.dirs.contains) => "append"
         case Some(p) if v.snapshotId == p.snapshotId => "rewrite"
         case Some(p) if p.dirs.exists(v.dirs.contains) => "rowlevel"
@@ -1231,6 +1272,30 @@ object VersionedTable {
       (v.seq, v.snapshotId, v.dirs.size, nRows, kind)
     }
     rows.toDF("version", "snapshot_id", "n_file_groups", "n_rows", "operation")
+  }
+
+  /** Iceberg's `files` metadata table: one row per DATA FILE of a version
+    * (latest by default, `asOf` for history) — file group, file name,
+    * bytes, plus the group-level manifest evidence (row count, content
+    * snapshot id). Answered purely from the manifest + sidecars — zero
+    * parquet reads, zero directory listings on post-upgrade sidecars — so
+    * operators can audit layout health (group count, size skew,
+    * compaction debt) on a 100-TB table from metadata alone.
+    */
+  def filesMetadata(table: String, asOf: Option[Int] = None)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed version in $table")
+    val v = asOf.fold(vs.last)(s => vs.find(_.seq == s).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $s not found (expired or never committed) in $table")))
+    fileGroups(table, v.dirs).flatMap { g =>
+      val rows = g.stats.map(_.rows)
+      val sid = statsSidecarSid(table, g.dir)
+      g.files.map(f =>
+        (g.dir, f.getPath.getName, f.getLen, rows, sid))
+    }.toDF("file_group", "file", "bytes", "group_rows", "group_snapshot_id")
   }
 
   /** expire_snapshots: keep the newest `keep` versions, delete data dirs

@@ -358,6 +358,63 @@ class VersionedScanSpec extends SparkSpec {
     assert(VersionedTable.read(p).count() == 30)
   }
 
+  test("rollback makes an old version the tip as a NEW auditable commit") {
+    import spark.implicits._
+    def mk(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"n$i")).toDF("id", "name").repartition(1)
+    val p = tmp("rollback")
+    val v1 = VersionedTable.overwrite(mk(1, 20), p) // v1 <- good emit
+    VersionedTable.append(mk(21, 30), p)            // v2 <- bad emit
+    // rolling back to the tip is a no-op, not an empty commit
+    assert(VersionedTable.rollbackTo(p, 2).seq == 2)
+    assert(VersionedTable.versions(p).size == 2)
+    // the real rollback: v3 carries v1's dirs + snapshot id by reference
+    val v3 = VersionedTable.rollbackTo(p, 1)
+    assert(v3.seq == 3 && v3.snapshotId == v1.snapshotId && v3.dirs == v1.dirs)
+    assert(VersionedTable.read(p).count() == 20)
+    // history is intact (the undone v2 stays time-travelable) and the
+    // rollback itself is labeled
+    assert(VersionedTable.readAsOf(p, 2).count() == 30)
+    val ops = VersionedTable.history(p).orderBy("version")
+      .select("operation").as[String].collect().toSeq
+    assert(ops == Seq("base", "append", "rollback"))
+    // an unretained target fails loudly
+    intercept[IllegalArgumentException](VersionedTable.rollbackTo(p, 99))
+    // roll FORWARD works too (v2 is still retained), via a tag this time
+    VersionedTable.tag(p, "bad", 2)
+    assert(VersionedTable.rollbackToTag(p, "bad").snapshotId
+      == VersionedTable.versions(p).find(_.seq == 2).get.snapshotId)
+    assert(VersionedTable.read(p).count() == 30)
+    VersionedTable.dropTag(p, "bad")
+    // after expire-to-1 the tip (a rollback commit) still reads: its dirs
+    // are referenced by the retained version, so expire must not drop them
+    VersionedTable.rollbackTo(p, 3) // back to the 20-row state (v5)
+    VersionedTable.expire(p, keep = 1)
+    assert(VersionedTable.versions(p).map(_.seq) == Seq(5))
+    assert(VersionedTable.read(p).orderBy("id").as[(Long, String)].collect().toSeq
+      == (1L to 20L).map(i => (i, s"n$i")))
+  }
+
+  test("filesMetadata and refs answer from the manifest alone") {
+    import spark.implicits._
+    val p = rangedTable() // 4 groups x 100 rows, one file each
+    val fm = VersionedTable.filesMetadata(p)
+    assert(fm.columns.toSeq == Seq(
+      "file_group", "file", "bytes", "group_rows", "group_snapshot_id"))
+    val rows = fm.collect()
+    assert(rows.length == 4) // one parquet file per repartition(1) group
+    assert(rows.forall(r => r.getLong(2) > 0 && r.getLong(3) == 100L))
+    assert(rows.map(_.getString(0)).distinct.length == 4)
+    // group sids sum (mod 2^64) to the table's content snapshot id
+    assert(rows.map(_.getLong(4)).sum == VersionedTable.versions(p).last.snapshotId)
+    // asOf sees the historical layout
+    assert(VersionedTable.filesMetadata(p, asOf = Some(1)).count() == 1)
+    // refs mirrors the tag map
+    VersionedTable.tag(p, "published", 2)
+    assert(VersionedTable.refs(p).as[(String, Int)].collect().toSeq
+      == Seq(("published", 2)))
+  }
+
   test("scan sees exactly the latest committed version (row-level ops included)") {
     import spark.implicits._
     val p = tmp("rowops")
