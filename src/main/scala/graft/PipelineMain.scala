@@ -251,8 +251,12 @@ object PipelineMain {
           // empty batches skip (replaying an empty batch appends nothing
           // either way, and skipping avoids one empty group per idle tick)
           if (!rows.isEmpty) {
+            // txn namespace = the checkpoint's persisted query id:
+            // batchIds are only meaningful relative to the checkpoint —
+            // wiping it to reprocess must NOT replay-swallow batch 0
             val committed = graft.streaming.VersionedSink.commitBatch(
-              rows, outPath, "kg_stream", batchId)
+              rows, outPath, graft.streaming.VersionedSink
+                .checkpointTxnNamespace(spark, s"$out/stream_checkpoint"), batchId)
             println(s"[graft] stream batch=$batchId " +
               s"${if (committed) "appended exactly-once" else "replay no-op"} -> $outPath")
           }
@@ -278,6 +282,11 @@ object PipelineMain {
       val maxTs = inputNow()
         .filter(col("conv_id") =!= "graft-sentinel")
         .agg(max(col("ts"))).head().getTimestamp(0)
+      // max(ts) over an empty input is null; the sentinel arithmetic below
+      // would NPE after the query already started — fail with the cause
+      require(maxTs != null,
+        "--stream true needs at least one input turn (the stream-in table " +
+          "is empty) — run s0 first or pass --convs > 0")
       Seq(10, 20).foreach { m =>
         val sentinel = Seq(Turn("graft-sentinel", m, "user", "flush", null,
           new java.sql.Timestamp(maxTs.getTime + m * 60000L))).toDS()

@@ -582,18 +582,14 @@ object VersionedTable {
       }
     }
 
-  /** Unsigned UTF-8 byte comparison — Spark's UTF8String ordering. */
-  private def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  /** Unsigned UTF-8 byte comparison — delegated to UTF8String so the
+    * write-side pruning (here) and the read-side FileIndex pruning
+    * (GraftFileIndex.cmp) share ONE ordering implementation and can never
+    * silently diverge on string bounds.
+    */
+  private def utf8Compare(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** Range read through the manifest stats: opens ONLY the file groups
     * whose [min,max] can intersect `column BETWEEN lo AND hi`, then
@@ -628,18 +624,23 @@ object VersionedTable {
     val referenced = versions(table).flatMap(_.dirs).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     import scala.jdk.CollectionConverters._
-    def newestMtime(root: java.nio.file.Path): Long = {
-      val walk = Files.walk(root)
-      try walk.iterator().asScala
-        .map(p => Files.getLastModifiedTime(p).toMillis).max
-      finally walk.close()
-    }
+    // a candidate can vanish between the listing and the mtime walk (a
+    // racing expire's post-lock deletes, or a losing appendOnce racer
+    // reclaiming its own debris) — treat it as "not an orphan" instead of
+    // letting NoSuchFileException abort the sweep mid-way
+    def newestMtime(root: java.nio.file.Path): Option[Long] =
+      scala.util.Try {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala
+          .map(p => Files.getLastModifiedTime(p).toMillis).max
+        finally walk.close()
+      }.toOption
     val listing = Files.list(dataRoot)
     val orphans =
       try listing.iterator().asScala
         .map(p => s"data/${p.getFileName}")
         .filterNot(referenced)
-        .filter(d => newestMtime(Paths.get(table, d)) <= cutoff)
+        .filter(d => newestMtime(Paths.get(table, d)).exists(_ <= cutoff))
         .toList
       finally listing.close()
     orphans.foreach(d => deleteRecursively(Paths.get(table, d)))
@@ -666,8 +667,13 @@ object VersionedTable {
     val dir = s"data/v$seq-compact-${java.util.UUID.randomUUID().toString.take(8)}"
     readVersion(table, cur).repartition(targetGroups).write.parquet(s"$table/$dir")
     val sid = writeStats(table, dir)
-    require(sid == cur.snapshotId,
-      s"compaction changed content: $sid != ${cur.snapshotId} — refusing to commit")
+    if (sid != cur.snapshotId) {
+      // clean up before throwing: the failed rewrite is a full table copy,
+      // and leaving it as vacuum-horizon debris doubles disk until then
+      deleteRecursively(Paths.get(table, dir))
+      throw new IllegalStateException(
+        s"compaction changed content: $sid != ${cur.snapshotId} — refusing to commit")
+    }
     commitTransform(table) { base =>
       // Iceberg rewrite_data_files conflict rule: if anyone committed
       // after the version we rewrote, committing the rewrite would erase
@@ -825,6 +831,13 @@ object VersionedTable {
     // and files come out key-ordered for parquet row-group pruning below
     // the manifest layer
     val src = readVersion(table, cur)
+    // '_g' is this rewrite's reserved staging column: silently clobbering
+    // a real column of that name would drop it from the rewritten files
+    // and surface as a misleading content-identity failure AFTER the full
+    // shuffle+write is paid — fail fast with the actual cause instead
+    require(!src.columns.contains("_g"),
+      s"$tag rewrite reserves the staging column name '_g', " +
+        s"which $table already has — rename the column first")
     val exprs = clusterExprs(src)
     src
       .repartitionByRange(targetGroups, exprs: _*)
@@ -1302,6 +1315,12 @@ object VersionedTable {
     * referenced by no retained version. Returns the deleted dirs.
     */
   def expire(table: String, keep: Int)(implicit spark: SparkSession): Seq[String] = {
+    // keep <= 0 would rewrite the manifest to empty and delete EVERY data
+    // dir — irreversible table destruction from what reads like a
+    // retention call (Iceberg's expire_snapshots has the same floor). The
+    // guard belongs here, not just in the CLI: every API caller gets it.
+    require(keep >= 1, s"expire keep must be >= 1 (got $keep): " +
+      "keep=0 would drop every retained version including the current tip")
     // ONLY the manifest read→rewrite holds the commit lock (so a racing
     // append can't be erased by the replacement); the data-dir deletes
     // run AFTER release — they can be slow on large tables and would

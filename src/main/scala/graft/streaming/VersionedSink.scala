@@ -27,9 +27,34 @@ import graft.sources.VersionedTable
   */
 object VersionedSink {
 
-  /** Start an exactly-once append stream into `table`. `queryName` scopes
-    * the txn keys, so distinct queries (or a re-named restart, which gets
-    * a fresh checkpoint anyway) never collide in the ledger.
+  /** The txn namespace for a checkpointed query: the query id Spark
+    * persists at `<checkpoint>/metadata` on first start. That id has
+    * EXACTLY the lifetime batchIds have — unique per logical query,
+    * stable across restarts from the checkpoint, and regenerated when the
+    * checkpoint is wiped — so keying txns on it can neither collide
+    * across queries nor replay-swallow the restarted batch 0 after a
+    * checkpoint reset (a name- or path-based key survives the reset and
+    * does both). Resolved through the checkpoint's Hadoop filesystem
+    * (the checkpoint may be a qualified URI on a real cluster); read
+    * per batch, uncached — a tiny driver-side read, and a cache could
+    * serve a stale id to a post-reset run in the same JVM. Falls back to
+    * the checkpoint path when the metadata file is unreadable (the query
+    * has not started yet).
+    */
+  def checkpointTxnNamespace(spark: SparkSession, checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    scala.util.Try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val json = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+    }.toOption.flatten.getOrElse(checkpoint)
+  }
+
+  /** Start an exactly-once append stream into `table`. Txn keys are
+    * scoped by [[checkpointTxnNamespace]] — see there for why neither the
+    * query name nor the checkpoint path is a safe namespace.
     */
   def exactlyOnce[T](ds: Dataset[T], table: String, checkpoint: String,
       queryName: String)(implicit spark: SparkSession): StreamingQuery =
@@ -43,16 +68,20 @@ object VersionedSink {
         // file group + manifest line per idle tick. Exactness holds: an
         // unrecorded empty batch replays as another empty no-op.
         if (!batch.isEmpty) {
-          VersionedTable.appendOnce(batch.toDF(), table, s"$queryName#$batchId")
+          val ns = checkpointTxnNamespace(batch.sparkSession, checkpoint)
+          VersionedTable.appendOnce(batch.toDF(), table, s"$ns#$batchId")
           ()
         }
       }
       .start()
 
   /** The batch-commit body alone, for tests that simulate the
-    * crash-replay delivery directly.
+    * crash-replay delivery directly. `txnAppId` must be an identifier
+    * with the checkpoint's lifetime — unique per logical query, reset
+    * when batchIds reset ([[checkpointTxnNamespace]] of the query's
+    * checkpoint is the canonical choice).
     */
-  def commitBatch(batch: DataFrame, table: String, queryName: String,
+  def commitBatch(batch: DataFrame, table: String, txnAppId: String,
       batchId: Long)(implicit spark: SparkSession): Boolean =
-    VersionedTable.appendOnce(batch, table, s"$queryName#$batchId")._2
+    VersionedTable.appendOnce(batch, table, s"$txnAppId#$batchId")._2
 }

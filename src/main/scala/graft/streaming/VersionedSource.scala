@@ -265,20 +265,33 @@ final class VersionedTableProvider extends StreamSourceProvider
     // query start, not at the first corrupted batch
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft-versioned sink supports Append output mode only, got $outputMode")
-    // the idempotence namespace must be UNIQUE PER LOGICAL QUERY and
-    // stable across its restarts — two queries sharing a namespace would
-    // silently swallow each other's batches as txn replays. The
-    // checkpoint location has exactly those properties (and without a
-    // checkpoint batchIds restart at 0, so exactly-once keys would
-    // misfire anyway); an explicit txnAppId overrides it.
-    val appId = parameters.get("txnAppId")
-      .orElse(parameters.get("checkpointLocation"))
-      .getOrElse(throw new IllegalArgumentException(
+    // the idempotence namespace must be UNIQUE PER LOGICAL QUERY, stable
+    // across its restarts, and RESET when batchIds reset — two queries
+    // sharing a namespace would silently swallow each other's batches as
+    // txn replays, and a namespace that survives a checkpoint wipe would
+    // swallow the restarted batch 0. The query id Spark persists in the
+    // checkpoint has exactly that lifetime (VersionedSink
+    // .checkpointTxnNamespace, resolved lazily per batch — the metadata
+    // file exists once the query starts); an explicit txnAppId overrides
+    // it for callers managing their own namespace lifetime.
+    val explicitAppId = parameters.get("txnAppId")
+    val checkpoint = parameters.get("checkpointLocation")
+    if (explicitAppId.isEmpty && checkpoint.isEmpty)
+      throw new IllegalArgumentException(
         "graft-versioned sink needs a txn namespace: set checkpointLocation " +
-          "(recommended) or an explicit txnAppId option"))
+          "(recommended) or an explicit txnAppId option")
+    // partitionBy on this sink would be silently ignored — data lands as
+    // unpartitioned file groups — so reject the request loudly instead of
+    // letting the user believe the layout request was honored
+    require(partitionColumns.isEmpty,
+      s"graft-versioned sink does not support partitionBy " +
+        s"(got ${partitionColumns.mkString(", ")}); use --maintain-sort-by / " +
+        "rewriteSorted or rewriteZOrder for layout clustering")
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         implicit val s: SparkSession = sqlContext.sparkSession
+        val appId = explicitAppId.getOrElse(
+          VersionedSink.checkpointTxnNamespace(s, checkpoint.get))
         // the engine hands an IncrementalExecution-backed frame; re-wrap
         // its planned rows as a batch plan (ForeachBatchSink's trick).
         // Empty batches skip: stateful queries run no-data batches every

@@ -92,9 +92,13 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedTable.read(table).count() == n0)
 
     // the crash window: sink committed batch 0, checkpoint didn't — on
-    // restart Spark re-delivers batch 0 verbatim; the txn ledger absorbs it
+    // restart Spark re-delivers batch 0 verbatim; the txn ledger absorbs
+    // it (the replay carries the same namespace: the checkpoint-persisted
+    // query id, which a restart from the same checkpoint preserves)
+    val ns = VersionedSink.checkpointTxnNamespace(spark, ckpt)
+    assert(ns != ckpt, "query id not resolved from the checkpoint metadata")
     val replayed = VersionedSink.commitBatch(
-      TranscriptGen.turnsFor(0L, 42L, 0, 0).toDF(), table, "kg_sink", 0L)
+      TranscriptGen.turnsFor(0L, 42L, 0, 0).toDF(), table, ns, 0L)
     assert(!replayed, "replayed batch 0 was committed twice")
     assert(VersionedTable.read(table).count() == n0)
 
@@ -115,6 +119,26 @@ class StreamingSpec extends SparkSpec {
     val pre = VersionedTable.versions(table).last
     val c = VersionedTable.compact(table)
     assert(c.dirs.size == 1 && c.snapshotId == pre.snapshotId)
+
+    // checkpoint RESET: batchIds restart at 0, and the fresh checkpoint
+    // mints a fresh query id — so the restarted batch 0, carrying NEW
+    // data, must LAND, not be swallowed as a replay of the old batch 0
+    // (the failure a name- or path-keyed txn namespace would cause)
+    {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+    val q3 = VersionedSink.exactlyOnce(stream.toDS(), table, ckpt, "kg_sink")
+    try {
+      stream.addData(TranscriptGen.turnsFor(2L, 42L, 0, 0))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(VersionedSink.checkpointTxnNamespace(spark, ckpt) != ns,
+      "checkpoint reset must mint a fresh txn namespace")
+    assert(VersionedTable.read(table)
+      .select("conv_id").distinct().count() == 3)
   }
 
   test("stateful running employment resolution emits priority winners") {

@@ -104,6 +104,8 @@ class TableIOSpec extends SparkSpec {
     // reproduces v1's snapshot id under a new seq
     val v4 = VersionedTable.overwrite((1L to 50L).toDF("id"), table)
     assert(v4.snapshotId == v1.snapshotId)
+    // keep=0 would destroy the table including its tip — refused at the API
+    intercept[IllegalArgumentException](VersionedTable.expire(table, keep = 0))
     // expire keeps the newest 2, deletes unreferenced dirs, kills v1 reads
     val deleted = VersionedTable.expire(table, keep = 2)
     assert(deleted.nonEmpty)
@@ -390,6 +392,16 @@ class TableIOSpec extends SparkSpec {
     val (keepB, skipB) = VersionedTable.pruneDirs(table, before, "k", 500L, 500L)
     assert(keepB.size == 3 && skipB.size == 1, // only the all-null group skips
       s"interleaved groups should all overlap: kept=$keepB skipped=$skipB")
+
+    // the reserved staging column name fails fast, BEFORE the rewrite IO
+    locally {
+      val clash = java.nio.file.Files.createTempDirectory("graft-gclash")
+        .resolve("t").toString
+      VersionedTable.overwrite(Seq((1L, 2L)).toDF("k", "_g"), clash)
+      val e = intercept[IllegalArgumentException](
+        VersionedTable.rewriteSorted(clash, "k"))
+      assert(e.getMessage.contains("_g"))
+    }
 
     val after = VersionedTable.rewriteSorted(table, "k", targetGroups = 4)
     // content identity: same rows, same content snapshot id
