@@ -67,9 +67,10 @@ object PipelineMain {
 
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)
-    // --maintain targets a table directly and needs no --out
+    // --maintain/--rollback/--tag target a table directly and need no --out
     val out = a.getOrElse("out", a.getOrElse("maintain",
-      throw new IllegalArgumentException("--out is required")))
+      a.getOrElse("rollback", a.getOrElse("tag-table",
+        throw new IllegalArgumentException("--out is required")))))
     val nConvs = a.getOrElse("convs", "1000").toLong
     val seed = a.getOrElse("seed", "42").toLong
     val from = a.getOrElse("from-stage", "s0")
@@ -91,6 +92,35 @@ object PipelineMain {
     // remove_orphan_files (--maintain-vacuum-hours H, default 24; 0 sweeps
     // immediately for tests). Every step is content-identity safe by
     // construction and prints its evidence.
+    // ---- publish / restore mode: tag + rollback without maintenance ------
+    // `--tag <name> --tag-table <table> [--tag-version N]` names the tip
+    // (or version N) as a durable publish point; `--rollback <table>
+    // --rollback-to N|tag:NAME` restores a retained version as a NEW
+    // metadata-only commit (history intact — the ops fix for a bad emit).
+    a.get("rollback").foreach { table =>
+      import graft.sources.VersionedTable
+      val target = a.getOrElse("rollback-to", throw new IllegalArgumentException(
+        "--rollback needs --rollback-to <version|tag:NAME>"))
+      val v =
+        if (target.startsWith("tag:")) VersionedTable.rollbackToTag(table, target.drop(4))
+        else VersionedTable.rollbackTo(table, target.toInt)
+      println(s"[graft] rollback $table -> v${v.seq} " +
+        s"snapshot=${v.snapshotId} (${v.dirs.size} file groups)")
+      spark.stop()
+      return
+    }
+    a.get("tag").foreach { name =>
+      import graft.sources.VersionedTable
+      val table = a.getOrElse("tag-table", throw new IllegalArgumentException(
+        "--tag needs --tag-table <versioned-table>"))
+      val seq = a.get("tag-version").map(_.toInt)
+        .getOrElse(VersionedTable.versions(table).last.seq)
+      VersionedTable.tag(table, name, seq)
+      println(s"[graft] tagged $table v$seq as '$name'")
+      spark.stop()
+      return
+    }
+
     a.get("maintain").foreach { table =>
       import graft.sources.VersionedTable
       val before = VersionedTable.versions(table)

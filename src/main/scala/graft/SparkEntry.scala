@@ -1026,6 +1026,40 @@ object SparkEntry {
       require(idx.lastKeptDirs.size == 1,
         s"timestamp pruning regressed: planned ${idx.lastKeptDirs.size} of 3 file groups")
       out
+    }),
+    // q63: ROLLBACK as a driver-gated row — documents committed as three
+    // modulo slices, then the third (the "bad emit") undone by rollbackTo:
+    // the new tip must be a FOURTH version carrying v2's content snapshot
+    // id by reference (history intact: readAsOf(3) still sees all rows,
+    // history labels the commit 'rollback', filesMetadata's group ids
+    // sum to the tip id), and the post-rollback scan must value-match
+    // DuckDB's recomputation of the first two slices from the source.
+    "q63_rollback_restore" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-rb").toString
+      VersionedTable.overwrite(docs.where(pmod(col("doc_id"), lit(3)) === 0), table)
+      val good = VersionedTable.append(docs.where(pmod(col("doc_id"), lit(3)) === 1), table)
+      VersionedTable.append(docs.where(pmod(col("doc_id"), lit(3)) === 2), table)
+      val nAll = VersionedTable.read(table).count()
+      val tip = VersionedTable.rollbackTo(table, good.seq)
+      require(tip.seq == 4 && tip.snapshotId == good.snapshotId,
+        s"rollback must commit v2's content as v4: got v${tip.seq}")
+      require(VersionedTable.readAsOf(table, 3).count() == nAll,
+        "rollback must not rewrite history — v3 stays time-travelable")
+      val lastOp = VersionedTable.history(table)
+        .orderBy(col("version").desc).select("operation").head().getString(0)
+      require(lastOp == "rollback", s"history mislabels the rollback: $lastOp")
+      // one row per FILE — dedupe to groups first; Scala Long addition
+      // wraps (the id domain is mod 2^64), where an ANSI-mode SQL sum
+      // would throw on overflow
+      val fmSum = VersionedTable.filesMetadata(table)
+        .select("file_group", "group_snapshot_id").distinct()
+        .collect().map(_.getLong(1)).sum
+      require(fmSum == tip.snapshotId,
+        "filesMetadata group ids must sum (mod 2^64) to the tip snapshot id")
+      VersionedTable.scan(table).select("doc_id", "lang", "n_chars")
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1401,5 +1435,9 @@ object SparkEntry {
     "q62_versioned_time_prune" ->
       """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events)
         |SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events, b
-        |WHERE epoch_us(ts) BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3""".stripMargin)
+        |WHERE epoch_us(ts) BETWEEN lo + (hi - lo) // 3 + 1 AND lo + 2 * (hi - lo) // 3""".stripMargin,
+    // q63: the post-rollback tip must equal the first two slices exactly —
+    // the undone third slice contributes nothing, nothing else is lost.
+    "q63_rollback_restore" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 2")
 }
