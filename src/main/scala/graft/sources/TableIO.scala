@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -53,21 +52,15 @@ object TableIO {
         .partitionBy(partitionBy: _*).parquet(path)
     else w.parquet(path)
     val sid = snapshotId(spark.read.parquet(path))
-    Files.writeString(Paths.get(markerPath(path)),
+    VersionedTable.hwrite(VersionedTable.hpath(markerPath(path)),
       s"""{"snapshot_id":$sid,"stage":"$stage"}""")
     sid
   }
 
   /** Snapshot id recorded by the last writeSnapshot on this table. */
-  def readSnapshotId(path: String): Option[Long] = {
-    val p = Paths.get(markerPath(path))
-    if (!Files.exists(p)) None
-    else {
-      val s = Files.readString(p)
-      val m = """"snapshot_id":(-?\d+)""".r.findFirstMatchIn(s)
-      m.map(_.group(1).toLong)
-    }
-  }
+  def readSnapshotId(path: String): Option[Long] =
+    VersionedTable.hreadOpt(VersionedTable.hpath(markerPath(path)))
+      .flatMap(""""snapshot_id":(-?\d+)""".r.findFirstMatchIn(_).map(_.group(1).toLong))
 
   /** MERGE-style incremental append (the reference's backup-table swap,
     * MergeAndExportInfo.py:85-89, generalized to the triple table): rows
@@ -80,7 +73,7 @@ object TableIO {
     */
   def mergeNewKeys(df: DataFrame, path: String, keyCols: Seq[String], stage: String,
       partitionBy: Seq[String] = Nil)(implicit spark: SparkSession): Long = {
-    val exists = Files.exists(Paths.get(markerPath(path)))
+    val exists = VersionedTable.hexists(VersionedTable.hpath(markerPath(path)))
     if (!exists) return writeSnapshot(df, path, stage, partitionBy)
     val existing = spark.read.parquet(path)
     val existingKeys = existing.select(keyCols.map(col): _*).distinct()
@@ -109,7 +102,7 @@ object TableIO {
     fresh.unpersist()
     val sid = oldSid.map(_ + freshSid)
       .getOrElse(snapshotId(spark.read.parquet(path)))
-    Files.writeString(Paths.get(markerPath(path)),
+    VersionedTable.hwrite(VersionedTable.hpath(markerPath(path)),
       s"""{"snapshot_id":$sid,"stage":"$stage"}""")
     sid
   }

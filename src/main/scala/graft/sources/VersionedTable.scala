@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.Files
 import java.util.Base64
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -10,10 +10,15 @@ import org.apache.spark.sql.types.{NumericType, StringType, StructType}
 /** Iceberg snapshot/time-travel semantics modeled on parquet (the second
   * half of the S1 story beside TableIO's partition-scoped replace): data
   * files are IMMUTABLE — every commit writes a fresh `data/v<seq>-<id>/`
-  * directory and appends a manifest line to `_graft_manifest.jsonl`
-  * naming the COMPLETE set of directories that make up the table at that
-  * version (overwrite = just the new dir; append = previous dirs + new
-  * dir). Reads resolve a manifest, never a directory listing, so:
+  * directory and atomically rewrites `_graft_manifest.jsonl` with a new
+  * line naming the COMPLETE set of directories that make up the table at
+  * that version (overwrite = just the new dir; append = previous dirs +
+  * new dir). ALL metadata IO goes through the table path's Hadoop
+  * FileSystem — the same layer the data files ride — so a table lives
+  * wherever Spark can write (local disk here; HDFS/S3A on a cluster),
+  * with atomic manifest replace via FileContext rename and the commit
+  * lock on the store's atomic-create primitive (see [[withCommitLock]]).
+  * Reads resolve a manifest, never a directory listing, so:
   *
   *  - `read`         = latest committed version (readers are isolated
   *    from in-flight writes — the manifest line is the commit point);
@@ -55,8 +60,65 @@ object VersionedTable {
     */
   def committedTxns(table: String): Set[String] = manifestState(table).txns
 
-  private def manifestPath(table: String) = Paths.get(table, "_graft_manifest.jsonl")
-  private def txnLedgerPath(table: String) = Paths.get(table, "_graft_txns.jsonl")
+  // ---- metadata IO: everything through the table path's Hadoop
+  // FileSystem, like the data files Spark writes — so a table can live on
+  // HDFS / S3A / any configured store, not just a POSIX local disk. Two
+  // store-portability consequences are baked into the shapes below:
+  // manifest commits REWRITE the whole file atomically (tmp + rename)
+  // instead of appending (append() is unsupported on object stores and
+  // on Hadoop's checksummed LocalFileSystem — and atomic-replace is
+  // strictly better crash-safety: a reader sees the old manifest or the
+  // new one, never a torn tail); and the commit lock uses the store's
+  // atomic-create primitive (see withCommitLock). ----------------------
+
+  private type HPath = org.apache.hadoop.fs.Path
+
+  private def hconf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private[sources] def fsOf(p: HPath): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(hconf) match {
+      // local paths: the RAW local FS, not the checksummed wrapper —
+      // metadata files are tiny JSON whose .crc sidecars would be pure
+      // clutter, and the checksum layer turns any out-of-band edit (ops
+      // fixing a manifest by hand, tests simulating torn writes) into a
+      // ChecksumException instead of a readable file
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
+
+  private[sources] def hpath(parts: String*): HPath = new HPath(parts.mkString("/"))
+
+  private[sources] def hexists(p: HPath): Boolean = fsOf(p).exists(p)
+
+  private[sources] def hread(p: HPath): String = {
+    val in = fsOf(p).open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private[sources] def hreadOpt(p: HPath): Option[String] =
+    if (hexists(p)) Some(hread(p)) else None
+
+  /** Plain (non-atomic) write of a file that is invisible until the
+    * manifest line naming its dir commits — sidecars inside a fresh data
+    * dir. A crash mid-write leaves an uncommitted dir for [[vacuum]].
+    */
+  private[sources] def hwrite(p: HPath, content: String): Unit = {
+    val out = fsOf(p).create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[sources] def hmkdirs(p: HPath): Unit = { fsOf(p).mkdirs(p); () }
+
+  private def deleteRecursively(p: HPath): Unit = { fsOf(p).delete(p, true); () }
+
+  private def manifestPath(table: String) = hpath(table, "_graft_manifest.jsonl")
+  private def txnLedgerPath(table: String) = hpath(table, "_graft_txns.jsonl")
 
   /** One committed manifest line parsed, or None for a malformed line
     * (e.g. torn by a crash mid-append) — an UNCOMMITTED version: the
@@ -80,16 +142,14 @@ object VersionedTable {
     * per-commit manifest IO is one file read, not one per question.
     */
   private def manifestState(table: String): ManifestState = {
-    import scala.jdk.CollectionConverters._
-    val ledger: Set[String] = {
-      val p = txnLedgerPath(table)
-      if (!Files.exists(p)) Set.empty
-      else Files.readAllLines(p).asScala.iterator.filter(_.nonEmpty)
+    val ledger: Set[String] = hreadOpt(txnLedgerPath(table)) match {
+      case None => Set.empty
+      case Some(s) => s.linesIterator.filter(_.nonEmpty)
         .flatMap(l => scala.util.Try(unb64(l)).toOption).toSet
     }
-    val p = manifestPath(table)
-    if (!Files.exists(p)) return ManifestState(Seq.empty, Seq.empty, ledger)
-    val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    val txt = hreadOpt(manifestPath(table))
+      .getOrElse(return ManifestState(Seq.empty, Seq.empty, ledger))
+    val lines = txt.linesIterator.toSeq.filter(_.nonEmpty)
     val txns = lines.iterator.filter(_.endsWith("}"))
       .flatMap(l => """"txn":"([^"]*)"""".r.findFirstMatchIn(l).map(m => unb64(m.group(1))))
       .toSet ++ ledger
@@ -99,29 +159,46 @@ object VersionedTable {
   def versions(table: String): Seq[Version] = manifestState(table).versions
 
   /** Optimistic-concurrency commit gate (Iceberg's atomic metadata-pointer
-    * swap, expressed as the one primitive a plain filesystem gives us
-    * atomically: directory creation). Concurrent committers serialize
-    * here, and the seq is (re)derived INSIDE the critical section, so two
-    * writers racing an append can never mint the same version. A crashed
-    * holder leaves the lock dir behind; the bounded wait turns that into
-    * a loud error naming the path instead of a silent hang.
+    * swap, expressed via the store's atomic-create primitive). Concurrent
+    * committers serialize here, and the seq is (re)derived INSIDE the
+    * critical section, so two writers racing an append can never mint the
+    * same version. A crashed holder leaves the lock behind; the bounded
+    * wait turns that into a loud error naming the path instead of a
+    * silent hang.
+    *
+    * Primitive per store: on a local path, `java.nio` directory creation
+    * (atomic on POSIX; Hadoop's RawLocalFileSystem `create(overwrite =
+    * false)` is check-then-act and would race). On HDFS and kin,
+    * `create(lock, overwrite = false)` IS the atomic namespace op. Object
+    * stores without atomic create (plain S3) need an external lock
+    * service for multi-writer commits — the same caveat Iceberg's
+    * HadoopCatalog documents; single-writer pipelines (this driver) are
+    * unaffected.
     */
   private def withCommitLock[T](table: String)(body: => T): T = {
-    val lock = Paths.get(table, "_graft_commit.lock")
-    Files.createDirectories(Paths.get(table))
+    val turi = new HPath(table).toUri
+    val isLocal = turi.getScheme == null || turi.getScheme == "file"
+    val localLock = java.nio.file.Paths.get(
+      (if (turi.getScheme == null) table else turi.getPath) + "/_graft_commit.lock")
+    val hLock = hpath(table, "_graft_commit.lock")
+    hmkdirs(new HPath(table))
+    def tryAcquire(): Boolean =
+      if (isLocal)
+        try { Files.createDirectory(localLock); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else
+        try { fsOf(hLock).create(hLock, false).close(); true }
+        catch { case _: java.io.IOException => false }
     var attempts = 0
-    var acquired = false
-    while (!acquired) {
-      try { Files.createDirectory(lock); acquired = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          attempts += 1
-          if (attempts > 2000) throw new IllegalStateException(
-            s"commit lock held too long — crashed committer? remove $lock to recover")
-          Thread.sleep(5)
-      }
+    while (!tryAcquire()) {
+      attempts += 1
+      if (attempts > 2000) throw new IllegalStateException(
+        s"commit lock held too long — crashed committer? remove $hLock to recover")
+      Thread.sleep(5)
     }
-    try body finally Files.delete(lock)
+    try body finally {
+      if (isLocal) Files.delete(localLock) else { fsOf(hLock).delete(hLock, false); () }
+    }
   }
 
   /** Serialized commit: the new version's (dirs, snapshot id) are derived
@@ -154,8 +231,12 @@ object VersionedTable {
         val seq = base.map(_.seq + 1).getOrElse(1)
         val txnJson = txn.map(t => s""","txn":"${b64(t)}"""").getOrElse("")
         val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]$txnJson}"""
-        Files.writeString(manifestPath(table), line + "\n",
-          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        // whole-file atomic replace, never append: portable to stores
+        // without append(), and a crash leaves the old or the new
+        // manifest — no torn tail at all (parseLine still tolerates one
+        // from pre-refactor tables)
+        atomicWrite(manifestPath(table),
+          (st.lines :+ line).mkString("", "\n", "\n"))
         Version(seq, sid, dirs)
       }
     }
@@ -202,7 +283,7 @@ object VersionedTable {
     */
   def appendOnce(df: DataFrame, table: String, txn: String)(
       implicit spark: SparkSession): (Version, Boolean) = {
-    Files.createDirectories(Paths.get(table))
+    hmkdirs(new HPath(table))
     val st = manifestState(table) // ONE pre-lock read: replay check + seq
     if (st.txns.contains(txn))
       return (st.versions.lastOption.getOrElse(Version(0, 0L, Seq.empty)), false)
@@ -216,19 +297,10 @@ object VersionedTable {
     } match {
       case Some(v) => (v, true)
       case None => // lost the same-txn race; our dir is unreachable debris
-        deleteRecursively(Paths.get(table, dir))
+        deleteRecursively(hpath(table, dir))
         (versions(table).lastOption.getOrElse(Version(0, 0L, Seq.empty)), false)
     }
   }
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit =
-    if (Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      finally walk.close()
-    }
 
   // ---- manifest column stats (Iceberg manifest min/max metrics) ----------
 
@@ -237,23 +309,25 @@ object VersionedTable {
       cols: Map[String, ColStats], files: Option[Seq[(String, Long)]])
 
   private def statsPath(table: String, dir: String) =
-    Paths.get(table, dir, "_graft_stats.json")
+    hpath(table, dir, "_graft_stats.json")
 
   private def b64(s: String): String =
     Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
   private def unb64(s: String): String =
     new String(Base64.getDecoder.decode(s), "UTF-8")
 
-  /** tmp + atomic rename: a crash mid-write or a concurrent reader must
-    * never see torn content (shared by props/refs writes and expire's
-    * manifest rewrite).
+  /** tmp + atomic rename-with-overwrite: a crash mid-write or a
+    * concurrent reader must never see torn content (shared by every
+    * manifest commit, props/refs writes and expire's manifest rewrite).
+    * FileContext.rename(OVERWRITE) is the atomic-replace primitive
+    * Spark's own HDFSMetadataLog uses — plain FileSystem.rename won't
+    * overwrite.
     */
-  private def atomicWrite(target: java.nio.file.Path, content: String): Unit = {
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  private def atomicWrite(target: HPath, content: String): Unit = {
+    val tmp = new HPath(target.getParent, target.getName + ".tmp")
+    hwrite(tmp, content)
+    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, hconf)
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** NTZ literals carry NAIVE wall-clock micros; the only session where
@@ -326,18 +400,16 @@ object VersionedTable {
     // builds its file set from sidecar entries alone, so a pruned query
     // never names the skipped groups' files, let alone stats them
     val filesJson = {
-      import scala.jdk.CollectionConverters._
-      val listing = Files.list(Paths.get(table, dir))
-      try listing.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && {
-          val n = p.getFileName.toString
+      val dp = hpath(table, dir)
+      fsOf(dp).listStatus(dp).iterator
+        .filter(f => f.isFile && {
+          val n = f.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
         })
-        .map(p => s"""{"n":"${b64(p.getFileName.toString)}","b":${Files.size(p)}}""")
+        .map(f => s"""{"n":"${b64(f.getPath.getName)}","b":${f.getLen}}""")
         .mkString(",")
-      finally listing.close()
     }
-    Files.writeString(statsPath(table, dir),
+    hwrite(statsPath(table, dir),
       s"""{"rows":$rows,"sid":$sid,"schema":"${b64(df.schema.toDDL)}","files":[$filesJson],"cols":{$colsJson}}""")
     // every commit path funnels through here, so a configured bloom column
     // follows the data through append/compact/rewrite/delete/merge alike
@@ -357,9 +429,9 @@ object VersionedTable {
   // this is what makes "fetch one conversation's triples" open a handful
   // of file groups instead of every commit since the last sorted rewrite.
 
-  private def propsPath(table: String) = Paths.get(table, "_graft_props.json")
+  private def propsPath(table: String) = hpath(table, "_graft_props.json")
   private def bloomPath(table: String, dir: String) =
-    Paths.get(table, dir, "_graft_blooms.json")
+    hpath(table, dir, "_graft_blooms.json")
 
   /** Declare the columns every FUTURE commit writes a per-group bloom
     * sidecar for (strings and integral types; other types are skipped —
@@ -371,7 +443,7 @@ object VersionedTable {
     */
   def setBloomColumns(table: String, cols: Seq[String], fpp: Double = 0.01): Unit = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
-    Files.createDirectories(Paths.get(table))
+    hmkdirs(new HPath(table))
     // atomic: a torn props file parses as "no bloom columns" and every
     // later commit would silently stop building sidecars
     atomicWrite(propsPath(table),
@@ -380,9 +452,7 @@ object VersionedTable {
 
   /** The table's configured bloom columns + target false-positive rate. */
   def bloomColumns(table: String): (Seq[String], Double) = {
-    val p = propsPath(table)
-    if (!Files.exists(p)) return (Seq.empty, 0.01)
-    val json = Files.readString(p)
+    val json = hreadOpt(propsPath(table)).getOrElse(return (Seq.empty, 0.01))
     val cols = """"bloom_cols":\[([^\]]*)\]""".r.findFirstMatchIn(json)
       .map(_.group(1).split(',').iterator.map(_.trim).filter(_.nonEmpty)
         .map(s => unb64(s.stripPrefix("\"").stripSuffix("\""))).toSeq)
@@ -444,7 +514,7 @@ object VersionedTable {
       bf.writeTo(bos)
       s""""${b64(c)}":"${Base64.getEncoder.encodeToString(bos.toByteArray)}""""
     }
-    Files.writeString(bloomPath(table, dir), s"""{"cols":{${entries.mkString(",")}}}""")
+    hwrite(bloomPath(table, dir), s"""{"cols":{${entries.mkString(",")}}}""")
   }
 
   /** Deserialized bloom for (table, dir, column), or None when the group
@@ -460,10 +530,7 @@ object VersionedTable {
       Option[org.apache.spark.util.sketch.BloomFilter] = {
     if (bloomCache.size > 4096) bloomCache.clear() // crude cap; re-read is cheap
     bloomCache.computeIfAbsent((table, dir, column), { _ =>
-      val p = bloomPath(table, dir)
-      if (!Files.exists(p)) None
-      else {
-        val json = Files.readString(p)
+      hreadOpt(bloomPath(table, dir)).flatMap { json =>
         val re = ("\"" + java.util.regex.Pattern.quote(b64(column)) + "\":\"([^\"]*)\"").r
         re.findFirstMatchIn(json).map { m =>
           org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -484,11 +551,9 @@ object VersionedTable {
     statsSidecarSid(table, dir).getOrElse(
       TableIO.snapshotId(spark.read.parquet(s"$table/$dir")))
 
-  private def statsSidecarSid(table: String, dir: String): Option[Long] = {
-    val p = statsPath(table, dir)
-    if (!Files.exists(p)) None
-    else """"sid":(-?\d+)""".r.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
-  }
+  private def statsSidecarSid(table: String, dir: String): Option[Long] =
+    hreadOpt(statsPath(table, dir)).flatMap(
+      """"sid":(-?\d+)""".r.findFirstMatchIn(_).map(_.group(1).toLong))
 
   /** Decoded manifest stats for one file group — the read-side contract
     * [[GraftFileIndex]] plans against: `rows`, the group's schema (absent
@@ -515,9 +580,7 @@ object VersionedTable {
     """"([^"]+)":\{"t":"([ns])","min":(null|"[^"]*"),"max":(null|"[^"]*")\}""".r
 
   private def dirStats(table: String, dir: String): Option[DirStats] = {
-    val p = statsPath(table, dir)
-    if (!Files.exists(p)) return None
-    val json = Files.readString(p)
+    val json = hreadOpt(statsPath(table, dir)).getOrElse(return None)
     val rows = """"rows":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
     val schema = """"schema":"([^"]*)"""".r.findFirstMatchIn(json)
       .flatMap(m => scala.util.Try(StructType.fromDDL(unb64(m.group(1)))).toOption)
@@ -619,31 +682,28 @@ object VersionedTable {
     */
   def vacuum(table: String,
       olderThanMillis: Long = 24L * 3600 * 1000): Seq[String] = {
-    val dataRoot = Paths.get(table, "data")
-    if (!Files.exists(dataRoot)) return Seq.empty
+    val dataRoot = hpath(table, "data")
+    if (!hexists(dataRoot)) return Seq.empty
+    val fs = fsOf(dataRoot)
     val referenced = versions(table).flatMap(_.dirs).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
-    import scala.jdk.CollectionConverters._
     // a candidate can vanish between the listing and the mtime walk (a
     // racing expire's post-lock deletes, or a losing appendOnce racer
     // reclaiming its own debris) — treat it as "not an orphan" instead of
-    // letting NoSuchFileException abort the sweep mid-way
-    def newestMtime(root: java.nio.file.Path): Option[Long] =
+    // letting a missing-file error abort the sweep mid-way
+    def newestMtime(root: HPath): Option[Long] =
       scala.util.Try {
-        val walk = Files.walk(root)
-        try walk.iterator().asScala
-          .map(p => Files.getLastModifiedTime(p).toMillis).max
-        finally walk.close()
+        val it = fs.listFiles(root, true)
+        var mx = fs.getFileStatus(root).getModificationTime
+        while (it.hasNext) mx = math.max(mx, it.next().getModificationTime)
+        mx
       }.toOption
-    val listing = Files.list(dataRoot)
-    val orphans =
-      try listing.iterator().asScala
-        .map(p => s"data/${p.getFileName}")
-        .filterNot(referenced)
-        .filter(d => newestMtime(Paths.get(table, d)).exists(_ <= cutoff))
-        .toList
-      finally listing.close()
-    orphans.foreach(d => deleteRecursively(Paths.get(table, d)))
+    val orphans = scala.util.Try(fs.listStatus(dataRoot).toSeq).getOrElse(Seq.empty)
+      .map(f => s"data/${f.getPath.getName}")
+      .filterNot(referenced)
+      .filter(d => newestMtime(hpath(table, d)).exists(_ <= cutoff))
+      .toList
+    orphans.foreach(d => deleteRecursively(hpath(table, d)))
     orphans
   }
 
@@ -670,7 +730,7 @@ object VersionedTable {
     if (sid != cur.snapshotId) {
       // clean up before throwing: the failed rewrite is a full table copy,
       // and leaving it as vacuum-horizon debris doubles disk until then
-      deleteRecursively(Paths.get(table, dir))
+      deleteRecursively(hpath(table, dir))
       throw new IllegalStateException(
         s"compaction changed content: $sid != ${cur.snapshotId} — refusing to commit")
     }
@@ -844,23 +904,22 @@ object VersionedTable {
       .withColumn("_g", org.apache.spark.sql.functions.spark_partition_id())
       .sortWithinPartitions(col("_g") +: exprs: _*)
       .write.partitionBy("_g").parquet(s"$table/$staging")
-    import scala.jdk.CollectionConverters._
-    val listing = Files.list(Paths.get(table, staging))
-    val groups =
-      try listing.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("_g=")).toList.sortBy(_.stripPrefix("_g=").toInt)
-      finally listing.close()
+    val stagingPath = hpath(table, staging)
+    val stagingFs = fsOf(stagingPath)
+    val groups = stagingFs.listStatus(stagingPath).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_g=")).toList.sortBy(_.stripPrefix("_g=").toInt)
     val dirs = groups.map { g =>
       val d = s"data/v$seq-$tag${g.stripPrefix("_g=")}-$sfx"
-      Files.move(Paths.get(table, staging, g), Paths.get(table, d))
+      stagingFs.rename(new HPath(stagingPath, g), hpath(table, d))
       d
     }
-    deleteRecursively(Paths.get(table, staging))
+    deleteRecursively(stagingPath)
     if (dirs.isEmpty) return cur // 0-row table: keep its schema-carrying group
     var sid = 0L
     dirs.foreach(d => sid += writeStats(table, d)) // mod-2^64 additive
     if (sid != cur.snapshotId) {
-      dirs.foreach(d => deleteRecursively(Paths.get(table, d)))
+      dirs.foreach(d => deleteRecursively(hpath(table, d)))
       throw new IllegalStateException(
         s"$tag rewrite changed content: $sid != ${cur.snapshotId} — refusing to commit")
     }
@@ -913,7 +972,7 @@ object VersionedTable {
     // an all-deleted rewrite contributes nothing — drop it unless it is
     // the only group left (then it carries the schema for empty reads)
     val keepRem = remRows > 0 || untouched.isEmpty
-    if (!keepRem) deleteRecursively(Paths.get(table, dir))
+    if (!keepRem) deleteRecursively(hpath(table, dir))
     val newDirs = untouched ++ (if (keepRem) Seq(dir) else Seq.empty)
     val sid = untouched.map(d => dirSid(table, d)).sum + (if (keepRem) remSid else 0L)
     commitWith(table) { base =>
@@ -945,7 +1004,7 @@ object VersionedTable {
     val sfx = java.util.UUID.randomUUID().toString.take(8)
     val batchDir = s"data/v$seq-mrg-new-$sfx"
     val (batchSid, batchRows) = writeGroup(table, batchDir, batch)
-    if (batchRows == 0) { deleteRecursively(Paths.get(table, batchDir)); return cur }
+    if (batchRows == 0) { deleteRecursively(hpath(table, batchDir)); return cur }
     // the batch's key bounds come from the stats sidecar writeGroup just
     // produced — no second scan of data already aggregated once (pruneDirs
     // compares via toString/BigDecimal, so the sidecar's string forms are
@@ -974,7 +1033,7 @@ object VersionedTable {
         org.apache.spark.sql.functions.broadcast(keys), Seq(key), "left_anti")
       val (remSid, remRows) = writeGroup(table, remDir, remainder)
       if (remRows > 0) Some((remDir, remSid))
-      else { deleteRecursively(Paths.get(table, remDir)); None }
+      else { deleteRecursively(hpath(table, remDir)); None }
     }
     val newDirs = untouched ++ remDirKeptSid.map(_._1).toSeq :+ batchDir
     val sid = untouched.map(d => dirSid(table, d)).sum +
@@ -1156,15 +1215,13 @@ object VersionedTable {
 
   // ---- tags (Iceberg snapshot refs) ---------------------------------------
 
-  private def refsPath(table: String) = Paths.get(table, "_graft_refs.json")
+  private def refsPath(table: String) = hpath(table, "_graft_refs.json")
 
   /** Named tags → version seq (Iceberg's `tag` refs). */
-  def tags(table: String): Map[String, Int] = {
-    val p = refsPath(table)
-    if (!Files.exists(p)) Map.empty
-    else """"([^"]+)":(\d+)""".r.findAllMatchIn(Files.readString(p))
-      .map(m => unb64(m.group(1)) -> m.group(2).toInt).toMap
-  }
+  def tags(table: String): Map[String, Int] =
+    hreadOpt(refsPath(table)).fold(Map.empty[String, Int])(json =>
+      """"([^"]+)":(\d+)""".r.findAllMatchIn(json)
+        .map(m => unb64(m.group(1)) -> m.group(2).toInt).toMap)
 
   private def writeTags(table: String, t: Map[String, Int]): Unit =
     atomicWrite(refsPath(table),
@@ -1346,20 +1403,19 @@ object VersionedTable {
         // in particular their "txn" idempotence keys, which a re-rendered
         // line would silently erase (breaking exactly-once the moment a
         // retention job runs); dropped versions' txn keys survive in the
-        // append-only sidecar ledger, written FIRST so a crash between
-        // the two writes leaves at worst a harmless duplicate key
+        // sidecar ledger, written FIRST (atomic old-plus-new rewrite) so a
+        // crash between the two writes leaves at worst a duplicate key
         val keptLines = st.lines.filter(l => lineSeq(l).exists(retainedSeqs))
         val droppedTxnsB64 = st.lines
           .filter(l => l.endsWith("}") && lineSeq(l).exists(s => !retainedSeqs(s)))
           .flatMap(l => """"txn":"([^"]*)"""".r.findFirstMatchIn(l).map(_.group(1)))
-        if (droppedTxnsB64.nonEmpty)
-          Files.writeString(txnLedgerPath(table),
-            droppedTxnsB64.mkString("", "\n", "\n"),
-            StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-        // COMMIT FIRST, delete after — and atomically: the append-only
-        // commit path is crash-safe by design (a torn tail line is
-        // ignored), so the one rewrite in the lifecycle must not be the
-        // hole in that contract. Crash before the move: manifest
+        if (droppedTxnsB64.nonEmpty) {
+          val existing = hreadOpt(txnLedgerPath(table)).getOrElse("")
+          atomicWrite(txnLedgerPath(table),
+            existing + droppedTxnsB64.mkString("", "\n", "\n"))
+        }
+        // COMMIT FIRST, delete after — and atomically, like every other
+        // manifest write. Crash before the move: manifest
         // untouched, nothing deleted. Crash after the move, before/among
         // the deletes: dropped versions are already gone from the
         // manifest (readAsOf gives the clean "expired" error) and any
@@ -1369,7 +1425,7 @@ object VersionedTable {
         dropped.flatMap(_.dirs).distinct.filterNot(keepDirs)
       }
     }
-    doomed.foreach(d => deleteRecursively(Paths.get(table, d)))
+    doomed.foreach(d => deleteRecursively(hpath(table, d)))
     doomed
   }
 }
