@@ -273,9 +273,14 @@ object MediaCodecs {
         case "data" =>
           require(len >= 0 && len <= buf.remaining(),
             s"data chunk claims $len bytes, ${buf.remaining()} remain")
+          val dataStart = buf.position()
           samples = new Array[Short](len / 2)
           var i = 0
           while (i < samples.length) { samples(i) = buf.getShort; i += 1 }
+          // consume the odd trailing byte + RIFF pad like every other
+          // branch: a data chunk may legally PRECEDE fmt, and stopping
+          // len&~1 bytes in would misalign the rest of the walk
+          buf.position(math.min(dataStart + padded, buf.limit()))
         case _ => buf.position(buf.position() + padded)
       }
     }

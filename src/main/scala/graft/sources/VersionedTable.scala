@@ -73,11 +73,41 @@ object VersionedTable {
 
   private type HPath = org.apache.hadoop.fs.Path
 
+  /** The Hadoop conf that resolves table paths. Sourced from the live
+    * SparkSession so fs.defaultFS / credentials match what the data-file
+    * writes used; the last session's conf is retained so metadata-only
+    * calls after `spark.stop()` (ops CLIs reading tags/txns) still
+    * resolve scheme-less paths against the SAME filesystem instead of
+    * silently falling back to file:// and splitting the table's metadata
+    * across two stores. A truly session-less JVM falls back to the
+    * default Configuration (local paths only — documented).
+    */
+  @volatile private var lastKnownConf: org.apache.hadoop.conf.Configuration = _
   private def hconf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+      .map(_.sparkContext.hadoopConfiguration) match {
+      case Some(c) => lastKnownConf = c; c
+      case None =>
+        if (lastKnownConf != null) lastKnownConf
+        else new org.apache.hadoop.conf.Configuration()
+    }
+
+  /** The java.nio path of `p` IF it resolves to the local filesystem
+    * (scheme-less paths resolve through fs.defaultFS first, so on a
+    * cluster whose default FS is HDFS this correctly answers None for a
+    * scheme-less warehouse path). Local paths get java.nio's genuinely
+    * atomic primitives — POSIX mkdir for the commit lock, ATOMIC_MOVE
+    * for manifest replace — where Hadoop's local implementations are
+    * check-then-act or delete-then-rename.
+    */
+  private def asLocalNio(p: HPath): Option[java.nio.file.Path] =
+    p.getFileSystem(hconf) match {
+      case l @ (_: org.apache.hadoop.fs.LocalFileSystem |
+                _: org.apache.hadoop.fs.RawLocalFileSystem) =>
+        Some(java.nio.file.Paths.get(l.makeQualified(p).toUri.getPath))
+      case _ => None
+    }
 
   private[sources] def fsOf(p: HPath): org.apache.hadoop.fs.FileSystem =
     p.getFileSystem(hconf) match {
@@ -176,19 +206,29 @@ object VersionedTable {
     * unaffected.
     */
   private def withCommitLock[T](table: String)(body: => T): T = {
-    val turi = new HPath(table).toUri
-    val isLocal = turi.getScheme == null || turi.getScheme == "file"
-    val localLock = java.nio.file.Paths.get(
-      (if (turi.getScheme == null) table else turi.getPath) + "/_graft_commit.lock")
     val hLock = hpath(table, "_graft_commit.lock")
+    val localLock = asLocalNio(hLock) // None <=> the table lives on a cluster store
     hmkdirs(new HPath(table))
-    def tryAcquire(): Boolean =
-      if (isLocal)
-        try { Files.createDirectory(localLock); true }
+    def tryAcquire(): Boolean = localLock match {
+      case Some(lp) =>
+        try { Files.createDirectory(lp); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      else
+      case None =>
         try { fsOf(hLock).create(hLock, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        catch {
+          // ONLY already-exists means "someone else holds it" — any other
+          // IOException (permissions, wrong FS, network) must surface as
+          // itself, not be spun into a bogus 'crashed committer' verdict.
+          // NOT cleaned up on the error path: we cannot tell whether the
+          // path is our half-created file or another holder's live lock,
+          // and deleting a live lock is worse than leaving debris the
+          // error message already names.
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case e: org.apache.hadoop.ipc.RemoteException
+            if e.getClassName != null && e.getClassName.contains("AlreadyExists") => false
+        }
+    }
     var attempts = 0
     while (!tryAcquire()) {
       attempts += 1
@@ -197,7 +237,10 @@ object VersionedTable {
       Thread.sleep(5)
     }
     try body finally {
-      if (isLocal) Files.delete(localLock) else { fsOf(hLock).delete(hLock, false); () }
+      localLock match {
+        case Some(lp) => Files.delete(lp)
+        case None => fsOf(hLock).delete(hLock, false); ()
+      }
     }
   }
 
@@ -317,18 +360,30 @@ object VersionedTable {
     new String(Base64.getDecoder.decode(s), "UTF-8")
 
   /** tmp + atomic rename-with-overwrite: a crash mid-write or a
-    * concurrent reader must never see torn content (shared by every
-    * manifest commit, props/refs writes and expire's manifest rewrite).
-    * FileContext.rename(OVERWRITE) is the atomic-replace primitive
-    * Spark's own HDFSMetadataLog uses — plain FileSystem.rename won't
-    * overwrite.
+    * concurrent reader must never see torn OR MISSING content (shared by
+    * every manifest commit, props/refs writes and expire's manifest
+    * rewrite). Local paths use java.nio ATOMIC_MOVE — POSIX rename(2),
+    * genuinely atomic; Hadoop's local FileContext implements
+    * rename(OVERWRITE) as delete-then-rename, which opens a window where
+    * the manifest does not exist at all (a crash there loses the table
+    * pointer, a concurrent reader sees "no committed version"). Cluster
+    * paths use FileContext.rename(OVERWRITE) — the primitive Spark's own
+    * HDFSMetadataLog uses; HDFS implements it as one atomic NameNode op.
     */
-  private def atomicWrite(target: HPath, content: String): Unit = {
-    val tmp = new HPath(target.getParent, target.getName + ".tmp")
-    hwrite(tmp, content)
-    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, hconf)
-      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private def atomicWrite(target: HPath, content: String): Unit =
+    asLocalNio(target) match {
+      case Some(lp) =>
+        val tmp = lp.resolveSibling(lp.getFileName.toString + ".tmp")
+        Files.writeString(tmp, content)
+        Files.move(tmp, lp,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case None =>
+        val tmp = new HPath(target.getParent, target.getName + ".tmp")
+        hwrite(tmp, content)
+        org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, hconf)
+          .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
 
   /** NTZ literals carry NAIVE wall-clock micros; the only session where
     * `unix_micros(cast to ltz)` produces exactly that domain is UTC
@@ -911,7 +966,12 @@ object VersionedTable {
       .filter(_.startsWith("_g=")).toList.sortBy(_.stripPrefix("_g=").toInt)
     val dirs = groups.map { g =>
       val d = s"data/v$seq-$tag${g.stripPrefix("_g=")}-$sfx"
-      stagingFs.rename(new HPath(stagingPath, g), hpath(table, d))
+      // Hadoop rename reports most failures by RETURNING FALSE, not
+      // throwing — proceeding would let deleteRecursively(staging) below
+      // destroy the un-moved group's only copy
+      require(stagingFs.rename(new HPath(stagingPath, g), hpath(table, d)),
+        s"rename of staging group $g to $d failed — aborting $tag rewrite " +
+          "with the staging copy intact")
       d
     }
     deleteRecursively(stagingPath)

@@ -67,6 +67,19 @@ class MultimodalCodecSpec extends SparkSpec {
     }
     val (sr3, samples3) = MediaCodecs.decodeWavPcm16(withOdd)
     assert(sr3 == 8000 && samples3.sameElements(samples))
+    // data chunk BEFORE fmt, with ODD length: legal RIFF ordering — the
+    // data branch must consume its own odd byte + pad like every other
+    // branch or the following fmt id misaligns
+    val dataFirstOdd = {
+      val riffHead = wav.slice(0, 12) // RIFF<size>WAVE
+      val fmtChunk = wav.slice(12, 36)
+      val oddData = java.nio.ByteBuffer.allocate(8 + 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("data".getBytes("US-ASCII")).putInt(3) // 3 bytes: one sample + odd byte
+        .putShort(1234.toShort).put(7.toByte).put(0.toByte).array()
+      riffHead ++ oddData ++ fmtChunk
+    }
+    val (sr4, samples4) = MediaCodecs.decodeWavPcm16(dataFirstOdd)
+    assert(sr4 == 8000 && samples4.length == 1 && samples4(0) == 1234.toShort)
   }
 
   test("GIF animation: multi-frame round trip pixel-exact, sampling keeps every Nth frame") {
