@@ -296,8 +296,15 @@ object PipelineMain {
           println(s"[graft] stream batch=$batchId merged -> $outPath")
         }
       }
+      // sentinel rows persist their event times into the checkpoint's
+      // watermark (by design: that is what fires the timeouts), so a
+      // RESUMED run treats backfilled turns older than
+      // maxTs + gap + lateness as late data and drops them — standard
+      // watermark semantics, widened by the flush offsets; backfills of
+      // older event times belong on the batch path (--merge-append)
       val q = graft.streaming.StreamingTriples
-        .triplesStream(turnsStream, tagger, gapMs, lateness)
+        .triplesStream(turnsStream, tagger, gapMs, lateness,
+          extractDates = a.getOrElse("extract-dates", "false").toBoolean)
         .toDF()
         .writeStream
         .option("checkpointLocation", s"$out/stream_checkpoint")
@@ -317,9 +324,13 @@ object PipelineMain {
       require(maxTs != null,
         "--stream true needs at least one input turn (the stream-in table " +
           "is empty) — run s0 first or pass --convs > 0")
-      Seq(10, 20).foreach { m =>
-        val sentinel = Seq(Turn("graft-sentinel", m, "user", "flush", null,
-          new java.sql.Timestamp(maxTs.getTime + m * 60000L))).toDS()
+      // offsets derived from gap + lateness: hardcoded constants would
+      // silently leave the newest conversations unflushed (exit 0, rows
+      // missing) as soon as gap + lateness exceeded them
+      graft.streaming.StreamingTriples.flushOffsetsMs(gapMs, lateness)
+          .zipWithIndex.foreach { case (off, i) =>
+        val sentinel = Seq(Turn("graft-sentinel", i, "user", "flush", null,
+          new java.sql.Timestamp(maxTs.getTime + off))).toDS()
         if (srcVersioned)
           graft.sources.VersionedTable.append(sentinel.toDF(), streamIn)
         else sentinel.write.mode(SaveMode.Append).parquet(streamIn)
@@ -433,8 +444,32 @@ object PipelineMain {
     spark.stop()
   }
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+  private val knownArgs = Set(
+    "bloom-cols", "bloom-fpp", "convs", "cores", "extract-dates",
+    "from-stage", "jdbc-batchsize", "jdbc-driver", "jdbc-table", "jdbc-url",
+    "maintain", "maintain-compact-groups", "maintain-keep",
+    "maintain-sort-by", "maintain-sort-groups", "maintain-vacuum-hours",
+    "maintain-zorder-by", "merge-append", "out", "rollback", "rollback-to",
+    "run-id", "salted-conv", "seed", "skip", "stream", "stream-gap-ms",
+    "stream-in", "stream-lateness", "stream-sink", "stream-source",
+    "tag", "tag-table", "tag-version", "to-stage")
+
+  /** Strict --key value parser: a dangling flag, a value in key position
+    * (one missing value shifts every later pair), or a typo'd key each
+    * CHANGE RUN BEHAVIOR if silently dropped — '--maintain-keeps 5' would
+    * expire with the default instead of erroring.
+    */
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"arguments must be --key value pairs; got an odd count: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
+      case Array(k, v) =>
+        require(k.startsWith("--"),
+          s"expected a --key at '$k' (a previous flag is missing its value?)")
+        val key = k.stripPrefix("--")
+        require(knownArgs.contains(key), s"unknown flag --$key; known: " +
+          knownArgs.toSeq.sorted.map("--" + _).mkString(", "))
+        key -> v
     }.toMap
+  }
 }

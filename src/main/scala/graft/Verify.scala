@@ -33,6 +33,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a PREVIOUS run's output must not survive the failure: the
+        // comparator would read the stale parquet as current and report
+        // the regressed query green
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        scala.util.Try(
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -65,8 +65,14 @@ object StreamingIngest {
   /** Stateful running resolution: per conversation, maintain the merged
     * employment-group set and emit the current priority winner whenever it
     * changes. Template for the other A1-A5 merges in streaming mode.
+    * State carries a PROCESSING-TIME idle timeout (`idleTimeoutMs`) and is
+    * dropped when it fires — without it the store grows one EmpState per
+    * conversation EVER SEEN for the life of the query, O(history) not
+    * O(active). (In batch execution timeouts never fire, which is fine:
+    * batch state dies with the job.)
     */
-  def runningEmployment(extracted: DataFrame)(
+  def runningEmployment(extracted: DataFrame,
+      idleTimeoutMs: Long = 30L * 60 * 1000)(
       implicit spark: SparkSession): Dataset[EmpUpdate] = {
     import spark.implicits._
     extracted
@@ -77,18 +83,24 @@ object StreamingIngest {
           Nil, Nil, Nil, None, Nil, Nil)
       }
       .groupByKey(_.conv_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (convId: String, turns: Iterator[TurnExtracted], state: GroupState[EmpState]) => {
-          val prev = state.getOption.getOrElse(EmpState(Nil))
-          val acc = scala.collection.mutable.LinkedHashSet(prev.groups: _*)
-          val before = graft.rules.Rules.priorityEmployment(prev.groups)
-          turns.toSeq.sortBy(_.turn_idx).foreach(_.emp_groups.foreach(acc += _))
-          val merged = acc.toSeq
-          state.update(EmpState(merged))
-          val after = graft.rules.Rules.priorityEmployment(merged)
-          if (after != before && after.isDefined)
-            Iterator.single(EmpUpdate(convId, after.get, new Timestamp(0L)))
-          else Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove() // idle conversation: running resolution is final
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(EmpState(Nil))
+            val acc = scala.collection.mutable.LinkedHashSet(prev.groups: _*)
+            val before = graft.rules.Rules.priorityEmployment(prev.groups)
+            turns.toSeq.sortBy(_.turn_idx).foreach(_.emp_groups.foreach(acc += _))
+            val merged = acc.toSeq
+            state.update(EmpState(merged))
+            state.setTimeoutDuration(idleTimeoutMs)
+            val after = graft.rules.Rules.priorityEmployment(merged)
+            if (after != before && after.isDefined)
+              Iterator.single(EmpUpdate(convId, after.get, new Timestamp(0L)))
+            else Iterator.empty
+          }
         })
   }
 }

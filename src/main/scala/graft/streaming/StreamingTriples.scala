@@ -112,13 +112,13 @@ object StreamingTriples {
         query.processAllAvailable()
         val maxTs = allTurns.map(_.ts.getTime).max
         // watermark advances after the batch that reads the new max event
-        // time, and timeouts fire in the batch AFTER that — two nudges
-        stream.addData(graft.model.Turn("dummy", 0, "user", "x", null,
-          new Timestamp(maxTs + 10 * 60000L)))
-        query.processAllAvailable()
-        stream.addData(graft.model.Turn("dummy", 1, "user", "x", null,
-          new Timestamp(maxTs + 20 * 60000L)))
-        query.processAllAvailable()
+        // time, and timeouts fire in the batch AFTER that — two nudges,
+        // offset by gap + lateness (see flushOffsetsMs)
+        flushOffsetsMs(gapMs, lateness).zipWithIndex.foreach { case (off, i) =>
+          stream.addData(graft.model.Turn("dummy", i, "user", "x", null,
+            new Timestamp(maxTs + off)))
+          query.processAllAvailable()
+        }
         spark.table(queryName).as[Triple].collect().toSet.filterNot(_.subj == "dummy")
       } finally query.stop()
     (streamed, batch, canon)
@@ -128,14 +128,41 @@ object StreamingTriples {
     * (conv_id, turn_idx, role, text, tool, ts). Emits each conversation's
     * triples once, when the watermark passes its last turn + gapMs.
     */
+  /** `lateness` (a Spark interval string) in milliseconds. Month-bearing
+    * intervals are rejected — their length is calendar-dependent, and the
+    * only consumer is flush-offset arithmetic that needs a fixed width.
+    */
+  def latenessMs(lateness: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.safeStringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
+    require(iv != null, s"unparseable lateness interval: '$lateness'")
+    require(iv.months == 0,
+      s"calendar-dependent lateness unsupported for flush arithmetic: '$lateness'")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  /** The two event-time nudges that flush every real conversation: the
+    * watermark advances to sentinelTs - lateness, and a conversation
+    * times out once the watermark passes lastTurnTs + gap — so the FIRST
+    * sentinel must sit beyond maxTs + gap + lateness (hardcoding a
+    * constant silently leaves the newest conversations unflushed the
+    * moment gap + lateness exceeds it), and the SECOND triggers the
+    * follow-up batch in which the now-enabled timeouts actually fire.
+    */
+  def flushOffsetsMs(gapMs: Long, lateness: String): Seq[Long] = {
+    val first = gapMs + latenessMs(lateness) + 60000L
+    Seq(first, first + 60000L)
+  }
+
   def triplesStream(turns: DataFrame, tagger: SectionTagger.Trained,
-      gapMs: Long = 30L * 60 * 1000, lateness: String = "10 minutes")(
+      gapMs: Long = 30L * 60 * 1000, lateness: String = "10 minutes",
+      extractDates: Boolean = false)(
       implicit spark: SparkSession): Dataset[Triple] = {
     import spark.implicits._
     val cleaned = turns.withColumn("text_clean",
       graft.functions.CleanFunctions.clean_text(col("text")))
     val tagged = SectionTagger.predict(tagger, cleaned)
-    val extracted = TurnExtract.extract(tagged, keepTs = true)
+    val extracted = TurnExtract.extract(tagged, extractDates, keepTs = true)
     extracted
       .select("conv_id", "turn_idx", "tool", "text", "emp_groups", "locations",
         "orgs", "edu_phrases", "sal", "start_dates", "deadline_dates", "ts")

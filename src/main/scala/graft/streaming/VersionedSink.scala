@@ -37,19 +37,32 @@ object VersionedSink {
     * does both). Resolved through the checkpoint's Hadoop filesystem
     * (the checkpoint may be a qualified URI on a real cluster); read
     * per batch, uncached — a tiny driver-side read, and a cache could
-    * serve a stale id to a post-reset run in the same JVM. Falls back to
-    * the checkpoint path when the metadata file is unreadable (the query
-    * has not started yet).
+    * serve a stale id to a post-reset run in the same JVM. An unreadable
+    * metadata file THROWS (failing the batch, which Spark retries): every
+    * caller runs after query start, when the file exists, so a read
+    * failure is a transient IO error — and falling back to any stable
+    * string would key this batch in a namespace no other run uses,
+    * silently breaking exactly-once in both directions (a replay of this
+    * batch wouldn't be recognized; a fallback-keyed ledger entry would
+    * swallow a future reset's batch of the same id).
     */
   def checkpointTxnNamespace(spark: SparkSession, checkpoint: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
-    scala.util.Try {
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(p)
-      val json = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
-    }.toOption.flatten.getOrElse(checkpoint)
+    val json =
+      try {
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"cannot read the query id from $p — refusing to guess a txn " +
+            "namespace (exactly-once would silently break); the batch will " +
+            "be retried", e)
+      }
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"no query id in $p — malformed checkpoint metadata"))
   }
 
   /** Start an exactly-once append stream into `table`. Txn keys are

@@ -156,13 +156,19 @@ final class VersionedTableSource(spark: SparkSession, table: String,
     // an append that EVOLVED the schema mid-stream would otherwise have
     // its new columns silently projected away by the construction-pinned
     // schema — fail loudly instead (Delta's behavior): a restart re-pins
-    // the widened schema and resumes from the checkpointed offset
+    // the widened schema and resumes from the checkpointed offset. A
+    // group WITHOUT a stats sidecar (pre-stats table format) must not
+    // skip the guard — that would be the silent projection the guard
+    // exists to prevent — so it pays one footer read instead.
     val pinned = schema.fieldNames.toSet
-    for (g <- groups; sch <- g.stats.flatMap(_.schema);
-         extra = sch.fieldNames.filterNot(pinned) if extra.nonEmpty)
-      throw new IllegalStateException(
+    for (g <- groups) {
+      val sch = g.stats.flatMap(_.schema).getOrElse(
+        spark.read.parquet(s"$table/${g.dir}").schema)
+      val extra = sch.fieldNames.filterNot(pinned)
+      if (extra.nonEmpty) throw new IllegalStateException(
         s"schema of $table evolved mid-stream (commit added ${extra.mkString(", ")} " +
           s"in ${g.dir}) — restart the stream to pick up the widened schema")
+    }
     // the same FileIndex seam as the batch scan: data filters a streaming
     // query pushes down prune the batch's file groups too
     val idx = new GraftFileIndex(spark, table, groups)
@@ -278,8 +284,10 @@ final class VersionedTableProvider extends StreamSourceProvider
     val checkpoint = parameters.get("checkpointLocation")
     if (explicitAppId.isEmpty && checkpoint.isEmpty)
       throw new IllegalArgumentException(
-        "graft-versioned sink needs a txn namespace: set checkpointLocation " +
-          "(recommended) or an explicit txnAppId option")
+        "graft-versioned sink needs a txn namespace: set the " +
+          "checkpointLocation WRITER OPTION (the session-level " +
+          "spark.sql.streaming.checkpointLocation default resolves to a " +
+          "per-query dir this sink cannot see) or an explicit txnAppId")
     // partitionBy on this sink would be silently ignored — data lands as
     // unpartitioned file groups — so reject the request loudly instead of
     // letting the user believe the layout request was honored

@@ -37,6 +37,17 @@ class StreamingTriplesSpec extends SparkSpec {
       "org triples diverged after applying the batch canonical map")
   }
 
+  test("long gap + lateness still flushes every conversation (derived offsets)") {
+    // gap 25 min + lateness 10 min exceeds the old hardcoded 10/20-minute
+    // nudges: before flushOffsetsMs the newest conversations never timed
+    // out and their triples were silently missing with exit 0
+    val (streamed, batch, _) =
+      StreamingTriples.parityRun(4, gapMs = 25L * 60 * 1000, lateness = "10 minutes")
+    def nonOrg(s: Set[Triple]) = s.filterNot(_.pred == "hiring_organization")
+    assert(nonOrg(streamed) == nonOrg(batch),
+      s"missing=${(nonOrg(batch) -- nonOrg(streamed)).take(5)}")
+  }
+
   test("out-of-order in-lateness turns never lower the timeout (single emission)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
