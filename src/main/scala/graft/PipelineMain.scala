@@ -69,8 +69,8 @@ object PipelineMain {
     val a = parseArgs(args)
     // --maintain/--rollback/--tag target a table directly and need no --out
     val out = a.getOrElse("out", a.getOrElse("maintain",
-      a.getOrElse("rollback", a.getOrElse("tag-table",
-        throw new IllegalArgumentException("--out is required")))))
+      a.getOrElse("rollback", a.getOrElse("tag-table", a.getOrElse("history",
+        throw new IllegalArgumentException("--out is required"))))))
     val nConvs = a.getOrElse("convs", "1000").toLong
     val seed = a.getOrElse("seed", "42").toLong
     val from = a.getOrElse("from-stage", "s0")
@@ -117,6 +117,21 @@ object PipelineMain {
         .getOrElse(VersionedTable.versions(table).last.seq)
       VersionedTable.tag(table, name, seq)
       println(s"[graft] tagged $table v$seq as '$name'")
+      spark.stop()
+      return
+    }
+    // `--history <table>`: DESCRIBE HISTORY + layout summary from the
+    // manifest/sidecars alone (zero data reads) — the ops view of a table
+    a.get("history").foreach { table =>
+      import graft.sources.VersionedTable
+      VersionedTable.history(table).orderBy("version").collect().foreach { r =>
+        println(s"[graft] v${r.get(0)} op=${r.get(4)} groups=${r.get(2)} " +
+          s"rows=${Option(r.get(3)).getOrElse("?")} snapshot=${r.get(1)}")
+      }
+      val fm = VersionedTable.filesMetadata(table)
+        .agg(count(lit(1)), sum(col("bytes"))).head()
+      println(s"[graft] tip layout: ${fm.getLong(0)} data files, " +
+        s"${fm.getLong(1)} bytes; tags=${VersionedTable.tags(table)}")
       spark.stop()
       return
     }
@@ -452,7 +467,7 @@ object PipelineMain {
     "maintain-zorder-by", "merge-append", "out", "rollback", "rollback-to",
     "run-id", "salted-conv", "seed", "skip", "stream", "stream-gap-ms",
     "stream-in", "stream-lateness", "stream-sink", "stream-source",
-    "tag", "tag-table", "tag-version", "to-stage")
+    "history", "tag", "tag-table", "tag-version", "to-stage")
 
   /** Strict --key value parser: a dangling flag, a value in key position
     * (one missing value shifts every later pair), or a typo'd key each
