@@ -1060,7 +1060,23 @@ object SparkEntry {
       require(fmSum == tip.snapshotId,
         "filesMetadata group ids must sum (mod 2^64) to the tip snapshot id")
       VersionedTable.scan(table).select("doc_id", "lang", "n_chars")
-    }))
+    }),
+    // q64-q66: deterministic content-hash sampling (operators.Sampling) —
+    // the draw is a pure function of the key, so DuckDB recomputes the
+    // SAME md5 prefix and the compare is value-exact, which is itself the
+    // point: partition-layout-dependent df.sample() could never pass this.
+    "q64_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(t(s, d, "documents"), col("doc_id"), 0.25, "s1")
+        .withColumn("split", Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "sp1"))
+        .select("doc_id", "lang", "n_chars", "split")),
+    "q65_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(t(s, d, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.125, salt = "s2")
+        .select("doc_id", "lang", "source")),
+    "q66_group_topk" -> ((s, d) =>
+      Sampling.groupTopK(t(s, d, "documents"), col("lang"), col("doc_id"), 3, "s3")
+        .select("doc_id", "lang", "rn")))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
     * Jaccard pair set over documents ∪ (documents + 1e6 ids), thresholded
@@ -1439,5 +1455,27 @@ object SparkEntry {
     // q63: the post-rollback tip must equal the first two slices exactly —
     // the undone third slice contributes nothing, nothing else is lost.
     "q63_rollback_restore" ->
-      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 2")
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 2",
+    // q64-q66: DuckDB recomputes the identical md5-prefix draw — the
+    // cutoffs are floor(rate * 2^32) in hex (0.25=40000000, 0.75=c0000000,
+    // 0.875=e0000000, 0.5=80000000, 0.125=20000000), fixed-width lowercase
+    // hex compares exactly like the 32-bit value it encodes.
+    "q64_hash_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN substr(md5(coalesce(cast(doc_id AS varchar), '') || ':sp1'), 1, 8) < 'c0000000' THEN 'train'
+        |       WHEN substr(md5(coalesce(cast(doc_id AS varchar), '') || ':sp1'), 1, 8) < 'e0000000' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |WHERE substr(md5(coalesce(cast(doc_id AS varchar), '') || ':s1'), 1, 8) < '40000000'""".stripMargin,
+    "q65_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(coalesce(cast(doc_id AS varchar), '') || ':s2'), 1, 8) <
+        |  CASE WHEN lang = 'de' THEN '40000000'
+        |       WHEN lang = 'en' THEN '80000000'
+        |       ELSE '20000000' END""".stripMargin,
+    "q66_group_topk" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5(coalesce(cast(doc_id AS varchar), '') || ':s3'), 1, 8), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 3""".stripMargin)
 }
