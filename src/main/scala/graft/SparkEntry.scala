@@ -1061,6 +1061,33 @@ object SparkEntry {
         "filesMetadata group ids must sum (mod 2^64) to the tip snapshot id")
       VersionedTable.scan(table).select("doc_id", "lang", "n_chars")
     }),
+    // q67: column-mapping schema evolution — rename + drop are metadata-
+    // only commits (content id unchanged, zero data rewritten), appends
+    // speak the evolved logical names, and the final scan must value-match
+    // DuckDB's recomputation under the new names from the raw source.
+    "q67_column_mapping" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-cm").toString
+      val base = VersionedTable.overwrite(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), table)
+      val ren = VersionedTable.renameColumn(table, "lang", "language")
+      val drp = VersionedTable.dropColumn(table, "source")
+      require(ren.snapshotId == base.snapshotId && drp.snapshotId == base.snapshotId,
+        "schema evolution must be metadata-only (content id changed)")
+      require(VersionedTable.filesMetadata(table).count() ==
+        VersionedTable.filesMetadata(table, asOf = Some(base.seq)).count(),
+        "schema evolution rewrote data files")
+      // the pre-evolution version still time-travels under its own names
+      val v1Cols = VersionedTable.readAsOf(table, base.seq).schema.fieldNames.toSet
+      require(v1Cols == Set("doc_id", "lang", "source", "n_chars"),
+        s"time travel lost the original schema: $v1Cols")
+      // the second half appends under the EVOLVED logical schema
+      VersionedTable.append(docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("lang").as("language"), col("n_chars")), table)
+      VersionedTable.scan(table).select("doc_id", "language", "n_chars")
+    }),
     // q64-q66: deterministic content-hash sampling (operators.Sampling) —
     // the draw is a pure function of the key, so DuckDB recomputes the
     // SAME md5 prefix and the compare is value-exact, which is itself the
@@ -1477,5 +1504,9 @@ object SparkEntry {
       """SELECT doc_id, lang, rn FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
         |    ORDER BY substr(md5(coalesce(cast(doc_id AS varchar), '') || ':s3'), 1, 8), doc_id) AS rn
-        |  FROM documents) WHERE rn <= 3""".stripMargin)
+        |  FROM documents) WHERE rn <= 3""".stripMargin,
+    // q67: rename/drop change names and visibility, never values — the
+    // evolved table must equal the raw source under the new names.
+    "q67_column_mapping" ->
+      "SELECT doc_id, lang AS language, n_chars FROM documents")
 }

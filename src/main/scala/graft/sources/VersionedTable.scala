@@ -48,7 +48,38 @@ import org.apache.spark.sql.types.{NumericType, StringType, StructType}
   */
 object VersionedTable {
 
-  final case class Version(seq: Int, snapshotId: Long, dirs: Seq[String])
+  final case class Version(seq: Int, snapshotId: Long, dirs: Seq[String],
+      colMap: Option[ColMapping] = None)
+
+  /** Column-mapping state of a version (Delta column-mapping / Iceberg
+    * schema-evolution semantics, name-mode): data files keep their
+    * ORIGINAL physical column names forever; renames and drops are
+    * metadata-only commits that change how reads project them.
+    *
+    *   - `renames` maps each renamed LOGICAL name to the physical column
+    *     that stores it (rename a→b ⇒ `b -> a`; un-renamed columns are
+    *     their own physical name and are not listed);
+    *   - `dropped` is the tombstone set of PHYSICAL names no read may
+    *     surface. The bytes stay in the files (drop is O(1) metadata, no
+    *     rewrite at any table size); a later append that re-uses a dropped
+    *     logical name mints a FRESH physical name, so old values can never
+    *     resurrect under the re-added column — Iceberg's new-field-id
+    *     behavior.
+    *
+    * The mapping is carried per manifest line, so time travel reads each
+    * version under ITS OWN schema. A rename is one Project-with-alias on
+    * top of the physical scan: Catalyst pushes logical-name filters
+    * through the alias down to physical columns, so manifest stats, bloom
+    * sidecars and FileIndex pruning all keep working untouched, in
+    * physical name space.
+    */
+  final case class ColMapping(renames: Map[String, String], dropped: Set[String]) {
+    def isIdentity: Boolean = renames.isEmpty && dropped.isEmpty
+    def physicalOf(logical: String): String = renames.getOrElse(logical, logical)
+    /** Physical names no NEW logical column may claim as-is. */
+    def claimed: Set[String] = renames.values.toSet ++ dropped
+  }
+  object ColMapping { val identity: ColMapping = ColMapping(Map.empty, Set.empty) }
 
   /** Txn ids already committed to `table` — the read side of exactly-once
     * appends: a manifest line may carry `"txn":"<b64>"` naming the
@@ -162,7 +193,32 @@ object VersionedTable {
       dirsRaw <- """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(line).map(_.group(1))
       if line.endsWith("}")
     } yield Version(seq, sid,
-      dirsRaw.split(',').filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      dirsRaw.split(',').filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq,
+      """"colmap":"([^"]*)"""".r.findFirstMatchIn(line)
+        .map(m => colMapFromJson(unb64(m.group(1)))))
+
+  /** ColMapping codec — names ride b64 like every other user string in
+    * the sidecar formats, so arbitrary column names can never tear the
+    * JSON; the whole payload is b64'd again into the manifest line.
+    */
+  private def colMapToJson(m: ColMapping): String = {
+    val r = m.renames.toSeq.sortBy(_._1)
+      .map { case (l, p) => s"""["${b64(l)}","${b64(p)}"]""" }.mkString(",")
+    val d = m.dropped.toSeq.sorted.map(p => "\"" + b64(p) + "\"").mkString(",")
+    s"""{"r":[$r],"d":[$d]}"""
+  }
+
+  private def colMapFromJson(j: String): ColMapping = {
+    val dAt = j.indexOf("\"d\":[")
+    val renames = """\["([^"]*)","([^"]*)"\]""".r
+      .findAllMatchIn(j.substring(0, math.max(dAt, 0)))
+      .map(m => unb64(m.group(1)) -> unb64(m.group(2))).toMap
+    val dropped =
+      if (dAt < 0) Set.empty[String]
+      else """"([^"]*)"""".r.findAllMatchIn(j.substring(dAt + 5))
+        .map(m => unb64(m.group(1))).toSet
+    ColMapping(renames, dropped)
+  }
 
   private final case class ManifestState(lines: Seq[String],
       versions: Seq[Version], txns: Set[String])
@@ -252,9 +308,10 @@ object VersionedTable {
     * per-row hashes mod 2^64 = Long wraparound addition) to combine a
     * pre-computed per-dir id with the base's instead of re-scanning.
     */
-  private def commitTransform(table: String)(
+  private def commitTransform(table: String,
+      colMapF: Option[ColMapping] => Option[ColMapping] = identity)(
       f: Option[Version] => (Seq[String], Long)): Version =
-    commitWith(table)(base => Some(f(base)))
+    commitWith(table, colMapF = colMapF)(base => Some(f(base)))
       .getOrElse(throw new IllegalStateException("unreachable: unconditional commit aborted"))
 
   /** Like [[commitTransform]] but `f` may ABORT by returning None (the
@@ -262,7 +319,8 @@ object VersionedTable {
     * represented — e.g. a replayed txn), and may attach a txn idempotence
     * key to the manifest line. Returns None on abort.
     */
-  private def commitWith(table: String, txn: Option[String] = None)(
+  private def commitWith(table: String, txn: Option[String] = None,
+      colMapF: Option[ColMapping] => Option[ColMapping] = identity)(
       f: Option[Version] => Option[(Seq[String], Long)]): Option[Version] =
     withCommitLock(table) {
       val st = manifestState(table) // ONE in-lock read: base + txn ledger
@@ -273,14 +331,20 @@ object VersionedTable {
         val base = st.versions.lastOption
         val seq = base.map(_.seq + 1).getOrElse(1)
         val txnJson = txn.map(t => s""","txn":"${b64(t)}"""").getOrElse("")
-        val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]$txnJson}"""
+        // column mapping: inherited from the base verbatim by default
+        // (every layout/row-level op preserves schema identity); only the
+        // schema-evolution entry points and rollback/overwrite pass a
+        // transform. Identity mappings stay OFF the line.
+        val cm = colMapF(base.flatMap(_.colMap)).filter(!_.isIdentity)
+        val cmJson = cm.map(m => s""","colmap":"${b64(colMapToJson(m))}"""").getOrElse("")
+        val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]$cmJson$txnJson}"""
         // whole-file atomic replace, never append: portable to stores
         // without append(), and a crash leaves the old or the new
         // manifest — no torn tail at all (parseLine still tolerates one
         // from pre-refactor tables)
         atomicWrite(manifestPath(table),
           (st.lines :+ line).mkString("", "\n", "\n"))
-        Version(seq, sid, dirs)
+        Version(seq, sid, dirs, cm)
       }
     }
 
@@ -294,7 +358,10 @@ object VersionedTable {
     val dir = newDataDir(versions(table).lastOption.map(_.seq + 1).getOrElse(1))
     df.write.parquet(s"$table/$dir")
     val sid = writeStats(table, dir)
-    commitTransform(table)(_ => (Seq(dir), sid))
+    // a full overwrite replaces the table's CONTENT, and with it the
+    // schema lineage: the incoming names become the physical names and
+    // the mapping resets (earlier versions keep theirs for time travel)
+    commitTransform(table, colMapF = _ => None)(_ => (Seq(dir), sid))
   }
 
   /** Append commit: the base version's dirs + one new dir. The base is
@@ -304,10 +371,14 @@ object VersionedTable {
     * holding the lock.
     */
   def append(df: DataFrame, table: String)(implicit spark: SparkSession): Version = {
-    val dir = newDataDir(versions(table).lastOption.map(_.seq + 1).getOrElse(1))
-    df.write.parquet(s"$table/$dir")
+    val vs = versions(table)
+    // incoming batches speak LOGICAL names; data files store physical
+    val (pdf, minted) = toPhysical(df,
+      vs.lastOption.flatMap(_.colMap).getOrElse(ColMapping.identity))
+    val dir = newDataDir(vs.lastOption.map(_.seq + 1).getOrElse(1))
+    pdf.write.parquet(s"$table/$dir")
     val dirSid = writeStats(table, dir)
-    commitTransform(table) { base =>
+    commitTransform(table, colMapF = extendMapping(minted)) { base =>
       (base.map(_.dirs).getOrElse(Seq.empty) :+ dir,
         base.map(_.snapshotId + dirSid).getOrElse(dirSid)) // mod-2^64 sum
     }
@@ -330,11 +401,13 @@ object VersionedTable {
     val st = manifestState(table) // ONE pre-lock read: replay check + seq
     if (st.txns.contains(txn))
       return (st.versions.lastOption.getOrElse(Version(0, 0L, Seq.empty)), false)
+    val (pdf, minted) = toPhysical(df,
+      st.versions.lastOption.flatMap(_.colMap).getOrElse(ColMapping.identity))
     val dir = newDataDir(st.versions.lastOption.map(_.seq + 1).getOrElse(1))
-    df.write.parquet(s"$table/$dir")
+    pdf.write.parquet(s"$table/$dir")
     val dirSid = writeStats(table, dir)
     // commitWith itself re-checks the txn inside the lock and aborts
-    commitWith(table, txn = Some(txn)) { base =>
+    commitWith(table, txn = Some(txn), colMapF = extendMapping(minted)) { base =>
       Some((base.map(_.dirs).getOrElse(Seq.empty) :+ dir,
         base.map(_.snapshotId + dirSid).getOrElse(dirSid)))
     } match {
@@ -343,6 +416,107 @@ object VersionedTable {
         deleteRecursively(hpath(table, dir))
         (versions(table).lastOption.getOrElse(Version(0, 0L, Seq.empty)), false)
     }
+  }
+
+  // ---- column mapping (rename / drop schema evolution) -------------------
+
+  /** The tip version's column mapping (identity for unmapped tables). */
+  def currentMapping(table: String): ColMapping =
+    versions(table).lastOption.flatMap(_.colMap).getOrElse(ColMapping.identity)
+
+  /** The logical view of a physically-named DataFrame: dropped physical
+    * columns vanish, renamed ones surface under their logical names. One
+    * Project with aliases — Catalyst collapses it into the scan and
+    * pushes logical-name filters through to the physical columns, so this
+    * costs nothing and every pruning layer below stays untouched.
+    */
+  private def logicalView(df: DataFrame, cm: Option[ColMapping]): DataFrame =
+    cm.filter(!_.isIdentity).fold(df) { m =>
+      val p2l = m.renames.map(_.swap)
+      df.select(df.schema.fieldNames.filterNot(m.dropped)
+        .map(p => col(p).as(p2l.getOrElse(p, p))).toSeq: _*)
+    }
+
+  private def logicalSchema(phys: StructType, cm: Option[ColMapping]): StructType =
+    cm.filter(!_.isIdentity).fold(phys) { m =>
+      val p2l = m.renames.map(_.swap)
+      StructType(phys.fields.filterNot(f => m.dropped(f.name))
+        .map(f => f.copy(name = p2l.getOrElse(f.name, f.name))))
+    }
+
+  /** Logical→physical translation of an INCOMING batch: renamed columns
+    * write under their stored physical names; a logical name that
+    * collides with a tombstoned or otherwise-claimed physical name mints
+    * a fresh physical name (returned so the commit can extend the
+    * mapping) — the re-added-after-drop case, where writing under the old
+    * physical name would resurrect dropped data on merged reads.
+    */
+  private def toPhysical(df: DataFrame, cm: ColMapping): (DataFrame, Map[String, String]) = {
+    if (cm.isIdentity) return (df, Map.empty)
+    val minted = scala.collection.mutable.Map.empty[String, String]
+    val cols = df.schema.fieldNames.toSeq.map { l =>
+      val p = cm.renames.get(l) match {
+        case Some(p0) => p0
+        case None if cm.claimed(l) =>
+          val fresh = s"${l}__${java.util.UUID.randomUUID().toString.take(8)}"
+          minted += (l -> fresh); fresh
+        case None => l
+      }
+      col(l).as(p)
+    }
+    (df.select(cols: _*), minted.toMap)
+  }
+
+  private def extendMapping(minted: Map[String, String])(
+      bc: Option[ColMapping]): Option[ColMapping] =
+    if (minted.isEmpty) bc
+    else Some(bc.getOrElse(ColMapping.identity) match {
+      case m => m.copy(renames = m.renames ++ minted)
+    })
+
+  /** RENAME COLUMN (Iceberg/Delta `ALTER TABLE RENAME COLUMN`): a
+    * metadata-only commit — same dirs, same content snapshot id, new
+    * mapping. O(1) IO at any table size; every data file keeps its bytes
+    * and its physical column name. Earlier versions time-travel under
+    * their own names.
+    */
+  def renameColumn(table: String, from: String, to: String)(
+      implicit spark: SparkSession): Version = {
+    require(from != to, s"rename to self: $from")
+    val logical = tableSchema(table).fieldNames.toSet
+    require(logical.contains(from),
+      s"no column $from in $table (have ${logical.toSeq.sorted.mkString(", ")})")
+    require(!logical.contains(to), s"column $to already exists in $table")
+    commitWith(table, colMapF = { bc =>
+      val cm = bc.getOrElse(ColMapping.identity)
+      Some(ColMapping(cm.renames - from + (to -> cm.physicalOf(from)), cm.dropped))
+    }) { base =>
+      val b = base.getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      Some((b.dirs, b.snapshotId))
+    }.get
+  }
+
+  /** DROP COLUMN: metadata-only tombstone of the physical column — no
+    * rewrite, the bytes stay in the files, reads stop surfacing it, and a
+    * later append re-using the logical name mints a fresh physical column
+    * (old values never resurrect). Earlier versions still time-travel
+    * with the column present.
+    */
+  def dropColumn(table: String, name: String)(
+      implicit spark: SparkSession): Version = {
+    val logical = tableSchema(table).fieldNames.toSet
+    require(logical.contains(name),
+      s"no column $name in $table (have ${logical.toSeq.sorted.mkString(", ")})")
+    require(logical.size > 1, s"cannot drop the only column of $table")
+    commitWith(table, colMapF = { bc =>
+      val cm = bc.getOrElse(ColMapping.identity)
+      Some(ColMapping(cm.renames - name, cm.dropped + cm.physicalOf(name)))
+    }) { base =>
+      val b = base.getOrElse(
+        throw new IllegalStateException(s"no committed version in $table"))
+      Some((b.dirs, b.snapshotId))
+    }.get
   }
 
   // ---- manifest column stats (Iceberg manifest min/max metrics) ----------
@@ -499,10 +673,15 @@ object VersionedTable {
   def setBloomColumns(table: String, cols: Seq[String], fpp: Double = 0.01): Unit = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     hmkdirs(new HPath(table))
+    // callers name LOGICAL columns; blooms (like stats) live in physical
+    // name space — where the FileIndex's pushed-down filters also arrive
+    // after Catalyst collapses the logical-view aliases
+    val m = if (versions(table).nonEmpty) currentMapping(table) else ColMapping.identity
+    val pCols = cols.map(m.physicalOf)
     // atomic: a torn props file parses as "no bloom columns" and every
     // later commit would silently stop building sidecars
     atomicWrite(propsPath(table),
-      s"""{"bloom_cols":[${cols.map(c => "\"" + b64(c) + "\"").mkString(",")}],"bloom_fpp":$fpp}""")
+      s"""{"bloom_cols":[${pCols.map(c => "\"" + b64(c) + "\"").mkString(",")}],"bloom_fpp":$fpp}""")
   }
 
   /** The table's configured bloom columns + target false-positive rate. */
@@ -821,8 +1000,10 @@ object VersionedTable {
     * commit appends a manifest line (txn keys untouched).
     */
   def rewriteSorted(table: String, column: String, targetGroups: Int = 8)(
-      implicit spark: SparkSession): Version =
-    rewriteByRange(table, _ => Seq(col(column)), targetGroups, "sort")
+      implicit spark: SparkSession): Version = {
+    val pc = currentMapping(table).physicalOf(column)
+    rewriteByRange(table, _ => Seq(col(pc)), targetGroups, "sort")
+  }
 
   /** rewrite_data_files (ZORDER strategy): re-cluster the latest version
     * along SEVERAL dimensions at once by range-partitioning on a Morton
@@ -852,7 +1033,9 @@ object VersionedTable {
     require(columns.size >= 2,
       s"z-order needs >= 2 columns, got $columns (use rewriteSorted for one)")
     require(columns.size <= 4, s"z-order interleaves at most 4 columns, got $columns")
-    rewriteByRange(table, df => Seq(zValue(df, columns)), targetGroups, "zorder")
+    val m = currentMapping(table)
+    rewriteByRange(table, df => Seq(zValue(df, columns.map(m.physicalOf))),
+      targetGroups, "zorder")
   }
 
   /** The Morton key as a pure Column expression: each dimension is
@@ -1020,14 +1203,16 @@ object VersionedTable {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed version in $table")
     val cur = vs.last
-    val (touched, untouched) = pruneDirs(table, cur, column, lo, hi)
+    // `column` is the caller's LOGICAL name; the rewrite runs physical
+    val pc = cur.colMap.getOrElse(ColMapping.identity).physicalOf(column)
+    val (touched, untouched) = pruneDirs(table, cur, pc, lo, hi)
     if (touched.isEmpty) return cur // stats prove nothing matches
     val seq = cur.seq + 1
     val dir = s"data/v$seq-del-${java.util.UUID.randomUUID().toString.take(8)}"
     val touchedDf = spark.read.option("mergeSchema", "true")
       .parquet(touched.map(d => s"$table/$d"): _*)
     val remainder = touchedDf.where(
-      col(column).isNull || !col(column).between(lit(lo), lit(hi)))
+      col(pc).isNull || !col(pc).between(lit(lo), lit(hi)))
     val (remSid, remRows) = writeGroup(table, dir, remainder)
     // an all-deleted rewrite contributes nothing — drop it unless it is
     // the only group left (then it carries the schema for empty reads)
@@ -1060,37 +1245,42 @@ object VersionedTable {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed version in $table")
     val cur = vs.last
+    // the batch speaks LOGICAL names; translate it and the key — the
+    // rewrite below then runs entirely in physical name space
+    val cm = cur.colMap.getOrElse(ColMapping.identity)
+    val (pBatch, minted) = toPhysical(batch, cm)
+    val pKey = cm.physicalOf(key)
     val seq = cur.seq + 1
     val sfx = java.util.UUID.randomUUID().toString.take(8)
     val batchDir = s"data/v$seq-mrg-new-$sfx"
-    val (batchSid, batchRows) = writeGroup(table, batchDir, batch)
+    val (batchSid, batchRows) = writeGroup(table, batchDir, pBatch)
     if (batchRows == 0) { deleteRecursively(hpath(table, batchDir)); return cur }
     // the batch's key bounds come from the stats sidecar writeGroup just
     // produced — no second scan of data already aggregated once (pruneDirs
     // compares via toString/BigDecimal, so the sidecar's string forms are
     // exactly what it needs)
-    val (touched, untouched) = dirStats(table, batchDir).flatMap(_.cols.get(key)) match {
+    val (touched, untouched) = dirStats(table, batchDir).flatMap(_.cols.get(pKey)) match {
       case Some(cs) if cs.min.isEmpty =>
         (Seq.empty[String], cur.dirs) // all-null keys: pure insert
       case Some(cs) =>
         val (lo, hi) =
           if (cs.typ == "s") (unb64(cs.min.get), unb64(cs.max.get))
           else (cs.min.get, cs.max.get)
-        pruneDirs(table, cur, key, lo, hi)
+        pruneDirs(table, cur, pKey, lo, hi)
       case None => // key type outside the stats domain: one bounded scan
         val b = spark.read.parquet(s"$table/$batchDir")
-          .agg(min(col(key)), max(col(key))).collect()(0)
+          .agg(min(col(pKey)), max(col(pKey))).collect()(0)
         if (b.isNullAt(0)) (Seq.empty[String], cur.dirs)
-        else pruneDirs(table, cur, key, b.get(0), b.get(1))
+        else pruneDirs(table, cur, pKey, b.get(0), b.get(1))
     }
     val remDirKeptSid: Option[(String, Long)] = if (touched.isEmpty) None else {
       val remDir = s"data/v$seq-mrg-rem-$sfx"
       val touchedDf = spark.read.option("mergeSchema", "true")
         .parquet(touched.map(d => s"$table/$d"): _*)
       val keys = spark.read.parquet(s"$table/$batchDir")
-        .select(col(key)).where(col(key).isNotNull).distinct()
+        .select(col(pKey)).where(col(pKey).isNotNull).distinct()
       val remainder = touchedDf.join(
-        org.apache.spark.sql.functions.broadcast(keys), Seq(key), "left_anti")
+        org.apache.spark.sql.functions.broadcast(keys), Seq(pKey), "left_anti")
       val (remSid, remRows) = writeGroup(table, remDir, remainder)
       if (remRows > 0) Some((remDir, remSid))
       else { deleteRecursively(hpath(table, remDir)); None }
@@ -1098,7 +1288,7 @@ object VersionedTable {
     val newDirs = untouched ++ remDirKeptSid.map(_._1).toSeq :+ batchDir
     val sid = untouched.map(d => dirSid(table, d)).sum +
       remDirKeptSid.map(_._2).getOrElse(0L) + batchSid
-    commitWith(table) { base =>
+    commitWith(table, colMapF = extendMapping(minted)) { base =>
       if (!base.exists(_.seq == cur.seq)) throw new IllegalStateException(
         s"concurrent commit during merge against v${cur.seq} " +
           s"(tip is now v${base.map(_.seq).getOrElse(0)}) — retry")
@@ -1132,8 +1322,9 @@ object VersionedTable {
     */
   def scanIndexed(table: String, asOf: Option[Int] = None)(
       implicit spark: SparkSession): (DataFrame, GraftFileIndex) = {
-    val (rel, idx) = scanRelation(table, asOf)
-    (spark.baseRelationToDataFrame(rel), idx)
+    val v = resolveVersion(table, asOf)
+    val (rel, idx) = relationFor(table, v)
+    (logicalView(spark.baseRelationToDataFrame(rel), v.colMap), idx)
   }
 
   /** The pruning-capable relation behind [[scan]] — also what the
@@ -1141,14 +1332,33 @@ object VersionedTable {
     */
   def scanRelation(table: String, asOf: Option[Int] = None)(implicit spark: SparkSession):
       (org.apache.spark.sql.execution.datasources.HadoopFsRelation, GraftFileIndex) = {
+    val v = resolveVersion(table, asOf)
+    // a BaseRelation's schema IS the files' schema — it has no seam to
+    // alias physical names to logical ones, so serving a mapped table
+    // through the format surface would expose stale physical names.
+    // Refuse loudly; the library reads ([[scan]], [[read]], time travel)
+    // fully support mapped tables.
+    require(v.colMap.forall(_.isIdentity),
+      s"$table has renamed/dropped columns (column mapping); the " +
+        "graft-versioned format surface cannot serve it — read via " +
+        "VersionedTable.scan/read instead")
+    relationFor(table, v)
+  }
+
+  private def resolveVersion(table: String, asOf: Option[Int]): Version = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed version in $table")
-    val v = asOf match {
+    asOf match {
       case None => vs.last
       case Some(seq) => vs.find(_.seq == seq).getOrElse(throw new IllegalArgumentException(
         s"version $seq not found (expired or never committed) in $table"))
     }
-    val schema = unionSchema(table, v).getOrElse(readVersion(table, v).schema)
+  }
+
+  /** The physical pruning relation of one version (no logical view). */
+  private def relationFor(table: String, v: Version)(implicit spark: SparkSession):
+      (org.apache.spark.sql.execution.datasources.HadoopFsRelation, GraftFileIndex) = {
+    val schema = unionSchema(table, v).getOrElse(readPhysical(table, v).schema)
     val idx = new GraftFileIndex(spark, table, fileGroups(table, v.dirs))
     (idx.relation(schema), idx)
   }
@@ -1180,7 +1390,9 @@ object VersionedTable {
   def tableSchema(table: String)(implicit spark: SparkSession): StructType = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed version in $table")
-    unionSchema(table, vs.last).getOrElse(readVersion(table, vs.last).schema)
+    logicalSchema(
+      unionSchema(table, vs.last).getOrElse(readPhysical(table, vs.last).schema),
+      vs.last.colMap)
   }
 
   /** The parquet data files of one committed file group (sidecars and
@@ -1268,9 +1480,11 @@ object VersionedTable {
     val vs = versions(table)
     val dirs = appendedDirsIn(vs, table, fromSeq, toSeq)
     val to = vs.find(_.seq == toSeq).get // existence checked by the walk
-    val schema = unionSchema(table, to).getOrElse(readVersion(table, to).schema)
+    val schema = unionSchema(table, to).getOrElse(readPhysical(table, to).schema)
     val idx = new GraftFileIndex(spark, table, fileGroups(table, dirs))
-    spark.baseRelationToDataFrame(idx.relation(schema))
+    // the delta surfaces under toSeq's LOGICAL schema — "the changes as
+    // the table looked at the end of the window"
+    logicalView(spark.baseRelationToDataFrame(idx.relation(schema)), to.colMap)
   }
 
   // ---- tags (Iceberg snapshot refs) ---------------------------------------
@@ -1338,7 +1552,10 @@ object VersionedTable {
     */
   def rollbackTo(table: String, seq: Int): Version = {
     require(versions(table).nonEmpty, s"no committed version in $table")
-    commitWith(table) { base =>
+    // the restore is TOTAL: dirs, content id AND the column mapping as of
+    // the target — rolling back past a rename/drop restores the old names
+    commitWith(table, colMapF =
+        _ => versions(table).find(_.seq == seq).flatMap(_.colMap)) { base =>
       val target = versions(table).find(_.seq == seq).getOrElse(
         throw new IllegalArgumentException(
           s"cannot roll back $table to version $seq: not retained (or never committed)"))
@@ -1366,6 +1583,10 @@ object VersionedTable {
     */
   private def readVersion(table: String, v: Version)(
       implicit spark: SparkSession): DataFrame =
+    logicalView(readPhysical(table, v), v.colMap)
+
+  private def readPhysical(table: String, v: Version)(
+      implicit spark: SparkSession): DataFrame =
     spark.read.option("mergeSchema", "true")
       .parquet(v.dirs.map(d => s"$table/$d"): _*)
 
@@ -1388,6 +1609,8 @@ object VersionedTable {
         if (rowCounts.exists(_.isEmpty)) None else Some(rowCounts.flatten.sum)
       val kind = prev match {
         case None => "base"
+        // same data, new column mapping: a rename/drop evolution commit
+        case Some(p) if v.dirs.toSet == p.dirs.toSet && v.colMap != p.colMap => "schema"
         case Some(p) if v.dirs.toSet == p.dirs.toSet => "noop"
         // an exact (id, dirs) replay of a STRICTLY EARLIER version is a
         // [[rollbackTo]] commit — checked before the structural cases,
