@@ -32,6 +32,8 @@ import graft.sources.TranscriptGen
   *      [--maintain-sort-groups 8]
   *      [--maintain-keep 3] [--maintain-compact-groups 1]
   *      [--maintain-vacuum-hours 24]]
+  *     [--alter TABLE (--alter-rename FROM:TO | --alter-drop COL)]
+  *     [--history TABLE]
   *
   * `--stream true` replaces the s3-s6 batch stages with the STREAMING
   * construction path (StreamingTriples): a parquet file-source stream of
@@ -70,7 +72,8 @@ object PipelineMain {
     // --maintain/--rollback/--tag target a table directly and need no --out
     val out = a.getOrElse("out", a.getOrElse("maintain",
       a.getOrElse("rollback", a.getOrElse("tag-table", a.getOrElse("history",
-        throw new IllegalArgumentException("--out is required"))))))
+        a.getOrElse("alter",
+          throw new IllegalArgumentException("--out is required")))))))
     val nConvs = a.getOrElse("convs", "1000").toLong
     val seed = a.getOrElse("seed", "42").toLong
     val from = a.getOrElse("from-stage", "s0")
@@ -132,6 +135,33 @@ object PipelineMain {
         .agg(count(lit(1)), sum(col("bytes"))).head()
       println(s"[graft] tip layout: ${fm.getLong(0)} data files, " +
         s"${fm.getLong(1)} bytes; tags=${VersionedTable.tags(table)}")
+      spark.stop()
+      return
+    }
+
+    // `--alter <table>` + `--alter-rename from:to` | `--alter-drop col`:
+    // metadata-only schema evolution (ALTER TABLE RENAME/DROP COLUMN)
+    a.get("alter").foreach { table =>
+      import graft.sources.VersionedTable
+      val v = (a.get("alter-rename"), a.get("alter-drop")) match {
+        case (Some(rt), None) => rt.split(':') match {
+          case Array(from, to) =>
+            val v = VersionedTable.renameColumn(table, from, to)
+            println(s"[graft] alter rename $from -> $to committed v${v.seq}")
+            v
+          case _ => throw new IllegalArgumentException(
+            s"--alter-rename wants from:to, got $rt")
+        }
+        case (None, Some(c)) =>
+          val v = VersionedTable.dropColumn(table, c)
+          println(s"[graft] alter drop $c committed v${v.seq}")
+          v
+        case _ => throw new IllegalArgumentException(
+          "--alter needs exactly one of --alter-rename from:to | --alter-drop col")
+      }
+      println(s"[graft] $table schema now: " +
+        s"${VersionedTable.tableSchema(table).fieldNames.mkString(", ")} " +
+        s"(snapshot unchanged: ${v.snapshotId})")
       spark.stop()
       return
     }
@@ -467,7 +497,8 @@ object PipelineMain {
     "maintain-zorder-by", "merge-append", "out", "rollback", "rollback-to",
     "run-id", "salted-conv", "seed", "skip", "stream", "stream-gap-ms",
     "stream-in", "stream-lateness", "stream-sink", "stream-source",
-    "history", "tag", "tag-table", "tag-version", "to-stage")
+    "history", "tag", "tag-table", "tag-version", "to-stage",
+    "alter", "alter-rename", "alter-drop")
 
   /** Strict --key value parser: a dangling flag, a value in key position
     * (one missing value shifts every later pair), or a typo'd key each
