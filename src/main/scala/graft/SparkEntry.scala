@@ -1103,7 +1103,36 @@ object SparkEntry {
         .select("doc_id", "lang", "source")),
     "q66_group_topk" -> ((s, d) =>
       Sampling.groupTopK(t(s, d, "documents"), col("lang"), col("doc_id"), 3, "s3")
-        .select("doc_id", "lang", "rn")))
+        .select("doc_id", "lang", "rn")),
+    // q68: CHANGE DATA FEED — a versioned table accretes two slices, loses
+    // a doc_id band to a row-level delete, then takes a MERGE upsert; the
+    // feed of (v1, v4] must replay exactly those changes typed
+    // insert/delete/update_preimage/update_postimage, and DuckDB
+    // recomputes the same change set purely from the source table. The
+    // middle commits' captured rows come from sidecars written AT COMMIT
+    // TIME (the touched groups were being read anyway) — the consumer
+    // contract for keeping 100-TB derived tables current on row deltas.
+    "q68_change_feed" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      val mx = docs.agg(max("doc_id")).collect()(0).getLong(0)
+      val (lo, hi) = (mx / 3, 2 * (mx / 3))
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-cdf").toString
+      VersionedTable.setChangeCapture(table, enabled = true)
+      VersionedTable.overwrite(docs.where(pmod(col("doc_id"), lit(3)) === 0), table)
+      VersionedTable.append(docs.where(pmod(col("doc_id"), lit(3)) === 1), table)
+      VersionedTable.deleteRange(table, "doc_id", lo, hi)
+      val batch = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      VersionedTable.merge(batch, table, "doc_id")
+      val tip = VersionedTable.versions(table).last.seq
+      require(tip == 4, s"expected 4 commits, got $tip")
+      VersionedTable.readChangeFeed(table, 1, tip)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").cast("long").as("commit_version"))
+    }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
     * Jaccard pair set over documents ∪ (documents + 1e6 ids), thresholded
@@ -1508,5 +1537,28 @@ object SparkEntry {
     // q67: rename/drop change names and visibility, never values — the
     // evolved table must equal the raw source under the new names.
     "q67_column_mapping" ->
-      "SELECT doc_id, lang AS language, n_chars FROM documents")
+      "SELECT doc_id, lang AS language, n_chars FROM documents",
+    // q68: DuckDB recomputes the whole change set from the source table —
+    // v2's insert slice, v3's deleted band (live rows in [lo,hi]), v4's
+    // update pre/post images (batch keys live at v3) and pure inserts
+    // (batch keys not live). Every engine-side sidecar row must match.
+    "q68_change_feed" ->
+      """WITH m AS (SELECT max(doc_id) // 3 AS lo, 2 * (max(doc_id) // 3) AS hi FROM documents),
+        |live2 AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |live3 AS (SELECT l.* FROM live2 l, m WHERE l.doc_id NOT BETWEEN m.lo AND m.hi),
+        |batch AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, lang, n_chars, 'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
+        |  FROM documents WHERE doc_id % 3 = 1
+        |UNION ALL
+        |SELECT l.doc_id, l.lang, l.n_chars, 'delete', 3 FROM live2 l, m
+        |  WHERE l.doc_id BETWEEN m.lo AND m.hi
+        |UNION ALL
+        |SELECT l.doc_id, l.lang, l.n_chars, 'update_preimage', 4
+        |  FROM live3 l JOIN batch b USING (doc_id)
+        |UNION ALL
+        |SELECT b.doc_id, b.lang, b.n_chars, 'update_postimage', 4
+        |  FROM batch b JOIN live3 l USING (doc_id)
+        |UNION ALL
+        |SELECT b.doc_id, b.lang, b.n_chars, 'insert', 4
+        |  FROM batch b ANTI JOIN live3 l USING (doc_id)""".stripMargin)
 }

@@ -681,8 +681,15 @@ object VersionedTable {
     // atomic: a torn props file parses as "no bloom columns" and every
     // later commit would silently stop building sidecars
     atomicWrite(propsPath(table),
-      s"""{"bloom_cols":[${pCols.map(c => "\"" + b64(c) + "\"").mkString(",")}],"bloom_fpp":$fpp}""")
+      renderProps(pCols, fpp, changeCaptureEnabled(table)))
   }
+
+  /** The single props-file renderer — every setter re-renders the WHOLE
+    * file from (its own new value + the other settings read back), so
+    * independent knobs never clobber each other.
+    */
+  private def renderProps(pBloomCols: Seq[String], fpp: Double, cdf: Boolean): String =
+    s"""{"bloom_cols":[${pBloomCols.map(c => "\"" + b64(c) + "\"").mkString(",")}],"bloom_fpp":$fpp,"cdf":$cdf}"""
 
   /** The table's configured bloom columns + target false-positive rate. */
   def bloomColumns(table: String): (Seq[String], Double) = {
@@ -772,6 +779,114 @@ object VersionedTable {
         }
       }
     })
+  }
+
+  // ---- change data feed (Delta CDF analogue) ------------------------------
+  //
+  // Row-level commits (deleteRange / merge) capture the rows they change
+  // as a per-version sidecar at commit time — the touched file groups are
+  // already being read for the copy-on-write rewrite, so capture costs one
+  // extra write of the CHANGED rows, never an extra pass over the table.
+  // [[readChangeFeed]] then answers "what changed in (v_from, v_to]" at
+  // O(changed rows): appends stream their new file groups as inserts,
+  // layout-only rewrites contribute nothing, row-level commits replay
+  // their sidecars. This is the downstream-refresh primitive for a 100-TB
+  // training-data table: a consumer keeps a derived table (an index, a
+  // dedup state, a feature store) current by processing row deltas
+  // instead of re-reading snapshots — the deletes/upserts the
+  // append-only [[readChangesBetween]] must refuse.
+
+  private def changesDir(table: String, seq: Int) = s"$table/changes/v$seq"
+
+  /** Enable/disable change capture for FUTURE row-level commits (Delta's
+    * `delta.enableChangeDataFeed`). Appends need no capture (their file
+    * groups ARE the change set); a delete/merge committed while disabled
+    * has no sidecar, and a feed window crossing it fails loudly.
+    */
+  def setChangeCapture(table: String, enabled: Boolean): Unit = {
+    hmkdirs(new HPath(table))
+    val (cols, fpp) = bloomColumns(table)
+    atomicWrite(propsPath(table), renderProps(cols, fpp, enabled))
+  }
+
+  def changeCaptureEnabled(table: String): Boolean =
+    hreadOpt(propsPath(table)).exists(_.contains(""""cdf":true"""))
+
+  /** Write one commit's change sidecar: each slice is (rows, change type)
+    * in PHYSICAL name space, unioned by name (schema evolution can make
+    * slices ragged) and written under `changes/v<seq>` BEFORE the manifest
+    * commit — a crash in between leaves an uncommitted-version sidecar
+    * that [[vacuum]] reclaims, never a committed version missing its
+    * changes.
+    */
+  private def captureChanges(table: String, seq: Int,
+      slices: Seq[(DataFrame, String)]): Unit = {
+    val tagged = slices.map { case (df, kind) =>
+      df.withColumn("_change_type", lit(kind)) }
+    tagged.reduce(_.unionByName(_, allowMissingColumns = true))
+      .write.parquet(changesDir(table, seq))
+  }
+
+  /** The change data feed of versions (fromSeq, toSeq] (Delta's
+    * `readChangeData`): one row per row-level change, tagged
+    * `_change_type` (insert / delete / update_preimage / update_postimage)
+    * and `_commit_version`. Planned from manifest evidence per step:
+    * an append's new file groups stream as inserts (no sidecar needed —
+    * the data files ARE the change set); a layout-only rewrite
+    * (compact / sort / z-order — content id unchanged) contributes
+    * nothing; a row-level commit replays its capture sidecar; an
+    * overwrite/rollback, or a delete/merge committed before
+    * [[setChangeCapture]], fails loudly at the exact version (its diff
+    * was never materialized and reconstructing it would cost two full
+    * snapshot reads — the caller chooses that explicitly, never
+    * implicitly). Rows surface under `toSeq`'s logical schema, like
+    * [[readChangesBetween]].
+    */
+  def readChangeFeed(table: String, fromSeq: Int, toSeq: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    require(fromSeq <= toSeq, s"fromSeq $fromSeq > toSeq $toSeq")
+    val vs = versions(table)
+    def at(seq: Int) = vs.find(_.seq == seq).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $seq of $table not found (expired or never committed)"))
+    val to = at(toSeq); at(fromSeq)
+    val slices: Seq[DataFrame] =
+      vs.filter(v => v.seq >= fromSeq && v.seq <= toSeq).sortBy(_.seq)
+        .sliding(2).flatMap {
+          case Seq(a, b) =>
+            val prior = a.dirs.toSet
+            val added = b.dirs.filterNot(prior)
+            val removed = prior -- b.dirs.toSet
+            // same gap rule as the append walk: tag-exempt expire can
+            // retain non-adjacent commits, across which a step is
+            // unclassifiable from manifest evidence
+            if (b.seq != a.seq + 1 && (added.nonEmpty || removed.nonEmpty))
+              throw new IllegalStateException(
+                s"versions between v${a.seq} and v${b.seq} of $table expired — " +
+                  "the change feed cannot be answered across the gap")
+            else if (added.isEmpty && removed.isEmpty) Seq.empty // noop / schema
+            else if (removed.isEmpty)
+              Seq(spark.read.option("mergeSchema", "true")
+                .parquet(added.map(d => s"$table/$d"): _*)
+                .withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_version", lit(b.seq)))
+            else if (b.snapshotId == a.snapshotId) Seq.empty // layout-only rewrite
+            else if (hexists(hpath(changesDir(table, b.seq))))
+              Seq(spark.read.option("mergeSchema", "true")
+                .parquet(changesDir(table, b.seq))
+                .withColumn("_commit_version", lit(b.seq)))
+            else throw new IllegalStateException(
+              s"commit v${b.seq} of $table changed rows without change capture " +
+                "(overwrite/rollback, or a delete/merge before setChangeCapture) — " +
+                "the feed cannot replay it; read snapshots instead")
+          case _ => Seq.empty
+        }.toSeq
+    val phys =
+      if (slices.isEmpty) readPhysical(table, to).limit(0)
+        .withColumn("_change_type", lit(null).cast("string"))
+        .withColumn("_commit_version", lit(null).cast("int"))
+      else slices.reduce(_.unionByName(_, allowMissingColumns = true))
+    logicalView(phys, to.colMap) // feed columns pass through unmapped
   }
 
   /** A file group's content snapshot id, from its stats sidecar when
@@ -937,8 +1052,22 @@ object VersionedTable {
       .filterNot(referenced)
       .filter(d => newestMtime(hpath(table, d)).exists(_ <= cutoff))
       .toList
-    orphans.foreach(d => deleteRecursively(hpath(table, d)))
-    orphans
+    // change-capture sidecars of UNCOMMITTED versions (a writer that
+    // crashed between capture and manifest commit) are orphans too —
+    // committed seqs keep theirs until [[expire]] drops the version
+    val chRoot = hpath(table, "changes")
+    val committedSeqs = versions(table).map(v => s"v${v.seq}").toSet
+    val chOrphans =
+      if (!hexists(chRoot)) Nil
+      else scala.util.Try(fsOf(chRoot).listStatus(chRoot).toSeq).getOrElse(Seq.empty)
+        .map(_.getPath.getName)
+        .filterNot(committedSeqs)
+        .map(n => s"changes/$n")
+        .filter(d => newestMtime(hpath(table, d)).exists(_ <= cutoff))
+        .toList
+    val all = orphans ++ chOrphans
+    all.foreach(d => deleteRecursively(hpath(table, d)))
+    all
   }
 
   /** rewrite_data_files (binpack): fold the latest version's accreted
@@ -1211,6 +1340,13 @@ object VersionedTable {
     val dir = s"data/v$seq-del-${java.util.UUID.randomUUID().toString.take(8)}"
     val touchedDf = spark.read.option("mergeSchema", "true")
       .parquet(touched.map(d => s"$table/$d"): _*)
+    // change capture: the deleted rows are the complement of the remainder
+    // over the SAME touched groups the rewrite reads anyway — one extra
+    // write of the deleted rows, no extra groups opened
+    if (changeCaptureEnabled(table))
+      captureChanges(table, seq, Seq(
+        (touchedDf.where(col(pc).isNotNull && col(pc).between(lit(lo), lit(hi))),
+          "delete")))
     val remainder = touchedDf.where(
       col(pc).isNull || !col(pc).between(lit(lo), lit(hi)))
     val (remSid, remRows) = writeGroup(table, dir, remainder)
@@ -1272,6 +1408,28 @@ object VersionedTable {
           .agg(min(col(pKey)), max(col(pKey))).collect()(0)
         if (b.isNullAt(0)) (Seq.empty[String], cur.dirs)
         else pruneDirs(table, cur, pKey, b.get(0), b.get(1))
+    }
+    // change capture: preimages are the table rows the batch replaces
+    // (semi-join inside the already-touched groups — stats pruning proves
+    // untouched groups hold no batch key), postimages the batch rows that
+    // matched, inserts the rest. The matched-key set is ≤ |batch| and
+    // rides broadcast both ways.
+    if (changeCaptureEnabled(table)) {
+      import org.apache.spark.sql.functions.broadcast
+      val pBatchDf = spark.read.parquet(s"$table/$batchDir")
+      if (touched.isEmpty) captureChanges(table, seq, Seq((pBatchDf, "insert")))
+      else {
+        val touchedDf = spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(d => s"$table/$d"): _*)
+        val batchKeys = broadcast(
+          pBatchDf.select(col(pKey)).where(col(pKey).isNotNull).distinct())
+        val pre = touchedDf.join(batchKeys, Seq(pKey), "left_semi")
+        val matched = broadcast(pre.select(col(pKey)).distinct())
+        captureChanges(table, seq, Seq(
+          (pre, "update_preimage"),
+          (pBatchDf.join(matched, Seq(pKey), "left_semi"), "update_postimage"),
+          (pBatchDf.join(matched, Seq(pKey), "left_anti"), "insert")))
+      }
     }
     val remDirKeptSid: Option[(String, Long)] = if (touched.isEmpty) None else {
       val remDir = s"data/v$seq-mrg-rem-$sfx"
@@ -1705,7 +1863,11 @@ object VersionedTable {
         // undeleted dirs are unreferenced storage-only orphans that
         // [[vacuum]] reclaims.
         atomicWrite(manifestPath(table), keptLines.mkString("", "\n", "\n"))
-        dropped.flatMap(_.dirs).distinct.filterNot(keepDirs)
+        dropped.flatMap(_.dirs).distinct.filterNot(keepDirs) ++
+          // a dropped version's change-capture sidecar goes with it (the
+          // feed already refuses windows crossing an expired version)
+          dropped.map(v => s"changes/v${v.seq}")
+            .filter(c => hexists(hpath(table, c)))
       }
     }
     doomed.foreach(d => deleteRecursively(hpath(table, d)))
