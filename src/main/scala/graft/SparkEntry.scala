@@ -1132,7 +1132,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("_change_type").as("change_type"),
           col("_commit_version").cast("long").as("commit_version"))
-    }))
+    }),
+    // q69: SEQUENCE PACKING (concat-and-chunk) — documents laid out in
+    // deterministic content-hash order, token offsets by a distributed
+    // prefix sum (per-partition totals only to the driver), each doc
+    // split into the 2048-token training sequences it overlaps. DuckDB
+    // recomputes the IDENTICAL layout with a window prefix sum — a
+    // partition-dependent pack could never pass a cross-engine exact
+    // compare, and reproducible packing is what makes training runs
+    // replayable and contamination audits possible.
+    "q69_sequence_pack" -> ((s, d) =>
+      Packing.packSequences(
+          t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+          col("doc_id"), col("n_chars"), seqLen = 2048, salt = "pk")
+        .select("doc_id", "lang", "n_tokens", "start_offset",
+          "seq_id", "span_begin", "span_len")))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
     * Jaccard pair set over documents ∪ (documents + 1e6 ids), thresholded
@@ -1560,5 +1574,21 @@ object SparkEntry {
         |  FROM batch b JOIN live3 l USING (doc_id)
         |UNION ALL
         |SELECT b.doc_id, b.lang, b.n_chars, 'insert', 4
-        |  FROM batch b ANTI JOIN live3 l USING (doc_id)""".stripMargin)
+        |  FROM batch b ANTI JOIN live3 l USING (doc_id)""".stripMargin,
+    // q69: the same md5 layout order and prefix sum, recomputed as one
+    // window + unnest(range(...)) — value-exact or the pack is wrong.
+    "q69_sequence_pack" ->
+      """WITH o AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(n_chars) OVER (
+        |      ORDER BY substr(md5(coalesce(cast(doc_id AS varchar), '') || ':pk'), 1, 8), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM documents WHERE n_chars > 0),
+        |s AS (SELECT *, unnest(range(start_offset // 2048,
+        |    (start_offset + n_tokens - 1) // 2048 + 1)) AS seq_id FROM o)
+        |SELECT doc_id, lang, n_tokens, start_offset, seq_id,
+        |  greatest(0, seq_id * 2048 - start_offset) AS span_begin,
+        |  least(start_offset + n_tokens, (seq_id + 1) * 2048)
+        |    - greatest(start_offset, seq_id * 2048) AS span_len
+        |FROM s""".stripMargin)
 }
