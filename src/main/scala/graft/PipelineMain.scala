@@ -33,6 +33,7 @@ import graft.sources.TranscriptGen
   *      [--maintain-keep 3] [--maintain-compact-groups 1]
   *      [--maintain-vacuum-hours 24]]
   *     [--alter TABLE (--alter-rename FROM:TO | --alter-drop COL)]
+  *     [--mor-delete TABLE --mor-col COL --mor-values v1,v2,...]
   *     [--history TABLE]
   *
   * `--stream true` replaces the s3-s6 batch stages with the STREAMING
@@ -72,8 +73,8 @@ object PipelineMain {
     // --maintain/--rollback/--tag target a table directly and need no --out
     val out = a.getOrElse("out", a.getOrElse("maintain",
       a.getOrElse("rollback", a.getOrElse("tag-table", a.getOrElse("history",
-        a.getOrElse("alter",
-          throw new IllegalArgumentException("--out is required")))))))
+        a.getOrElse("alter", a.getOrElse("mor-delete",
+          throw new IllegalArgumentException("--out is required"))))))))
     val nConvs = a.getOrElse("convs", "1000").toLong
     val seed = a.getOrElse("seed", "42").toLong
     val from = a.getOrElse("from-stage", "s0")
@@ -166,12 +167,49 @@ object PipelineMain {
       return
     }
 
+    // `--mor-delete <table> --mor-col COL --mor-values v1,v2,...`:
+    // merge-on-read equality delete — commits one small key file, zero
+    // data rewrites (the GDPR/revocation fix on a 100-TB table); the debt
+    // folds back on the next --maintain rewrite (or applyDeletes).
+    a.get("mor-delete").foreach { table =>
+      import graft.sources.VersionedTable
+      val c = a.getOrElse("mor-col", throw new IllegalArgumentException(
+        "--mor-delete needs --mor-col <column>"))
+      val raw = a.getOrElse("mor-values", throw new IllegalArgumentException(
+        "--mor-delete needs --mor-values v1,v2,...")).split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      require(raw.nonEmpty, "--mor-values is empty")
+      import spark.implicits._
+      // key type follows the table's column type so the anti-join never
+      // falls back to a cast that would defeat bloom/stats evidence
+      val dt = VersionedTable.tableSchema(table)(spark).apply(c).dataType
+      val keys = dt match {
+        case org.apache.spark.sql.types.StringType => raw.toDF(c)
+        case _: org.apache.spark.sql.types.NumericType =>
+          raw.map(_.toLong).toDF(c).select(col(c).cast(dt))
+        case other => throw new IllegalArgumentException(
+          s"--mor-delete supports string/numeric key columns, $c is $other")
+      }
+      val before = VersionedTable.versions(table).last
+      val v = VersionedTable.morDelete(keys, table)
+      if (v.seq == before.seq)
+        println(s"[graft] mor-delete $table: no key matched — nothing committed")
+      else
+        println(s"[graft] mor-delete $table -> v${v.seq} " +
+          s"matched=${v.dels.last.matched} pending_delete_files=${v.dels.size} " +
+          s"snapshot=${v.snapshotId} (0 data files rewritten)")
+      spark.stop()
+      return
+    }
+
     a.get("maintain").foreach { table =>
       import graft.sources.VersionedTable
       val before = VersionedTable.versions(table)
       require(before.nonEmpty, s"no committed version in $table")
       println(s"[graft] maintain $table: v${before.last.seq}, " +
-        s"${before.last.dirs.size} file groups, ${before.size} retained versions")
+        s"${before.last.dirs.size} file groups, ${before.size} retained versions" +
+        (if (before.last.dels.nonEmpty)
+          s", ${before.last.dels.size} pending delete files (folding)" else ""))
       // z-order / sorted rewrite / binpack compaction are ALTERNATIVES:
       // the rewrites already fold every accreted group into targetGroups
       // clustered ones, and compacting afterwards would merge them back
@@ -494,7 +532,8 @@ object PipelineMain {
     "from-stage", "jdbc-batchsize", "jdbc-driver", "jdbc-table", "jdbc-url",
     "maintain", "maintain-compact-groups", "maintain-keep",
     "maintain-sort-by", "maintain-sort-groups", "maintain-vacuum-hours",
-    "maintain-zorder-by", "merge-append", "out", "rollback", "rollback-to",
+    "maintain-zorder-by", "merge-append", "mor-delete", "mor-col",
+    "mor-values", "out", "rollback", "rollback-to",
     "run-id", "salted-conv", "seed", "skip", "stream", "stream-gap-ms",
     "stream-in", "stream-lateness", "stream-sink", "stream-source",
     "history", "tag", "tag-table", "tag-version", "to-stage",

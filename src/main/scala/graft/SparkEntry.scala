@@ -1146,7 +1146,46 @@ object SparkEntry {
           t(s, d, "documents").select("doc_id", "lang", "n_chars"),
           col("doc_id"), col("n_chars"), seqLen = 2048, salt = "pk")
         .select("doc_id", "lang", "n_tokens", "start_offset",
-          "seq_id", "span_begin", "span_len")))
+          "seq_id", "span_begin", "span_len")),
+    // q70: MERGE-ON-READ equality deletes (Iceberg v2 delete files) — the
+    // delete commits ONE small key file and zero data rewrites (dirs
+    // require-asserted identical), the content snapshot id stays exact via
+    // the hash-sum adjustment, reads subtract keys above the pruned scan,
+    // later appends of deleted keys survive (sequence-number scope), the
+    // change feed replays the matched rows, and applyDeletes folds the
+    // debt back gated on content identity. DuckDB recomputes the ENTIRE
+    // final state from the source table.
+    "q70_mor_delete" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val docs = t(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-mor").toString
+      VersionedTable.setChangeCapture(table, enabled = true)
+      VersionedTable.overwrite(docs.where(pmod(col("doc_id"), lit(3)) === 0), table)
+      val v2 = VersionedTable.append(docs.where(pmod(col("doc_id"), lit(3)) === 1), table)
+      // delete every doc_id % 5 == 0 — some keys live, some not yet present
+      val v3 = VersionedTable.morDelete(
+        docs.where(pmod(col("doc_id"), lit(5)) === 0).select("doc_id"), table)
+      require(v3.dirs == v2.dirs, "morDelete must rewrite zero data files")
+      require(v3.dels.size == 1 && v3.dels.head.matched > 0,
+        "the delete must commit exactly one delete-file entry")
+      require(VersionedTable.readChangeFeed(table, 2, 3)
+        .where(col("_change_type") === "delete").count() == v3.dels.head.matched,
+        "the change feed must replay the morDelete's matched rows")
+      // sequence scope: post-delete appends survive, deleted keys included
+      VersionedTable.append(docs.where(pmod(col("doc_id"), lit(3)) === 2), table)
+      VersionedTable.append(docs.where(pmod(col("doc_id"), lit(15)) === 0)
+        .withColumn("n_chars", col("n_chars") + 5000L), table)
+      // time travel: the pre-delete snapshot is intact
+      require(VersionedTable.readAsOf(table, 2).count() ==
+        VersionedTable.readAsOf(table, 3).count() + v3.dels.head.matched,
+        "time travel across the equality delete lost rows")
+      val tip = VersionedTable.versions(table).last
+      val v6 = VersionedTable.applyDeletes(table)
+      require(v6.snapshotId == tip.snapshotId && v6.dels.isEmpty,
+        "applyDeletes must be layout-only and clear the delete debt")
+      VersionedTable.scan(table).select("doc_id", "lang", "source", "n_chars")
+    }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
     * Jaccard pair set over documents ∪ (documents + 1e6 ids), thresholded
@@ -1590,5 +1629,16 @@ object SparkEntry {
         |  greatest(0, seq_id * 2048 - start_offset) AS span_begin,
         |  least(start_offset + n_tokens, (seq_id + 1) * 2048)
         |    - greatest(start_offset, seq_id * 2048) AS span_len
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin,
+    // q70: the final MOR state recomputed from the source — the first two
+    // slices minus the deleted keys, the post-delete slices untouched
+    // (sequence scope: %3=2 keeps its %5 ids, %15 re-adds survive).
+    "q70_mor_delete" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |  WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 3 = 2
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars + 5000 FROM documents
+        |  WHERE doc_id % 15 = 0""".stripMargin)
 }

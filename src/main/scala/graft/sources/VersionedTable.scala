@@ -49,7 +49,31 @@ import org.apache.spark.sql.types.{NumericType, StringType, StructType}
 object VersionedTable {
 
   final case class Version(seq: Int, snapshotId: Long, dirs: Seq[String],
-      colMap: Option[ColMapping] = None)
+      colMap: Option[ColMapping] = None, dels: Seq[DeleteFile] = Seq.empty)
+
+  /** One committed EQUALITY-DELETE file (Iceberg v2 merge-on-read): a
+    * small parquet of key tuples under `deletes/`, applying to every data
+    * file group committed STRICTLY BEFORE it (`dirSeq(group) < seq` — the
+    * Iceberg sequence-number rule), so rows appended after the delete
+    * survive even under a deleted key. `cols` are the PHYSICAL key column
+    * names; `matched` is the number of then-live rows the keys matched at
+    * commit time (what the commit subtracted from the content snapshot
+    * id, and what [[history]] subtracts from the raw per-group row sums).
+    */
+  final case class DeleteFile(dir: String, seq: Int, cols: Seq[String], matched: Long)
+
+  /** The commit seq a data dir was written at, parsed from the dir name
+    * every writer mints (`data/v<seq>-...`) — the evidence that decides
+    * which delete files apply to it.
+    */
+  private def dirSeq(dir: String): Int =
+    """^data/v(\d+)-""".r.findFirstMatchIn(dir).map(_.group(1).toInt).getOrElse(
+      throw new IllegalStateException(
+        s"data dir '$dir' does not carry a version seq — cannot scope delete files"))
+
+  /** The delete files of `v` that apply to data dir `d`. */
+  private def applicableDels(v: Version, d: String): Seq[DeleteFile] =
+    if (v.dels.isEmpty) Seq.empty else v.dels.filter(df => dirSeq(d) < df.seq)
 
   /** Column-mapping state of a version (Delta column-mapping / Iceberg
     * schema-evolution semantics, name-mode): data files keep their
@@ -195,7 +219,25 @@ object VersionedTable {
     } yield Version(seq, sid,
       dirsRaw.split(',').filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq,
       """"colmap":"([^"]*)"""".r.findFirstMatchIn(line)
-        .map(m => colMapFromJson(unb64(m.group(1)))))
+        .map(m => colMapFromJson(unb64(m.group(1)))),
+      delEntryRe.findAllMatchIn(line).map(m =>
+        DeleteFile(unb64(m.group(1)), m.group(2).toInt,
+          m.group(3).split(',').filter(_.nonEmpty)
+            .map(c => unb64(c.trim.stripPrefix("\"").stripSuffix("\""))).toSeq,
+          m.group(4).toLong)).toSeq)
+
+  /** Delete-file entry codec: dir and column names ride b64 (arbitrary
+    * user column names can never tear the JSON), the whole entry is
+    * self-delimiting so parsing needs no array isolation.
+    */
+  private val delEntryRe =
+    """\{"d":"([^"]*)","s":(\d+),"c":\[([^\]]*)\],"m":(-?\d+)\}""".r
+
+  private def delsJson(dels: Seq[DeleteFile]): String =
+    if (dels.isEmpty) ""
+    else dels.map(df =>
+      s"""{"d":"${b64(df.dir)}","s":${df.seq},"c":[${df.cols.map(c => "\"" + b64(c) + "\"").mkString(",")}],"m":${df.matched}}""")
+      .mkString(""","dels":[""", ",", "]")
 
   /** ColMapping codec — names ride b64 like every other user string in
     * the sidecar formats, so arbitrary column names can never tear the
@@ -309,10 +351,22 @@ object VersionedTable {
     * pre-computed per-dir id with the base's instead of re-scanning.
     */
   private def commitTransform(table: String,
-      colMapF: Option[ColMapping] => Option[ColMapping] = identity)(
+      colMapF: Option[ColMapping] => Option[ColMapping] = identity,
+      delsF: (Option[Version], Seq[String]) => Seq[DeleteFile] = carryDels)(
       f: Option[Version] => (Seq[String], Long)): Version =
-    commitWith(table, colMapF = colMapF)(base => Some(f(base)))
+    commitWith(table, colMapF = colMapF, delsF = delsF)(base => Some(f(base)))
       .getOrElse(throw new IllegalStateException("unreachable: unconditional commit aborted"))
+
+  /** Default delete-file inheritance: the base version's delete files,
+    * dropped once no retained data dir is old enough for them to apply —
+    * so an append carries them verbatim (its new dir is younger), while a
+    * full rewrite (compact/sort/zorder/overwrite, whose output dirs all
+    * postdate every delete) sheds them automatically, having ALREADY
+    * applied them by reading the resolved view.
+    */
+  private def carryDels(base: Option[Version], newDirs: Seq[String]): Seq[DeleteFile] =
+    base.map(_.dels).getOrElse(Seq.empty)
+      .filter(df => newDirs.exists(d => dirSeq(d) < df.seq))
 
   /** Like [[commitTransform]] but `f` may ABORT by returning None (the
     * committer saw, inside the critical section, that its work is already
@@ -320,7 +374,8 @@ object VersionedTable {
     * key to the manifest line. Returns None on abort.
     */
   private def commitWith(table: String, txn: Option[String] = None,
-      colMapF: Option[ColMapping] => Option[ColMapping] = identity)(
+      colMapF: Option[ColMapping] => Option[ColMapping] = identity,
+      delsF: (Option[Version], Seq[String]) => Seq[DeleteFile] = carryDels)(
       f: Option[Version] => Option[(Seq[String], Long)]): Option[Version] =
     withCommitLock(table) {
       val st = manifestState(table) // ONE in-lock read: base + txn ledger
@@ -337,14 +392,15 @@ object VersionedTable {
         // transform. Identity mappings stay OFF the line.
         val cm = colMapF(base.flatMap(_.colMap)).filter(!_.isIdentity)
         val cmJson = cm.map(m => s""","colmap":"${b64(colMapToJson(m))}"""").getOrElse("")
-        val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]$cmJson$txnJson}"""
+        val dels = delsF(base, dirs)
+        val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]${delsJson(dels)}$cmJson$txnJson}"""
         // whole-file atomic replace, never append: portable to stores
         // without append(), and a crash leaves the old or the new
         // manifest — no torn tail at all (parseLine still tolerates one
         // from pre-refactor tables)
         atomicWrite(manifestPath(table),
           (st.lines :+ line).mkString("", "\n", "\n"))
-        Version(seq, sid, dirs, cm)
+        Version(seq, sid, dirs, cm, dels)
       }
     }
 
@@ -860,25 +916,26 @@ object VersionedTable {
             // same gap rule as the append walk: tag-exempt expire can
             // retain non-adjacent commits, across which a step is
             // unclassifiable from manifest evidence
-            if (b.seq != a.seq + 1 && (added.nonEmpty || removed.nonEmpty))
+            if (b.seq != a.seq + 1 && (added.nonEmpty || removed.nonEmpty || b.dels != a.dels))
               throw new IllegalStateException(
                 s"versions between v${a.seq} and v${b.seq} of $table expired — " +
                   "the change feed cannot be answered across the gap")
-            else if (added.isEmpty && removed.isEmpty) Seq.empty // noop / schema
-            else if (removed.isEmpty)
+            else if (added.isEmpty && removed.isEmpty &&
+              b.snapshotId == a.snapshotId) Seq.empty // noop / schema
+            else if (removed.isEmpty && added.nonEmpty && b.dels == a.dels)
               Seq(spark.read.option("mergeSchema", "true")
                 .parquet(added.map(d => s"$table/$d"): _*)
                 .withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(b.seq)))
-            else if (b.snapshotId == a.snapshotId) Seq.empty // layout-only rewrite
+            else if (b.snapshotId == a.snapshotId) Seq.empty // layout-only (incl. applyDeletes)
             else if (hexists(hpath(changesDir(table, b.seq))))
               Seq(spark.read.option("mergeSchema", "true")
                 .parquet(changesDir(table, b.seq))
                 .withColumn("_commit_version", lit(b.seq)))
             else throw new IllegalStateException(
               s"commit v${b.seq} of $table changed rows without change capture " +
-                "(overwrite/rollback, or a delete/merge before setChangeCapture) — " +
-                "the feed cannot replay it; read snapshots instead")
+                "(overwrite/rollback, or a delete/merge/morDelete before " +
+                "setChangeCapture) — the feed cannot replay it; read snapshots instead")
           case _ => Seq.empty
         }.toSeq
     val phys =
@@ -887,6 +944,263 @@ object VersionedTable {
         .withColumn("_commit_version", lit(null).cast("int"))
       else slices.reduce(_.unionByName(_, allowMissingColumns = true))
     logicalView(phys, to.colMap) // feed columns pass through unmapped
+  }
+
+  // ---- merge-on-read equality deletes (Iceberg v2 delete files) -----------
+  //
+  // Copy-on-write row-level ops ([[deleteRange]], [[merge]]) rewrite every
+  // file group the predicate touches — the right trade for batch upserts,
+  // the wrong one for frequent small deletes against a 100-TB table (one
+  // revoked conversation rewrites a multi-GB group). Merge-on-read inverts
+  // it: [[morDelete]] commits only a SMALL parquet of key tuples under
+  // `deletes/` plus a manifest entry; readers subtract the keys via a
+  // broadcast anti-join layered ABOVE the scan (so manifest stats/bloom
+  // pruning below is untouched); [[applyDeletes]] folds the debt back into
+  // the data files during maintenance, rewriting only the groups the keys
+  // can actually touch. Scope follows Iceberg's sequence-number rule: a
+  // delete file applies to file groups committed STRICTLY BEFORE it, so
+  // re-inserting a deleted key after the delete behaves exactly like an
+  // upsert history should.
+  //
+  // The content snapshot id stays EXACT under MOR: the delete commit runs
+  // one stats/bloom-pruned pass over the applicable groups computing the
+  // matched rows' xxhash64 sum and commits `baseSid - matchedSum` (the
+  // same mod-2^64 additivity appends use) — a read-only pass, no write
+  // amplification — so content-identity gates (compaction, idempotent
+  // re-emit, [[applyDeletes]]' own commit) keep holding and double as a
+  // self-check of the delete accounting.
+
+  private def deleteFileDir(seq: Int): String =
+    s"deletes/v$seq-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** The tip version's uncompacted equality-delete files. */
+  def pendingDeletes(table: String): Seq[DeleteFile] =
+    versions(table).lastOption.map(_.dels).getOrElse(Seq.empty)
+
+  /** Per-column (min, max) of a small key frame, or None when it has no
+    * non-null keys at all — the pruning evidence for delete scoping.
+    */
+  private def keyBounds(keys: DataFrame, cols: Seq[String]): Option[Seq[(String, Any, Any)]] = {
+    val row = keys.agg(min(col(cols.head)), (cols.tail.flatMap(c =>
+      Seq(min(col(c)), max(col(c)))) :+ max(col(cols.head))): _*).collect()(0)
+    if (row.isNullAt(0)) None
+    else Some(cols.zipWithIndex.map { case (c, i) =>
+      // head's (min at 0, max at last); tail packed pairwise after 0
+      if (i == 0) (c, row.get(0), row.get(row.length - 1))
+      else (c, row.get(2 * i - 1), row.get(2 * i))
+    })
+  }
+
+  /** True when the group's sidecars PROVE none of the delete keys can be
+    * present: a key column absent from the group's schema (all-null never
+    * equality-matches), every key outside the column's [min,max], or —
+    * for small collected key sets — every key bloom-excluded.
+    */
+  private def groupProvablyKeyFree(table: String, d: String,
+      bounds: Seq[(String, Any, Any)], collected: Map[String, Seq[Any]]): Boolean = {
+    val st = groupStats(table, d)
+    if (st.exists(_.rows == 0L)) return true
+    val schemaLacks = st.flatMap(_.schema).exists(s =>
+      bounds.exists { case (c, _, _) => !s.fieldNames.contains(c) })
+    if (schemaLacks) return true
+    val rangeExcludes = bounds.exists { case (c, lo, hi) =>
+      pruneDirs(table, Version(0, 0L, Seq(d)), c, lo, hi)._1.isEmpty
+    }
+    if (rangeExcludes) return true
+    collected.exists { case (c, vals) =>
+      groupBloom(table, d, c).exists(bf => vals.nonEmpty && vals.forall {
+        case s: String => !bf.mightContainBinary(s.getBytes("UTF-8"))
+        case b: java.lang.Byte => !bf.mightContainLong(b.longValue)
+        case sh: java.lang.Short => !bf.mightContainLong(sh.longValue)
+        case i: java.lang.Integer => !bf.mightContainLong(i.longValue)
+        case l: java.lang.Long => !bf.mightContainLong(l.longValue)
+        case _ => false // outside the bloom hashing domain: no evidence
+      })
+    }
+  }
+
+  /** Distinct key values per column for bloom probing, only when the key
+    * set is small enough to collect (it is a DELETE BATCH, not a table) —
+    * above the cap, range evidence alone scopes the delete.
+    */
+  private def collectSmallKeys(keys: DataFrame, cols: Seq[String]): Map[String, Seq[Any]] =
+    cols.flatMap { c =>
+      val vs = keys.select(col(c)).where(col(c).isNotNull)
+        .distinct().limit(4097).collect().map(_.get(0)).toSeq
+      if (vs.size > 4096) None else Some(c -> vs)
+    }.toMap
+
+  /** MERGE-ON-READ equality delete: every table row whose key tuple
+    * appears in `keys` (logical column names; null keys never match) is
+    * deleted from the CURRENT data — committed as one small delete file
+    * plus a manifest entry, with ZERO data-file rewrites. Write cost is
+    * one pruned read-only pass (stats + blooms scope it to the groups
+    * that can hold the keys) computing the matched-row hash adjustment,
+    * so the content snapshot id stays exact. Rows appended AFTER this
+    * commit are out of scope even under a deleted key (Iceberg v2
+    * sequence-number semantics). Keys matching nothing commit nothing
+    * (the tip is returned unchanged). Change capture, when enabled,
+    * records the matched rows as `delete` preimages from the same pass's
+    * group set. Read-side cost until [[applyDeletes]] or a rewrite folds
+    * the debt: one broadcast anti-join per delete file above the scan.
+    */
+  def morDelete(keys: DataFrame, table: String)(implicit spark: SparkSession): Version = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed version in $table")
+    val cur = vs.last
+    val cm = cur.colMap.getOrElse(ColMapping.identity)
+    val logical = tableSchema(table).fieldNames.toSet
+    require(keys.columns.nonEmpty, "delete keys need at least one column")
+    keys.columns.foreach(c => require(logical.contains(c),
+      s"no column $c in $table (have ${logical.toSeq.sorted.mkString(", ")})"))
+    val pCols = keys.columns.toSeq.map(cm.physicalOf)
+    val seq = cur.seq + 1
+    val delDir = deleteFileDir(seq)
+    // the delete file stores DISTINCT non-null key tuples in physical
+    // name space — the exact frame readers anti-join with
+    keys.toDF(pCols: _*).na.drop("any", pCols).distinct()
+      .write.parquet(s"$table/$delDir")
+    val keyDf = spark.read.parquet(s"$table/$delDir")
+    def abandon(): Version = { deleteRecursively(hpath(table, delDir)); cur }
+    val bounds = keyBounds(keyDf, pCols).getOrElse(return abandon())
+    val collected = collectSmallKeys(keyDf, pCols)
+    // every current dir predates seq, so scope = dirs the evidence keeps
+    val surviving = cur.dirs.filterNot(d =>
+      groupProvablyKeyFree(table, d, bounds, collected))
+    if (surviving.isEmpty) return abandon()
+    // matched-row hash adjustment: per dir IN ITS OWN column order (the
+    // order its stats sidecar hashed under), semi-joined with the keys —
+    // one job over only the surviving groups. Dirs lacking a key column
+    // contribute nothing (all-null never matches).
+    val usable = surviving.filter { d =>
+      val cols = groupStats(table, d).flatMap(_.schema).map(_.fieldNames.toSet)
+        .getOrElse(spark.read.parquet(s"$table/$d").columns.toSet)
+      pCols.forall(cols)
+    }
+    if (usable.isEmpty) return abandon()
+    val bcast = org.apache.spark.sql.functions.broadcast(keyDf)
+    val hashed = usable.map { d =>
+      val df = spark.read.parquet(s"$table/$d")
+      df.select(pCols.map(col) :+
+        xxhash64(df.columns.map(col): _*).cast("decimal(38,0)").as("_h"): _*)
+    }
+    val aggRow = hashed.reduce(_.unionByName(_))
+      .join(bcast, pCols, "left_semi")
+      .agg(sum(col("_h")).as("_s"), count(lit(1)).as("_n")).collect()(0)
+    val matched = aggRow.getLong(1)
+    if (matched == 0L) return abandon()
+    val adj = aggRow.getDecimal(0).toBigInteger
+      .mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
+    // CDF: the deleted rows are exactly the semi-join over the same dirs
+    if (changeCaptureEnabled(table)) {
+      val touchedDf = spark.read.option("mergeSchema", "true")
+        .parquet(usable.map(d => s"$table/$d"): _*)
+      captureChanges(table, seq,
+        Seq((touchedDf.join(bcast, pCols, "left_semi"), "delete")))
+    }
+    val entry = DeleteFile(delDir, seq, pCols, matched)
+    commitWith(table, delsF = (base, nd) => carryDels(base, nd) :+ entry) { base =>
+      if (!base.exists(_.seq == cur.seq)) throw new IllegalStateException(
+        s"concurrent commit during equality delete against v${cur.seq} " +
+          s"(tip is now v${base.map(_.seq).getOrElse(0)}) — retry")
+      Some((cur.dirs, cur.snapshotId - adj)) // Long wraparound = mod 2^64
+    }.get
+  }
+
+  /** MOR read resolution: the version's data dirs grouped into STRATA by
+    * which delete files apply (the common case is two — pre-delete dirs
+    * and post-delete appends), each stratum read through `reader` with
+    * its delete files subtracted by broadcast anti-joins ABOVE the scan —
+    * user filters still push below to manifest/bloom pruning. A stratum
+    * lacking a key column skips that join (all-null never matches).
+    */
+  private def resolveMor(table: String, v: Version,
+      reader: Seq[String] => DataFrame)(implicit spark: SparkSession): DataFrame = {
+    if (v.dels.isEmpty) return reader(v.dirs)
+    val strata = v.dirs.groupBy(d => applicableDels(v, d)).toSeq
+      .sortBy { case (dels, _) => dels.map(_.seq).sum } // deterministic plan
+    strata.map { case (dels, ds) =>
+      dels.sortBy(_.seq).foldLeft(reader(ds)) { (df, del) =>
+        if (!del.cols.forall(df.columns.contains)) df
+        else df.join(
+          org.apache.spark.sql.functions.broadcast(
+            spark.read.parquet(s"$table/${del.dir}")),
+          del.cols, "left_anti")
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Fold every pending delete file back into the data (Iceberg's
+    * rewrite-with-delete-files maintenance): groups the stats/blooms
+    * prove key-free carry over BY REFERENCE; each remaining group is
+    * anti-joined and rewritten IN PLACE of itself (group boundaries kept,
+    * no table-wide shuffle — O(groups touched) like the copy-on-write
+    * ops). Committed GATED on content identity: carried + rewritten
+    * snapshot ids must reproduce the tip's id exactly, so any drift in
+    * the MOR hash accounting fails loudly here instead of corrupting.
+    * The new version carries no delete files; the applied files stay on
+    * disk for older versions' time travel until [[expire]] drops them.
+    */
+  def applyDeletes(table: String)(implicit spark: SparkSession): Version = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed version in $table")
+    val cur = vs.last
+    if (cur.dels.isEmpty) return cur
+    val seq = cur.seq + 1
+    val sfx = java.util.UUID.randomUUID().toString.take(8)
+    val delKeys: Map[String, DataFrame] = cur.dels.map(df =>
+      df.dir -> spark.read.parquet(s"$table/${df.dir}")).toMap
+    val delEvidence: Map[String, Option[(Seq[(String, Any, Any)], Map[String, Seq[Any]])]] =
+      cur.dels.map { del =>
+        val k = delKeys(del.dir)
+        del.dir -> keyBounds(k, del.cols).map(b => (b, collectSmallKeys(k, del.cols)))
+      }.toMap
+    def mayTouch(d: String, del: DeleteFile): Boolean = delEvidence(del.dir) match {
+      case None => false // empty delete file: matches nothing
+      case Some((bounds, collected)) =>
+        !groupProvablyKeyFree(table, d, bounds, collected)
+    }
+    val (affected, untouched) = cur.dirs.partition(d =>
+      applicableDels(cur, d).exists(del => mayTouch(d, del)))
+    if (affected.isEmpty) // every group provably key-free: drop the debt
+      return commitWith(table, delsF = (_, _) => Seq.empty) { base =>
+        if (!base.exists(_.seq == cur.seq)) throw new IllegalStateException(
+          s"concurrent commit during applyDeletes of v${cur.seq} — retry")
+        Some((cur.dirs, cur.snapshotId))
+      }.get
+    val rewritten = affected.zipWithIndex.map { case (d, i) =>
+      val nd = s"data/v$seq-applydel$i-$sfx"
+      val src = spark.read.parquet(s"$table/$d")
+      val resolved = applicableDels(cur, d).filter(mayTouch(d, _)).sortBy(_.seq)
+        .foldLeft(src) { (df, del) =>
+          if (!del.cols.forall(df.columns.contains)) df
+          else df.join(
+            org.apache.spark.sql.functions.broadcast(delKeys(del.dir)),
+            del.cols, "left_anti")
+        }
+      val (sid, rows) = writeGroup(table, nd, resolved)
+      (nd, sid, rows)
+    }
+    // all-deleted groups contribute nothing — keep one empty group only
+    // when it would be the last (the schema carrier for empty reads)
+    val kept0 = rewritten.filter(_._3 > 0)
+    val kept =
+      if (kept0.nonEmpty || untouched.nonEmpty) kept0
+      else rewritten.take(1)
+    rewritten.filterNot(kept.contains).foreach(r => deleteRecursively(hpath(table, r._1)))
+    val sid = untouched.map(d => dirSid(table, d)).sum + kept.map(_._2).sum
+    if (sid != cur.snapshotId) {
+      kept.foreach(r => deleteRecursively(hpath(table, r._1)))
+      throw new IllegalStateException(
+        s"applyDeletes accounting drift: resolved content id $sid != " +
+          s"tip ${cur.snapshotId} — refusing to commit")
+    }
+    commitWith(table, delsF = (_, _) => Seq.empty) { base =>
+      if (!base.exists(_.seq == cur.seq)) throw new IllegalStateException(
+        s"concurrent commit during applyDeletes of v${cur.seq} " +
+          s"(tip is now v${base.map(_.seq).getOrElse(0)}) — retry")
+      Some((untouched ++ kept.map(_._1), cur.snapshotId))
+    }.get
   }
 
   /** A file group's content snapshot id, from its stats sidecar when
@@ -1065,7 +1379,19 @@ object VersionedTable {
         .map(n => s"changes/$n")
         .filter(d => newestMtime(hpath(table, d)).exists(_ <= cutoff))
         .toList
-    val all = orphans ++ chOrphans
+    // equality-delete files referenced by NO retained version (a morDelete
+    // that crashed between the key write and the manifest commit, or a
+    // no-op delete whose cleanup died) are orphans like data dirs
+    val delRoot = hpath(table, "deletes")
+    val refDels = versions(table).flatMap(_.dels.map(_.dir)).toSet
+    val delOrphans =
+      if (!hexists(delRoot)) Nil
+      else scala.util.Try(fsOf(delRoot).listStatus(delRoot).toSeq).getOrElse(Seq.empty)
+        .map(f => s"deletes/${f.getPath.getName}")
+        .filterNot(refDels)
+        .filter(d => newestMtime(hpath(table, d)).exists(_ <= cutoff))
+        .toList
+    val all = orphans ++ chOrphans ++ delOrphans
     all.foreach(d => deleteRecursively(hpath(table, d)))
     all
   }
@@ -1085,7 +1411,9 @@ object VersionedTable {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed version in $table")
     val cur = vs.last
-    if (cur.dirs.size <= 1) return cur
+    // a single-group table with pending MOR deletes still needs the
+    // rewrite: compacting IS how the delete debt folds into the data
+    if (cur.dirs.size <= 1 && cur.dels.isEmpty) return cur
     val seq = cur.seq + 1
     val dir = s"data/v$seq-compact-${java.util.UUID.randomUUID().toString.take(8)}"
     readVersion(table, cur).repartition(targetGroups).write.parquet(s"$table/$dir")
@@ -1332,6 +1660,11 @@ object VersionedTable {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed version in $table")
     val cur = vs.last
+    // the touched-group rewrite reads raw parquet; pending MOR deletes
+    // would resurrect their rows into the remainder — fold the debt first
+    require(cur.dels.isEmpty,
+      s"$table has pending equality-delete files — run applyDeletes " +
+        "(or compact) before copy-on-write row-level ops")
     // `column` is the caller's LOGICAL name; the rewrite runs physical
     val pc = cur.colMap.getOrElse(ColMapping.identity).physicalOf(column)
     val (touched, untouched) = pruneDirs(table, cur, pc, lo, hi)
@@ -1381,6 +1714,10 @@ object VersionedTable {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed version in $table")
     val cur = vs.last
+    // same reason as [[deleteRange]]: the anti-join below reads raw groups
+    require(cur.dels.isEmpty,
+      s"$table has pending equality-delete files — run applyDeletes " +
+        "(or compact) before copy-on-write row-level ops")
     // the batch speaks LOGICAL names; translate it and the key — the
     // rewrite below then runs entirely in physical name space
     val cm = cur.colMap.getOrElse(ColMapping.identity)
@@ -1470,17 +1807,34 @@ object VersionedTable {
     * in at the FileIndex seam and the rest of the planner (column pruning,
     * parquet row-group pruning, AQE) composes above and below it.
     */
-  def scan(table: String)(implicit spark: SparkSession): DataFrame =
-    scanIndexed(table)._1
+  def scan(table: String)(implicit spark: SparkSession): DataFrame = {
+    val v = resolveVersion(table, None)
+    if (v.dels.isEmpty) scanIndexed(table)._1
+    else {
+      // pending equality deletes: per-stratum FileIndex scans with the
+      // anti-joins layered above — user filters still push down to
+      // manifest/bloom pruning, deleted rows never surface
+      val schema = physUnionSchema(table, v)
+      logicalView(resolveMor(table, v, ds =>
+        spark.baseRelationToDataFrame(
+          new GraftFileIndex(spark, table, fileGroups(table, ds)).relation(schema))),
+        v.colMap)
+    }
+  }
 
   /** [[scan]] plus its FileIndex, so callers (tests, metrics) can observe
     * which file groups the last query actually planned. `asOf` plans a
     * retained historical version instead of the latest (time travel with
-    * full pruning — Delta's `versionAsOf`).
+    * full pruning — Delta's `versionAsOf`). Tables with pending equality
+    * deletes have no single observable index (their scan is a union of
+    * per-stratum plans) — use [[scan]] or [[applyDeletes]] first.
     */
   def scanIndexed(table: String, asOf: Option[Int] = None)(
       implicit spark: SparkSession): (DataFrame, GraftFileIndex) = {
     val v = resolveVersion(table, asOf)
+    require(v.dels.isEmpty,
+      s"$table v${v.seq} has pending equality-delete files — scanIndexed " +
+        "exposes one plan index; read via scan (MOR-resolving) or applyDeletes first")
     val (rel, idx) = relationFor(table, v)
     (logicalView(spark.baseRelationToDataFrame(rel), v.colMap), idx)
   }
@@ -1500,6 +1854,12 @@ object VersionedTable {
       s"$table has renamed/dropped columns (column mapping); the " +
         "graft-versioned format surface cannot serve it — read via " +
         "VersionedTable.scan/read instead")
+    // a bare HadoopFsRelation would surface deleted rows: MOR resolution
+    // needs the anti-join layer only the library reads can add
+    require(v.dels.isEmpty,
+      s"$table has pending equality-delete files; the graft-versioned " +
+        "format surface cannot serve it — read via VersionedTable.scan/read " +
+        "or run applyDeletes first")
     relationFor(table, v)
   }
 
@@ -1516,7 +1876,7 @@ object VersionedTable {
   /** The physical pruning relation of one version (no logical view). */
   private def relationFor(table: String, v: Version)(implicit spark: SparkSession):
       (org.apache.spark.sql.execution.datasources.HadoopFsRelation, GraftFileIndex) = {
-    val schema = unionSchema(table, v).getOrElse(readPhysical(table, v).schema)
+    val schema = physUnionSchema(table, v)
     val idx = new GraftFileIndex(spark, table, fileGroups(table, v.dirs))
     (idx.relation(schema), idx)
   }
@@ -1604,16 +1964,18 @@ object VersionedTable {
           // post-rewrite rows as "appends") or an interior compaction
           // could masquerade as a data rewrite. Identical-dirs gaps are
           // provably empty; anything else fails loudly.
-          if (b.seq != a.seq + 1 && (added.nonEmpty || removed.nonEmpty))
+          if (b.seq != a.seq + 1 && (added.nonEmpty || removed.nonEmpty || b.dels != a.dels))
             throw new IllegalStateException(
               s"versions between v${a.seq} and v${b.seq} of $table expired — " +
                 "the appended-rows walk cannot be answered across the gap; " +
                 "retain more versions or read full snapshots")
-          else if (removed.isEmpty) added
-          else if (b.snapshotId == a.snapshotId) Seq.empty // layout-only rewrite
+          // a changed delete-file set is a row-level change even with the
+          // dirs untouched (morDelete) — only dels-stable steps are appends
+          else if (removed.isEmpty && b.dels == a.dels) added
+          else if (b.snapshotId == a.snapshotId) Seq.empty // layout-only (incl. applyDeletes)
           else throw new IllegalStateException(
             s"commit v${b.seq} of $table rewrote data in place " +
-              "(overwrite/delete/merge/rollback) — the range is not " +
+              "(overwrite/delete/merge/morDelete/rollback) — the range is not " +
               "representable as appended rows; read versions instead")
         case _ => Seq.empty
       }.toSeq
@@ -1638,7 +2000,7 @@ object VersionedTable {
     val vs = versions(table)
     val dirs = appendedDirsIn(vs, table, fromSeq, toSeq)
     val to = vs.find(_.seq == toSeq).get // existence checked by the walk
-    val schema = unionSchema(table, to).getOrElse(readPhysical(table, to).schema)
+    val schema = physUnionSchema(table, to)
     val idx = new GraftFileIndex(spark, table, fileGroups(table, dirs))
     // the delta surfaces under toSeq's LOGICAL schema — "the changes as
     // the table looked at the end of the window"
@@ -1710,10 +2072,14 @@ object VersionedTable {
     */
   def rollbackTo(table: String, seq: Int): Version = {
     require(versions(table).nonEmpty, s"no committed version in $table")
-    // the restore is TOTAL: dirs, content id AND the column mapping as of
-    // the target — rolling back past a rename/drop restores the old names
-    commitWith(table, colMapF =
-        _ => versions(table).find(_.seq == seq).flatMap(_.colMap)) { base =>
+    // the restore is TOTAL: dirs, content id, the column mapping AND the
+    // delete files as of the target — rolling back past a rename/drop
+    // restores the old names, past a morDelete restores (or re-arms) its
+    // delete-file set
+    commitWith(table,
+        colMapF = _ => versions(table).find(_.seq == seq).flatMap(_.colMap),
+        delsF = (_, _) =>
+          versions(table).find(_.seq == seq).map(_.dels).getOrElse(Seq.empty)) { base =>
       val target = versions(table).find(_.seq == seq).getOrElse(
         throw new IllegalArgumentException(
           s"cannot roll back $table to version $seq: not retained (or never committed)"))
@@ -1745,8 +2111,19 @@ object VersionedTable {
 
   private def readPhysical(table: String, v: Version)(
       implicit spark: SparkSession): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(v.dirs.map(d => s"$table/$d"): _*)
+    resolveMor(table, v, ds =>
+      spark.read.option("mergeSchema", "true")
+        .parquet(ds.map(d => s"$table/$d"): _*))
+
+  /** The version's union PHYSICAL schema — sidecars when complete, one
+    * mergeSchema inference pass otherwise (raw, not MOR-resolved: a
+    * delete never changes the schema).
+    */
+  private def physUnionSchema(table: String, v: Version)(
+      implicit spark: SparkSession): StructType =
+    unionSchema(table, v).getOrElse(
+      spark.read.option("mergeSchema", "true")
+        .parquet(v.dirs.map(d => s"$table/$d"): _*).schema)
 
   /** DESCRIBE HISTORY analogue: one row per retained version — seq,
     * content snapshot id, file-group count, exact row count from the
@@ -1762,19 +2139,26 @@ object VersionedTable {
     val vs = versions(table)
     val rows = vs.zipWithIndex.map { case (v, i) =>
       val prev = if (i == 0) None else Some(vs(i - 1))
+      // raw per-group sums, minus the rows the version's pending equality-
+      // delete files matched (a MOR version's logical count)
       val rowCounts = v.dirs.map(d => dirStats(table, d).map(_.rows))
       val nRows: Option[Long] =
-        if (rowCounts.exists(_.isEmpty)) None else Some(rowCounts.flatten.sum)
+        if (rowCounts.exists(_.isEmpty)) None
+        else Some(rowCounts.flatten.sum - v.dels.map(_.matched).sum)
       val kind = prev match {
         case None => "base"
         // same data, new column mapping: a rename/drop evolution commit
         case Some(p) if v.dirs.toSet == p.dirs.toSet && v.colMap != p.colMap => "schema"
-        case Some(p) if v.dirs.toSet == p.dirs.toSet => "noop"
+        case Some(p) if v.dirs.toSet == p.dirs.toSet &&
+          v.snapshotId == p.snapshotId => "noop"
         // an exact (id, dirs) replay of a STRICTLY EARLIER version is a
         // [[rollbackTo]] commit — checked before the structural cases,
         // which would misread it (dirs usually shrink vs the undone tip)
         case Some(_) if vs.take(i).exists(e =>
           e.snapshotId == v.snapshotId && e.dirs.toSet == v.dirs.toSet) => "rollback"
+        // dirs untouched but the content id moved: an equality-delete
+        // commit (the only dirs-stable data change)
+        case Some(p) if v.dirs.toSet == p.dirs.toSet => "rowlevel"
         case Some(p) if p.dirs.forall(v.dirs.contains) => "append"
         case Some(p) if v.snapshotId == p.snapshotId => "rewrite"
         case Some(p) if p.dirs.exists(v.dirs.contains) => "rowlevel"
@@ -1863,7 +2247,11 @@ object VersionedTable {
         // undeleted dirs are unreferenced storage-only orphans that
         // [[vacuum]] reclaims.
         atomicWrite(manifestPath(table), keptLines.mkString("", "\n", "\n"))
+        // delete files referenced by ANY retained version must survive —
+        // time travel to a MOR version needs them to resolve its reads
+        val keepDels = retained.flatMap(_.dels.map(_.dir)).toSet
         dropped.flatMap(_.dirs).distinct.filterNot(keepDirs) ++
+          dropped.flatMap(_.dels.map(_.dir)).distinct.filterNot(keepDels) ++
           // a dropped version's change-capture sidecar goes with it (the
           // feed already refuses windows crossing an expired version)
           dropped.map(v => s"changes/v${v.seq}")

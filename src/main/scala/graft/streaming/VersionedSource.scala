@@ -143,7 +143,17 @@ final class VersionedTableSource(spark: SparkSession, table: String,
       s"stream offset v$seq of $table expired before delivery — " +
         "retain more versions (expire keep) or reset the stream checkpoint"))
     val newDirs: Seq[String] = start.map(seqOf) match {
-      case None => at(endSeq).dirs // initial batch: the full snapshot at end
+      case None =>
+        // initial batch: the full snapshot at end. Raw file groups would
+        // RESURRECT rows a pending equality-delete file (merge-on-read)
+        // has removed — require the debt folded first; later versions'
+        // morDelete commits fail loudly inside the walk below instead.
+        val v0 = at(endSeq)
+        if (v0.dels.nonEmpty) throw new IllegalStateException(
+          s"$table v$endSeq has pending equality-delete files — the streaming " +
+            "source delivers raw file groups; run applyDeletes (or compact) " +
+            "before starting a stream from this snapshot")
+        v0.dirs
       case Some(s0) =>
         at(s0) // loud expiry check with the STREAM remedy in the message
         // the shared manifest walk (also behind readChangesBetween),
