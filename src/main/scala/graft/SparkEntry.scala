@@ -1185,6 +1185,21 @@ object SparkEntry {
       require(v6.snapshotId == tip.snapshotId && v6.dels.isEmpty,
         "applyDeletes must be layout-only and clear the delete debt")
       VersionedTable.scan(table).select("doc_id", "lang", "source", "n_chars")
+    }),
+    // q71: DECONTAMINATION vs an eval set — every training doc scored by
+    // the fraction of its distinct 3-word shingles appearing anywhere in
+    // the benchmark slice (doc_id % 7 == 0 stands in for the eval set, so
+    // those docs must read 1.0). The eval vocabulary broadcasts; the
+    // corpus is one narrow explode + one doc-keyed aggregation. DuckDB
+    // recomputes the identical tokenization (the q27-pinned shingler) and
+    // the compare is value-exact.
+    "q71_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontam.contamination(docs,
+          docs.where(pmod(col("doc_id"), lit(7)) === 0).select(col("text")),
+          "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+          round(col("contamination"), 4).as("contamination"))
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1640,5 +1655,22 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 3 = 2
         |UNION ALL
         |SELECT doc_id, lang, source, n_chars + 5000 FROM documents
-        |  WHERE doc_id % 15 = 0""".stripMargin)
+        |  WHERE doc_id % 15 = 0""".stripMargin,
+    // q71: the identical 3-gram shingling (the q27 tokenizer), eval vocab
+    // from the % 7 slice, hit counts via a left join — value-exact.
+    "q71_decontam" -> {
+      val toks = "regexp_split_to_array(lower(text), '[\\s\\x0b]+')"
+      val sh = s"list_distinct(list_transform(range(0, greatest(len($toks) - 3, 0) + 1), i -> array_to_string(($toks)[i+1:i+3], ' ')))"
+      s"""WITH sh AS (SELECT doc_id, $sh AS sh FROM documents),
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |ev AS (SELECT DISTINCT g FROM (
+         |  SELECT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 0)),
+         |rep AS (
+         |  SELECT e.doc_id, count(*) AS n_shingles,
+         |    sum(CASE WHEN v.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |  FROM ex e LEFT JOIN ev v USING (g) GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_hits,
+         |  round(n_hits::DOUBLE / greatest(n_shingles, 1)::DOUBLE, 4) AS contamination
+         |FROM rep""".stripMargin
+    })
 }
