@@ -1200,6 +1200,26 @@ object SparkEntry {
           "doc_id", "text", k = 3)
         .select(col("doc_id"), col("n_shingles"), col("n_hits"),
           round(col("contamination"), 4).as("contamination"))
+    }),
+    // q72: PII redaction — each row gets a deterministic synthetic header
+    // embedding an email, an E.164 phone, a NANP phone and an IPv4 whose
+    // last octet is doc_id % 300 (so ~15% are OUT OF RANGE and must stay
+    // unredacted — the negative case rides the same oracle), followed by
+    // the real corpus text; DuckDB applies the identical five-pattern
+    // regexp_replace chain in RE2 and the compare is value-exact (the
+    // scanner==java.util.regex pin lives in PiiScanSpec's fuzz).
+    "q72_pii_redact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val id = col("doc_id").cast("string")
+      val synth = concat_ws(" ",
+        concat(lit("user"), id, lit("@mail.example.com")),
+        concat(lit("+4930"), lpad(id, 8, "5")),
+        concat(lit("10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), pmod(col("doc_id"), lit(300)).cast("string")),
+        concat(lit("(555) 867-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")),
+        col("text"))
+      docs.select(col("doc_id"),
+        graft.functions.PiiFunctions.redact_pii(synth).as("redacted"))
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1672,5 +1692,24 @@ object SparkEntry {
          |SELECT doc_id, n_shingles, n_hits,
          |  round(n_hits::DOUBLE / greatest(n_shingles, 1)::DOUBLE, 4) AS contamination
          |FROM rep""".stripMargin
+    },
+    // q72: the identical synthetic header + the same five-pattern replace
+    // chain (RE2's \b and ASCII classes agree with java.util.regex here).
+    "q72_pii_redact" -> {
+      val oct = """(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"""
+      s"""WITH synth AS (SELECT doc_id,
+         |  'user' || doc_id || '@mail.example.com' || ' ' ||
+         |  '+4930' || lpad(CAST(doc_id AS VARCHAR), 8, '5') || ' ' ||
+         |  '10.0.' || (doc_id % 256) || '.' || (doc_id % 300) || ' ' ||
+         |  '(555) 867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ||
+         |  text AS t FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b$oct\\.$oct\\.$oct\\.$oct\\b', '<IP>', 'g'),
+         |    '\\(\\d{3}\\) \\d{3}-\\d{4}', '<PHONE>', 'g'),
+         |    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+         |    '\\+\\d{7,15}\\b', '<PHONE>', 'g') AS redacted
+         |FROM synth""".stripMargin
     })
 }
