@@ -1220,7 +1220,17 @@ object SparkEntry {
         col("text"))
       docs.select(col("doc_id"),
         graft.functions.PiiFunctions.redact_pii(synth).as("redacted"))
-    }))
+    }),
+    // q73: MIXTURE RESAMPLING with repetition (epoch reweighting) — de
+    // rows 2.5x (2 guaranteed copies + a hash-drawn half), en 0.25x, the
+    // rest 1x; DuckDB recomputes the IDENTICAL md5 draw, floor copies and
+    // unnest(range(copies)) layout, so the training-mix membership AND
+    // the repetition indices are value-exact cross-engine.
+    "q73_epoch_mix" -> ((s, d) =>
+      Sampling.epochMix(t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+          col("doc_id"), col("lang"), Map("de" -> 2.5, "en" -> 0.25),
+          defaultRate = 1.0, salt = "mx")
+        .select("doc_id", "lang", "n_chars", "copy")))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
     * Jaccard pair set over documents ∪ (documents + 1e6 ids), thresholded
@@ -1711,5 +1721,18 @@ object SparkEntry {
          |    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
          |    '\\+\\d{7,15}\\b', '<PHONE>', 'g') AS redacted
          |FROM synth""".stripMargin
-    })
+    },
+    // q73: the identical md5 draw (the q64 form), per-stratum floor copies
+    // + fractional-cutoff extras, repetition indices via unnest(range()).
+    "q73_epoch_mix" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    CASE WHEN lang = 'de' THEN 2 WHEN lang = 'en' THEN 0 ELSE 1 END AS base,
+        |    CASE WHEN lang = 'de' THEN '80000000' WHEN lang = 'en' THEN '40000000'
+        |         ELSE '00000000' END AS cut,
+        |    substr(md5(coalesce(cast(doc_id AS varchar), '') || ':mx'), 1, 8) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_chars,
+        |    base + CASE WHEN h < cut THEN 1 ELSE 0 END AS copies FROM r)
+        |SELECT doc_id, lang, n_chars, CAST(unnest(range(copies)) AS INT) AS copy
+        |FROM c""".stripMargin)
 }

@@ -95,6 +95,41 @@ object Sampling {
     df.filter(unitHex(key, salt) < cutoff)
   }
 
+  /** Deterministic MIXTURE RESAMPLING with repetition — the training-mix
+    * reweighting trick ("see Wikipedia 3 epochs, downsample CommonCrawl to
+    * 0.3"): every row of stratum `s` is emitted `rates(s)` times in
+    * EXPECTATION — `floor(rate)` guaranteed copies plus one more iff the
+    * key's hash draw falls under the fractional part. A rate <= 1 is a
+    * plain stratified downsample; an integral rate is exact repetition.
+    * Output carries `copy` (0-based repetition index) so downstream
+    * shuffles and sequence packing treat repeats as distinct rows.
+    *
+    * Narrow and skew-immune like the rest of the family: rates are plan
+    * literals, so the whole op is one CASE + one bounded explode — no
+    * join, no shuffle, no RNG state; and the draw is a pure function of
+    * (key, salt): stable under repartitioning/retries/accretion, exactly
+    * reproducible cross-engine (q73).
+    */
+  def epochMix(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1000.0, s"rate must be in [0,1000]: $r"))
+    def caseOver(f: Double => Column): Column =
+      rates.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+        case (acc, (s, r)) =>
+          Some(acc.fold(when(stratum === s, f(r)))(_.when(stratum === s, f(r))))
+      }.fold(f(defaultRate))(_.otherwise(f(defaultRate)))
+    val base = caseOver(r => lit(math.floor(r).toInt))
+    // the fractional-copy cutoff is a per-stratum hex LITERAL (frac 0 =>
+    // "00000000", which no draw is strictly below — never an extra copy)
+    val extraCut = caseOver(r => lit(cutoffHex(r - math.floor(r))))
+    val copies = base + when(unitHex(key, salt) < extraCut, 1).otherwise(0)
+    df.withColumn("copy", explode(
+      when(copies > 0, sequence(lit(0), copies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Deterministic per-group top-k: the k members of each group that sort
     * first in hash order (key tie-break) — a reproducible stand-in for
     * per-group reservoir sampling. Unlike a reservoir it is stable across

@@ -91,6 +91,47 @@ class SamplingSpec extends SparkSpec {
       Sampling.groupTopK(docs, col("lang"), col("doc_id"), 0))
   }
 
+  test("epochMix: guaranteed floor copies, fractional extras, exact repeats") {
+    import spark.implicits._
+    val mixed = Sampling.epochMix(docs, col("doc_id"), col("lang"),
+      Map("de" -> 3.0, "en" -> 0.25, "fr" -> 1.5), defaultRate = 1.0, salt = "t6")
+    val all = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val out = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // integral rate: EXACT repetition, copy indices dense 0..2
+    assert(out("de") == 3 * all("de"))
+    assert(mixed.filter(col("lang") === "de").groupBy("doc_id").count()
+      .filter(col("count") =!= 3).count() == 0)
+    assert(mixed.filter(col("lang") === "de")
+      .select("copy").distinct().as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+    // fractional-only rate: a downsample, never more than one copy
+    assert(out("en") <= all("en"))
+    assert(math.abs(out("en").toDouble / all("en") - 0.25) < 0.2)
+    assert(mixed.filter(col("lang") === "en" && col("copy") > 0).count() == 0)
+    // 1.5: every row at least once, ~half twice
+    val fr = mixed.filter(col("lang") === "fr").groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(fr.size == all("fr"), "rate >= 1 must keep every row")
+    assert(fr.values.forall(c => c == 1 || c == 2))
+    // unlisted strata: rate 1.0 = identity with copy 0
+    val rest = mixed.filter(!col("lang").isin("de", "en", "fr"))
+    assert(rest.count() == all.filterKeys(k => !Set("de", "en", "fr")(k)).values.sum)
+    assert(rest.filter(col("copy") =!= 0).count() == 0)
+  }
+
+  test("epochMix: deterministic under repartitioning; rate 0 drops a stratum") {
+    val a = Sampling.epochMix(docs, col("doc_id"), col("lang"),
+      Map("en" -> 1.75, "de" -> 0.0), salt = "t7")
+      .select("doc_id", "copy").collect().toSet
+    val b = Sampling.epochMix(docs.repartition(19, col("source")), col("doc_id"),
+      col("lang"), Map("en" -> 1.75, "de" -> 0.0), salt = "t7")
+      .select("doc_id", "copy").collect().toSet
+    assert(a == b)
+    assert(Sampling.epochMix(docs, col("doc_id"), col("lang"),
+      Map("de" -> 0.0), salt = "t7").filter(col("lang") === "de").count() == 0)
+    intercept[IllegalArgumentException](Sampling.epochMix(docs, col("doc_id"),
+      col("lang"), Map("en" -> -0.1)))
+  }
+
   test("null keys draw deterministically instead of vanishing") {
     import spark.implicits._
     val withNull = Seq((Some(1L), "a"), (None, "b"), (None, "c"))
