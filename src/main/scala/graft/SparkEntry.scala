@@ -1230,7 +1230,22 @@ object SparkEntry {
       Sampling.epochMix(t(s, d, "documents").select("doc_id", "lang", "n_chars"),
           col("doc_id"), col("lang"), Map("de" -> 2.5, "en" -> 0.25),
           defaultRate = 1.0, salt = "mx")
-        .select("doc_id", "lang", "n_chars", "copy")))
+        .select("doc_id", "lang", "n_chars", "copy")),
+    // q74: INTRA-DOC REPETITION signals (the Gopher quality-filter family)
+    // — one regex-free codegen'd pass per document, zero shuffles; DuckDB
+    // recomputes every signal independently from unnested token positions
+    // (window ranking for the top gram, position-union for dup-5-grams),
+    // so the per-doc fractions are value-exact cross-engine.
+    "q74_repetition" -> ((s, d) => {
+      val r = TextAnalysis.repetitionStats(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        r.getField("n_words").as("n_words"),
+        round(r.getField("dup_word_frac"), 4).as("dup_word_frac"),
+        round(r.getField("top2_char_frac"), 4).as("top2_char_frac"),
+        round(r.getField("top3_char_frac"), 4).as("top3_char_frac"),
+        round(r.getField("top4_char_frac"), 4).as("top4_char_frac"),
+        round(r.getField("dup5_char_frac"), 4).as("dup5_char_frac"))
+    }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
     * Jaccard pair set over documents ∪ (documents + 1e6 ids), thresholded
@@ -1734,5 +1749,48 @@ object SparkEntry {
         |c AS (SELECT doc_id, lang, n_chars,
         |    base + CASE WHEN h < cut THEN 1 ELSE 0 END AS copies FROM r)
         |SELECT doc_id, lang, n_chars, CAST(unnest(range(copies)) AS INT) AS copy
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    // q74: independent recomputation of every repetition signal — token
+    // positions unnested, n-grams per (position, n), top gram by window
+    // ranking (count desc, gram asc — the Spark tie-break), dup-5-gram
+    // coverage as a position-set union. Same `[\s\x0b]` class as every
+    // other twin (RE2 \s lacks VT).
+    "q74_repetition" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[\s\x0b]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, w, len(w) AS nw,
+        |    coalesce(list_sum(list_transform(w, x -> length(x))), 0)::DOUBLE AS tc,
+        |    len(list_distinct(w)) AS nd
+        |  FROM w0),
+        |pn AS (SELECT b.doc_id, b.tc, b.w, ns.n, unnest(range(1, b.nw - ns.n + 2)) AS i
+        |  FROM b, (SELECT unnest([2, 3, 4, 5]) AS n) ns WHERE b.nw >= ns.n),
+        |g AS (SELECT doc_id, n, tc, i,
+        |    array_to_string(w[i:i+n-1], ' ') AS gram,
+        |    list_sum(list_transform(w[i:i+n-1], x -> length(x))) AS gc
+        |  FROM pn),
+        |cnt AS (SELECT doc_id, n, tc, gram, gc, count(*) AS c FROM g GROUP BY ALL),
+        |top AS (SELECT doc_id, n, c * gc / tc AS frac FROM
+        |    (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |       ORDER BY c DESC, gram ASC) AS rk FROM cnt WHERE tc > 0)
+        |  WHERE rk = 1 AND n <= 4),
+        |d5 AS (SELECT g.doc_id, g.i FROM g
+        |  JOIN cnt ON g.doc_id = cnt.doc_id AND g.n = 5 AND cnt.n = 5
+        |          AND g.gram = cnt.gram
+        |  WHERE cnt.c > 1),
+        |cov AS (SELECT DISTINCT d5.doc_id, d5.i + o.o AS p
+        |  FROM d5, (SELECT unnest(range(0, 5)) AS o) o),
+        |covc AS (SELECT cov.doc_id, sum(length(b.w[p]))::DOUBLE AS cc
+        |  FROM cov JOIN b ON b.doc_id = cov.doc_id GROUP BY 1)
+        |SELECT b.doc_id, b.nw::BIGINT AS n_words,
+        |  round(CASE WHEN b.nw = 0 THEN 0 ELSE (b.nw - b.nd)::DOUBLE / b.nw END, 4) AS dup_word_frac,
+        |  round(coalesce(t2.frac, 0), 4) AS top2_char_frac,
+        |  round(coalesce(t3.frac, 0), 4) AS top3_char_frac,
+        |  round(coalesce(t4.frac, 0), 4) AS top4_char_frac,
+        |  round(coalesce(covc.cc / nullif(b.tc, 0), 0), 4) AS dup5_char_frac
+        |FROM b
+        |LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 2) t2 USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 3) t3 USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 4) t4 USING (doc_id)
+        |LEFT JOIN covc USING (doc_id)""".stripMargin)
 }

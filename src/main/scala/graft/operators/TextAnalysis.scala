@@ -225,4 +225,25 @@ object TextAnalysis {
 
   def normalizeSql(col: String): String =
     s"trim(regexp_replace(regexp_replace(lower($col), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Intra-doc repetition signals (Gopher quality filters) — struct of
+    * n_words / dup_word_frac / top{2,3,4}_char_frac / dup5_char_frac, one
+    * regex-free codegen'd pass per document (functions/Repetition.scala).
+    */
+  def repetitionStats(c: Column): Column =
+    graft.functions.RepetitionFunctions.repetition_stats(c)
+
+  /** The Gopher filter gate over [[repetitionStats]]: keep docs whose
+    * repetition signals sit under the thresholds (defaults are the paper's
+    * word-level cuts: top2 0.20 / top3 0.18 / top4 0.16, dup-5-gram 0.15).
+    */
+  def repetitionFilter(df: org.apache.spark.sql.DataFrame, text: Column,
+      top2: Double = 0.20, top3: Double = 0.18, top4: Double = 0.16,
+      dup5: Double = 0.15): org.apache.spark.sql.DataFrame = {
+    val r = repetitionStats(text)
+    df.filter(r.getField("top2_char_frac") <= top2 &&
+      r.getField("top3_char_frac") <= top3 &&
+      r.getField("top4_char_frac") <= top4 &&
+      r.getField("dup5_char_frac") <= dup5)
+  }
 }
