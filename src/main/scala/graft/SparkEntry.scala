@@ -1245,6 +1245,21 @@ object SparkEntry {
         round(r.getField("top3_char_frac"), 4).as("top3_char_frac"),
         round(r.getField("top4_char_frac"), 4).as("top4_char_frac"),
         round(r.getField("dup5_char_frac"), 4).as("dup5_char_frac"))
+    }),
+    // q75: KG NEGATIVE SAMPLING — type-consistent corrupt triples in the
+    // filtered setting (Bordes et al. 2013) over a positives table built
+    // from documents (two predicates, disjoint object vocabularies);
+    // DuckDB recomputes the IDENTICAL md5 draw, row_number vocabulary
+    // layout, self-corruption filter and filtered anti-join, so the
+    // training negatives are value-exact cross-engine — a partition
+    // -seeded rand() corruption could never pass this compare.
+    "q75_kg_negatives" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pos = docs.select(col("doc_id").cast("string").as("subj"),
+          lit("lang").as("pred"), col("lang").as("obj"))
+        .unionAll(docs.select(col("doc_id").cast("string").as("subj"),
+          lit("source").as("pred"), col("source").as("obj")))
+      Negatives.corrupt(pos, k = 2, salt = "ng")
     }))
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
@@ -1792,5 +1807,25 @@ object SparkEntry {
         |LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 2) t2 USING (doc_id)
         |LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 3) t3 USING (doc_id)
         |LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 4) t4 USING (doc_id)
-        |LEFT JOIN covc USING (doc_id)""".stripMargin)
+        |LEFT JOIN covc USING (doc_id)""".stripMargin,
+    "q75_kg_negatives" ->
+      """WITH pos AS (
+        |  SELECT doc_id::VARCHAR AS subj, 'lang' AS pred, lang AS obj FROM documents
+        |  UNION ALL
+        |  SELECT doc_id::VARCHAR, 'source', source FROM documents),
+        |vocab AS (SELECT pred, obj,
+        |    row_number() OVER (PARTITION BY pred ORDER BY obj) - 1 AS idx
+        |  FROM (SELECT DISTINCT pred, obj FROM pos)),
+        |vs AS (SELECT pred, count(*) AS vocab_n FROM vocab GROUP BY 1),
+        |drawn AS (SELECT subj, pred, obj, k.neg_k,
+        |    ('0x' || substr(md5(subj || ':' || pred || ':' || obj || ':'
+        |       || neg_k::VARCHAR || ':ng'), 1, 8))::UBIGINT % vocab_n AS idx
+        |  FROM pos JOIN vs USING (pred),
+        |       (SELECT unnest(range(2)) AS neg_k) k),
+        |neg AS (SELECT d.subj, d.pred, d.obj, d.neg_k, v.obj AS neg_obj
+        |  FROM drawn d JOIN vocab v ON v.pred = d.pred AND v.idx = d.idx
+        |  WHERE v.obj <> d.obj)
+        |SELECT n.subj, n.pred, n.obj, n.neg_k, n.neg_obj FROM neg n
+        |ANTI JOIN pos p
+        |  ON p.subj = n.subj AND p.pred = n.pred AND p.obj = n.neg_obj""".stripMargin)
 }
