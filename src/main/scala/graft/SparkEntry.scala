@@ -1260,7 +1260,43 @@ object SparkEntry {
         .unionAll(docs.select(col("doc_id").cast("string").as("subj"),
           lit("source").as("pred"), col("source").as("obj")))
       Negatives.corrupt(pos, k = 2, salt = "ng")
-    }))
+    }),
+    // q76: ENTITY PAGERANK, value-exact cross-engine — 3 Pregel-style
+    // supersteps of iterative DataFrame joins (checkpointed per superstep)
+    // over the heterogeneous entity graph, with ALL arithmetic in DECIMAL
+    // under a no-rounding scale budget, so the iterative fixed-point
+    // computation itself is a pure function of the graph: DuckDB unrolls
+    // the same three supersteps in decimal and the compare is value-exact
+    // — a double-summed PageRank could never pass this (float sum order).
+    "q76_entity_pagerank" -> ((s, d) =>
+      GraphMetrics.pageRankExact(entityEdges(s, d), iters = 3)),
+    // q77: degree centrality over the same entity graph — hub/leaf
+    // signals for canonical-entity selection; sources and sinks keep
+    // zero-coalesced rows through the full-outer join.
+    "q77_entity_degrees" -> ((s, d) =>
+      GraphMetrics.degrees(entityEdges(s, d))))
+
+  /** The q76/q77 entity graph: customers point at their nation and market
+    * segment, suppliers at their nation, nations at their region —
+    * out-degrees {1, 2}, real in-degree skew (nations collect ~60 edges,
+    * regions 5), two-hop rank propagation customer→nation→region.
+    */
+  private def entityEdges(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer"); val nat = t(s, d, "nation")
+    val sup = t(s, d, "supplier"); val reg = t(s, d, "region")
+    val cn = cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("n"), col("n_name")).as("dst"))
+    val cm = cust.select(concat(lit("c"), col("c_custkey")).as("src"),
+      concat(lit("m"), col("c_mktsegment")).as("dst"))
+    val sn = sup.join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("n_name")).as("dst"))
+    val nr = nat.join(reg, col("n_regionkey") === col("r_regionkey"))
+      .select(concat(lit("n"), col("n_name")).as("src"),
+        concat(lit("r"), col("r_name")).as("dst"))
+    cn.unionAll(cm).unionAll(sn).unionAll(nr)
+  }
 
   /** DuckDB twin of the LSH recall queries: the EXACT 3-word-shingle
     * Jaccard pair set over documents ∪ (documents + 1e6 ids), thresholded
@@ -1827,5 +1863,56 @@ object SparkEntry {
         |  WHERE v.obj <> d.obj)
         |SELECT n.subj, n.pred, n.obj, n.neg_k, n.neg_obj FROM neg n
         |ANTI JOIN pos p
-        |  ON p.subj = n.subj AND p.pred = n.pred AND p.obj = n.neg_obj""".stripMargin)
+        |  ON p.subj = n.subj AND p.pred = n.pred AND p.obj = n.neg_obj""".stripMargin,
+    "q76_entity_pagerank" ->
+      (entityEdgesSql +
+      """,
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |ew AS (SELECT src, dst,
+        |    (CASE outdeg WHEN 1 THEN 1.00 WHEN 2 THEN 0.50 WHEN 4 THEN 0.25
+        |       WHEN 5 THEN 0.20 WHEN 10 THEN 0.10 WHEN 20 THEN 0.05
+        |       WHEN 25 THEN 0.04 WHEN 50 THEN 0.02 WHEN 100 THEN 0.01
+        |     END)::DECIMAL(5,2) * 0.85::DECIMAL(3,2) AS wd
+        |  FROM e JOIN od USING (src)),
+        |r0 AS (SELECT node, 1.0::DECIMAL(30,20) AS rank FROM nodes),
+        |r1 AS (SELECT n.node, (0.15::DECIMAL(3,2)
+        |    + coalesce(sum(r.rank * ew.wd), 0))::DECIMAL(30,20) AS rank
+        |  FROM nodes n LEFT JOIN ew ON ew.dst = n.node
+        |  LEFT JOIN r0 r ON r.node = ew.src GROUP BY 1),
+        |r2 AS (SELECT n.node, (0.15::DECIMAL(3,2)
+        |    + coalesce(sum(r.rank * ew.wd), 0))::DECIMAL(30,20) AS rank
+        |  FROM nodes n LEFT JOIN ew ON ew.dst = n.node
+        |  LEFT JOIN r1 r ON r.node = ew.src GROUP BY 1),
+        |r3 AS (SELECT n.node, (0.15::DECIMAL(3,2)
+        |    + coalesce(sum(r.rank * ew.wd), 0))::DECIMAL(30,20) AS rank
+        |  FROM nodes n LEFT JOIN ew ON ew.dst = n.node
+        |  LEFT JOIN r2 r ON r.node = ew.src GROUP BY 1)
+        |SELECT node, rank FROM r3""".stripMargin),
+    "q77_entity_degrees" ->
+      (entityEdgesSql +
+      """
+        |SELECT node,
+        |  coalesce(o.out_deg, 0)::BIGINT AS out_deg,
+        |  coalesce(i.in_deg, 0)::BIGINT AS in_deg
+        |FROM (SELECT DISTINCT node FROM
+        |    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)) n
+        |LEFT JOIN (SELECT src, count(*) AS out_deg FROM e GROUP BY 1) o
+        |  ON o.src = n.node
+        |LEFT JOIN (SELECT dst, count(*) AS in_deg FROM e GROUP BY 1) i
+        |  ON i.dst = n.node""".stripMargin))
+
+  /** Shared CTE head for q76/q77 — the same entity graph [[entityEdges]]
+    * declares on the Spark side.
+    */
+  private val entityEdgesSql: String =
+    """WITH e AS (
+      |  SELECT 'c' || c_custkey AS src, 'n' || n_name AS dst
+      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  UNION ALL SELECT 'c' || c_custkey, 'm' || c_mktsegment FROM customer
+      |  UNION ALL SELECT 's' || s_suppkey, 'n' || n_name
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  UNION ALL SELECT 'n' || n_name, 'r' || r_name
+      |    FROM nation JOIN region ON n_regionkey = r_regionkey)""".stripMargin
 }

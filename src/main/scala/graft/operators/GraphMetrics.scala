@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph analytics over the materialized entity graph — the step after
+  * triple emission in a KG pipeline: entity importance (PageRank) feeds
+  * canonical-entity selection and downstream ranking, degree centrality
+  * feeds hub/leaf pruning. Complements Linking's connected components
+  * (which answer "same entity?"; these answer "which entity matters?").
+  *
+  * Execution model (the north-star shape): Pregel-style iterative
+  * DataFrame joins — each superstep is one edge-to-rank equi-join plus one
+  * aggregation on the destination key, with the rank frame checkpointed
+  * per superstep to truncate lineage (localCheckpoint here; on a real
+  * cluster a checkpoint TABLE — PipelineMain's stage tables — replaces it,
+  * non-replicated executor storage being the documented trade-off).
+  * Per-superstep cost at 10^12 edges: one shuffle of the node-scale rank
+  * frame onto the edge partitioning + one edge-scale partial-aggregated
+  * shuffle onto dst — no fact×fact blowup, and the edge-weight frame is
+  * computed once outside the loop.
+  *
+  * PageRank variant: the classic damped, unnormalized form
+  *   r_0(v) = 1,  r_{t+1}(v) = (1-d) + d * Σ_{(u,v)∈E} r_t(u) / outdeg(u)
+  * (dangling-node mass evaporates rather than redistributing — the usual
+  * DataFrame-PageRank simplification; deterministic and locally checkable).
+  */
+object GraphMetrics {
+
+  /** In/out degree per node over an edge table (src, dst). One groupBy
+    * per direction + a node-scale outer join; coalesced zeros so pure
+    * sources/sinks keep a row.
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Production PageRank: double arithmetic, any out-degree, any damping.
+    * Bit-level result depends on float summation order (as every
+    * distributed double aggregation does) — stable to ~1e-12; use
+    * [[pageRankExact]] where a value-exact cross-run/cross-engine result
+    * is the requirement.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      checkpointEvery: Int = 1): DataFrame =
+    run(edges, iters, checkpointEvery,
+      init = lit(1.0),
+      base = lit(1.0 - damping),
+      weightTimesD = od => lit(damping) / od,
+      castBack = identity)
+    .select(col("node"), col("rank"))
+
+  /** Audit-grade PageRank: all arithmetic in DECIMAL with a scale budget
+    * sized so NO operation ever rounds, making the result a pure exact
+    * function of the graph — identical across partitionings, retries,
+    * engines (the q76 DuckDB twin recomputes it value-exact), and days.
+    *
+    * The budget: weights and damping are 2-dp decimals, so each superstep
+    * adds at most 4 decimal places to the true value; DECIMAL(30,20) rank
+    * carry (intermediates adjust to scale 22 under Spark's precision cap)
+    * holds that exactly for up to 5 supersteps — hence the requires.
+    * Out-degrees must divide 100 (exact 2-dp reciprocals); others raise.
+    *
+    * The rank column stays DECIMAL(30,20): a final cast to double would
+    * re-introduce engine variance — DuckDB's wide-decimal→double cast is
+    * not correctly rounded (measured one ulp off Spark's BigDecimal cast
+    * at scale 20), and one ulp is exactly what "value-exact" forbids.
+    */
+  def pageRankExact(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 1): DataFrame = {
+    require(iters >= 1 && iters <= 5,
+      s"exact mode's decimal scale budget covers 1..5 supersteps: $iters")
+    def dec(s: String): Column = lit(new java.math.BigDecimal(s))
+    val wd: Column => Column = od =>
+      Seq(1, 2, 4, 5, 10, 20, 25, 50, 100).foldLeft(Option.empty[Column]) {
+        case (acc, n) =>
+          val w = dec(new java.math.BigDecimal(100 / n)
+            .movePointLeft(2).toPlainString) * dec("0.85")
+          Some(acc.fold(when(od === n, w))(_.when(od === n, w)))
+      }.get.otherwise(raise_error(concat(
+        lit("pageRankExact requires out-degrees dividing 100, got "),
+        od.cast("string"))))
+    run(edges, iters, checkpointEvery,
+      init = dec("1.0"),
+      base = dec("0.15"),
+      weightTimesD = wd,
+      castBack = _.cast(DecimalType(30, 20)))
+    .select(col("node"), col("rank"))
+  }
+
+  /** The shared superstep loop. `weightTimesD(outdeg)` is folded into the
+    * edge frame once; each superstep computes
+    * rank' = castBack(base + Σ_in rank * wd).
+    */
+  private def run(edges: DataFrame, iters: Int, checkpointEvery: Int,
+      init: Column, base: Column, weightTimesD: Column => Column,
+      castBack: Column => Column): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(outdeg, Seq("src"))
+      .select(col("src"), col("dst"), weightTimesD(col("outdeg")).as("wd"))
+      .cache()
+    var ranks = nodes.select(col("node"), castBack(init).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = ew.join(ranks, ew("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") * col("wd")).as("contrib"))
+      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(nodes("node"),
+          castBack(base + coalesce(col("contrib"), lit(0))).as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.math.BigDecimal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphMetrics
+
+/** Entity-graph analytics: degree bookkeeping, the exact-decimal PageRank
+  * against a driver-local BigDecimal reference, double-vs-exact agreement,
+  * layout invariance, and the out-degree guard.
+  */
+class GraphMetricsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // a 2, b 1, c 1, d 1, e 1 out-degree; d and e are pure sources via a/c,
+  // b/c/d collect in-edges, the a->..->d->a cycle exercises propagation
+  private lazy val edges: DataFrame = Seq(
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "a"), ("e", "c")
+  ).toDF("src", "dst").cache()
+
+  /** Driver-local exact reference: same variant, BigDecimal throughout. */
+  private def localPageRank(es: Seq[(String, String)], iters: Int): Map[String, BigDecimal] = {
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val outdeg = es.groupBy(_._1).view.mapValues(_.size).toMap
+    val d = new BigDecimal("0.85")
+    val base = new BigDecimal("0.15")
+    var r = nodes.map(_ -> new BigDecimal("1.0")).toMap
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2)
+      r = nodes.map { v =>
+        val inflow = in.getOrElse(v, Nil).map { case (u, _) =>
+          val w = new BigDecimal(100 / outdeg(u)).movePointLeft(2)
+          r(u).multiply(w).multiply(d)
+        }.foldLeft(BigDecimal.ZERO)(_.add(_))
+        v -> base.add(inflow)
+      }.toMap
+    }
+    r
+  }
+
+  test("degrees: per-direction counts, zero-coalesced sources and sinks") {
+    val d = GraphMetrics.degrees(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(d == Map(
+      "a" -> ((2L, 1L)), "b" -> ((1L, 1L)), "c" -> ((1L, 3L)),
+      "d" -> ((1L, 1L)), "e" -> ((1L, 0L))))
+  }
+
+  test("pageRankExact equals the driver-local BigDecimal reference") {
+    val ref = localPageRank(
+      Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "a"), ("e", "c")),
+      iters = 3)
+    val got = GraphMetrics.pageRankExact(edges, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(got.keySet == ref.keySet)
+    for ((n, r) <- ref)
+      assert(got(n).compareTo(r) == 0, s"node $n: ${got(n)} vs $r")
+  }
+
+  test("pageRank (double) agrees with the exact mode to float tolerance") {
+    val exact = GraphMetrics.pageRankExact(edges, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
+    val dbl = GraphMetrics.pageRank(edges, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((n, v) <- exact)
+      assert(math.abs(dbl(n) - v) < 1e-9, s"node $n: ${dbl(n)} vs $v")
+  }
+
+  test("pageRankExact: value-identical under adversarial repartitioning") {
+    def run(df: DataFrame): Map[String, BigDecimal] =
+      GraphMetrics.pageRankExact(df, iters = 3).collect()
+        .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val a = run(edges)
+    val b = run(edges.repartition(7, col("dst")))
+    assert(a.keySet == b.keySet)
+    for ((n, v) <- a) assert(b(n).compareTo(v) == 0)
+  }
+
+  test("pageRankExact: checkpoint cadence does not change values") {
+    val every = GraphMetrics.pageRankExact(edges, iters = 3, checkpointEvery = 1)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val never = GraphMetrics.pageRankExact(edges, iters = 3, checkpointEvery = 0)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    for ((n, v) <- every) assert(never(n).compareTo(v) == 0)
+  }
+
+  test("pageRankExact: raises on an out-degree that has no exact 2-dp weight") {
+    val bad = Seq(("x", "p"), ("x", "q"), ("x", "r")).toDF("src", "dst")
+    val e = intercept[Exception](GraphMetrics.pageRankExact(bad, 1).collect())
+    assert(e.getMessage != null)
+    intercept[IllegalArgumentException](GraphMetrics.pageRankExact(edges, 6))
+  }
+
+  test("pageRank: no-in-edge nodes sit at the base rank, all ranks >= base") {
+    val r = GraphMetrics.pageRank(edges, iters = 4).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("e") - 0.15) < 1e-12, "pure source must hold 1 - d")
+    assert(r.values.forall(_ >= 0.15 - 1e-12))
+  }
+}
