@@ -1274,7 +1274,26 @@ object SparkEntry {
     // signals for canonical-entity selection; sources and sinks keep
     // zero-coalesced rows through the full-outer join.
     "q77_entity_degrees" -> ((s, d) =>
-      GraphMetrics.degrees(entityEdges(s, d))))
+      GraphMetrics.degrees(entityEdges(s, d))),
+    // q78: CO-OCCURRENCE EDGE CONSTRUCTION (market-basket form) — parts
+    // co-ordered within one order become counted relatedness edges with
+    // true marginals; the group-size census cap never binds here (orders
+    // hold ≤ 7 parts) so the DuckDB twin recomputes the full pair set
+    // value-exact; the cap path itself is spec-gated (CooccurSpec).
+    "q78_copurchase_edges" -> ((s, d) =>
+      Cooccur.edges(t(s, d, "lineitem"), col("l_orderkey"), col("l_partkey"),
+        minBoth = 2)),
+    // q79: MULTI-SOURCE BFS over the reversed entity graph — hop distance
+    // from the region hubs down to nations (1) and customers/suppliers
+    // (2); market segments are unreachable and must be ABSENT, which the
+    // recursive-CTE twin checks for free (all-integer, value-exact).
+    "q79_entity_bfs" -> ((s, d) => {
+      val e = entityEdges(s, d)
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      val seeds = e.select(col("dst").as("node"))
+        .where(col("node").startsWith("r")).distinct()
+      GraphMetrics.minHops(rev, seeds, maxHops = 4)
+    }))
 
   /** The q76/q77 entity graph: customers point at their nation and market
     * segment, suppliers at their nation, nations at their region —
@@ -1901,7 +1920,29 @@ object SparkEntry {
         |LEFT JOIN (SELECT src, count(*) AS out_deg FROM e GROUP BY 1) o
         |  ON o.src = n.node
         |LEFT JOIN (SELECT dst, count(*) AS in_deg FROM e GROUP BY 1) i
-        |  ON i.dst = n.node""".stripMargin))
+        |  ON i.dst = n.node""".stripMargin),
+    "q78_copurchase_edges" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pairs AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_both
+        |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |marg AS (SELECT i, count(*) AS n FROM gi GROUP BY 1)
+        |SELECT item_a, item_b, n_both, ma.n AS n_a, mb.n AS n_b
+        |FROM pairs JOIN marg ma ON ma.i = item_a
+        |JOIN marg mb ON mb.i = item_b""".stripMargin,
+    "q79_entity_bfs" ->
+      (entityEdgesSql +
+      """,
+        |rev AS (SELECT dst AS src, src AS dst FROM e),
+        |seeds AS (SELECT DISTINCT dst AS node FROM e WHERE dst LIKE 'r%')
+        |SELECT node, min(hops)::INT AS hops FROM (
+        |  WITH RECURSIVE bfs AS (
+        |    SELECT node, 0 AS hops FROM seeds
+        |    UNION
+        |    SELECT rev.dst, bfs.hops + 1 FROM bfs
+        |    JOIN rev ON rev.src = bfs.node WHERE bfs.hops < 4)
+        |  SELECT * FROM bfs) GROUP BY 1""".stripMargin))
 
   /** Shared CTE head for q76/q77 — the same entity graph [[entityEdges]]
     * declares on the Spark side.

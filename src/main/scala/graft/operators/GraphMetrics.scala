@@ -95,6 +95,38 @@ object GraphMetrics {
     .select(col("node"), col("rank"))
   }
 
+  /** Multi-source BFS: minimum hop count from any seed node, one frontier
+    * superstep per hop — frontier ⋈ edges, anti-join against everything
+    * already labeled, checkpoint, repeat; stops early when the frontier
+    * drains (the per-superstep emptiness check is one count job, the
+    * standard driver-coordinated-BFS cost). Unreachable nodes get no row.
+    * All-integer output, so the result is exact across engines — the q79
+    * DuckDB twin recomputes it as a recursive CTE. Frontier and labeled
+    * sets are node-scale; the per-superstep join is frontier × out-edges,
+    * never fact×fact.
+    */
+  def minHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    var dist = seeds.select(col("node")).where(col("node").isNotNull)
+      .distinct().withColumn("hops", lit(0)).localCheckpoint()
+    var frontier = dist
+    var h = 1
+    var drained = false
+    while (h <= maxHops && !drained) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint()
+      drained = next.isEmpty
+      if (!drained) { dist = dist.unionAll(next).localCheckpoint(); frontier = next }
+      h += 1
+    }
+    dist
+  }
+
   /** The shared superstep loop. `weightTimesD(outdeg)` is folded into the
     * edge frame once; each superstep computes
     * rank' = castBack(base + Σ_in rank * wd).

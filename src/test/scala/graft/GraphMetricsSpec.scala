@@ -94,6 +94,35 @@ class GraphMetricsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphMetrics.pageRankExact(edges, 6))
   }
 
+  test("minHops: multi-source min distance, unreachable absent, early drain") {
+    // chain v0->v1->...->v5 plus a shortcut s->v3 and an island x->y
+    val chain = (0 until 5).map(i => (s"v$i", s"v${i + 1}")) ++
+      Seq(("s", "v3"), ("x", "y"))
+    val e = chain.toDF("src", "dst")
+    val seeds = Seq("v0", "s").toDF("node")
+    val got = GraphMetrics.minHops(e, seeds, maxHops = 10).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // v3 is 3 hops from v0 but 1 from s — min wins; island unreachable
+    assert(got == Map("v0" -> 0, "s" -> 0, "v1" -> 1, "v2" -> 2,
+      "v3" -> 1, "v4" -> 2, "v5" -> 3))
+    // maxHops truncates the frontier
+    val cut = GraphMetrics.minHops(e, seeds, maxHops = 1).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(cut == Map("v0" -> 0, "s" -> 0, "v1" -> 1, "v3" -> 1))
+  }
+
+  test("minHops: layout-invariant and cycle-safe") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    def run(df: DataFrame): Map[String, Int] =
+      GraphMetrics.minHops(df, seeds, maxHops = 50).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // the cycle must not loop past the labeled set (terminates well
+    // before maxHops via the drained frontier)
+    assert(run(e) == Map("a" -> 0, "b" -> 1, "c" -> 2))
+    assert(run(e.repartition(5, col("src"))) == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
   test("pageRank: no-in-edge nodes sit at the base rank, all ranks >= base") {
     val r = GraphMetrics.pageRank(edges, iters = 4).collect()
       .map(x => x.getString(0) -> x.getDouble(1)).toMap
