@@ -524,12 +524,31 @@ object PipelineMain {
       }
     }
 
+    // ---- s7 (optional): entity-graph metrics over the landed triples ----
+    // `--graph-metrics true`: degrees + PageRank over the conv→entity
+    // graph (literal-valued preds excluded; objects namespaced by pred so
+    // a surface shared across predicates stays two nodes). Entity
+    // importance for canonical-entity selection, landed as its own
+    // checkpointed stage table like every other stage.
+    if (a.getOrElse("graph-metrics", "false").toBoolean) {
+      val literalPreds = Seq("base_salary", "estimated_salary", "work_hours")
+      val edges = spark.read.parquet(path("s6_triples"))
+        .filter(!col("pred").isInCollection(literalPreds))
+        .select(col("subj").as("src"),
+          concat(col("pred"), lit(":"), col("obj")).as("dst"))
+      val iters = a.getOrElse("pagerank-iters", "5").toInt
+      val metrics = GraphMetrics.degrees(edges)
+        .join(GraphMetrics.pageRank(edges, iters), Seq("node"), "left")
+      write("s7_graph", metrics, Seq("s6_triples"))
+    }
+
     spark.stop()
   }
 
   private val knownArgs = Set(
     "bloom-cols", "bloom-fpp", "convs", "cores", "extract-dates",
-    "from-stage", "jdbc-batchsize", "jdbc-driver", "jdbc-table", "jdbc-url",
+    "from-stage", "graph-metrics", "pagerank-iters",
+    "jdbc-batchsize", "jdbc-driver", "jdbc-table", "jdbc-url",
     "maintain", "maintain-compact-groups", "maintain-keep",
     "maintain-sort-by", "maintain-sort-groups", "maintain-vacuum-hours",
     "maintain-zorder-by", "merge-append", "mor-delete", "mor-col",
