@@ -1293,7 +1293,33 @@ object SparkEntry {
       val seeds = e.select(col("dst").as("node"))
         .where(col("node").startsWith("r")).distinct()
       GraphMetrics.minHops(rev, seeds, maxHops = 4)
-    }))
+    }),
+    // q80/q81: SHACL-lite CONSTRAINT VALIDATION over a triple table with
+    // planted violations (every 7th document gets a second language) —
+    // the functional check must flag exactly the planted fan-outs (with
+    // `source` riding along as the zero-violation negative case) and the
+    // range check must quarantine exactly the out-of-dim objects; DuckDB
+    // recomputes both reports value-exact.
+    "q80_functional_violations" -> ((s, d) =>
+      Constraints.functionalViolations(constraintTriples(s, d),
+        Seq("lang", "source"))),
+    "q81_range_violations" -> ((s, d) =>
+      Constraints.rangeViolations(constraintTriples(s, d), "lang",
+        t(s, d, "documents").select("lang"))))
+
+  /** The q80/q81 fixture: document lang/source triples with a planted
+    * second language on every 7th document.
+    */
+  private def constraintTriples(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val subj = col("doc_id").cast("string").as("subj")
+    docs.select(subj, lit("lang").as("pred"), col("lang").as("obj"))
+      .unionAll(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(subj, lit("lang").as("pred"),
+          concat(lit("alt_"), col("lang")).as("obj")))
+      .unionAll(docs.select(subj, lit("source").as("pred"),
+        col("source").as("obj")))
+  }
 
   /** The q76/q77 entity graph: customers point at their nation and market
     * segment, suppliers at their nation, nations at their region —
@@ -1942,7 +1968,33 @@ object SparkEntry {
         |    UNION
         |    SELECT rev.dst, bfs.hops + 1 FROM bfs
         |    JOIN rev ON rev.src = bfs.node WHERE bfs.hops < 4)
-        |  SELECT * FROM bfs) GROUP BY 1""".stripMargin))
+        |  SELECT * FROM bfs) GROUP BY 1""".stripMargin),
+    "q80_functional_violations" ->
+      (constraintTriplesSql +
+      """
+        |SELECT subj, pred, count(DISTINCT obj) AS n_values FROM tri
+        |WHERE pred IN ('lang', 'source')
+        |GROUP BY 1, 2 HAVING count(DISTINCT obj) > 1""".stripMargin),
+    "q81_range_violations" ->
+      (constraintTriplesSql +
+      """,
+        |dim AS (SELECT DISTINCT lang AS obj FROM documents
+        |        WHERE lang IS NOT NULL)
+        |SELECT subj, pred, obj FROM (SELECT * FROM tri WHERE pred = 'lang') l
+        |ANTI JOIN dim USING (obj)""".stripMargin))
+
+  /** Shared CTE head for q80/q81 — the same planted triple fixture as
+    * [[constraintTriples]].
+    */
+  private val constraintTriplesSql: String =
+    """WITH tri AS (
+      |  SELECT doc_id::VARCHAR AS subj, 'lang' AS pred, lang AS obj
+      |    FROM documents
+      |  UNION ALL
+      |  SELECT doc_id::VARCHAR, 'lang', 'alt_' || lang
+      |    FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id::VARCHAR, 'source', source FROM documents)""".stripMargin
 
   /** Shared CTE head for q76/q77 — the same entity graph [[entityEdges]]
     * declares on the Spark side.
