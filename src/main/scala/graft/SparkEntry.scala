@@ -1305,7 +1305,19 @@ object SparkEntry {
         Seq("lang", "source"))),
     "q81_range_violations" -> ((s, d) =>
       Constraints.rangeViolations(constraintTriples(s, d), "lang",
-        t(s, d, "documents").select("lang"))))
+        t(s, d, "documents").select("lang"))),
+    // q82: KMV CARDINALITY SKETCH, value-exact cross-engine — per-lang
+    // distinct-text estimates from a TypedImperativeAggregate keeping the
+    // k smallest distinct md5 hashes (map-side combined: ≤ k longs per
+    // task cross the wire). The sketch state is a pure function of the
+    // key SET, so DuckDB recomputes sketch fill, k-th hash AND the
+    // estimator division identically — an HLL approx_count_distinct
+    // could never pass this compare. k=64 splits the branches on this
+    // corpus: the small langs (~64-75 distinct texts) under-fill and
+    // take the exact path, en (218) exercises the estimator division.
+    "q82_kmv_distinct" -> ((s, d) =>
+      Cardinality.kmvDistinct(t(s, d, "documents"), col("text"), k = 64,
+        groupCols = Seq(col("lang")), salt = "cd")))
 
   /** The q80/q81 fixture: document lang/source triples with a planted
     * second language on every 7th document.
@@ -1981,7 +1993,19 @@ object SparkEntry {
         |dim AS (SELECT DISTINCT lang AS obj FROM documents
         |        WHERE lang IS NOT NULL)
         |SELECT subj, pred, obj FROM (SELECT * FROM tri WHERE pred = 'lang') l
-        |ANTI JOIN dim USING (obj)""".stripMargin))
+        |ANTI JOIN dim USING (obj)""".stripMargin),
+    "q82_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT lang,
+        |    ('0x' || substr(md5(coalesce(text, '') || ':cd'), 1, 8))::UBIGINT AS h
+        |  FROM documents),
+        |r AS (SELECT lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        |m AS (SELECT lang, count(*) AS k_used, max(h)::BIGINT AS kth
+        |  FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT lang, k_used::INT AS k_used, kth,
+        |  CASE WHEN k_used < 64 THEN k_used::DOUBLE
+        |       ELSE 63 * 4294967296.0 / kth END AS est
+        |FROM m""".stripMargin)
 
   /** Shared CTE head for q80/q81 — the same planted triple fixture as
     * [[constraintTriples]].
