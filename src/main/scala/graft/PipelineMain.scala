@@ -542,6 +542,20 @@ object PipelineMain {
       write("s7_graph", metrics, Seq("s6_triples"))
     }
 
+    // ---- s8 (optional): embedding-training negatives over the triples ----
+    // `--negatives K`: K type-consistent filtered corrupt triples per
+    // positive (literal-valued preds excluded — corrupting a salary
+    // number teaches an embedding nothing), deterministic content-hash
+    // draws, landed pred-partitioned like s6 itself.
+    a.get("negatives").map(_.toInt).foreach { kNeg =>
+      val literalPreds = Seq("base_salary", "estimated_salary", "work_hours")
+      val pos = spark.read.parquet(path("s6_triples"))
+        .filter(!col("pred").isInCollection(literalPreds))
+        .select("subj", "pred", "obj")
+      write("s8_negatives", Negatives.corrupt(pos, k = kNeg),
+        Seq("s6_triples"), partitionBy = Seq("pred"))
+    }
+
     spark.stop()
   }
 
@@ -552,7 +566,7 @@ object PipelineMain {
     "maintain", "maintain-compact-groups", "maintain-keep",
     "maintain-sort-by", "maintain-sort-groups", "maintain-vacuum-hours",
     "maintain-zorder-by", "merge-append", "mor-delete", "mor-col",
-    "mor-values", "out", "rollback", "rollback-to",
+    "mor-values", "negatives", "out", "rollback", "rollback-to",
     "run-id", "salted-conv", "seed", "skip", "stream", "stream-gap-ms",
     "stream-in", "stream-lateness", "stream-sink", "stream-source",
     "history", "tag", "tag-table", "tag-version", "to-stage",
