@@ -1317,7 +1317,17 @@ object SparkEntry {
     // take the exact path, en (218) exercises the estimator division.
     "q82_kmv_distinct" -> ((s, d) =>
       Cardinality.kmvDistinct(t(s, d, "documents"), col("text"), k = 64,
-        groupCols = Seq(col("lang")), salt = "cd")))
+        groupCols = Seq(col("lang")), salt = "cd")),
+    // q83: KNOWLEDGE FUSION — conflict resolution over repeated
+    // observations (events as (user, 'fav_event', event_type, ts)):
+    // support desc → recency desc → obj asc, computed by struct-min
+    // argmax with NO window sort; DuckDB recomputes the same rule with
+    // a row_number window and the winner + provenance (support,
+    // validity interval, n_alternatives) match value-exact.
+    "q83_fusion" -> ((s, d) =>
+      Fusion.resolve(t(s, d, "events").select(
+        col("user_id").as("subj"), lit("fav_event").as("pred"),
+        col("event_type").as("obj"), col("ts")))))
 
   /** The q80/q81 fixture: document lang/source triples with a planted
     * second language on every 7th document.
@@ -2005,7 +2015,22 @@ object SparkEntry {
         |SELECT lang, k_used::INT AS k_used, kth,
         |  CASE WHEN k_used < 64 THEN k_used::DOUBLE
         |       ELSE 63 * 4294967296.0 / kth END AS est
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    "q83_fusion" ->
+      """WITH obs AS (SELECT user_id AS subj, 'fav_event' AS pred,
+        |    event_type AS obj, ts FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |per AS (SELECT subj, pred, obj, count(*) AS support,
+        |    min(ts) AS first_seen, max(ts) AS last_seen
+        |  FROM obs GROUP BY 1, 2, 3),
+        |r AS (SELECT *,
+        |    count(*) OVER (PARTITION BY subj, pred) AS n_alternatives,
+        |    row_number() OVER (PARTITION BY subj, pred
+        |      ORDER BY support DESC, last_seen DESC, obj ASC) AS rn
+        |  FROM per)
+        |SELECT subj, pred, obj, support, first_seen, last_seen,
+        |  n_alternatives
+        |FROM r WHERE rn = 1""".stripMargin)
 
   /** Shared CTE head for q80/q81 — the same planted triple fixture as
     * [[constraintTriples]].
