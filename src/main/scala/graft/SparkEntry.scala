@@ -1327,7 +1327,15 @@ object SparkEntry {
     "q83_fusion" -> ((s, d) =>
       Fusion.resolve(t(s, d, "events").select(
         col("user_id").as("subj"), lit("fav_event").as("pred"),
-        col("event_type").as("obj"), col("ts")))))
+        col("event_type").as("obj"), col("ts")))),
+    // q84: DETERMINISTIC RANDOM WALKS over the entity graph — DeepWalk
+    // corpus prep where each step is a content-hash draw onto the dense
+    // per-source edge index, so the walk corpus is a pure function of
+    // the graph; DuckDB replays every step of every walk via a recursive
+    // CTE with the identical md5 draw, value-exact. Walks die at the
+    // region sinks, exercising early termination.
+    "q84_random_walks" -> ((s, d) =>
+      GraphMetrics.randomWalks(entityEdges(s, d), length = 4, salt = "rw")))
 
   /** The q80/q81 fixture: document lang/source triples with a planted
     * second language on every 7th document.
@@ -2030,7 +2038,30 @@ object SparkEntry {
         |  FROM per)
         |SELECT subj, pred, obj, support, first_seen, last_seen,
         |  n_alternatives
-        |FROM r WHERE rn = 1""".stripMargin)
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q84_random_walks" ->
+      (entityEdgesSql +
+      """,
+        |dis AS (SELECT DISTINCT src, dst FROM e
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+        |idx AS (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS eidx
+        |  FROM dis),
+        |od AS (SELECT src, count(*) AS outdeg FROM idx GROUP BY 1),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM dis UNION ALL SELECT dst FROM dis))
+        |SELECT walk_id, step, cur AS node FROM (
+        |  WITH RECURSIVE w AS (
+        |    SELECT node AS walk_id, node AS cur, 0 AS step FROM nodes
+        |    UNION ALL
+        |    SELECT w.walk_id, i.dst, w.step + 1 FROM w
+        |    JOIN od ON od.src = w.cur
+        |    JOIN idx i ON i.src = w.cur
+        |      AND i.eidx = ('0x' || substr(md5(w.walk_id || ':'
+        |        || (w.step + 1)::VARCHAR || ':rw'), 1, 8))::UBIGINT
+        |        % od.outdeg
+        |    WHERE w.step < 4)
+        |  SELECT * FROM w)""".stripMargin))
 
   /** Shared CTE head for q80/q81 — the same planted triple fixture as
     * [[constraintTriples]].

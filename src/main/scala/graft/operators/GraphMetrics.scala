@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -125,6 +126,52 @@ object GraphMetrics {
       h += 1
     }
     dist
+  }
+
+  /** Deterministic random walks — DeepWalk/node2vec corpus prep over the
+    * entity graph: one walk per start node, each step choosing an
+    * out-edge by CONTENT HASH (md5 of walk id + step + salt, mod
+    * out-degree, onto a dense per-source edge index) instead of RNG
+    * state. The walk corpus is therefore a pure function of the graph —
+    * stable under repartitioning/retries/engines, and the q84 DuckDB
+    * twin replays every step of every walk value-exact (a rand()-stepped
+    * walk could never). Walks stop early at sink nodes (the join drops
+    * them — the standard termination).
+    *
+    * Scale: the edge-index window sorts per-source adjacency (bounded by
+    * out-degree, never corpus-scale); each step is one frontier ⋈ edges
+    * join on the current node with the surviving edge selected by the
+    * hash equality — frontier rows stay one-per-walk, so step cost is
+    * walks × 1 edge lookup, checkpointed per step like the other
+    * supersteps. Output: (walk_id, step, node), step 0 = the start.
+    */
+  def randomWalks(edges: DataFrame, length: Int,
+      salt: String = "graft"): DataFrame = {
+    require(length >= 1, s"length must be >= 1: $length")
+    val dis = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct()
+    val idx = dis.withColumn("eidx",
+      row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
+        .cast("long") - 1)
+    val e = idx.join(idx.groupBy("src").agg(count(lit(1)).as("outdeg")),
+      Seq("src")).localCheckpoint()
+    val nodes = dis.select(col("src").as("node"))
+      .union(dis.select(col("dst").as("node"))).distinct()
+    var frontier = nodes
+      .select(col("node").as("walk_id"), col("node").as("cur"),
+        lit(0).as("step"))
+      .localCheckpoint()
+    var out = frontier
+    for (s <- 1 to length) {
+      val draw = conv(substring(md5(concat_ws(":",
+        col("walk_id"), lit(s), lit(salt))), 1, 8), 16, 10).cast("long")
+      frontier = frontier.join(e, frontier("cur") === e("src"))
+        .where(draw % col("outdeg") === col("eidx"))
+        .select(col("walk_id"), e("dst").as("cur"), lit(s).as("step"))
+        .localCheckpoint()
+      out = out.unionAll(frontier)
+    }
+    out.select(col("walk_id"), col("step"), col("cur").as("node"))
   }
 
   /** The shared superstep loop. `weightTimesD(outdeg)` is folded into the

@@ -123,6 +123,42 @@ class GraphMetricsSpec extends SparkSpec {
     assert(run(e.repartition(5, col("src"))) == Map("a" -> 0, "b" -> 1, "c" -> 2))
   }
 
+  test("randomWalks: valid contiguous walks, deterministic, die at sinks") {
+    val walks = GraphMetrics.randomWalks(edges, length = 6, salt = "t")
+    val rows = walks.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val edgeSet = Set(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+      ("d", "a"), ("e", "c"))
+    val byWalk = rows.groupBy(_._1)
+    assert(byWalk.keySet == Set("a", "b", "c", "d", "e"))
+    for ((w, steps) <- byWalk) {
+      val path = steps.sortBy(_._2)
+      assert(path.head == ((w, 0, w)), "step 0 is the start node")
+      assert(path.map(_._2).toSeq == path.indices.toList, "steps are contiguous")
+      path.sliding(2).foreach {
+        case Array((_, _, u), (_, _, v)) =>
+          assert(edgeSet((u, v)), s"walk $w took a non-edge $u->$v")
+        case _ =>
+      }
+    }
+    // every node here has out-degree >= 1, so all walks run full length
+    assert(byWalk.values.forall(_.length == 7))
+    // a sink stops its walk: remove d->a and d's walk ends on arrival
+    val cut = GraphMetrics.randomWalks(
+      edges.filter(!(col("src") === "d")), length = 6, salt = "t").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val dWalk = cut.filter(_._1 == "d").sortBy(_._2)
+    assert(dWalk.toList == List(("d", 0, "d")), "sink start emits only step 0")
+    // determinism under layout; a different salt gives different walks
+    val again = GraphMetrics.randomWalks(
+      edges.repartition(5, col("dst")), length = 6, salt = "t").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(again.toSet == rows.toSet)
+    val other = GraphMetrics.randomWalks(edges, length = 6, salt = "u")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(other.toSet != rows.toSet)
+  }
+
   test("pageRank: no-in-edge nodes sit at the base rank, all ranks >= base") {
     val r = GraphMetrics.pageRank(edges, iters = 4).collect()
       .map(x => x.getString(0) -> x.getDouble(1)).toMap
