@@ -531,9 +531,8 @@ object PipelineMain {
     // importance for canonical-entity selection, landed as its own
     // checkpointed stage table like every other stage.
     if (a.getOrElse("graph-metrics", "false").toBoolean) {
-      val literalPreds = Seq("base_salary", "estimated_salary", "work_hours")
       val edges = spark.read.parquet(path("s6_triples"))
-        .filter(!col("pred").isInCollection(literalPreds))
+        .filter(!col("pred").isInCollection(TripleEmit.literalPreds))
         .select(col("subj").as("src"),
           concat(col("pred"), lit(":"), col("obj")).as("dst"))
       val iters = a.getOrElse("pagerank-iters", "5").toInt
@@ -548,9 +547,8 @@ object PipelineMain {
     // number teaches an embedding nothing), deterministic content-hash
     // draws, landed pred-partitioned like s6 itself.
     a.get("negatives").map(_.toInt).foreach { kNeg =>
-      val literalPreds = Seq("base_salary", "estimated_salary", "work_hours")
       val pos = spark.read.parquet(path("s6_triples"))
-        .filter(!col("pred").isInCollection(literalPreds))
+        .filter(!col("pred").isInCollection(TripleEmit.literalPreds))
         .select("subj", "pred", "obj")
       write("s8_negatives", Negatives.corrupt(pos, k = kNeg),
         Seq("s6_triples"), partitionBy = Seq("pred"))

@@ -18,12 +18,13 @@ import graft.functions.KmvFunctions
   */
 object Cardinality {
 
-  /** First 32 md5 bits of (key ":" salt) as a long — the same content-hash
-    * domain as Sampling/Negatives; null keys hash as the empty string.
+  /** First 32 md5 bits of (key ":" salt) as a long — [[Sampling.hash32]]
+    * over the family's salted-key input; null keys hash as the empty
+    * string.
     */
   def hash32(key: Column, salt: String): Column =
-    conv(substring(md5(concat(coalesce(key.cast("string"), lit("")),
-      lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    Sampling.hash32(concat(coalesce(key.cast("string"), lit("")),
+      lit(":" + salt)))
 
   /** Per-group distinct-count estimate of `key`. Output: the group
     * columns + k_used (sketch fill), kth (largest retained hash, null on

@@ -34,9 +34,14 @@ object GraphMetrics {
     * sources/sinks keep a row.
     */
   def degrees(edges: DataFrame): DataFrame = {
-    val out = edges.groupBy(col("src").as("node"))
+    // same null-endpoint contract as pageRank/minHops/randomWalks: a
+    // null src/dst is not an edge (and the full-outer join could never
+    // reunite the two null-keyed groups anyway)
+    val e = edges
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val out = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("out_deg"))
-    val in = edges.groupBy(col("dst").as("node"))
+    val in = e.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("in_deg"))
     out.join(in, Seq("node"), "full_outer")
       .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
@@ -163,8 +168,8 @@ object GraphMetrics {
       .localCheckpoint()
     var out = frontier
     for (s <- 1 to length) {
-      val draw = conv(substring(md5(concat_ws(":",
-        col("walk_id"), lit(s), lit(salt))), 1, 8), 16, 10).cast("long")
+      val draw = Sampling.hash32(concat_ws(":",
+        col("walk_id"), lit(s), lit(salt)))
       frontier = frontier.join(e, frontier("cur") === e("src"))
         .where(draw % col("outdeg") === col("eidx"))
         .select(col("walk_id"), e("dst").as("cur"), lit(s).as("step"))
@@ -207,6 +212,12 @@ object GraphMetrics {
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }
-    ranks
+    // materialize the result, then release the loop's cached frames —
+    // without this every pageRank call pins an edge-scale ew + nodes in
+    // executor storage for the session lifetime
+    val out = ranks.localCheckpoint()
+    nodes.unpersist()
+    ew.unpersist()
+    out
   }
 }

@@ -43,18 +43,16 @@ import org.apache.spark.sql.functions._
   */
 object Negatives {
 
-  /** First 32 bits of md5 as a non-negative long — DuckDB twin:
-    * `('0x' || substr(md5(x), 1, 8))::UBIGINT`.
-    */
-  private def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-
   /** Dense per-predicate object vocabulary: (pred, obj, idx) with idx a
     * contiguous [0, n_pred) assignment in object sort order —
-    * deterministic because (pred, obj) is distinct.
+    * deterministic because (pred, obj) is distinct. Null objects are
+    * excluded: they are not corruption candidates, and Spark's
+    * NULLS-FIRST sort would shift every index off the DuckDB twin's
+    * NULLS-LAST layout.
     */
   def objectVocab(positives: DataFrame): DataFrame =
-    positives.select("pred", "obj").distinct()
+    positives.select("pred", "obj")
+      .where(col("pred").isNotNull && col("obj").isNotNull).distinct()
       .withColumn("idx",
         row_number().over(Window.partitionBy(col("pred")).orderBy(col("obj")))
           .cast("long") - 1)
@@ -69,13 +67,18 @@ object Negatives {
   def corrupt(positives: DataFrame, k: Int, salt: String = "graft",
       filtered: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val vocab = objectVocab(positives)
+    // null-keyed positives are not corruptible observations (and would
+    // silently vanish from concat_ws's hash input while DuckDB's ||
+    // nulls the whole string — cross-engine divergence)
+    val pos = positives.where(col("subj").isNotNull &&
+      col("pred").isNotNull && col("obj").isNotNull)
+    val vocab = objectVocab(pos)
     val sizes = vocab.groupBy("pred").agg(count(lit(1)).as("vocab_n"))
-    val drawn = positives
+    val drawn = pos
       .join(broadcast(sizes), Seq("pred"))
       .withColumn("neg_k", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("idx",
-        hash32(concat_ws(":", col("subj"), col("pred"), col("obj"),
+        Sampling.hash32(concat_ws(":", col("subj"), col("pred"), col("obj"),
           col("neg_k"), lit(salt))) % col("vocab_n"))
     val negs = drawn
       .join(vocab.withColumnRenamed("obj", "neg_obj"), Seq("pred", "idx"))
@@ -83,7 +86,7 @@ object Negatives {
       .select("subj", "pred", "obj", "neg_k", "neg_obj")
     if (!filtered) negs
     else negs.join(
-      positives.select(col("subj"), col("pred"), col("obj").as("neg_obj")),
+      pos.select(col("subj"), col("pred"), col("obj").as("neg_obj")),
       Seq("subj", "pred", "neg_obj"), "left_anti")
       .select("subj", "pred", "obj", "neg_k", "neg_obj")
   }

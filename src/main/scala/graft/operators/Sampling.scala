@@ -42,6 +42,16 @@ object Sampling {
   def unitHex(key: Column, salt: String): Column =
     substring(md5(concat(coalesce(key.cast("string"), lit("")), lit(":" + salt))), 1, 8)
 
+  /** First 32 md5 bits of an arbitrary input column as a non-negative
+    * long — the NUMERIC form of [[unitHex]]'s draw domain, shared by
+    * every operator whose DuckDB twin recomputes
+    * `('0x' || substr(md5(x), 1, 8))::UBIGINT` (Negatives draws,
+    * Cardinality sketches, GraphMetrics walk steps). One definition so
+    * the cross-engine hash contract can never drift per call site.
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** `floor(rate * 2^32)` as 8 lowercase hex chars — the keep-threshold
     * for [[unitHex]]. rate 1.0 clamps to "ffffffff" (excludes ~2^-32 of
     * keys; callers wanting keep-all skip the filter instead).

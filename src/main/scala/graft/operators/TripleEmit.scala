@@ -28,6 +28,15 @@ final case class ConvFull(
   */
 object TripleEmit {
 
+  /** The emitted predicates whose objects are LITERALS (numbers, dates)
+    * rather than entities — the graph/embedding stages (s7/s8) exclude
+    * them: a date or salary node carries no entity semantics to rank or
+    * corrupt. Owned here because this file owns the predicate names.
+    */
+  val literalPreds: Seq[String] =
+    Seq("base_salary", "estimated_salary", "work_hours",
+      "start_date", "deadline_date")
+
   /** Pure per-conversation emission of the non-org triples — shared by the
     * batch path below and the streaming completion path
     * (streaming.StreamingTriples), so the two emit bit-identical rows.

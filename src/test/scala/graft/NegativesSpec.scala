@@ -90,6 +90,22 @@ class NegativesSpec extends SparkSpec {
     assert(a != c, "distinct salts must give independent draws")
   }
 
+  test("corrupt: null-keyed positives are excluded, not hashed or drawn") {
+    val withNulls = positives.unionAll(Seq(
+      (null.asInstanceOf[String], "lives_in", "city_00"),
+      ("p0", "lives_in", null.asInstanceOf[String])
+    ).toDF("subj", "pred", "obj"))
+    // vocabulary must not shift (Spark NULLS FIRST would displace idx 0)
+    val v = Negatives.objectVocab(withNulls).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(v.keys.forall(_._2 != null) && v(("lives_in", "city_00")) == 0L)
+    val a = Negatives.corrupt(positives, k = 2, salt = "t")
+      .collect().map(_.toSeq).toSet
+    val b = Negatives.corrupt(withNulls, k = 2, salt = "t")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "null rows must not change any draw")
+  }
+
   test("corrupt: large-vocab predicate yields close to k negatives each") {
     val neg = Negatives.corrupt(positives, k = 4, salt = "t")
       .filter(col("pred") === "lives_in")
