@@ -1335,7 +1335,17 @@ object SparkEntry {
     // CTE with the identical md5 draw, value-exact. Walks die at the
     // region sinks, exercising early termination.
     "q84_random_walks" -> ((s, d) =>
-      GraphMetrics.randomWalks(entityEdges(s, d), length = 4, salt = "rw")))
+      GraphMetrics.randomWalks(entityEdges(s, d), length = 4, salt = "rw")),
+    // q85: FUZZY SURFACE PAIRS — blocked Levenshtein candidate
+    // generation over part ∪ supplier names: supplier names are a DENSE
+    // block (sequential ids, ~every pair within distance 2), part names
+    // a sparse one; both engines run the identical classic metric over
+    // the identical blocks, value-exact.
+    "q85_fuzzy_pairs" -> ((s, d) =>
+      Linking.fuzzyPairs(
+        t(s, d, "part").select(col("p_name").as("surface"))
+          .unionAll(t(s, d, "supplier").select(col("s_name").as("surface"))),
+        maxDist = 2, prefixLen = 2)))
 
   /** The q80/q81 fixture: document lang/source triples with a planted
     * second language on every 7th document.
@@ -2061,7 +2071,19 @@ object SparkEntry {
         |        || (w.step + 1)::VARCHAR || ':rw'), 1, 8))::UBIGINT
         |        % od.outdeg
         |    WHERE w.step < 4)
-        |  SELECT * FROM w)""".stripMargin))
+        |  SELECT * FROM w)""".stripMargin),
+    "q85_fuzzy_pairs" ->
+      """WITH s0 AS (
+        |  SELECT DISTINCT lower(p_name) AS surface FROM part
+        |  UNION SELECT DISTINCT lower(s_name) FROM supplier),
+        |s AS (SELECT surface, substr(surface, 1, 2) AS pfx,
+        |    length(surface) AS ln FROM s0)
+        |SELECT a.surface AS surface_a, b.surface AS surface_b,
+        |  levenshtein(a.surface, b.surface)::INT AS dist
+        |FROM s a JOIN s b
+        |  ON a.pfx = b.pfx AND a.surface < b.surface
+        | AND abs(a.ln - b.ln) <= 2
+        |WHERE levenshtein(a.surface, b.surface) <= 2""".stripMargin)
 
   /** Shared CTE head for q80/q81 — the same planted triple fixture as
     * [[constraintTriples]].

@@ -217,4 +217,43 @@ object Linking {
       .select(col("component"), col("surface").as("canonical"))
     labeled.join(canon, "component").select("surface", "canonical")
   }
+
+  /** Blocked FUZZY surface pairs — the edit-distance candidate generator
+    * for entity linking (typo'd org surfaces, OCR'd titles): candidate
+    * pairs come from (lowercase prefix) blocks with a length-band guard
+    * (|len(a)-len(b)| > maxDist can never be within maxDist), then exact
+    * Levenshtein verifies. Both engines implement the identical classic
+    * metric, so the q85 DuckDB twin recomputes the pair set value-exact.
+    *
+    * Blocking is the standard recall trade, stated not hidden: a pair
+    * whose first `prefixLen` chars differ is never considered (the
+    * banded-minhash path covers those). The per-block quadratic term is
+    * capped by the same census guard as Cooccur/Dedup — blocks above
+    * `blockCap` are excluded from pairing, loudly countable by the
+    * caller via the returned pairs' absence, never a silent OOM.
+    * Canonical surface_a < surface_b ordering.
+    */
+  def fuzzyPairs(surfaces: DataFrame, maxDist: Int = 2, prefixLen: Int = 2,
+      blockCap: Int = 10000): DataFrame = {
+    require(maxDist >= 1 && prefixLen >= 1)
+    val s = surfaces
+      .select(lower(col(surfaces.columns.head)).as("surface"))
+      .where(col("surface").isNotNull).distinct()
+      .select(col("surface"),
+        substring(col("surface"), 1, prefixLen).as("pfx"),
+        length(col("surface")).as("ln"))
+    val sized = s.join(
+      s.groupBy("pfx").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= blockCap),
+      Seq("pfx"))
+    sized.as("a")
+      .join(sized.as("b"),
+        col("a.pfx") === col("b.pfx") &&
+        col("a.surface") < col("b.surface") &&
+        abs(col("a.ln") - col("b.ln")) <= maxDist)
+      .select(col("a.surface").as("surface_a"),
+        col("b.surface").as("surface_b"),
+        levenshtein(col("a.surface"), col("b.surface")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
 }
