@@ -1345,7 +1345,17 @@ object SparkEntry {
       Linking.fuzzyPairs(
         t(s, d, "part").select(col("p_name").as("surface"))
           .unionAll(t(s, d, "supplier").select(col("s_name").as("surface"))),
-        maxDist = 2, prefixLen = 2)))
+        maxDist = 2, prefixLen = 2)),
+    // q86: TRIANGLE COUNTS over the co-purchase relatedness graph —
+    // degree-ordered orientation (each triangle counted once at its
+    // lowest-order corner, wedge fanout bounded by oriented out-degree
+    // ≤ O(√m)); DuckDB mirrors orientation, wedge join and count,
+    // value-exact.
+    "q86_triangle_counts" -> ((s, d) =>
+      GraphMetrics.triangles(
+        Cooccur.edges(t(s, d, "lineitem"), col("l_orderkey"),
+            col("l_partkey"), minBoth = 2)
+          .select(col("item_a").as("src"), col("item_b").as("dst")))))
 
   /** The q80/q81 fixture: document lang/source triples with a planted
     * second language on every 7th document.
@@ -2083,7 +2093,29 @@ object SparkEntry {
         |FROM s a JOIN s b
         |  ON a.pfx = b.pfx AND a.surface < b.surface
         | AND abs(a.ln - b.ln) <= 2
-        |WHERE levenshtein(a.surface, b.surface) <= 2""".stripMargin)
+        |WHERE levenshtein(a.surface, b.surface) <= 2""".stripMargin,
+    "q86_triangle_counts" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |und AS (SELECT a.i AS a, b.i AS b
+        |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS d FROM
+        |  (SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+        |         THEN a ELSE b END AS src,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+        |         THEN b ELSE a END AS dst
+        |  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b),
+        |wg AS (SELECT x.src AS u, x.dst AS v, y.dst AS t
+        |  FROM o x JOIN o y ON x.src = y.src AND x.dst < y.dst),
+        |tri AS (SELECT u, v, t FROM wg
+        |  JOIN und ON least(v, t) = und.a AND greatest(v, t) = und.b)
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT t FROM tri) GROUP BY 1""".stripMargin)
 
   /** Shared CTE head for q80/q81 — the same planted triple fixture as
     * [[constraintTriples]].

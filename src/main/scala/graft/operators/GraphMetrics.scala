@@ -133,6 +133,52 @@ object GraphMetrics {
     dist
   }
 
+  /** Per-node triangle counts over an UNDIRECTED graph — the clustering-
+    * coefficient numerator, the standard cohesion signal over relatedness
+    * edges (a skill/entity whose neighbors also co-occur with each other
+    * is a topic core; one whose neighbors don't is a hub artifact).
+    *
+    * Degree-ordered orientation (each undirected edge directed from its
+    * lower (degree, node) endpoint): every triangle is counted exactly
+    * once at its lowest-order corner, and — the scale property — the
+    * wedge-join fanout per node is bounded by its ORIENTED out-degree,
+    * ≤ O(√m) on any graph, so a celebrity hub never produces a
+    * quadratic wedge set (the lexicographic orientation it replaces has
+    * no such bound). Wedges then semi-join the canonical edge set.
+    * All-integer and deterministic → q86's DuckDB twin mirrors the
+    * orientation, wedge join and count value-exact.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      // eager materialize: referenced three times (degrees, orientation,
+      // the closing semi-join); GC-managed, unlike a leaked cache()
+      .distinct().localCheckpoint()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val lowerFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(lowerFirst, col("a")).otherwise(col("b")).as("src"),
+      when(lowerFirst, col("b")).otherwise(col("a")).as("dst"))
+    val wedges = o.as("x").join(o.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("u"), col("x.dst").as("v"),
+        col("y.dst").as("w"))
+    val tri = wedges.join(und,
+      least(col("v"), col("w")) === col("a") &&
+      greatest(col("v"), col("w")) === col("b"))
+    tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Deterministic random walks — DeepWalk/node2vec corpus prep over the
     * entity graph: one walk per start node, each step choosing an
     * out-edge by CONTENT HASH (md5 of walk id + step + salt, mod

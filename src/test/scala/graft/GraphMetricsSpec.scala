@@ -159,6 +159,25 @@ class GraphMetricsSpec extends SparkSpec {
     assert(other.toSet != rows.toSet)
   }
 
+  test("triangles: exact per-node counts, once per triangle, noise-proof") {
+    // K4 on {a,b,c,d} (4 triangles, 3 per node) plus a pendant edge and
+    // noise: duplicates, reversed orientation, a self-loop
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"))
+    val noisy = (k4 ++ Seq(("b", "a"), ("c", "a"), ("a", "b"),
+      ("d", "e"), ("e", "e"))).toDF("src", "dst")
+    val got = GraphMetrics.triangles(noisy).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L),
+      s"got $got")
+    // triangle-free graph: empty result, and layout invariance
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    assert(GraphMetrics.triangles(path).count() == 0)
+    val again = GraphMetrics.triangles(noisy.repartition(5, col("dst")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("pageRank: no-in-edge nodes sit at the base rank, all ranks >= base") {
     val r = GraphMetrics.pageRank(edges, iters = 4).collect()
       .map(x => x.getString(0) -> x.getDouble(1)).toMap
