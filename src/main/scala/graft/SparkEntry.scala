@@ -1355,7 +1355,17 @@ object SparkEntry {
       GraphMetrics.triangles(
         Cooccur.edges(t(s, d, "lineitem"), col("l_orderkey"),
             col("l_partkey"), minBoth = 2)
-          .select(col("item_a").as("src"), col("item_b").as("dst")))))
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
+    // q87: LINK-PREDICTION candidates over the same relatedness graph —
+    // non-adjacent part pairs ranked by common-neighbor count (KG
+    // completion); all-integer, hub-capped wedge generation, existing
+    // edges anti-joined away; DuckDB mirrors it value-exact.
+    "q87_link_prediction" -> ((s, d) =>
+      GraphMetrics.commonNeighbors(
+        Cooccur.edges(t(s, d, "lineitem"), col("l_orderkey"),
+            col("l_partkey"), minBoth = 2)
+          .select(col("item_a").as("src"), col("item_b").as("dst")),
+        minCommon = 2L)))
 
   /** The q80/q81 fixture: document lang/source triples with a planted
     * second language on every 7th document.
@@ -2115,7 +2125,21 @@ object SparkEntry {
         |SELECT node, count(*) AS n_triangles FROM (
         |  SELECT u AS node FROM tri
         |  UNION ALL SELECT v FROM tri
-        |  UNION ALL SELECT t FROM tri) GROUP BY 1""".stripMargin)
+        |  UNION ALL SELECT t FROM tri) GROUP BY 1""".stripMargin,
+    "q87_link_prediction" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |und AS (SELECT a.i AS a, b.i AS b
+        |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a AS n, b AS x FROM und
+        |  UNION ALL SELECT b, a FROM und),
+        |pairs AS (SELECT p.n AS node_a, q.n AS node_b,
+        |    count(*) AS n_common
+        |  FROM adj p JOIN adj q ON p.x = q.x AND p.n < q.n
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT node_a, node_b, n_common FROM pairs
+        |ANTI JOIN und ON node_a = und.a AND node_b = und.b""".stripMargin)
 
   /** Shared CTE head for q80/q81 — the same planted triple fixture as
     * [[constraintTriples]].

@@ -179,6 +179,40 @@ object GraphMetrics {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Link-prediction candidates — KG completion's first move: NON-adjacent
+    * node pairs ranked by common-neighbor count (the classic
+    * common-neighbors score; integer, so exact cross-engine — q87).
+    * Wedge pairs are generated per center node and the quadratic term is
+    * deg(center)², so centers above `hubCap` are excluded from wedge
+    * generation (the Cooccur census guard again — a hub connected to
+    * everything predicts nothing anyway, it just detonates the shuffle)
+    * while still contributing to adjacency for OTHER centers. Existing
+    * edges anti-join away; output (node_a < node_b, n_common).
+    */
+  def commonNeighbors(edges: DataFrame, minCommon: Long = 1L,
+      hubCap: Int = 10000): DataFrame = {
+    val und = edges
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint()
+    val adj = und.select(col("a").as("n"), col("b").as("x"))
+      .unionAll(und.select(col("b").as("n"), col("a").as("x")))
+    val smallCenters = adj.groupBy("x").agg(count(lit(1)).as("dx"))
+      .filter(col("dx") <= hubCap).select("x")
+    val capped = adj.join(smallCenters, Seq("x"))
+    val pairs = capped.as("p")
+      .join(capped.as("q"),
+        col("p.x") === col("q.x") && col("p.n") < col("q.n"))
+      .groupBy(col("p.n").as("node_a"), col("q.n").as("node_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    pairs.join(und,
+      pairs("node_a") === und("a") && pairs("node_b") === und("b"),
+      "left_anti")
+  }
+
   /** Deterministic random walks — DeepWalk/node2vec corpus prep over the
     * entity graph: one walk per start node, each step choosing an
     * out-edge by CONTENT HASH (md5 of walk id + step + salt, mod

@@ -178,6 +178,21 @@ class GraphMetricsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("commonNeighbors: non-adjacent pairs only, exact counts, hub cap") {
+    // square a-b-c-d-a: (a,c) and (b,d) are the diagonals with 2 common
+    // neighbors each; adjacent pairs must be absent
+    val sq = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val got = GraphMetrics.commonNeighbors(sq).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "c") -> 2L, ("b", "d") -> 2L))
+    // a hub center above the cap generates no wedges: star graph
+    val star = (0 until 5).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    assert(GraphMetrics.commonNeighbors(star, hubCap = 4).count() == 0)
+    val viaHub = GraphMetrics.commonNeighbors(star, hubCap = 5).collect()
+    assert(viaHub.length == 10 && viaHub.forall(_.getLong(2) == 1L))
+  }
+
   test("pageRank: no-in-edge nodes sit at the base rank, all ranks >= base") {
     val r = GraphMetrics.pageRank(edges, iters = 4).collect()
       .map(x => x.getString(0) -> x.getDouble(1)).toMap
