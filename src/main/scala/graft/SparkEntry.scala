@@ -2097,10 +2097,12 @@ object SparkEntry {
         |  SELECT DISTINCT lower(p_name) AS surface FROM part
         |  UNION SELECT DISTINCT lower(s_name) FROM supplier),
         |s AS (SELECT surface, substr(surface, 1, 2) AS pfx,
-        |    length(surface) AS ln FROM s0)
+        |    length(surface) AS ln FROM s0),
+        |keep AS (SELECT pfx FROM s GROUP BY pfx HAVING count(*) <= 10000),
+        |sk AS (SELECT s.* FROM s JOIN keep USING (pfx))
         |SELECT a.surface AS surface_a, b.surface AS surface_b,
         |  levenshtein(a.surface, b.surface)::INT AS dist
-        |FROM s a JOIN s b
+        |FROM sk a JOIN sk b
         |  ON a.pfx = b.pfx AND a.surface < b.surface
         | AND abs(a.ln - b.ln) <= 2
         |WHERE levenshtein(a.surface, b.surface) <= 2""".stripMargin,
@@ -2134,9 +2136,11 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |adj AS (SELECT a AS n, b AS x FROM und
         |  UNION ALL SELECT b, a FROM und),
+        |ctr AS (SELECT x FROM adj GROUP BY x HAVING count(*) <= 10000),
+        |adjc AS (SELECT adj.* FROM adj JOIN ctr USING (x)),
         |pairs AS (SELECT p.n AS node_a, q.n AS node_b,
         |    count(*) AS n_common
-        |  FROM adj p JOIN adj q ON p.x = q.x AND p.n < q.n
+        |  FROM adjc p JOIN adjc q ON p.x = q.x AND p.n < q.n
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT node_a, node_b, n_common FROM pairs
         |ANTI JOIN und ON node_a = und.a AND node_b = und.b""".stripMargin)

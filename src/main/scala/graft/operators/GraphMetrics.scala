@@ -148,15 +148,22 @@ object GraphMetrics {
     * All-integer and deterministic → q86's DuckDB twin mirrors the
     * orientation, wedge join and count value-exact.
     */
-  def triangles(edges: DataFrame): DataFrame = {
-    val und = edges
+  /** Canonical undirected edge set: nulls and self-loops dropped,
+    * endpoints ordered a < b, deduped, eagerly materialized (each caller
+    * references it several times; localCheckpoint is GC-managed, unlike
+    * a leaked cache()). One definition so triangles/commonNeighbors can
+    * never drift on the canonicalization invariant.
+    */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      // eager materialize: referenced three times (degrees, orientation,
-      // the closing semi-join); GC-managed, unlike a leaked cache()
       .distinct().localCheckpoint()
+
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
     val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val withDeg = und
@@ -191,12 +198,7 @@ object GraphMetrics {
     */
   def commonNeighbors(edges: DataFrame, minCommon: Long = 1L,
       hubCap: Int = 10000): DataFrame = {
-    val und = edges
-      .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct().localCheckpoint()
+    val und = canonicalUndirected(edges)
     val adj = und.select(col("a").as("n"), col("b").as("x"))
       .unionAll(und.select(col("b").as("n"), col("a").as("x")))
     val smallCenters = adj.groupBy("x").agg(count(lit(1)).as("dx"))

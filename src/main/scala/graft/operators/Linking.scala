@@ -229,19 +229,14 @@ object Linking {
     * whose first `prefixLen` chars differ is never considered (the
     * banded-minhash path covers those). The per-block quadratic term is
     * capped by the same census guard as Cooccur/Dedup — blocks above
-    * `blockCap` are excluded from pairing, loudly countable by the
-    * caller via the returned pairs' absence, never a silent OOM.
+    * `blockCap` are excluded from pairing and stay AUDITABLE via
+    * [[oversizedBlocks]], never a silent OOM or a silent recall hole.
     * Canonical surface_a < surface_b ordering.
     */
   def fuzzyPairs(surfaces: DataFrame, maxDist: Int = 2, prefixLen: Int = 2,
       blockCap: Int = 10000): DataFrame = {
     require(maxDist >= 1 && prefixLen >= 1)
-    val s = surfaces
-      .select(lower(col(surfaces.columns.head)).as("surface"))
-      .where(col("surface").isNotNull).distinct()
-      .select(col("surface"),
-        substring(col("surface"), 1, prefixLen).as("pfx"),
-        length(col("surface")).as("ln"))
+    val s = blocked(surfaces, prefixLen)
     val sized = s.join(
       s.groupBy("pfx").agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") <= blockCap),
@@ -256,4 +251,27 @@ object Linking {
         levenshtein(col("a.surface"), col("b.surface")).as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  /** The prefix blocks [[fuzzyPairs]] excluded at `blockCap`, with sizes
+    * — same audit contract as Cooccur.oversized: recall loss from the
+    * census guard is countable, never inferred from absence.
+    */
+  def oversizedBlocks(surfaces: DataFrame, prefixLen: Int = 2,
+      blockCap: Int = 10000): DataFrame =
+    blocked(surfaces, prefixLen).groupBy(col("pfx"))
+      .agg(count(lit(1)).as("n_surfaces"))
+      .filter(col("n_surfaces") > blockCap)
+
+  /** Shared corpus prep for [[fuzzyPairs]]/[[oversizedBlocks]]: lowered
+    * distinct surfaces with block key and length, eagerly materialized —
+    * the self-join references it twice and the census once.
+    */
+  private def blocked(surfaces: DataFrame, prefixLen: Int): DataFrame =
+    surfaces
+      .select(lower(col(surfaces.columns.head)).as("surface"))
+      .where(col("surface").isNotNull).distinct()
+      .select(col("surface"),
+        substring(col("surface"), 1, prefixLen).as("pfx"),
+        length(col("surface")).as("ln"))
+      .localCheckpoint()
 }

@@ -52,4 +52,11 @@ class FuzzyPairsSpec extends SparkSpec {
     assert(p.keySet == Set(("zeta", "zeta!"), ("zeta", "zetaxx"),
       ("zeta!", "zetaxx")))
   }
+
+  test("oversizedBlocks: the dropped blocks are auditable, not vanished") {
+    val o = Linking.oversizedBlocks(surfaces, prefixLen = 2, blockCap = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(o == Map("ac" -> 4L))
+    assert(Linking.oversizedBlocks(surfaces, 2, 10).count() == 0)
+  }
 }

@@ -191,6 +191,12 @@ class GraphMetricsSpec extends SparkSpec {
     assert(GraphMetrics.commonNeighbors(star, hubCap = 4).count() == 0)
     val viaHub = GraphMetrics.commonNeighbors(star, hubCap = 5).collect()
     assert(viaHub.length == 10 && viaHub.forall(_.getLong(2) == 1L))
+    // adjacency exclusion pinned NON-vacuously: in K3 every adjacent
+    // pair shares a common neighbor, so a broken anti-join would emit 3
+    // rows; the correct result is empty
+    val k3 = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    assert(GraphMetrics.commonNeighbors(k3).count() == 0,
+      "existing edges must never be predicted")
   }
 
   test("pageRank: no-in-edge nodes sit at the base rank, all ranks >= base") {
