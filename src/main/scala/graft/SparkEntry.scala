@@ -1365,7 +1365,24 @@ object SparkEntry {
         Cooccur.edges(t(s, d, "lineitem"), col("l_orderkey"),
             col("l_partkey"), minBoth = 2)
           .select(col("item_a").as("src"), col("item_b").as("dst")),
-        minCommon = 2L)))
+        minCommon = 2L)),
+    // q88/q89: the multi-grain OLAP surface — CUBE with grouping_id over
+    // the pricing dims, and ROLLUP down the (year, month) time hierarchy
+    // (KG emission reports aggregate exactly like this). Decimal-cast
+    // sums keep the aggregates order-independent; grouping-id bit order
+    // (first column = MSB) verified identical across engines.
+    "q88_cube_summary" -> ((s, d) =>
+      t(s, d, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_price")),
+    "q89_rollup_time" -> ((s, d) =>
+      t(s, d, "events")
+        .rollup(year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value"))
+        .select("y", "m", "d", "gid", "cnt", "sum_value")))
 
   /** The q80/q81 fixture: document lang/source triples with a planted
     * second language on every 7th document.
@@ -2143,7 +2160,22 @@ object SparkEntry {
         |  FROM adjc p JOIN adjc q ON p.x = q.x AND p.n < q.n
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT node_a, node_b, n_common FROM pairs
-        |ANTI JOIN und ON node_a = und.a AND node_b = und.b""".stripMargin)
+        |ANTI JOIN und ON node_a = und.a AND node_b = und.b""".stripMargin,
+    "q88_cube_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |  count(*) AS cnt,
+        |  sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q89_rollup_time" ->
+      """SELECT year(ts)::INT AS y, month(ts)::INT AS m,
+        |  day(ts)::INT AS d,
+        |  GROUPING(year(ts), month(ts), day(ts))::BIGINT AS gid,
+        |  count(*) AS cnt,
+        |  sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP (year(ts), month(ts), day(ts))""".stripMargin)
 
   /** Shared CTE head for q80/q81 — the same planted triple fixture as
     * [[constraintTriples]].
