@@ -30,11 +30,13 @@ object GraphScale {
 
   def main(args: Array[String]): Unit = {
     val nEdges = sys.env.getOrElse("SPARK_GRAFT_EDGES", "5000000").toLong
+    val triEdges = sys.env.getOrElse("SPARK_GRAFT_TRI_EDGES", "10000000").toLong
     val iters = sys.env.getOrElse("SPARK_GRAFT_PR_ITERS", "5").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val levels = Seq(8, 32)
     val pr = collection.mutable.Map(levels.map(_ -> List.empty[Double]): _*)
     val bfs = collection.mutable.Map(levels.map(_ -> List.empty[Double]): _*)
+    val tri = collection.mutable.Map(levels.map(_ -> List.empty[Double]): _*)
     var maxSteal = -1.0
     (1 to reps).foreach { rep =>
       levels.foreach { cores =>
@@ -47,9 +49,14 @@ object GraphScale {
         val (_, m1) = Bench.measure(GraphMetrics.pageRank(e, iters).count())
         val seeds = e.select(col("src").as("node")).filter(col("node") < 16).distinct()
         val (_, m2) = Bench.measure(GraphMetrics.minHops(e, seeds, maxHops = 6).count())
-        maxSteal = math.max(maxSteal, math.max(m1.stealPct, m2.stealPct))
+        e.unpersist()
+        val te = edges(spark, triEdges).localCheckpoint()
+        val (_, m3) = Bench.measure(GraphMetrics.triangles(te).count())
+        maxSteal = math.max(maxSteal,
+          Seq(m1, m2, m3).map(_.stealPct).max)
         pr(cores) ::= m1.sec
         bfs(cores) ::= m2.sec
+        tri(cores) ::= m3.sec
         spark.stop()
       }
     }
@@ -59,7 +66,8 @@ object GraphScale {
     }
     val (p8, p32, pe) = eff(pr)
     val (b8, b32, be) = eff(bfs)
+    val (t8, t32, te) = eff(tri)
     println(
-      f"""{"metric":"graph_scaling","edges":$nEdges,"pagerank":{"iters":$iters,"local8_sec":$p8%.2f,"local32_sec":$p32%.2f,"efficiency":$pe%.3f,"edges_per_sec_32":${nEdges * iters / p32}%.0f},"bfs":{"local8_sec":$b8%.2f,"local32_sec":$b32%.2f,"efficiency":$be%.3f},"max_steal_pct":$maxSteal%.1f}""")
+      f"""{"metric":"graph_scaling","edges":$nEdges,"pagerank":{"iters":$iters,"local8_sec":$p8%.2f,"local32_sec":$p32%.2f,"efficiency":$pe%.3f,"edges_per_sec_32":${nEdges * iters / p32}%.0f},"bfs":{"local8_sec":$b8%.2f,"local32_sec":$b32%.2f,"efficiency":$be%.3f},"triangles":{"edges":$triEdges,"local8_sec":$t8%.2f,"local32_sec":$t32%.2f,"efficiency":$te%.3f},"max_steal_pct":$maxSteal%.1f}""")
   }
 }

@@ -199,6 +199,44 @@ class GraphMetricsSpec extends SparkSpec {
       "existing edges must never be predicted")
   }
 
+  test("triangles + commonNeighbors match brute force on hash-random graphs") {
+    // deterministic "random" graphs: edge (i, j) present iff
+    // md5-derived bit — no RNG state, reproducible across runs
+    for (seed <- Seq("g1", "g2", "g3")) {
+      val n = 12
+      val all = for {
+        i <- 0 until n; j <- i + 1 until n
+        if java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$i:$j".getBytes("UTF-8"))(0) % 4 == 0
+      } yield (s"n$i", s"n$j")
+      val df = all.toDF("src", "dst")
+      val adj = all.toSet
+      def linked(a: String, b: String) = adj((a, b)) || adj((b, a))
+      val nodes = (0 until n).map(i => s"n$i")
+      // brute-force per-node triangle counts
+      val bruteTri = nodes.map { v =>
+        v -> (for {
+          u <- nodes; w <- nodes
+          if u < w && u != v && w != v
+          if linked(u, v) && linked(v, w) && linked(u, w)
+        } yield 1).size.toLong
+      }.filter(_._2 > 0).toMap
+      val gotTri = GraphMetrics.triangles(df).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotTri == bruteTri, s"seed $seed: $gotTri vs $bruteTri")
+      // brute-force common-neighbor counts for non-adjacent pairs
+      val bruteCn = (for {
+        a <- nodes; b <- nodes
+        if a < b && !linked(a, b)
+        c = nodes.count(x => x != a && x != b && linked(a, x) && linked(b, x))
+        if c >= 1
+      } yield (a, b) -> c.toLong).toMap
+      val gotCn = GraphMetrics.commonNeighbors(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(gotCn == bruteCn, s"seed $seed: $gotCn vs $bruteCn")
+    }
+  }
+
   test("pageRank: no-in-edge nodes sit at the base rank, all ranks >= base") {
     val r = GraphMetrics.pageRank(edges, iters = 4).collect()
       .map(x => x.getString(0) -> x.getDouble(1)).toMap
