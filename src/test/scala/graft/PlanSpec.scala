@@ -99,6 +99,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate") && p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("graph family plans: broadcast vocab sizes, no cartesian anywhere") {
+    // Negatives: the vocab-size join is an explicit broadcast; the draw
+    // explode + vocab equi-join must never degrade to a cartesian
+    val neg = planOf("q75_kg_negatives")
+    assert(neg.contains("BroadcastHashJoin"), neg.take(2000))
+    for ((name, p) <- Seq("q75" -> neg, "q78" -> planOf("q78_copurchase_edges"),
+        "q86" -> planOf("q86_triangle_counts"),
+        "q87" -> planOf("q87_link_prediction")))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name: ${p.take(1200)}")
+  }
+
+  test("fusion runs on two hash aggregations, no window sort") {
+    // the struct-min argmax must plan as partial-aggregated
+    // HashAggregates — a Window node would mean the per-group sort the
+    // operator exists to avoid
+    val p = planOf("q83_fusion")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      p.take(1500))
+    assert(p.contains("partial_min") || p.contains("partial"),
+      "map-side combine expected: " + p.take(1500))
+  }
+
   test("AQE splits a planted hot-key join partition at runtime (skew join)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
