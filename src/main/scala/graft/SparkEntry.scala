@@ -1382,7 +1382,30 @@ object SparkEntry {
           dayofmonth(col("ts")).as("d"))
         .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
           dsum(col("value")).as("sum_value"))
-        .select("y", "m", "d", "gid", "cnt", "sum_value")))
+        .select("y", "m", "d", "gid", "cnt", "sum_value")),
+    // q90: relational INTERSECT / EXCEPT (set semantics, the audience-
+    // segmentation shapes) — clickers who also purchased vs clickers who
+    // never did, tagged and unioned; both engines' set operators must
+    // agree value-exact.
+    "q90_set_ops" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def users(kind: String) = ev.filter(col("event_type") === kind)
+        .select(col("user_id"))
+      users("click").intersect(users("purchase"))
+        .withColumn("kind", lit("both"))
+        .unionAll(users("click").except(users("purchase"))
+          .withColumn("kind", lit("click_only")))
+    }),
+    // q91: JSON extraction from the events props column —
+    // get_json_object path navigation, typed cast, grouped aggregation;
+    // DuckDB's JSON extractor recomputes it value-exact (integer sums).
+    "q91_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("cnt"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))))
 
   /** The q80/q81 fixture: document lang/source triples with a planted
     * second language on every 7th document.
@@ -2175,7 +2198,23 @@ object SparkEntry {
         |  count(*) AS cnt,
         |  sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
         |FROM events
-        |GROUP BY ROLLUP (year(ts), month(ts), day(ts))""".stripMargin)
+        |GROUP BY ROLLUP (year(ts), month(ts), day(ts))""".stripMargin,
+    "q90_set_ops" ->
+      """SELECT user_id, 'both' AS kind FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'click_only' FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+    "q91_json_extract" ->
+      """SELECT event_type,
+        |  count(k) AS cnt, sum(k)::BIGINT AS sum_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |    json_extract_string(props, '$.k')::INT AS k FROM events)
+        |GROUP BY 1""".stripMargin)
 
   /** Shared CTE head for q80/q81 — the same planted triple fixture as
     * [[constraintTriples]].
