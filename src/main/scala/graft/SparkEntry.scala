@@ -1396,6 +1396,16 @@ object SparkEntry {
         .unionAll(users("click").except(users("purchase"))
           .withColumn("kind", lit("click_only")))
     }),
+    // q92: PERSONALIZED PageRank (related-entity retrieval) — teleport
+    // mass only on nation-0's customers, three exact-decimal supersteps:
+    // rank flows to their nation, segments and region; every node not
+    // reachable from the seed set must sit at EXACTLY zero, and DuckDB
+    // replays the seeded supersteps value-exact.
+    "q92_personalized_ppr" -> ((s, d) =>
+      GraphMetrics.personalizedPageRankExact(entityEdges(s, d),
+        t(s, d, "customer").filter(col("c_nationkey") === 0)
+          .select(concat(lit("c"), col("c_custkey")).as("node")),
+        iters = 3)),
     // q91: JSON extraction from the events props column —
     // get_json_object path navigation, typed cast, grouped aggregation;
     // DuckDB's JSON extractor recomputes it value-exact (integer sums).
@@ -2214,7 +2224,44 @@ object SparkEntry {
         |  count(k) AS cnt, sum(k)::BIGINT AS sum_k, max(k) AS max_k
         |FROM (SELECT event_type,
         |    json_extract_string(props, '$.k')::INT AS k FROM events)
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "q92_personalized_ppr" ->
+      (entityEdgesSql +
+      """,
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |seeds AS (SELECT DISTINCT 'c' || c_custkey AS node
+        |  FROM customer WHERE c_nationkey = 0),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |ew AS (SELECT src, dst,
+        |    (CASE outdeg WHEN 1 THEN 1.00 WHEN 2 THEN 0.50 WHEN 4 THEN 0.25
+        |       WHEN 5 THEN 0.20 WHEN 10 THEN 0.10 WHEN 20 THEN 0.05
+        |       WHEN 25 THEN 0.04 WHEN 50 THEN 0.02 WHEN 100 THEN 0.01
+        |     END)::DECIMAL(5,2) * 0.85::DECIMAL(3,2) AS wd
+        |  FROM e JOIN od USING (src)),
+        |r0 AS (SELECT n.node,
+        |    (CASE WHEN s.node IS NOT NULL THEN 1.0 ELSE 0.0
+        |     END)::DECIMAL(30,20) AS rank
+        |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+        |r1 AS (SELECT n.node, ((CASE WHEN s.node IS NOT NULL
+        |      THEN 0.15 ELSE 0.00 END)::DECIMAL(3,2)
+        |    + coalesce(sum(r.rank * ew.wd), 0))::DECIMAL(30,20) AS rank
+        |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        |  LEFT JOIN ew ON ew.dst = n.node
+        |  LEFT JOIN r0 r ON r.node = ew.src GROUP BY n.node, s.node),
+        |r2 AS (SELECT n.node, ((CASE WHEN s.node IS NOT NULL
+        |      THEN 0.15 ELSE 0.00 END)::DECIMAL(3,2)
+        |    + coalesce(sum(r.rank * ew.wd), 0))::DECIMAL(30,20) AS rank
+        |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        |  LEFT JOIN ew ON ew.dst = n.node
+        |  LEFT JOIN r1 r ON r.node = ew.src GROUP BY n.node, s.node),
+        |r3 AS (SELECT n.node, ((CASE WHEN s.node IS NOT NULL
+        |      THEN 0.15 ELSE 0.00 END)::DECIMAL(3,2)
+        |    + coalesce(sum(r.rank * ew.wd), 0))::DECIMAL(30,20) AS rank
+        |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        |  LEFT JOIN ew ON ew.dst = n.node
+        |  LEFT JOIN r2 r ON r.node = ew.src GROUP BY n.node, s.node)
+        |SELECT node, rank FROM r3""".stripMargin))
 
   /** Shared CTE head for q80/q81 — the same planted triple fixture as
     * [[constraintTriples]].

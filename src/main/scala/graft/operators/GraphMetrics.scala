@@ -55,12 +55,13 @@ object GraphMetrics {
     * is the requirement.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      checkpointEvery: Int = 1): DataFrame =
+      checkpointEvery: Int = 1, seeds: Option[DataFrame] = None): DataFrame =
     run(edges, iters, checkpointEvery,
       init = lit(1.0),
       base = lit(1.0 - damping),
       weightTimesD = od => lit(damping) / od,
-      castBack = identity)
+      castBack = identity,
+      seeds = seeds)
     .select(col("node"), col("rank"))
 
   /** Audit-grade PageRank: all arithmetic in DECIMAL with a scale budget
@@ -80,7 +81,7 @@ object GraphMetrics {
     * at scale 20), and one ulp is exactly what "value-exact" forbids.
     */
   def pageRankExact(edges: DataFrame, iters: Int,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1, seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 5,
       s"exact mode's decimal scale budget covers 1..5 supersteps: $iters")
     def dec(s: String): Column = lit(new java.math.BigDecimal(s))
@@ -97,9 +98,23 @@ object GraphMetrics {
       init = dec("1.0"),
       base = dec("0.15"),
       weightTimesD = wd,
-      castBack = _.cast(DecimalType(30, 20)))
+      castBack = _.cast(DecimalType(30, 20)),
+      seeds = seeds)
     .select(col("node"), col("rank"))
   }
+
+  /** PERSONALIZED PageRank, exact mode — the related-entity retrieval
+    * measure: init mass and teleport base live ONLY on the seed set, so
+    * rank flows outward from the seeds and nodes unreachable from them
+    * sit at exactly zero. Same no-rounding decimal budget as
+    * [[pageRankExact]] (seeding only swaps constants for seed-gated
+    * CASEs, which cannot add scale), so the q92 DuckDB twin replays the
+    * supersteps value-exact. With seeds = all nodes this IS
+    * pageRankExact — spec-pinned.
+    */
+  def personalizedPageRankExact(edges: DataFrame, seeds: DataFrame,
+      iters: Int, checkpointEvery: Int = 1): DataFrame =
+    pageRankExact(edges, iters, checkpointEvery, seeds = Some(seeds))
 
   /** Multi-source BFS: minimum hop count from any seed node, one frontier
     * superstep per hop — frontier ⋈ edges, anti-join against everything
@@ -267,11 +282,20 @@ object GraphMetrics {
     */
   private def run(edges: DataFrame, iters: Int, checkpointEvery: Int,
       init: Column, base: Column, weightTimesD: Column => Column,
-      castBack: Column => Column): DataFrame = {
+      castBack: Column => Column,
+      seeds: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // personalized mode: init/base apply only where _seed; the flag is a
+    // plain column so the seed gate stays inside codegen, not a join per
+    // superstep
+    val nodes = seeds.fold(nodes0.withColumn("_seed", lit(true))) { sd =>
+      nodes0.join(sd.select(col("node")).where(col("node").isNotNull)
+          .distinct().withColumn("_s", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("_s"), lit(false)).as("_seed"))
+    }.cache()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // pin the edge frame to hash(src) BEFORE caching: the per-superstep
     // join's edge side then already satisfies its distribution and only
@@ -283,14 +307,16 @@ object GraphMetrics {
       .select(col("src"), col("dst"), weightTimesD(col("outdeg")).as("wd"))
       .repartition(col("src"))
       .cache()
-    var ranks = nodes.select(col("node"), castBack(init).as("rank"))
+    var ranks = nodes.select(col("node"),
+      castBack(when(col("_seed"), init).otherwise(lit(0))).as("rank"))
     for (i <- 1 to iters) {
       val contribs = ew.join(ranks, ew("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") * col("wd")).as("contrib"))
       ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
         .select(nodes("node"),
-          castBack(base + coalesce(col("contrib"), lit(0))).as("rank"))
+          castBack(when(nodes("_seed"), base).otherwise(lit(0))
+            + coalesce(col("contrib"), lit(0))).as("rank"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }

@@ -94,6 +94,26 @@ class GraphMetricsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphMetrics.pageRankExact(edges, 6))
   }
 
+  test("personalized PageRank: seed-gated teleport, zero off-support") {
+    // all-nodes seeding degenerates to the standard measure, exactly
+    val allNodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val std = GraphMetrics.pageRankExact(edges, 3).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val pprAll = GraphMetrics.personalizedPageRankExact(edges, allNodes, 3)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(std.keySet == pprAll.keySet)
+    for ((n, v) <- std) assert(pprAll(n).compareTo(v) == 0, n)
+    // seed only e: e holds exactly the teleport 0.15 (no in-edges), c is
+    // reached, and b — four hops from e — is EXACTLY zero at 3 supersteps
+    val ppr = GraphMetrics.personalizedPageRankExact(
+      edges, Seq("e").toDF("node"), 3)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(ppr("e").compareTo(new BigDecimal("0.15")) == 0)
+    assert(ppr("c").signum() > 0)
+    assert(ppr("b").signum() == 0, s"off-support must be exact zero: ${ppr("b")}")
+  }
+
   test("minHops: multi-source min distance, unreachable absent, early drain") {
     // chain v0->v1->...->v5 plus a shortcut s->v3 and an island x->y
     val chain = (0 until 5).map(i => (s"v$i", s"v${i + 1}")) ++
