@@ -114,6 +114,21 @@ class GraphMetricsSpec extends SparkSpec {
     assert(ppr("b").signum() == 0, s"off-support must be exact zero: ${ppr("b")}")
   }
 
+  test("personalized PageRank: double mode honors the same seed gate") {
+    val ppr = GraphMetrics.pageRank(edges, iters = 3,
+        seeds = Some(Seq("e").toDF("node")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // base = 1.0 - 0.85 in double is 0.15000000000000002 — the float
+    // imprecision the exact mode exists to avoid; off-support stays an
+    // exact 0.0 even in double mode (0 * anything + 0)
+    assert(math.abs(ppr("e") - 0.15) < 1e-15 && ppr("b") == 0.0,
+      s"seed gate broken: $ppr")
+    val exact = GraphMetrics.personalizedPageRankExact(
+      edges, Seq("e").toDF("node"), 3)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
+    for ((n, v) <- exact) assert(math.abs(ppr(n) - v) < 1e-9, n)
+  }
+
   test("minHops: multi-source min distance, unreachable absent, early drain") {
     // chain v0->v1->...->v5 plus a shortcut s->v3 and an island x->y
     val chain = (0 until 5).map(i => (s"v$i", s"v${i + 1}")) ++
