@@ -1415,7 +1415,90 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy("event_type")
         .agg(count(col("k")).as("cnt"), sum(col("k")).as("sum_k"),
-          max(col("k")).as("max_k"))))
+          max(col("k")).as("max_k"))),
+    // q93: PROPERTY-PATH REACHABILITY (SPARQL `p+`) — semi-naive
+    // transitive closure over the entity graph extended with
+    // order→customer edges, so orders reach their region in exactly 3
+    // hops and maxHops=4 exercises the empty-frontier early stop;
+    // DuckDB's recursive CTE recomputes min-hop reachability value-exact.
+    "q93_path_closure" -> ((s, d) => {
+      val oc = t(s, d, "orders").select(
+        concat(lit("o"), col("o_orderkey")).as("src"),
+        concat(lit("c"), col("o_custkey")).as("dst"))
+      GraphQuery.transitiveClosure(entityEdges(s, d).unionAll(oc), maxHops = 4)
+    }),
+    // q94: BASIC GRAPH PATTERN matching (the SPARQL BGP core) — customer
+    // and supplier co-located in the same European nation, expressed as
+    // three triple patterns over a typed-pred triple view and compiled to
+    // constant-filtered scans + shared-variable equi-joins; the DuckDB
+    // twin is the equivalent three-way self-join.
+    "q94_bgp_match" -> ((s, d) =>
+      GraphQuery.bgpMatch(bgpTriples(s, d), Seq(
+        GraphQuery.TriplePattern("?c", "cust_nation", "?n"),
+        GraphQuery.TriplePattern("?s", "supp_nation", "?n"),
+        GraphQuery.TriplePattern("?n", "in_region", "rEUROPE")))),
+    // q95: AS-OF JOIN (temporal alignment) — every purchase matched to
+    // the user's latest click at or before it, via the union-tag/window
+    // form: ONE shuffle on user_id, no |L|×|R| pair explosion. The DuckDB
+    // twin takes the naive range-join + row_number road to the same rows.
+    "q95_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      GraphQuery.asOfJoin(
+        ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "value"),
+        keys = Seq("user_id"), tsCol = "ts", payload = Seq("value"))
+    }),
+    // q96: RDF N-TRIPLES serialization of a triple view whose every
+    // object embeds quotes (the events props JSON) — the interchange
+    // format a KG pipeline exports; escaping is a pure codegen'd replace
+    // cascade mirrored operator-for-operator in the DuckDB twin.
+    "q96_ntriples" -> ((s, d) =>
+      GraphQuery.toNTriples(
+        t(s, d, "events").select(
+          concat(lit("e"), col("event_id")).as("subj"),
+          lit("props").as("pred"), col("props").as("obj")),
+        base = "urn:graft:")),
+    // q97/q98: TEMPORAL KG — SCD2 validity intervals from the per-user
+    // event-type observation stream (change points only; repeats extend
+    // the open interval), then a point-in-time snapshot mid-window.
+    // DuckDB rebuilds the intervals with lag/lead windows value-exact,
+    // timestamps included.
+    "q97_validity_intervals" -> ((s, d) =>
+      GraphQuery.validityIntervals(eventObservations(s, d))),
+    "q98_kg_snapshot" -> ((s, d) =>
+      GraphQuery.snapshotAt(
+        GraphQuery.validityIntervals(eventObservations(s, d)),
+        lit("2024-01-15 00:00:00").cast("timestamp"))))
+
+  /** q94 fixture: the entity graph as typed-predicate triples. */
+  private def bgpTriples(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer"); val nat = t(s, d, "nation")
+    val sup = t(s, d, "supplier"); val reg = t(s, d, "region")
+    cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(concat(lit("c"), col("c_custkey")).as("subj"),
+        lit("cust_nation").as("pred"),
+        concat(lit("n"), col("n_name")).as("obj"))
+      .unionAll(sup.join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(concat(lit("s"), col("s_suppkey")).as("subj"),
+          lit("supp_nation").as("pred"),
+          concat(lit("n"), col("n_name")).as("obj")))
+      .unionAll(nat.join(reg, col("n_regionkey") === col("r_regionkey"))
+        .select(concat(lit("n"), col("n_name")).as("subj"),
+          lit("in_region").as("pred"),
+          concat(lit("r"), col("r_name")).as("obj")))
+  }
+
+  /** q97/q98 fixture: (subj, pred, obj, ts) observations from events —
+    * grouped per (user, ts) with a min-type tie-break so the stream is
+    * unique per (subj, pred, ts) by construction (mirrored in SQL).
+    */
+  private def eventObservations(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(concat(lit("u"), col("user_id")).as("subj"), col("ts"))
+      .agg(min(col("event_type")).as("obj"))
+      .select(col("subj"), lit("etype").as("pred"), col("obj"), col("ts"))
 
   /** The q80/q81 fixture: document lang/source triples with a planted
     * second language on every 7th document.
@@ -2261,7 +2344,91 @@ object SparkEntry {
         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
         |  LEFT JOIN ew ON ew.dst = n.node
         |  LEFT JOIN r2 r ON r.node = ew.src GROUP BY n.node, s.node)
-        |SELECT node, rank FROM r3""".stripMargin))
+        |SELECT node, rank FROM r3""".stripMargin),
+    "q93_path_closure" ->
+      (entityEdgesSql +
+      """,
+        |e2 AS (SELECT src, dst FROM e
+        |  UNION ALL SELECT 'o' || o_orderkey, 'c' || o_custkey FROM orders)
+        |SELECT src, dst, min(hops)::INT AS hops FROM (
+        |  WITH RECURSIVE cl AS (
+        |    SELECT src, dst, 1 AS hops FROM e2
+        |    UNION
+        |    SELECT cl.src, e2.dst, cl.hops + 1 FROM cl
+        |    JOIN e2 ON e2.src = cl.dst WHERE cl.hops < 4)
+        |  SELECT * FROM cl) GROUP BY 1, 2""".stripMargin),
+    "q94_bgp_match" ->
+      """WITH tri AS (
+        |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 's' || s_suppkey, 'supp_nation', 'n' || n_name
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |SELECT t1.subj AS c, t1.obj AS n, t2.subj AS s
+        |FROM tri t1
+        |JOIN tri t2 ON t2.pred = 'supp_nation' AND t2.obj = t1.obj
+        |JOIN tri t3 ON t3.pred = 'in_region' AND t3.subj = t1.obj
+        |  AND t3.obj = 'rEUROPE'
+        |WHERE t1.pred = 'cust_nation'""".stripMargin,
+    "q95_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |    WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, value FROM events
+        |    WHERE event_type = 'click'),
+        |m AS (SELECT l.event_id, r.ts AS r_ts, r.value AS r_value,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |                       ORDER BY r.ts DESC) AS rn
+        |  FROM l JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts)
+        |SELECT l.event_id, l.user_id, l.ts, l.value, m.r_ts, m.r_value
+        |FROM l LEFT JOIN (SELECT event_id, r_ts, r_value FROM m
+        |                  WHERE rn = 1) m USING (event_id)""".stripMargin,
+    "q96_ntriples" ->
+      """SELECT '<urn:graft:' ||
+        |  replace(replace(replace(replace(replace('e' || event_id,
+        |    '%', '%25'), ' ', '%20'), '"', '%22'), '<', '%3C'), '>', '%3E')
+        |  || '> <urn:graft:props> "' ||
+        |  replace(replace(replace(replace(replace(props,
+        |    '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
+        |    chr(9), '\t')
+        |  || '" .' AS ntriple
+        |FROM events""".stripMargin,
+    "q97_validity_intervals" ->
+      (eventObservationsSql +
+      """,
+        |ch AS (SELECT subj, pred, obj, ts,
+        |    lag(obj) OVER (PARTITION BY subj, pred ORDER BY ts) AS prev
+        |  FROM obs),
+        |cp AS (SELECT subj, pred, obj, ts AS valid_from FROM ch
+        |    WHERE obj IS DISTINCT FROM prev)
+        |SELECT subj, pred, obj, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY subj, pred
+        |                         ORDER BY valid_from) AS valid_to
+        |FROM cp""".stripMargin),
+    "q98_kg_snapshot" ->
+      (eventObservationsSql +
+      """,
+        |ch AS (SELECT subj, pred, obj, ts,
+        |    lag(obj) OVER (PARTITION BY subj, pred ORDER BY ts) AS prev
+        |  FROM obs),
+        |cp AS (SELECT subj, pred, obj, ts AS valid_from FROM ch
+        |    WHERE obj IS DISTINCT FROM prev),
+        |iv AS (SELECT subj, pred, obj, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY subj, pred
+        |                           ORDER BY valid_from) AS valid_to
+        |  FROM cp)
+        |SELECT subj, pred, obj FROM iv
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL
+        |       OR valid_to > TIMESTAMP '2024-01-15 00:00:00')""".stripMargin))
+
+  /** Shared CTE head for q97/q98 — mirrors [[eventObservations]]. */
+  private val eventObservationsSql: String =
+    """WITH obs AS (
+      |  SELECT 'u' || user_id AS subj, 'etype' AS pred,
+      |    min(event_type) AS obj, ts
+      |  FROM events GROUP BY 1, 2, ts)""".stripMargin
 
   /** Shared CTE head for q80/q81 — the same planted triple fixture as
     * [[constraintTriples]].

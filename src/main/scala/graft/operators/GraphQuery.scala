@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query surface OVER the materialized knowledge graph — the operators a
+  * consumer of the triple table runs after construction: property-path
+  * reachability (SPARQL `p+`), basic-graph-pattern matching (the SPARQL
+  * BGP core), temporal as-of alignment, validity-interval construction
+  * (SCD2-style change tracking), and RDF N-Triples serialization for
+  * interchange. Complements GraphMetrics (whole-graph analytics) and
+  * Constraints (SHACL-lite validation): these answer point queries and
+  * exports over the graph the pipeline emits.
+  *
+  * Scale contracts, per operator:
+  *  - [[transitiveClosure]] is semi-naive Datalog evaluation: each
+  *    superstep joins only the NEW frontier against the edge table
+  *    (never the accumulated closure), dedupes, and anti-joins the known
+  *    set — per-step cost is frontier×avg-degree, the frontier is
+  *    checkpointed to truncate lineage, and the loop stops at the first
+  *    empty frontier. All-pairs closure over a dense graph is inherently
+  *    quadratic in output; callers bound it with `maxHops` and/or a
+  *    predicate-filtered edge view (the SPARQL-path usage).
+  *  - [[bgpMatch]] compiles each triple pattern to a constant-filtered
+  *    scan and folds shared-variable equi-joins left-to-right — every
+  *    join is a Catalyst shuffle/broadcast join on the variable columns;
+  *    selective patterns (more constants) should come first, exactly as
+  *    in a SPARQL engine's BGP ordering.
+  *  - [[asOfJoin]] is the union-tag/window form: ONE shuffle on the key
+  *    columns, zero pair explosion — unlike the naive `l.ts >= r.ts`
+  *    range join whose intermediate is |L|×|R| per key. This is the
+  *    shape that survives a fact×fact temporal alignment at 10^12 rows.
+  *  - [[validityIntervals]] / [[snapshotAt]]: one window shuffle on
+  *    (subj, pred); the snapshot filter is a pure Column predicate that
+  *    pushes into the interval scan.
+  *  - [[toNTriples]] is a pure codegen'd Column chain (replace cascade),
+  *    no UDF, no regex.
+  */
+object GraphQuery {
+
+  // ---------------------------------------------------------------- paths
+
+  /** Min-hop reachability closure of `edges` (src, dst) up to `maxHops`:
+    * one row per reachable ordered pair with the length of the shortest
+    * path (1-based; self-loops only if the graph has them). Semi-naive:
+    * the hop-h frontier is (hop h-1 frontier ⋈ edges) minus already-known
+    * pairs, so converged components stop contributing work even before
+    * `maxHops`.
+    */
+  def transitiveClosure(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    var reach = e.distinct().withColumn("hops", lit(1)).localCheckpoint(true)
+    var frontier = reach
+    var h = 1
+    var done = false
+    while (h < maxHops && !done) {
+      h += 1
+      val next = frontier.select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .select(col("src"), col("dst")).distinct()
+        .join(reach.select(col("src"), col("dst")), Seq("src", "dst"),
+          "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        reach = reach.unionAll(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    reach
+  }
+
+  // ------------------------------------------------------------------ bgp
+
+  /** One SPARQL-style triple pattern: each slot is either a variable
+    * (`"?name"`) or a constant matched against the triple table.
+    */
+  final case class TriplePattern(s: String, p: String, o: String) {
+    private[GraphQuery] def slots: Seq[(String, String)] =
+      Seq("subj" -> s, "pred" -> p, "obj" -> o)
+    private[GraphQuery] def vars: Seq[String] =
+      slots.collect { case (_, t) if t.startsWith("?") => t.stripPrefix("?") }
+        .distinct
+  }
+
+  /** Match a basic graph pattern against a triple table (subj, pred, obj):
+    * the bag of variable bindings satisfying every pattern simultaneously
+    * (SPARQL BGP semantics; use `.distinct()` on the result for set
+    * semantics). Patterns sharing no variable with the accumulated prefix
+    * produce a cross product — valid SPARQL, but order patterns so shared
+    * variables connect early.
+    */
+  def bgpMatch(triples: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
+    require(patterns.nonEmpty, "empty basic graph pattern")
+    val frames = patterns.map { tp =>
+      require(tp.vars.nonEmpty, s"pattern $tp binds no variable")
+      var df = triples
+      tp.slots.foreach { case (c, t) =>
+        if (!t.startsWith("?")) df = df.where(col(c) === lit(t))
+      }
+      // a variable repeated WITHIN one pattern is an equality constraint
+      tp.slots.filter(_._2.startsWith("?")).groupBy(_._2).values
+        .foreach { g =>
+          g.map(_._1).sliding(2).foreach {
+            case Seq(a, b) => df = df.where(col(a) === col(b))
+            case _         => ()
+          }
+        }
+      df.select(tp.vars.map(v =>
+        col(tp.slots.find(_._2 == "?" + v).get._1).as(v)): _*)
+    }
+    val joined = frames.reduce { (a, b) =>
+      val shared = a.columns.toSeq.intersect(b.columns.toSeq)
+      if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)
+    }
+    val order = patterns.flatMap(_.vars).distinct
+    joined.select(order.map(col): _*)
+  }
+
+  // ---------------------------------------------------------------- as-of
+
+  /** Backward-inclusive as-of join: for every left row, the single right
+    * row with the greatest `tsCol` <= left's `tsCol` under equal `keys`
+    * (null payload when none exists). Right must be unique per
+    * (keys, ts) — the caller pre-aggregates otherwise, as any as-of
+    * semantics would be ambiguous there.
+    *
+    * Left rows whose key columns contain nulls never match (join
+    * semantics); right rows with null keys are dropped from
+    * consideration. Output: every left column, plus each `payload`
+    * column and the matched right timestamp, renamed `prefix`+name.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payload: Seq[String], prefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val matchStruct = struct((tsCol +: payload).map(col): _*)
+    val r = right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select((keys :+ tsCol).map(col) :+ matchStruct.as("__m"): _*)
+      .withColumn("__side", lit(0))
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__m", lit(null).cast(r.schema("__m").dataType))
+      .withColumn("__side", lit(1))
+      .select((keys :+ tsCol).map(col) ++ Seq(col("__m"), col("__side"))
+        :+ struct(leftCols.map(col): _*).as("__l"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r.withColumn("__l",
+        lit(null).cast(l.schema("__l").dataType)), allowMissingColumns = false)
+      .withColumn("__hit", last(col("__m"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    matched.select(leftCols.map(c => col("__l").getField(c).as(c)) ++
+      (tsCol +: payload).map(c =>
+        col("__hit").getField(c).as(prefix + c)): _*)
+  }
+
+  // ------------------------------------------------------------- temporal
+
+  /** SCD2-style validity intervals from a timestamped observation stream
+    * (subj, pred, obj, ts): consecutive DISTINCT values of obj per
+    * (subj, pred) become rows (subj, pred, obj, valid_from, valid_to),
+    * `valid_to` null for the currently-valid value. Repeats of the same
+    * obj extend the open interval rather than splitting it. Observations
+    * must be unique per (subj, pred, ts); ties would make "consecutive"
+    * undefined.
+    */
+  def validityIntervals(obs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("subj"), col("pred")).orderBy(col("ts"))
+    obs
+      .withColumn("__prev", lag(col("obj"), 1).over(w))
+      // keep only change points (first observation, or value differs —
+      // null-safe so a null obj is a value like any other)
+      .where(not(col("obj") <=> col("__prev")))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("subj"), col("pred"), col("obj"), col("valid_from"),
+        col("valid_to"))
+  }
+
+  /** Point-in-time KG snapshot: the triples valid at instant `at`
+    * (valid_from <= at < valid_to, open interval = still valid).
+    */
+  def snapshotAt(intervals: DataFrame, at: Column): DataFrame =
+    intervals
+      .where(col("valid_from") <= at &&
+        (col("valid_to").isNull || col("valid_to") > at))
+      .select(col("subj"), col("pred"), col("obj"))
+
+  // ---------------------------------------------------------------- rdf
+
+  /** Escape one literal per RDF 1.1 N-Triples (\\ first, then the
+    * quote/newline/CR/tab forms) — a pure replace cascade, codegen'd.
+    */
+  def escapeNTripleLiteral(c: Column): Column = {
+    val backslash = "\\"
+    var r = replace(c, lit(backslash), lit(backslash + backslash))
+    r = replace(r, lit("\""), lit(backslash + "\""))
+    r = replace(r, lit("\n"), lit(backslash + "n"))
+    r = replace(r, lit("\r"), lit(backslash + "r"))
+    r = replace(r, lit("\t"), lit(backslash + "t"))
+    r
+  }
+
+  /** Minimal IRI-segment escape for identifier-shaped terms: the
+    * characters N-Triples forbids inside <>-wrapped IRIs that can occur
+    * in our id/pred domains (space, quote, angle brackets) percent-encode;
+    * everything else passes through.
+    */
+  def escapeIriSegment(c: Column): Column = {
+    var r = replace(c, lit("%"), lit("%25"))
+    r = replace(r, lit(" "), lit("%20"))
+    r = replace(r, lit("\""), lit("%22"))
+    r = replace(r, lit("<"), lit("%3C"))
+    r = replace(r, lit(">"), lit("%3E"))
+    r
+  }
+
+  /** Serialize (subj, pred, obj) to RDF N-Triples lines:
+    * `<base/subj> <base/pred> "obj-escaped" .` — subjects/predicates as
+    * IRIs under `base`, objects as plain literals. One output column
+    * `ntriple`, bag-preserving.
+    */
+  def toNTriples(triples: DataFrame, base: String): DataFrame =
+    triples.select(concat(
+      lit("<" + base), escapeIriSegment(col("subj")),
+      lit("> <" + base), escapeIriSegment(col("pred")),
+      lit("> \""), escapeNTripleLiteral(col("obj")),
+      lit("\" .")).as("ntriple"))
+}
