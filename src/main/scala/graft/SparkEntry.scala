@@ -1470,7 +1470,22 @@ object SparkEntry {
     "q98_kg_snapshot" -> ((s, d) =>
       GraphQuery.snapshotAt(
         GraphQuery.validityIntervals(eventObservations(s, d)),
-        lit("2024-01-15 00:00:00").cast("timestamp"))))
+        lit("2024-01-15 00:00:00").cast("timestamp"))),
+    // q99: SPARQL OPTIONAL — customer-nation bindings left-joined with
+    // the customer's big-ticket orders (totalprice > 450k, so ~1/3 of
+    // customers genuinely have none); unmatched customers keep exactly
+    // one row with a null ?o binding, which the LEFT-JOIN twin
+    // reproduces value-exact.
+    "q99_bgp_optional" -> ((s, d) => {
+      val oc = t(s, d, "orders").where(col("o_totalprice") > 450000)
+        .select(
+          concat(lit("o"), col("o_orderkey")).as("subj"),
+          lit("ordered_by").as("pred"),
+          concat(lit("c"), col("o_custkey")).as("obj"))
+      GraphQuery.bgpMatchOptional(bgpTriples(s, d).unionAll(oc),
+        patterns = Seq(GraphQuery.TriplePattern("?c", "cust_nation", "?n")),
+        optionals = Seq(GraphQuery.TriplePattern("?o", "ordered_by", "?c")))
+    }))
 
   /** q94 fixture: the entity graph as typed-predicate triples. */
   private def bgpTriples(s: SparkSession, d: String): DataFrame = {
@@ -2421,7 +2436,18 @@ object SparkEntry {
         |SELECT subj, pred, obj FROM iv
         |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
         |  AND (valid_to IS NULL
-        |       OR valid_to > TIMESTAMP '2024-01-15 00:00:00')""".stripMargin))
+        |       OR valid_to > TIMESTAMP '2024-01-15 00:00:00')""".stripMargin),
+    "q99_bgp_optional" ->
+      """WITH tri AS (
+        |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 'o' || o_orderkey, 'ordered_by', 'c' || o_custkey
+        |    FROM orders WHERE o_totalprice > 450000)
+        |SELECT t1.subj AS c, t1.obj AS n, t2.subj AS o
+        |FROM tri t1
+        |LEFT JOIN tri t2 ON t2.pred = 'ordered_by' AND t2.obj = t1.subj
+        |WHERE t1.pred = 'cust_nation'""".stripMargin)
 
   /** Shared CTE head for q97/q98 — mirrors [[eventObservations]]. */
   private val eventObservationsSql: String =

@@ -96,29 +96,55 @@ object GraphQuery {
     */
   def bgpMatch(triples: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
     require(patterns.nonEmpty, "empty basic graph pattern")
-    val frames = patterns.map { tp =>
-      require(tp.vars.nonEmpty, s"pattern $tp binds no variable")
-      var df = triples
-      tp.slots.foreach { case (c, t) =>
-        if (!t.startsWith("?")) df = df.where(col(c) === lit(t))
-      }
-      // a variable repeated WITHIN one pattern is an equality constraint
-      tp.slots.filter(_._2.startsWith("?")).groupBy(_._2).values
-        .foreach { g =>
-          g.map(_._1).sliding(2).foreach {
-            case Seq(a, b) => df = df.where(col(a) === col(b))
-            case _         => ()
-          }
-        }
-      df.select(tp.vars.map(v =>
-        col(tp.slots.find(_._2 == "?" + v).get._1).as(v)): _*)
-    }
-    val joined = frames.reduce { (a, b) =>
+    val joined = patterns.map(patternFrame(triples, _)).reduce { (a, b) =>
       val shared = a.columns.toSeq.intersect(b.columns.toSeq)
       if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)
     }
     val order = patterns.flatMap(_.vars).distinct
     joined.select(order.map(col): _*)
+  }
+
+  /** [[bgpMatch]] plus SPARQL OPTIONAL groups: each optional pattern
+    * left-joins the required-pattern solution on its shared variables, in
+    * order — unmatched solutions keep null bindings for the optional-only
+    * variables (exactly SPARQL's OPTIONAL over a well-designed pattern).
+    * Every optional pattern must share at least one variable with what
+    * precedes it; an unshared OPTIONAL would be a cross product with
+    * nothing to be "optional" about.
+    */
+  def bgpMatchOptional(triples: DataFrame, patterns: Seq[TriplePattern],
+      optionals: Seq[TriplePattern]): DataFrame = {
+    val base = bgpMatch(triples, patterns)
+    val joined = optionals.foldLeft(base) { (acc, tp) =>
+      val f = patternFrame(triples, tp)
+      val shared = acc.columns.toSeq.intersect(f.columns.toSeq)
+      require(shared.nonEmpty,
+        s"OPTIONAL pattern $tp shares no variable with the preceding graph")
+      acc.join(f, shared, "left")
+    }
+    val order = (patterns ++ optionals).flatMap(_.vars).distinct
+    joined.select(order.map(col): _*)
+  }
+
+  /** One pattern compiled to a constant-filtered scan projecting its
+    * variables (repeated variables within the pattern become equality
+    * predicates on the scan).
+    */
+  private def patternFrame(triples: DataFrame, tp: TriplePattern): DataFrame = {
+    require(tp.vars.nonEmpty, s"pattern $tp binds no variable")
+    var df = triples
+    tp.slots.foreach { case (c, t) =>
+      if (!t.startsWith("?")) df = df.where(col(c) === lit(t))
+    }
+    tp.slots.filter(_._2.startsWith("?")).groupBy(_._2).values
+      .foreach { g =>
+        g.map(_._1).sliding(2).foreach {
+          case Seq(a, b) => df = df.where(col(a) === col(b))
+          case _         => ()
+        }
+      }
+    df.select(tp.vars.map(v =>
+      col(tp.slots.find(_._2 == "?" + v).get._1).as(v)): _*)
   }
 
   // ---------------------------------------------------------------- as-of

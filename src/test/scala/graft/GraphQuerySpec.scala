@@ -107,6 +107,24 @@ class GraphQuerySpec extends SparkSpec {
     }
   }
 
+  test("bgp OPTIONAL keeps unmatched solutions with null bindings") {
+    val tri = triples.unionAll(Seq(
+      ("o1", "ordered_by", "c1"), ("o2", "ordered_by", "c1"),
+      ("o9", "ordered_by", "ghost")).toDF("subj", "pred", "obj"))
+    val got = GraphQuery.bgpMatchOptional(tri,
+      patterns = Seq(TriplePattern("?c", "in_nation", "?n")),
+      optionals = Seq(TriplePattern("?o", "ordered_by", "?c")))
+    assert(got.columns.toSeq === Seq("c", "n", "o"))
+    assert(got.as[(String, String, Option[String])].collect().toSet === Set(
+      ("c1", "de", Some("o1")), ("c1", "de", Some("o2")),
+      ("c2", "de", None), ("c3", "fr", None)))
+    intercept[IllegalArgumentException] {
+      GraphQuery.bgpMatchOptional(tri,
+        Seq(TriplePattern("?c", "in_nation", "?n")),
+        Seq(TriplePattern("?x", "same_as", "?x")))
+    }
+  }
+
   // -------------------------------------------------------------- as-of
 
   private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
@@ -182,6 +200,21 @@ class GraphQuerySpec extends SparkSpec {
     assert(GraphQuery.snapshotAt(iv, lit(ts(30)))
       .where(col("subj") === "u1").as[(String, String, String)]
       .collect().toSet === Set(("u1", "city", "paris")))
+  }
+
+  test("as-of join plan: one hash exchange, no join operator, no cartesian") {
+    val left = Seq((1L, "k", ts(10))).toDF("id", "k", "ts")
+    val right = Seq(("k", ts(5), 1.0)).toDF("k", "ts", "v")
+    val p = GraphQuery.asOfJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    // the union-tag/window form: the ONLY wide operator is the window's
+    // hash partitioning on the key — a join-shaped plan (range join or
+    // worse, a nested loop) would be the scale bug this pins against
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashJoin"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"want exactly 1 exchange, plan:\n$p")
   }
 
   // ----------------------------------------------------------------- rdf
