@@ -1485,7 +1485,14 @@ object SparkEntry {
       GraphQuery.bgpMatchOptional(bgpTriples(s, d).unionAll(oc),
         patterns = Seq(GraphQuery.TriplePattern("?c", "cust_nation", "?n")),
         optionals = Seq(GraphQuery.TriplePattern("?o", "ordered_by", "?c")))
-    }))
+    }),
+    // q100: LABEL-PROPAGATION COMMUNITIES — synchronous, ties to the
+    // smallest label, so three supersteps over the undirected entity
+    // graph are a pure function of the graph; DuckDB replays the same
+    // three vote/argmax rounds and every (node, label) row matches
+    // value-exact (a async/randomized LPA could never pass this gate).
+    "q100_lpa_communities" -> ((s, d) =>
+      GraphMetrics.labelPropagation(entityEdges(s, d), iters = 3)))
 
   /** q94 fixture: the entity graph as typed-predicate triples. */
   private def bgpTriples(s: SparkSession, d: String): DataFrame = {
@@ -2447,7 +2454,32 @@ object SparkEntry {
         |SELECT t1.subj AS c, t1.obj AS n, t2.subj AS o
         |FROM tri t1
         |LEFT JOIN tri t2 ON t2.pred = 'ordered_by' AND t2.obj = t1.subj
-        |WHERE t1.pred = 'cust_nation'""".stripMargin)
+        |WHERE t1.pred = 'cust_nation'""".stripMargin,
+    "q100_lpa_communities" ->
+      (entityEdgesSql +
+      """,
+        |und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT src AS node FROM und),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |v1 AS (SELECT u.dst AS node, l.label, count(*) AS cnt
+        |  FROM und u JOIN l0 l ON l.node = u.src GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (SELECT node, label,
+        |    row_number() OVER (PARTITION BY node
+        |                       ORDER BY cnt DESC, label) AS rn
+        |  FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT u.dst AS node, l.label, count(*) AS cnt
+        |  FROM und u JOIN l1 l ON l.node = u.src GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (SELECT node, label,
+        |    row_number() OVER (PARTITION BY node
+        |                       ORDER BY cnt DESC, label) AS rn
+        |  FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT u.dst AS node, l.label, count(*) AS cnt
+        |  FROM und u JOIN l2 l ON l.node = u.src GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (SELECT node, label,
+        |    row_number() OVER (PARTITION BY node
+        |                       ORDER BY cnt DESC, label) AS rn
+        |  FROM v3) WHERE rn = 1)
+        |SELECT node, label FROM l3""".stripMargin))
 
   /** Shared CTE head for q97/q98 — mirrors [[eventObservations]]. */
   private val eventObservationsSql: String =

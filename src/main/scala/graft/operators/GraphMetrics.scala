@@ -148,6 +148,48 @@ object GraphMetrics {
     dist
   }
 
+  /** Synchronous label-propagation community detection over the
+    * UNDIRECTED view of the edge table: every node starts labeled with
+    * itself; each superstep every node adopts the most frequent label
+    * among its neighbors, ties broken by smallest label — so the result
+    * after a fixed `iters` is a PURE function of the graph (no
+    * async-update order, no randomness), replayable superstep-for-
+    * superstep by any engine. Communities group entity mentions whose
+    * relatedness neighborhoods agree — the coarse-grained complement to
+    * Linking's connected components (which need an explicit similarity
+    * edge for every merge).
+    *
+    * Superstep cost at 10^12 edges: one node-scale label shuffle onto the
+    * edge partitioning, one edge-scale (dst, label) partial-aggregated
+    * count, one node-scale argmax — same shape as a PageRank superstep,
+    * labels checkpointed per round.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    // bidirectional union ⇒ every endpoint appears as a src
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val votes = und.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val winner = votes.groupBy("node")
+        .agg(min(struct((-col("cnt")).as("neg"), col("label").as("l"))).as("w"))
+        .select(col("node"), col("w.l").as("label"))
+      // left join + keep-own-label: guards a node with no in-votes (can't
+      // happen under the bidirectional union, but the contract shouldn't
+      // depend on it)
+      labels = nodes.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Per-node triangle counts over an UNDIRECTED graph — the clustering-
     * coefficient numerator, the standard cohesion signal over relatedness
     * edges (a skill/entity whose neighbors also co-occur with each other

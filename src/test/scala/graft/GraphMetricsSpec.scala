@@ -278,4 +278,50 @@ class GraphMetricsSpec extends SparkSpec {
     assert(math.abs(r("e") - 0.15) < 1e-12, "pure source must hold 1 - d")
     assert(r.values.forall(_ >= 0.15 - 1e-12))
   }
+
+  /** Driver-local reference for the synchronous min-tie LPA. */
+  private def localLpa(es: Seq[(String, String)], iters: Int): Map[String, String] = {
+    val und = es ++ es.map(e => (e._2, e._1))
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = adj.map { case (n, nbrs) =>
+        n -> nbrs.groupBy(labels).view.mapValues(_.size).toSeq
+          .minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  private def lpaMap(df: DataFrame): Map[String, String] =
+    df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("labelPropagation: barbell graph converges to two communities") {
+    val k4 = (p: String) => for {
+      i <- 0 to 3; j <- 0 to 3 if i < j
+    } yield (s"$p$i", s"$p$j")
+    val es = k4("a") ++ k4("b") :+ (("a0", "b0"))
+    val df = es.toDF("src", "dst")
+    for (it <- 1 to 3)
+      assert(lpaMap(GraphMetrics.labelPropagation(df, it)) === localLpa(es, it),
+        s"iters=$it")
+    val l3 = lpaMap(GraphMetrics.labelPropagation(df, 3))
+    assert(l3.filterKeys(_.startsWith("a")).values.toSet.size === 1)
+    assert(l3.filterKeys(_.startsWith("b")).values.toSet.size === 1)
+    assert(l3("a1") !== l3("b1"), "bridge must not merge the clusters")
+  }
+
+  test("labelPropagation differential vs brute force on random graphs") {
+    for (seed <- Seq(11, 22, 33)) {
+      val rng = new scala.util.Random(seed)
+      val nodes = (0 until 24).map(i => f"v$i%02d")
+      val es = (1 to 50).map(_ =>
+        (nodes(rng.nextInt(nodes.size)), nodes(rng.nextInt(nodes.size))))
+        .filter(e => e._1 != e._2).distinct
+      val df = es.toDF("src", "dst")
+      for (it <- Seq(1, 3))
+        assert(lpaMap(GraphMetrics.labelPropagation(df, it)) === localLpa(es, it),
+          s"seed=$seed iters=$it")
+    }
+  }
 }
