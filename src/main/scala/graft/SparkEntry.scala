@@ -1492,7 +1492,25 @@ object SparkEntry {
     // three vote/argmax rounds and every (node, label) row matches
     // value-exact (a async/randomized LPA could never pass this gate).
     "q100_lpa_communities" -> ((s, d) =>
-      GraphMetrics.labelPropagation(entityEdges(s, d), iters = 3)))
+      GraphMetrics.labelPropagation(entityEdges(s, d), iters = 3)),
+    // q101: PROPERTY-PATH ALGEBRA — the SPARQL 1.1 expression
+    // `^placed / (in_nation | in_region)+` evaluated by the compiler
+    // (every constructor exercised: Inv, Chain, Alt, bounded Plus);
+    // orders reach their nation AND region. The DuckDB twin composes
+    // the same inverse join over a recursive-CTE closure of the
+    // alternation, set-semantics both sides.
+    "q101_path_algebra" -> ((s, d) => {
+      import GraphQuery.PathExpr._
+      val tri = bgpTriples(s, d)
+        .where(col("pred") =!= "supp_nation")
+        .unionAll(t(s, d, "customer").join(t(s, d, "orders"),
+            col("c_custkey") === col("o_custkey"))
+          .select(concat(lit("c"), col("c_custkey")).as("subj"),
+            lit("placed").as("pred"),
+            concat(lit("o"), col("o_orderkey")).as("obj")))
+      GraphQuery.pathPairs(tri, Chain(Inv(Pred("placed")),
+        Plus(Alt(Pred("cust_nation"), Pred("in_region")), maxHops = 3)))
+    }))
 
   /** q94 fixture: the entity graph as typed-predicate triples. */
   private def bgpTriples(s: SparkSession, d: String): DataFrame = {
@@ -2479,7 +2497,29 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY node
         |                       ORDER BY cnt DESC, label) AS rn
         |  FROM v3) WHERE rn = 1)
-        |SELECT node, label FROM l3""".stripMargin))
+        |SELECT node, label FROM l3""".stripMargin),
+    "q101_path_algebra" ->
+      """WITH tri AS (
+        |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL SELECT 'c' || c_custkey, 'placed', 'o' || o_orderkey
+        |    FROM customer JOIN orders ON c_custkey = o_custkey),
+        |w AS (SELECT DISTINCT subj AS src, obj AS dst FROM tri
+        |      WHERE pred IN ('cust_nation', 'in_region')),
+        |cl AS (SELECT DISTINCT src, dst FROM (
+        |  WITH RECURSIVE c AS (
+        |    SELECT src, dst, 1 AS h FROM w
+        |    UNION
+        |    SELECT c.src, w.dst, c.h + 1 FROM c
+        |    JOIN w ON w.src = c.dst WHERE c.h < 3)
+        |  SELECT * FROM c)),
+        |inv AS (SELECT DISTINCT obj AS src, subj AS dst FROM tri
+        |        WHERE pred = 'placed')
+        |SELECT DISTINCT i.src, cl.dst
+        |FROM inv i JOIN cl ON cl.src = i.dst""".stripMargin)
 
   /** Shared CTE head for q97/q98 — mirrors [[eventObservations]]. */
   private val eventObservationsSql: String =

@@ -147,6 +147,53 @@ object GraphQuery {
       col(tp.slots.find(_._2 == "?" + v).get._1).as(v)): _*)
   }
 
+  // ---------------------------------------------------------------- paths²
+
+  /** SPARQL 1.1 property-path algebra (the bounded fragment): a path
+    * expression evaluates to the SET of (src, dst) node pairs it
+    * connects. `Plus` is the `p+` closure bounded by `maxHops` (the
+    * unbounded form is [[transitiveClosure]]'s contract applied to the
+    * compiled inner pairs; SPARQL's arbitrary-length paths are
+    * set-semantics, which is why every constructor dedupes).
+    */
+  sealed trait PathExpr
+  object PathExpr {
+    /** One predicate's edge set. */
+    final case class Pred(p: String) extends PathExpr
+    /** `^e` — reversed pairs. */
+    final case class Inv(e: PathExpr) extends PathExpr
+    /** `a / b` — sequence (relational composition). */
+    final case class Chain(a: PathExpr, b: PathExpr) extends PathExpr
+    /** `a | b` — alternation (union). */
+    final case class Alt(a: PathExpr, b: PathExpr) extends PathExpr
+    /** `e+` bounded at `maxHops` compositions. */
+    final case class Plus(e: PathExpr, maxHops: Int) extends PathExpr
+  }
+
+  /** Compile a path expression against a triple table to its (src, dst)
+    * pair set. Each constructor is one Catalyst-planned set operation
+    * (filter / swap / equi-join / union / semi-naive closure) — no
+    * driver-side iteration outside Plus's bounded superstep loop.
+    */
+  def pathPairs(triples: DataFrame, expr: PathExpr): DataFrame = {
+    import PathExpr._
+    expr match {
+      case Pred(p) => triples.where(col("pred") === lit(p))
+        .select(col("subj").as("src"), col("obj").as("dst")).distinct()
+      case Inv(e) => pathPairs(triples, e)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      case Chain(a, b) =>
+        pathPairs(triples, a).withColumnRenamed("dst", "mid")
+          .join(pathPairs(triples, b).withColumnRenamed("src", "mid"), Seq("mid"))
+          .select(col("src"), col("dst")).distinct()
+      case Alt(a, b) =>
+        pathPairs(triples, a).unionAll(pathPairs(triples, b)).distinct()
+      case Plus(e, maxHops) =>
+        transitiveClosure(pathPairs(triples, e), maxHops)
+          .select(col("src"), col("dst"))
+    }
+  }
+
   // ---------------------------------------------------------------- as-of
 
   /** Backward-inclusive as-of join: for every left row, the single right

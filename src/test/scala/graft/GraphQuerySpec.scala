@@ -107,6 +107,32 @@ class GraphQuerySpec extends SparkSpec {
     }
   }
 
+  test("path algebra: Pred/Inv/Chain/Alt/Plus against hand-computed pair sets") {
+    import GraphQuery.PathExpr._
+    val tri = Seq(
+      ("o1", "placed_by", "c1"), ("o2", "placed_by", "c2"),
+      ("c1", "in", "n1"), ("c2", "in", "n2"),
+      ("n1", "part_of", "r1"), ("n2", "part_of", "r1"),
+      ("r1", "part_of", "w"),
+      ("c1", "in", "n1") // duplicate — set semantics must collapse it
+    ).toDF("subj", "pred", "obj")
+    def pairs(e: GraphQuery.PathExpr): Set[(String, String)] =
+      GraphQuery.pathPairs(tri, e).as[(String, String)].collect().toSet
+    assert(pairs(Pred("in")) === Set(("c1", "n1"), ("c2", "n2")))
+    assert(pairs(Inv(Pred("placed_by"))) === Set(("c1", "o1"), ("c2", "o2")))
+    assert(pairs(Chain(Pred("in"), Pred("part_of"))) ===
+      Set(("c1", "r1"), ("c2", "r1")))
+    assert(pairs(Alt(Pred("in"), Pred("part_of"))) ===
+      Set(("c1", "n1"), ("c2", "n2"), ("n1", "r1"), ("n2", "r1"), ("r1", "w")))
+    assert(pairs(Plus(Pred("part_of"), 4)) ===
+      Set(("n1", "r1"), ("n2", "r1"), ("r1", "w"), ("n1", "w"), ("n2", "w")))
+    // the full composite: orders up through every containment level
+    assert(pairs(Chain(Pred("placed_by"),
+      Plus(Alt(Pred("in"), Pred("part_of")), 4))) === Set(
+      ("o1", "n1"), ("o1", "r1"), ("o1", "w"),
+      ("o2", "n2"), ("o2", "r1"), ("o2", "w")))
+  }
+
   test("bgp OPTIONAL keeps unmatched solutions with null bindings") {
     val tri = triples.unionAll(Seq(
       ("o1", "ordered_by", "c1"), ("o2", "ordered_by", "c1"),
