@@ -1510,6 +1510,25 @@ object SparkEntry {
             concat(lit("o"), col("o_orderkey")).as("obj")))
       GraphQuery.pathPairs(tri, Chain(Inv(Pred("placed")),
         Plus(Alt(Pred("cust_nation"), Pred("in_region")), maxHops = 3)))
+    }),
+    // q102: WEIGHTED SHORTEST PATHS (bounded Bellman-Ford) — min
+    // relatedness-distance from the first order's parts over the
+    // co-purchase graph, weight = max(1, 100 - n_both), four relaxation
+    // supersteps; all-integer so DuckDB's hop-bounded recursive CTE
+    // reproduces every (node, cost) row value-exact.
+    "q102_weighted_paths" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val co = Cooccur.edges(li, col("l_orderkey"), col("l_partkey"),
+        minBoth = 2)
+      val w = greatest(lit(1L), lit(100L) - col("n_both"))
+      val e = co.select(col("item_a").as("src"), col("item_b").as("dst"),
+          w.as("w"))
+        .unionAll(co.select(col("item_b").as("src"), col("item_a").as("dst"),
+          w.as("w")))
+      val seeds = li
+        .join(li.agg(min(col("l_orderkey")).as("mo")), col("l_orderkey") === col("mo"))
+        .select(col("l_partkey").as("node"))
+      GraphMetrics.minCost(e, seeds, maxIters = 4)
     }))
 
   /** q94 fixture: the entity graph as typed-predicate triples. */
@@ -2519,7 +2538,27 @@ object SparkEntry {
         |inv AS (SELECT DISTINCT obj AS src, subj AS dst FROM tri
         |        WHERE pred = 'placed')
         |SELECT DISTINCT i.src, cl.dst
-        |FROM inv i JOIN cl ON cl.src = i.dst""".stripMargin)
+        |FROM inv i JOIN cl ON cl.src = i.dst""".stripMargin,
+    "q102_weighted_paths" ->
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |    FROM lineitem
+        |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pairs AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_both
+        |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ed AS (SELECT item_a AS src, item_b AS dst,
+        |    greatest(1, 100 - n_both)::BIGINT AS w FROM pairs
+        |  UNION ALL SELECT item_b, item_a, greatest(1, 100 - n_both)::BIGINT
+        |  FROM pairs),
+        |seeds AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+        |    WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem))
+        |SELECT node, min(cost)::BIGINT AS cost FROM (
+        |  WITH RECURSIVE p AS (
+        |    SELECT node, 0::BIGINT AS cost, 0 AS h FROM seeds
+        |    UNION
+        |    SELECT ed.dst, p.cost + ed.w, p.h + 1 FROM p
+        |    JOIN ed ON ed.src = p.node WHERE p.h < 4)
+        |  SELECT * FROM p) GROUP BY 1""".stripMargin)
 
   /** Shared CTE head for q97/q98 — mirrors [[eventObservations]]. */
   private val eventObservationsSql: String =

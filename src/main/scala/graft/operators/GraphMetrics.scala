@@ -148,6 +148,35 @@ object GraphMetrics {
     dist
   }
 
+  /** Bounded Bellman-Ford: per node, the MINIMUM total weight over paths
+    * of at most `maxIters` edges from any seed (integer weights ⇒ the
+    * result is exact and engine-independent; nodes unreachable within the
+    * bound are absent). Each superstep is one edge-scale relaxation join
+    * plus one node-scale min — the same shuffle shape as a PageRank
+    * superstep — and dist_k = min(dist_{k-1}, relax(dist_{k-1})) by
+    * construction, so after k supersteps the frame IS the ≤k-edge
+    * optimum (the property a recursive-CTE twin can replay).
+    * Caller contract: weights are non-negative (with the hop bound a
+    * negative weight would make "shortest within k hops" diverge from
+    * the fixed point a caller expects); null endpoints/weights are not
+    * edges.
+    */
+  def minCost(edges: DataFrame, seeds: DataFrame, maxIters: Int): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+    var dist = seeds.select(col("node")).where(col("node").isNotNull)
+      .distinct().withColumn("cost", lit(0L)).localCheckpoint()
+    for (_ <- 1 to maxIters) {
+      val relax = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (dist("cost") + e("w")).as("cost"))
+      dist = dist.unionAll(relax)
+        .groupBy("node").agg(min("cost").as("cost"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Synchronous label-propagation community detection over the
     * UNDIRECTED view of the edge table: every node starts labeled with
     * itself; each superstep every node adopts the most frequent label

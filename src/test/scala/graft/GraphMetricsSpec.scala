@@ -279,6 +279,32 @@ class GraphMetricsSpec extends SparkSpec {
     assert(r.values.forall(_ >= 0.15 - 1e-12))
   }
 
+  test("minCost: bounded Bellman-Ford vs a driver-local reference") {
+    // diamond with a tempting long-but-cheap path: s->a->b->t costs 3,
+    // s->t direct costs 10; plus a cycle and an unreachable island
+    val es = Seq(("s", "a", 1L), ("a", "b", 1L), ("b", "t", 1L),
+      ("s", "t", 10L), ("t", "s", 1L), ("x", "y", 2L))
+    val df = es.toDF("src", "dst", "w")
+    val seeds = Seq("s").toDF("node")
+    def local(iters: Int): Map[String, Long] = {
+      var dist = Map("s" -> 0L)
+      for (_ <- 1 to iters)
+        dist = (dist.toSeq ++ es.flatMap { case (u, v, w) =>
+          dist.get(u).map(c => v -> (c + w))
+        }).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      dist
+    }
+    for (it <- 1 to 4) {
+      val got = GraphMetrics.minCost(df, seeds, it).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === local(it), s"iters=$it")
+    }
+    val g4 = GraphMetrics.minCost(df, seeds, 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g4 === Map("s" -> 0L, "a" -> 1L, "b" -> 2L, "t" -> 3L))
+    assert(!g4.contains("x") && !g4.contains("y"), "island must be absent")
+  }
+
   /** Driver-local reference for the synchronous min-tie LPA. */
   private def localLpa(es: Seq[(String, String)], iters: Int): Map[String, String] = {
     val und = es ++ es.map(e => (e._2, e._1))
