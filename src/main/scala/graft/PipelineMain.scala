@@ -536,8 +536,17 @@ object PipelineMain {
         .select(col("subj").as("src"),
           concat(col("pred"), lit(":"), col("obj")).as("dst"))
       val iters = a.getOrElse("pagerank-iters", "5").toInt
-      val metrics = GraphMetrics.degrees(edges)
+      val base = GraphMetrics.degrees(edges)
         .join(GraphMetrics.pageRank(edges, iters), Seq("node"), "left")
+      // `--lpa-iters N` additionally labels every node with its
+      // label-propagation community (deterministic min-tie supersteps) —
+      // the coarse grouping canonical-entity selection ranks within
+      val metrics = a.get("lpa-iters").map(_.toInt) match {
+        case Some(li) if li > 0 =>
+          base.join(GraphMetrics.labelPropagation(edges, li)
+            .withColumnRenamed("label", "community"), Seq("node"), "left")
+        case _ => base
+      }
       write("s7_graph", metrics, Seq("s6_triples"))
     }
 
@@ -559,7 +568,7 @@ object PipelineMain {
 
   private val knownArgs = Set(
     "bloom-cols", "bloom-fpp", "convs", "cores", "extract-dates",
-    "from-stage", "graph-metrics", "pagerank-iters",
+    "from-stage", "graph-metrics", "lpa-iters", "pagerank-iters",
     "jdbc-batchsize", "jdbc-driver", "jdbc-table", "jdbc-url",
     "maintain", "maintain-compact-groups", "maintain-keep",
     "maintain-sort-by", "maintain-sort-groups", "maintain-vacuum-hours",
