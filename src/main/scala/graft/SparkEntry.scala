@@ -1529,6 +1529,33 @@ object SparkEntry {
         .join(li.agg(min(col("l_orderkey")).as("mo")), col("l_orderkey") === col("mo"))
         .select(col("l_partkey").as("node"))
       GraphMetrics.minCost(e, seeds, maxIters = 4)
+    }),
+    // q103: INCREMENTAL VIEW MAINTENANCE — degrees materialized at v1 of
+    // a versioned supplier→part edge table, then maintained purely from
+    // the change feed across an append, a copy-on-write range delete and
+    // a dst-rewiring MERGE (update pre/post images exercised); DuckDB
+    // recomputes degrees from scratch over the FINAL table state, so the
+    // compare proves fold(changes) == full recompute, value-exact.
+    "q103_ivm_degrees" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      implicit val sp: SparkSession = s
+      val edges = t(s, d, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("eid"),
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      val mx = edges.agg(max("eid")).collect()(0).getLong(0)
+      val (lo, hi) = (mx / 3, 2 * (mx / 3))
+      val table = java.nio.file.Files.createTempDirectory("graft-vt-ivm").toString
+      VersionedTable.setChangeCapture(table, enabled = true)
+      VersionedTable.overwrite(edges.where(pmod(col("eid"), lit(3)) === 0), table)
+      VersionedTable.append(edges.where(pmod(col("eid"), lit(3)) === 1), table)
+      VersionedTable.deleteRange(table, "eid", lo, hi)
+      VersionedTable.merge(edges.where(pmod(col("eid"), lit(7)) === 0)
+        .withColumn("dst", lit("p0")), table, "eid")
+      val base = GraphMetrics.degrees(VersionedTable.readAsOf(table, 1))
+      val tip = VersionedTable.versions(table).last.seq
+      GraphMetrics.applyDegreeChanges(base,
+        VersionedTable.readChangeFeed(table, 1, tip))
     }))
 
   /** q94 fixture: the entity graph as typed-predicate triples. */
@@ -2558,7 +2585,29 @@ object SparkEntry {
         |    UNION
         |    SELECT ed.dst, p.cost + ed.w, p.h + 1 FROM p
         |    JOIN ed ON ed.src = p.node WHERE p.h < 4)
-        |  SELECT * FROM p) GROUP BY 1""".stripMargin)
+        |  SELECT * FROM p) GROUP BY 1""".stripMargin,
+    "q103_ivm_degrees" ->
+      """WITH e AS (SELECT l_orderkey * 10 + l_linenumber AS eid,
+        |    's' || l_suppkey AS src, 'p' || l_partkey AS dst
+        |  FROM lineitem),
+        |mx AS (SELECT max(eid) AS m FROM e),
+        |base AS (SELECT * FROM e
+        |  WHERE eid % 3 IN (0, 1)
+        |    AND NOT (eid >= (SELECT m // 3 FROM mx)
+        |             AND eid <= (SELECT 2 * (m // 3) FROM mx))),
+        |batch AS (SELECT eid, src, 'p0' AS dst FROM e WHERE eid % 7 = 0),
+        |fin AS (SELECT src, dst FROM base
+        |    WHERE eid NOT IN (SELECT eid FROM batch)
+        |  UNION ALL SELECT src, dst FROM batch)
+        |SELECT node,
+        |  coalesce(o.out_deg, 0)::BIGINT AS out_deg,
+        |  coalesce(i.in_deg, 0)::BIGINT AS in_deg
+        |FROM (SELECT DISTINCT node FROM
+        |    (SELECT src AS node FROM fin UNION ALL SELECT dst FROM fin)) n
+        |LEFT JOIN (SELECT src, count(*) AS out_deg FROM fin GROUP BY 1) o
+        |  ON o.src = n.node
+        |LEFT JOIN (SELECT dst, count(*) AS in_deg FROM fin GROUP BY 1) i
+        |  ON i.dst = n.node""".stripMargin)
 
   /** Shared CTE head for q97/q98 — mirrors [[eventObservations]]. */
   private val eventObservationsSql: String =

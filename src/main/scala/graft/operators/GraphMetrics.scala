@@ -148,6 +148,42 @@ object GraphMetrics {
     dist
   }
 
+  /** Incremental view maintenance for [[degrees]]: fold a CHANGE FEED of
+    * edge rows (VersionedTable.readChangeFeed shape — `src`, `dst`,
+    * `_change_type` ∈ insert / delete / update_preimage /
+    * update_postimage) into a previously materialized degree frame.
+    * Inserts and post-images count +1, deletes and pre-images −1; nodes
+    * whose both degrees reach zero drop out, so the result equals
+    * [[degrees]] recomputed over the new table state — at O(|changes|)
+    * work plus one node-scale outer join, never O(table). An unknown
+    * change type fails the job loudly (a silently skipped delta would
+    * corrupt every downstream read of the maintained view). Caller
+    * contract: the feed actually follows `prev` (a delete of an edge the
+    * view never saw would drive a degree negative, as it would any IVM).
+    */
+  def applyDegreeChanges(prev: DataFrame, changes: DataFrame): DataFrame = {
+    val sgn = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+      .otherwise(raise_error(concat(
+        lit("applyDegreeChanges: unknown _change_type "),
+        col("_change_type"))))
+    val signed = changes
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst"), sgn.as("sgn"))
+    val dOut = signed.groupBy(col("src").as("node"))
+      .agg(sum(col("sgn")).as("d_out"))
+    val dIn = signed.groupBy(col("dst").as("node"))
+      .agg(sum(col("sgn")).as("d_in"))
+    prev
+      .join(dOut.join(dIn, Seq("node"), "full_outer"), Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("out_deg"), lit(0L)) + coalesce(col("d_out"), lit(0L)))
+          .as("out_deg"),
+        (coalesce(col("in_deg"), lit(0L)) + coalesce(col("d_in"), lit(0L)))
+          .as("in_deg"))
+      .where(col("out_deg") =!= 0L || col("in_deg") =!= 0L)
+  }
+
   /** Bounded Bellman-Ford: per node, the MINIMUM total weight over paths
     * of at most `maxIters` edges from any seed (integer weights ⇒ the
     * result is exact and engine-independent; nodes unreachable within the

@@ -279,6 +279,29 @@ class GraphMetricsSpec extends SparkSpec {
     assert(r.values.forall(_ >= 0.15 - 1e-12))
   }
 
+  test("applyDegreeChanges: folded feed == full recompute; unknown type raises") {
+    def degMap(df: DataFrame): Map[String, (Long, Long)] =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val before = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("x", "y"))
+      .toDF("src", "dst")
+    // insert (c,d); delete (a,b); rewire (b,c)->(b,d); delete x's only edge
+    val changes = Seq(
+      ("c", "d", "insert"), ("a", "b", "delete"),
+      ("b", "c", "update_preimage"), ("b", "d", "update_postimage"),
+      ("x", "y", "delete")
+    ).toDF("src", "dst", "_change_type")
+    val after = Seq(("a", "c"), ("b", "d"), ("c", "d")).toDF("src", "dst")
+    val got = GraphMetrics.applyDegreeChanges(GraphMetrics.degrees(before), changes)
+    assert(degMap(got) === degMap(GraphMetrics.degrees(after)))
+    assert(!degMap(got).contains("x") && !degMap(got).contains("y"),
+      "fully-unwound nodes must drop out")
+    val bad = Seq(("a", "b", "upsert")).toDF("src", "dst", "_change_type")
+    val e = intercept[Exception] {
+      GraphMetrics.applyDegreeChanges(GraphMetrics.degrees(before), bad).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null) // raised, not skipped
+  }
+
   test("minCost: bounded Bellman-Ford vs a driver-local reference") {
     // diamond with a tempting long-but-cheap path: s->a->b->t costs 3,
     // s->t direct costs 10; plus a cycle and an unreachable island
