@@ -1556,7 +1556,20 @@ object SparkEntry {
       val tip = VersionedTable.versions(table).last.seq
       GraphMetrics.applyDegreeChanges(base,
         VersionedTable.readChangeFeed(table, 1, tip))
-    }))
+    }),
+    // q104: the SPARQL-LITE TEXT FRONT-END — a query string (BGP +
+    // VALUES + FILTER + DISTINCT) parsed and planned through the same
+    // machinery as the programmatic API; the DuckDB twin is the
+    // equivalent relational query, so the gate covers tokenizer, parser
+    // and planner end to end.
+    "q104_sparql_text" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT DISTINCT ?s ?n WHERE {
+          |  ?s supp_nation ?n .
+          |  ?n in_region ?r .
+          |  VALUES ?r { rEUROPE rASIA } .
+          |  FILTER ( ?n != nGERMANY )
+          |}""".stripMargin)))
 
   /** q94 fixture: the entity graph as typed-predicate triples. */
   private def bgpTriples(s: SparkSession, d: String): DataFrame = {
@@ -2607,7 +2620,19 @@ object SparkEntry {
         |LEFT JOIN (SELECT src, count(*) AS out_deg FROM fin GROUP BY 1) o
         |  ON o.src = n.node
         |LEFT JOIN (SELECT dst, count(*) AS in_deg FROM fin GROUP BY 1) i
-        |  ON i.dst = n.node""".stripMargin)
+        |  ON i.dst = n.node""".stripMargin,
+    "q104_sparql_text" ->
+      """WITH tri AS (
+        |  SELECT 's' || s_suppkey AS subj, 'supp_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |SELECT DISTINCT t1.subj AS s, t1.obj AS n
+        |FROM tri t1
+        |JOIN tri t2 ON t2.pred = 'in_region' AND t2.subj = t1.obj
+        |  AND t2.obj IN ('rEUROPE', 'rASIA')
+        |WHERE t1.pred = 'supp_nation' AND t1.obj <> 'nGERMANY'""".stripMargin)
 
   /** Shared CTE head for q97/q98 — mirrors [[eventObservations]]. */
   private val eventObservationsSql: String =

@@ -80,9 +80,9 @@ object GraphQuery {
     * (`"?name"`) or a constant matched against the triple table.
     */
   final case class TriplePattern(s: String, p: String, o: String) {
-    private[GraphQuery] def slots: Seq[(String, String)] =
+    private[operators] def slots: Seq[(String, String)] =
       Seq("subj" -> s, "pred" -> p, "obj" -> o)
-    private[GraphQuery] def vars: Seq[String] =
+    private[operators] def vars: Seq[String] =
       slots.collect { case (_, t) if t.startsWith("?") => t.stripPrefix("?") }
         .distinct
   }

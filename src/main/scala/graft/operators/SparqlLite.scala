@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphQuery.TriplePattern
+
+/** A SPARQL-lite text front-end over [[GraphQuery]]: parses the restricted
+  * grammar below into triple patterns and plans it with the same
+  * constant-filtered-scan + shared-variable-join machinery the
+  * programmatic API uses, so a query text and its hand-built
+  * [[GraphQuery.bgpMatch]] equivalent produce the identical DataFrame.
+  *
+  * Grammar (whitespace-separated; `#` comments to end of line):
+  * {{{
+  * query  := SELECT DISTINCT? (?var+ | *) WHERE { item ('.' item)* '.'? } (LIMIT n)?
+  * item   := term term term                       -- a triple pattern
+  *         | OPTIONAL { triple ('.' triple)* }    -- one left-joined group
+  *         | FILTER ( operand op operand )        -- op: = != < <= > >=
+  *         | VALUES ?var { const+ }               -- inline allowed values
+  * term   := ?var | 'quoted literal' | "quoted" | <iri> | bare-word
+  * }}}
+  *
+  * Documented restrictions vs full SPARQL: FILTERs apply to the complete
+  * binding frame (top-level scope only), OPTIONAL groups contain only
+  * triples, numeric comparison is used when the literal side parses as a
+  * number (bindings cast to double), string comparison otherwise, and
+  * `a`/prefixed-name sugar is not expanded — terms match the triple
+  * table's values verbatim.
+  */
+object SparqlLite {
+
+  // ------------------------------------------------------------------ AST
+
+  private final case class Filter(a: String, op: String, b: String)
+  private final case class Values(v: String, consts: Seq[String])
+  private final case class Query(distinct: Boolean, select: Seq[String],
+      patterns: Seq[TriplePattern], optionals: Seq[Seq[TriplePattern]],
+      filters: Seq[Filter], values: Seq[Values], limit: Option[Int])
+
+  // ------------------------------------------------------------ tokenizer
+
+  /** Tokens: quoted strings (kept with a `'` sentinel prefix), `<iri>`
+    * (brackets stripped), punctuation `{ } ( ) .` as single tokens,
+    * everything else whitespace-delimited words.
+    */
+  private[operators] def tokenize(q: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '#') { while (i < n && q.charAt(i) != '\n') i += 1 }
+      else if (c == '\'' || c == '"') {
+        val j = q.indexOf(c, i + 1)
+        require(j >= 0, s"unterminated ${c} quote at offset $i")
+        out += ("'" + q.substring(i + 1, j)) // sentinel marks "literal"
+        i = j + 1
+      } else if (c == '<') {
+        val j = q.indexOf('>', i + 1)
+        require(j >= 0, s"unterminated <iri> at offset $i")
+        out += ("'" + q.substring(i + 1, j))
+        i = j + 1
+      } else if ("{}().".contains(c)) { out += c.toString; i += 1 }
+      else {
+        val j0 = i
+        while (i < n && !q.charAt(i).isWhitespace &&
+          !"{}().#'\"<".contains(q.charAt(i))) i += 1
+        out += q.substring(j0, i)
+      }
+    }
+    out.toSeq
+  }
+
+  // --------------------------------------------------------------- parser
+
+  private def parse(text: String): Query = {
+    val ts = tokenize(text)
+    var i = 0
+    def peek: String = if (i < ts.length) ts(i) else
+      throw new IllegalArgumentException("unexpected end of query")
+    def next(): String = { val t = peek; i += 1; t }
+    def expect(kw: String): Unit = {
+      val t = next()
+      require(t.equalsIgnoreCase(kw), s"expected $kw, got $t")
+    }
+    // a term in pattern position: strip the literal sentinel; vars keep '?'
+    def term(): String = {
+      val t = next()
+      if (t.startsWith("'")) t.substring(1) else t
+    }
+
+    expect("SELECT")
+    val distinct = peek.equalsIgnoreCase("DISTINCT") && { next(); true }
+    val select = scala.collection.mutable.ArrayBuffer.empty[String]
+    var star = false
+    while (!peek.equalsIgnoreCase("WHERE")) {
+      val t = next()
+      if (t == "*") star = true
+      else {
+        require(t.startsWith("?"), s"SELECT list takes ?vars or *, got $t")
+        select += t.stripPrefix("?")
+      }
+    }
+    expect("WHERE"); expect("{")
+
+    val patterns = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
+    val optionals = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
+    val filters = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Values]
+
+    def tripleList(): Seq[TriplePattern] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
+      while (peek != "}") {
+        acc += TriplePattern(term(), term(), term())
+        if (peek == ".") next()
+      }
+      acc.toSeq
+    }
+
+    while (peek != "}") {
+      if (peek.equalsIgnoreCase("OPTIONAL")) {
+        next(); expect("{")
+        val g = tripleList()
+        require(g.nonEmpty, "empty OPTIONAL group")
+        expect("}")
+        optionals += g
+      } else if (peek.equalsIgnoreCase("FILTER")) {
+        next(); expect("(")
+        val a = term()
+        val op = next()
+        require(Seq("=", "!=", "<", "<=", ">", ">=").contains(op),
+          s"unsupported FILTER operator $op")
+        val b = term()
+        expect(")")
+        filters += Filter(a, op, b)
+      } else if (peek.equalsIgnoreCase("VALUES")) {
+        next()
+        val v = next()
+        require(v.startsWith("?"), s"VALUES takes a ?var, got $v")
+        expect("{")
+        val consts = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (peek != "}") consts += term()
+        expect("}")
+        require(consts.nonEmpty, "empty VALUES set")
+        values += Values(v.stripPrefix("?"), consts.toSeq)
+      } else {
+        patterns += TriplePattern(term(), term(), term())
+      }
+      if (peek == ".") next()
+    }
+    expect("}")
+    val limit =
+      if (i < ts.length && peek.equalsIgnoreCase("LIMIT")) {
+        next(); Some(next().toInt)
+      } else None
+    require(i == ts.length, s"trailing tokens after query: ${ts.drop(i).mkString(" ")}")
+    require(patterns.nonEmpty, "query has no required triple pattern")
+
+    val bound = (patterns ++ optionals.flatten).flatMap(_.vars).distinct.toList
+    val sel = if (star) bound else select.toList
+    require(sel.nonEmpty, "empty SELECT list")
+    sel.foreach(v => require(bound.contains(v), s"SELECT ?$v is unbound"))
+    (filters.flatMap(f => Seq(f.a, f.b)) ++ values.map("?" + _.v))
+      .filter(_.startsWith("?")).map(_.stripPrefix("?"))
+      .foreach(v => require(bound.contains(v), s"FILTER/VALUES ?$v is unbound"))
+    Query(distinct, sel, patterns.toSeq, optionals.map(_.toSeq).toSeq,
+      filters.toSeq, values.toSeq, limit)
+  }
+
+  // -------------------------------------------------------------- planner
+
+  /** Parse and plan `queryText` against a (subj, pred, obj) triple table. */
+  def sparql(triples: DataFrame, queryText: String): DataFrame = {
+    val q = parse(queryText)
+    var df = GraphQuery.bgpMatch(triples, q.patterns)
+    q.optionals.foreach { g =>
+      val f = GraphQuery.bgpMatch(triples, g)
+      val shared = df.columns.toSeq.intersect(f.columns.toSeq)
+      require(shared.nonEmpty,
+        s"OPTIONAL group $g shares no variable with the preceding graph")
+      df = df.join(f, shared, "left")
+    }
+    q.values.foreach { v =>
+      df = df.where(col(v.v).isInCollection(v.consts))
+    }
+    q.filters.foreach { f =>
+      def side(t: String, other: String): Column =
+        if (t.startsWith("?")) {
+          // numeric comparison when the OTHER side is a number literal
+          if (!other.startsWith("?") && scala.util.Try(other.toDouble).isSuccess)
+            col(t.stripPrefix("?")).cast("double")
+          else col(t.stripPrefix("?"))
+        } else if (scala.util.Try(t.toDouble).isSuccess && other.startsWith("?"))
+          lit(t.toDouble)
+        else lit(t)
+      val (a, b) = (side(f.a, f.b), side(f.b, f.a))
+      df = df.where(f.op match {
+        case "="  => a === b
+        case "!=" => a =!= b
+        case "<"  => a < b
+        case "<=" => a <= b
+        case ">"  => a > b
+        case ">=" => a >= b
+      })
+    }
+    var out = df.select(q.select.map(col): _*)
+    if (q.distinct) out = out.distinct()
+    q.limit.foreach(n => out = out.limit(n))
+    out
+  }
+}

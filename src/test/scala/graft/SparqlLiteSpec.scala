@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{GraphQuery, SparqlLite}
+import graft.operators.GraphQuery.TriplePattern
+
+/** The SPARQL-lite front-end: text == programmatic-API equivalence, every
+  * clause (DISTINCT, OPTIONAL, FILTER, VALUES, LIMIT, star), tokenizer
+  * corners, and loud rejection of malformed queries.
+  */
+class SparqlLiteSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val tri: DataFrame = Seq(
+    ("c1", "in_nation", "de"), ("c2", "in_nation", "de"),
+    ("c3", "in_nation", "fr"), ("c4", "in_nation", "fr"),
+    ("de", "in_region", "europe"), ("fr", "in_region", "europe"),
+    ("c1", "age", "31"), ("c2", "age", "9"), ("c3", "age", "40"),
+    ("o1", "ordered_by", "c1"), ("o2", "ordered_by", "c1")
+  ).toDF("subj", "pred", "obj").cache()
+
+  private def rows(df: DataFrame): Set[Seq[String]] =
+    df.collect().map(_.toSeq.map(v => if (v == null) null else v.toString)).toSet
+
+  test("query text plans identically to the programmatic API") {
+    val text = SparqlLite.sparql(tri,
+      "SELECT ?c ?n WHERE { ?c in_nation ?n . ?n in_region europe }")
+    val api = GraphQuery.bgpMatch(tri, Seq(
+      TriplePattern("?c", "in_nation", "?n"),
+      TriplePattern("?n", "in_region", "europe")))
+      .select("c", "n")
+    assert(text.columns.toSeq === api.columns.toSeq)
+    assert(rows(text) === rows(api))
+    assert(rows(text).size === 4)
+  }
+
+  test("OPTIONAL group left-joins; unmatched rows keep null bindings") {
+    val got = SparqlLite.sparql(tri,
+      """SELECT ?c ?o WHERE {
+        |  ?c in_nation ?n .
+        |  OPTIONAL { ?o ordered_by ?c }
+        |}""".stripMargin)
+    assert(rows(got) === Set(Seq("c1", "o1"), Seq("c1", "o2"),
+      Seq("c2", null), Seq("c3", null), Seq("c4", null)))
+  }
+
+  test("FILTER: string inequality on a binding, numeric compare vs a literal") {
+    val ne = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c in_nation ?n . FILTER ( ?n != de ) }")
+    assert(rows(ne) === Set(Seq("c3"), Seq("c4")))
+    // numeric: lexically '9' > '31' but numerically 9 < 31
+    val num = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( ?a >= 31 ) }")
+    assert(rows(num) === Set(Seq("c1"), Seq("c3")))
+  }
+
+  test("VALUES restricts a binding; quoted and <iri> terms tokenize") {
+    val got = SparqlLite.sparql(tri,
+      """SELECT ?c WHERE {
+        |  ?c <in_nation> ?n . VALUES ?n { 'de' }
+        |}""".stripMargin)
+    assert(rows(got) === Set(Seq("c1"), Seq("c2")))
+  }
+
+  test("DISTINCT, SELECT *, LIMIT, comments") {
+    val d = SparqlLite.sparql(tri,
+      "SELECT DISTINCT ?n WHERE { ?c in_nation ?n } # trailing comment")
+    assert(rows(d) === Set(Seq("de"), Seq("fr")))
+    val star = SparqlLite.sparql(tri,
+      "SELECT * WHERE { ?c in_nation ?n . ?n in_region ?r }")
+    assert(star.columns.toSeq === Seq("c", "n", "r"))
+    assert(SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c in_nation de . } LIMIT 1").count() === 1)
+  }
+
+  test("malformed queries are rejected loudly") {
+    def bad(q: String): Unit =
+      intercept[IllegalArgumentException](SparqlLite.sparql(tri, q))
+    bad("SELECT ?c WHERE { ?c in_nation }")              // 2-term pattern
+    bad("SELECT ?x WHERE { ?c in_nation ?n }")           // unbound select
+    bad("SELECT ?c WHERE { ?c in_nation ?n . FILTER ( ?z = de ) }") // unbound filter
+    bad("SELECT ?c WHERE { c1 in_nation de }")           // var-free pattern
+    bad("SELECT ?c WHERE { ?c in_nation ?n } extra")     // trailing tokens
+    bad("SELECT ?c WHERE { ?c in_nation 'de }")          // unterminated quote
+    bad("SELECT ?c WHERE { OPTIONAL { ?o ordered_by ?c } }") // no required
+  }
+}
