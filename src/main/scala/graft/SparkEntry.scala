@@ -1569,7 +1569,33 @@ object SparkEntry {
           |  ?n in_region ?r .
           |  VALUES ?r { rEUROPE rASIA } .
           |  FILTER ( ?n != nGERMANY )
-          |}""".stripMargin)))
+          |}""".stripMargin)),
+    // q105: RDFS-LITE INFERENCE — forward-chaining entailment of a
+    // 12-row ontology (subPropertyOf chain, domain/range keyed to the
+    // SUPER-property-inherited triples, 2-level subClassOf) over the
+    // customer/nation containment triples; the rule set stratifies, so
+    // both engines compute the fixpoint in one dependency-ordered pass
+    // (schema closures via recursive CTEs in the twin) and the entailed
+    // set matches value-exact.
+    "q105_rdfs_closure" -> ((s, d) => {
+      import s.implicits._
+      val schema = Seq(
+        ("cust_nation", "subPropertyOf", "located_in"),
+        ("in_region", "subPropertyOf", "located_in"),
+        ("located_in", "subPropertyOf", "related_to"),
+        ("cust_nation", "domain", "Customer"),
+        ("cust_nation", "range", "Nation"),
+        ("in_region", "domain", "Nation"),
+        ("in_region", "range", "Region"),
+        ("Nation", "subClassOf", "Place"),
+        ("Region", "subClassOf", "Place"),
+        ("Customer", "subClassOf", "Agent"),
+        ("Agent", "subClassOf", "Resource"),
+        ("Place", "subClassOf", "Resource")
+      ).toDF("subj", "pred", "obj")
+      Reasoner.rdfsClosure(
+        bgpTriples(s, d).where(col("pred") =!= "supp_nation"), schema)
+    }))
 
   /** q94 fixture: the entity graph as typed-predicate triples. */
   private def bgpTriples(s: SparkSession, d: String): DataFrame = {
@@ -2632,7 +2658,58 @@ object SparkEntry {
         |FROM tri t1
         |JOIN tri t2 ON t2.pred = 'in_region' AND t2.subj = t1.obj
         |  AND t2.obj IN ('rEUROPE', 'rASIA')
-        |WHERE t1.pred = 'supp_nation' AND t1.obj <> 'nGERMANY'""".stripMargin)
+        |WHERE t1.pred = 'supp_nation' AND t1.obj <> 'nGERMANY'""".stripMargin,
+    "q105_rdfs_closure" ->
+      """WITH dp AS (
+        |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |sch AS (SELECT * FROM (VALUES
+        |  ('cust_nation', 'subPropertyOf', 'located_in'),
+        |  ('in_region', 'subPropertyOf', 'located_in'),
+        |  ('located_in', 'subPropertyOf', 'related_to'),
+        |  ('cust_nation', 'domain', 'Customer'),
+        |  ('cust_nation', 'range', 'Nation'),
+        |  ('in_region', 'domain', 'Nation'),
+        |  ('in_region', 'range', 'Region'),
+        |  ('Nation', 'subClassOf', 'Place'),
+        |  ('Region', 'subClassOf', 'Place'),
+        |  ('Customer', 'subClassOf', 'Agent'),
+        |  ('Agent', 'subClassOf', 'Resource'),
+        |  ('Place', 'subClassOf', 'Resource')) v(subj, pred, obj)),
+        |sp AS (SELECT DISTINCT src, dst FROM (
+        |  WITH RECURSIVE c AS (
+        |    SELECT subj AS src, obj AS dst FROM sch
+        |      WHERE pred = 'subPropertyOf'
+        |    UNION
+        |    SELECT c.src, s.obj FROM c JOIN sch s
+        |      ON s.pred = 'subPropertyOf' AND s.subj = c.dst)
+        |  SELECT * FROM c)),
+        |sc AS (SELECT DISTINCT src, dst FROM (
+        |  WITH RECURSIVE c AS (
+        |    SELECT subj AS src, obj AS dst FROM sch WHERE pred = 'subClassOf'
+        |    UNION
+        |    SELECT c.src, s.obj FROM c JOIN sch s
+        |      ON s.pred = 'subClassOf' AND s.subj = c.dst)
+        |  SELECT * FROM c)),
+        |allprop AS (SELECT DISTINCT subj, pred, obj FROM (
+        |  SELECT * FROM dp
+        |  UNION ALL SELECT d.subj, sp.dst, d.obj FROM dp d
+        |    JOIN sp ON sp.src = d.pred)),
+        |bt AS (
+        |  SELECT d.subj, k.obj AS cls FROM allprop d
+        |    JOIN sch k ON k.pred = 'domain' AND k.subj = d.pred
+        |  UNION ALL
+        |  SELECT d.obj, k.obj FROM allprop d
+        |    JOIN sch k ON k.pred = 'range' AND k.subj = d.pred),
+        |att AS (SELECT DISTINCT subj, 'type' AS pred, cls AS obj FROM (
+        |  SELECT * FROM bt
+        |  UNION ALL SELECT bt.subj, sc.dst FROM bt
+        |    JOIN sc ON sc.src = bt.cls))
+        |SELECT subj, pred, obj FROM allprop
+        |UNION SELECT subj, pred, obj FROM att""".stripMargin)
 
   /** Shared CTE head for q97/q98 — mirrors [[eventObservations]]. */
   private val eventObservationsSql: String =

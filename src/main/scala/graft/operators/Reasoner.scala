@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RDFS-lite forward-chaining inference over a (subj, pred, obj) triple
+  * table: materializes the entailment of the four schema vocabularies
+  *
+  *  - `subPropertyOf` (rdfs5 transitivity + rdfs7 property inheritance)
+  *  - `subClassOf`    (rdfs11 transitivity + rdfs9 type propagation)
+  *  - `domain`        (rdfs2: s p o ∧ p domain C ⊢ s type C)
+  *  - `range`         (rdfs3: s p o ∧ p range D ⊢ o type D)
+  *
+  * The rule set stratifies, so ONE pass in dependency order yields the
+  * full fixpoint with no unbounded loop: close subPropertyOf (schema-
+  * scale), inherit property triples up it, apply domain/range to the
+  * inherited set (their type conclusions feed only rdfs9), close
+  * subClassOf, propagate types up it. The two closures run over SCHEMA
+  * triples (vocabulary-sized, broadcast-friendly); every data-scale step
+  * is a single equi-join against one of them — at 10^12 data triples the
+  * plan is three broadcast joins and a distinct, never an iterative
+  * data-scale fixpoint.
+  *
+  * Conventions: schema rows use the pred names above verbatim; data type
+  * assertions use `typePred` (default "type"). Output = data triples ∪
+  * every entailed triple, distinct (set semantics, as entailment is).
+  */
+object Reasoner {
+
+  def rdfsClosure(data: DataFrame, schema: DataFrame,
+      typePred: String = "type", maxDepth: Int = 16): DataFrame = {
+    def pairsOf(p: String): DataFrame = {
+      val direct = schema.where(col("pred") === lit(p))
+        .select(col("subj").as("src"), col("obj").as("dst"))
+      GraphQuery.transitiveClosure(direct, maxDepth)
+        .select(col("src"), col("dst"))
+    }
+    val subProp = pairsOf("subPropertyOf")
+    val subClass = pairsOf("subClassOf")
+
+    val typed = data.where(col("pred") === lit(typePred))
+      .select(col("subj"), col("obj"))
+    val plain = data.where(col("pred") =!= lit(typePred))
+      .select(col("subj"), col("pred"), col("obj"))
+
+    // rdfs7: inherit each property triple up the closed hierarchy
+    val inherited = plain
+      .join(subProp.withColumnRenamed("src", "pred"), Seq("pred"))
+      .select(col("subj"), col("dst").as("pred"), col("obj"))
+    val allProp = plain.unionAll(inherited).distinct()
+
+    // rdfs2/rdfs3 over the INHERITED set (a triple entailed via rdfs7
+    // carries its super-property's domain/range)
+    val domK = schema.where(col("pred") === "domain")
+      .select(col("subj").as("pred"), col("obj").as("cls"))
+    val rngK = schema.where(col("pred") === "range")
+      .select(col("subj").as("pred"), col("obj").as("cls"))
+    val domTypes = allProp.join(domK, Seq("pred"))
+      .select(col("subj"), col("cls").as("obj"))
+    val rngTypes = allProp.join(rngK, Seq("pred"))
+      .select(col("obj").as("subj"), col("cls").as("obj"))
+    val baseTypes = typed.unionAll(domTypes).unionAll(rngTypes)
+
+    // rdfs9: propagate every type assertion up the closed class hierarchy
+    val superTypes = baseTypes
+      .join(subClass.withColumnRenamed("src", "obj"), Seq("obj"))
+      .select(col("subj"), col("dst").as("obj"))
+    val allTypes = baseTypes.unionAll(superTypes)
+      .select(col("subj"), lit(typePred).as("pred"), col("obj")).distinct()
+
+    allProp.unionAll(allTypes).distinct()
+  }
+}
