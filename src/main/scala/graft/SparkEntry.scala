@@ -1595,6 +1595,38 @@ object SparkEntry {
       ).toDF("subj", "pred", "obj")
       Reasoner.rdfsClosure(
         bgpTriples(s, d).where(col("pred") =!= "supp_nation"), schema)
+    }),
+    // q106: owl:sameAs SMUSHING — alias chains (b→a→canonical customer,
+    // alias nations) collapse to their lexicographic-min representative,
+    // duplicate assertions made under aliases merge into one row, alias
+    // OBJECTS rewrite too, and the links themselves are consumed; DuckDB
+    // recomputes the canonical map via a bounded undirected closure and
+    // the smushed triple sets match value-exact.
+    "q106_sameas_smush" -> ((s, d) => {
+      val cn = t(s, d, "customer").join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("k"), col("n_name").as("nm"))
+      def tri(subj: Column, pred: String, obj: Column) =
+        Seq(subj.as("subj"), lit(pred).as("pred"), obj.as("obj"))
+      val base = cn.select(tri(concat(lit("c"), col("k")), "cust_nation",
+        concat(lit("n"), col("nm"))): _*)
+      val aliasAssert = cn.where(pmod(col("k"), lit(7)) === 0)
+        .select(tri(concat(lit("a"), col("k")), "cust_nation",
+          concat(lit("n"), col("nm"))): _*)
+      val aliasObj = cn.where(pmod(col("k"), lit(11)) === 0)
+        .select(tri(concat(lit("c"), col("k")), "cust_nation",
+          concat(lit("x"), col("nm"))): _*)
+      val links = cn.where(pmod(col("k"), lit(7)) === 0)
+        .select(tri(concat(lit("a"), col("k")), "sameAs",
+          concat(lit("c"), col("k"))): _*)
+        .unionAll(cn.where(pmod(col("k"), lit(14)) === 0)
+          .select(tri(concat(lit("b"), col("k")), "sameAs",
+            concat(lit("a"), col("k"))): _*))
+        .unionAll(t(s, d, "nation")
+          .select(tri(concat(lit("x"), col("n_name")), "sameAs",
+            concat(lit("n"), col("n_name"))): _*))
+      Reasoner.smushSameAs(
+        base.unionAll(aliasAssert).unionAll(aliasObj).unionAll(links))
     }))
 
   /** q94 fixture: the entity graph as typed-predicate triples. */
@@ -2709,7 +2741,38 @@ object SparkEntry {
         |  UNION ALL SELECT bt.subj, sc.dst FROM bt
         |    JOIN sc ON sc.src = bt.cls))
         |SELECT subj, pred, obj FROM allprop
-        |UNION SELECT subj, pred, obj FROM att""".stripMargin)
+        |UNION SELECT subj, pred, obj FROM att""".stripMargin,
+    "q106_sameas_smush" ->
+      """WITH cn AS (SELECT c_custkey AS k, n_name AS nm
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |tri AS (
+        |  SELECT 'c' || k AS subj, 'cust_nation' AS pred,
+        |      'n' || nm AS obj FROM cn
+        |  UNION ALL SELECT 'a' || k, 'cust_nation', 'n' || nm FROM cn
+        |    WHERE k % 7 = 0
+        |  UNION ALL SELECT 'c' || k, 'cust_nation', 'x' || nm FROM cn
+        |    WHERE k % 11 = 0),
+        |links AS (
+        |  SELECT 'a' || k AS src, 'c' || k AS dst FROM cn WHERE k % 7 = 0
+        |  UNION ALL SELECT 'b' || k, 'a' || k FROM cn WHERE k % 14 = 0
+        |  UNION ALL SELECT 'x' || n_name, 'n' || n_name FROM nation),
+        |und AS (SELECT src, dst FROM links
+        |  UNION SELECT dst, src FROM links),
+        |cl AS (SELECT src, dst FROM (
+        |  WITH RECURSIVE c AS (
+        |    SELECT src, dst, 1 AS h FROM und
+        |    UNION
+        |    SELECT c.src, u.dst, c.h + 1 FROM c
+        |    JOIN und u ON u.src = c.dst WHERE c.h < 4)
+        |  SELECT * FROM c)),
+        |canon AS (SELECT node, min(lbl) AS label FROM (
+        |    SELECT src AS node, dst AS lbl FROM cl
+        |    UNION SELECT src, src FROM cl) GROUP BY 1)
+        |SELECT DISTINCT coalesce(cs.label, t.subj) AS subj, t.pred,
+        |  coalesce(co.label, t.obj) AS obj
+        |FROM tri t
+        |LEFT JOIN canon cs ON cs.node = t.subj
+        |LEFT JOIN canon co ON co.node = t.obj""".stripMargin)
 
   /** Shared CTE head for q97/q98 — mirrors [[eventObservations]]. */
   private val eventObservationsSql: String =

@@ -70,4 +70,48 @@ object Reasoner {
 
     allProp.unionAll(allTypes).distinct()
   }
+
+  /** owl:sameAs smushing — canonicalization applied to the triple table:
+    * every subject/object is rewritten to its identity-component
+    * representative (lexicographic min over the undirected `sameAsPred`
+    * graph) and the sameAs links themselves are consumed, so downstream
+    * consumers see ONE node per real-world entity. Labels propagate by
+    * synchronous neighbor-min supersteps; identity-link components are
+    * tiny by construction (linking emits pairs/cliques around one
+    * entity), and an unconverged exit THROWS after a final stability
+    * probe rather than letting stale labels smush incorrectly. The
+    * label frame is link-scale, never triple-scale; the rewrite itself
+    * is two broadcast-friendly joins over the data.
+    */
+  def smushSameAs(data: DataFrame, sameAsPred: String = "sameAs",
+      maxIter: Int = 10): DataFrame = {
+    val links = data.where(col("pred") === lit(sameAsPred))
+      .select(col("subj").as("src"), col("obj").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val und = links
+      .unionAll(links.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint()
+    def step(lab: DataFrame): DataFrame = {
+      val msgs = und.join(lab.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      lab.unionAll(msgs).groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+    }
+    var lab = nodes.withColumn("label", col("node"))
+    (1 to maxIter).foreach(_ => lab = step(lab))
+    val unstable = step(lab).withColumnRenamed("label", "l2")
+      .join(lab, Seq("node")).where(col("l2") =!= col("label")).count()
+    if (unstable > 0) throw new IllegalStateException(
+      s"sameAs smushing did not converge in $maxIter supersteps " +
+        s"($unstable labels still moving) — raise maxIter")
+    val subjMap = lab.select(col("node").as("subj"), col("label").as("s_can"))
+    val objMap = lab.select(col("node").as("obj"), col("label").as("o_can"))
+    data.where(col("pred") =!= lit(sameAsPred))
+      .join(subjMap, Seq("subj"), "left")
+      .join(objMap, Seq("obj"), "left")
+      .select(coalesce(col("s_can"), col("subj")).as("subj"), col("pred"),
+        coalesce(col("o_can"), col("obj")).as("obj"))
+      .distinct()
+  }
 }

@@ -56,4 +56,31 @@ class ReasonerSpec extends SparkSpec {
     val got = rows(Reasoner.rdfsClosure(data, schema, typePred = "a"))
     assert(got === Set(("x", "a", "C"), ("x", "a", "D")))
   }
+
+  test("sameAs smushing: chains collapse, duplicates merge, links consumed") {
+    val data = Seq(
+      ("b9", "sameAs", "a9"), ("a9", "sameAs", "c9"), // chain b9-a9-c9
+      ("c9", "works_at", "orgX"), ("b9", "works_at", "orgX"), // dup under alias
+      ("a9", "knows", "u1"),
+      ("u2", "knows", "c9"), // object-side rewrite
+      ("z1", "knows", "z2") // untouched by any link
+    ).toDF("subj", "pred", "obj")
+    val got = rows(Reasoner.smushSameAs(data))
+    assert(got === Set(
+      ("a9", "works_at", "orgX"), // min of {a9,b9,c9} — one row, not two
+      ("a9", "knows", "u1"),
+      ("u2", "knows", "a9"),
+      ("z1", "knows", "z2")))
+  }
+
+  test("sameAs smushing: unconverged long chain throws loudly") {
+    val chain = (0 until 12).map(i => (f"n$i%02d", "sameAs", f"n${i + 1}%02d"))
+    val data = (chain :+ (("n00", "p", "v"))).toDF("subj", "pred", "obj")
+    intercept[IllegalStateException] {
+      Reasoner.smushSameAs(data, maxIter = 2)
+    }
+    // and with the budget it converges to the chain min
+    assert(rows(Reasoner.smushSameAs(data, maxIter = 13)) ===
+      Set(("n00", "p", "v")))
+  }
 }
