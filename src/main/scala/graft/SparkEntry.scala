@@ -1627,7 +1627,15 @@ object SparkEntry {
             concat(lit("n"), col("n_name"))): _*))
       Reasoner.smushSameAs(
         base.unionAll(aliasAssert).unionAll(aliasObj).unionAll(links))
-    }))
+    }),
+    // q107: SPARQL CONSTRUCT — derive a new graph (inverted hosts edges
+    // + region containment hops) from a two-pattern match; the template
+    // instantiates per solution and the constructed graph is a SET,
+    // which the UNION-of-selects twin mirrors.
+    "q107_sparql_construct" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """CONSTRUCT { ?n hosts ?s . ?s located_in ?r }
+          |WHERE { ?s supp_nation ?n . ?n in_region ?r }""".stripMargin)))
 
   /** q94 fixture: the entity graph as typed-predicate triples. */
   private def bgpTriples(s: SparkSession, d: String): DataFrame = {
@@ -2772,7 +2780,21 @@ object SparkEntry {
         |  coalesce(co.label, t.obj) AS obj
         |FROM tri t
         |LEFT JOIN canon cs ON cs.node = t.subj
-        |LEFT JOIN canon co ON co.node = t.obj""".stripMargin)
+        |LEFT JOIN canon co ON co.node = t.obj""".stripMargin,
+    "q107_sparql_construct" ->
+      """WITH tri AS (
+        |  SELECT 's' || s_suppkey AS subj, 'supp_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |sol AS (SELECT t1.subj AS s, t1.obj AS n, t2.obj AS r
+        |  FROM tri t1 JOIN tri t2
+        |    ON t2.pred = 'in_region' AND t2.subj = t1.obj
+        |  WHERE t1.pred = 'supp_nation')
+        |SELECT n AS subj, 'hosts' AS pred, s AS obj FROM sol
+        |UNION
+        |SELECT s, 'located_in', r FROM sol""".stripMargin)
 
   /** Shared CTE head for q97/q98 — mirrors [[eventObservations]]. */
   private val eventObservationsSql: String =

@@ -13,7 +13,10 @@ import graft.operators.GraphQuery.TriplePattern
   *
   * Grammar (whitespace-separated; `#` comments to end of line):
   * {{{
-  * query  := SELECT DISTINCT? (?var+ | *) WHERE { item ('.' item)* '.'? } (LIMIT n)?
+  * query  := SELECT DISTINCT? (?var+ | *) WHERE group (LIMIT n)?
+  *         | CONSTRUCT { triple ('.' triple)* } WHERE group (LIMIT n)?
+  *         | ASK group
+  * group  := { item ('.' item)* '.'? }
   * item   := term term term                       -- a triple pattern
   *         | OPTIONAL { triple ('.' triple)* }    -- one left-joined group
   *         | FILTER ( operand op operand )        -- op: = != < <= > >=
@@ -34,7 +37,8 @@ object SparqlLite {
 
   private final case class Filter(a: String, op: String, b: String)
   private final case class Values(v: String, consts: Seq[String])
-  private final case class Query(distinct: Boolean, select: Seq[String],
+  private final case class Query(form: String, distinct: Boolean,
+      select: Seq[String], template: Seq[TriplePattern],
       patterns: Seq[TriplePattern], optionals: Seq[Seq[TriplePattern]],
       filters: Seq[Filter], values: Seq[Values], limit: Option[Int])
 
@@ -91,19 +95,37 @@ object SparqlLite {
       if (t.startsWith("'")) t.substring(1) else t
     }
 
-    expect("SELECT")
-    val distinct = peek.equalsIgnoreCase("DISTINCT") && { next(); true }
+    val form = next().toUpperCase
+    require(Seq("SELECT", "CONSTRUCT", "ASK").contains(form),
+      s"query must start with SELECT, CONSTRUCT or ASK, got $form")
+    var distinct = false
     val select = scala.collection.mutable.ArrayBuffer.empty[String]
     var star = false
-    while (!peek.equalsIgnoreCase("WHERE")) {
-      val t = next()
-      if (t == "*") star = true
-      else {
-        require(t.startsWith("?"), s"SELECT list takes ?vars or *, got $t")
-        select += t.stripPrefix("?")
-      }
+    val template = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
+    form match {
+      case "SELECT" =>
+        distinct = peek.equalsIgnoreCase("DISTINCT") && { next(); true }
+        while (!peek.equalsIgnoreCase("WHERE")) {
+          val t = next()
+          if (t == "*") star = true
+          else {
+            require(t.startsWith("?"), s"SELECT list takes ?vars or *, got $t")
+            select += t.stripPrefix("?")
+          }
+        }
+        expect("WHERE")
+      case "CONSTRUCT" =>
+        expect("{")
+        while (peek != "}") {
+          template += TriplePattern(term(), term(), term())
+          if (peek == ".") next()
+        }
+        expect("}")
+        require(template.nonEmpty, "empty CONSTRUCT template")
+        expect("WHERE")
+      case "ASK" => () // ASK { block } — the block follows directly
     }
-    expect("WHERE"); expect("{")
+    expect("{")
 
     val patterns = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
     val optionals = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
@@ -159,14 +181,17 @@ object SparqlLite {
     require(patterns.nonEmpty, "query has no required triple pattern")
 
     val bound = (patterns ++ optionals.flatten).flatMap(_.vars).distinct.toList
-    val sel = if (star) bound else select.toList
+    val sel = if (star || form != "SELECT") bound else select.toList
     require(sel.nonEmpty, "empty SELECT list")
-    sel.foreach(v => require(bound.contains(v), s"SELECT ?$v is unbound"))
+    if (form == "SELECT")
+      sel.foreach(v => require(bound.contains(v), s"SELECT ?$v is unbound"))
+    template.flatMap(_.vars).distinct
+      .foreach(v => require(bound.contains(v), s"CONSTRUCT ?$v is unbound"))
     (filters.flatMap(f => Seq(f.a, f.b)) ++ values.map("?" + _.v))
       .filter(_.startsWith("?")).map(_.stripPrefix("?"))
       .foreach(v => require(bound.contains(v), s"FILTER/VALUES ?$v is unbound"))
-    Query(distinct, sel, patterns.toSeq, optionals.map(_.toSeq).toSeq,
-      filters.toSeq, values.toSeq, limit)
+    Query(form, distinct, sel, template.toSeq, patterns.toSeq,
+      optionals.map(_.toSeq).toSeq, filters.toSeq, values.toSeq, limit)
   }
 
   // -------------------------------------------------------------- planner
@@ -205,9 +230,23 @@ object SparqlLite {
         case ">=" => a >= b
       })
     }
-    var out = df.select(q.select.map(col): _*)
-    if (q.distinct) out = out.distinct()
-    q.limit.foreach(n => out = out.limit(n))
-    out
+    q.form match {
+      case "SELECT" =>
+        var out = df.select(q.select.map(col): _*)
+        if (q.distinct) out = out.distinct()
+        q.limit.foreach(n => out = out.limit(n))
+        out
+      case "CONSTRUCT" =>
+        // LIMIT bounds the solution sequence BEFORE templating (SPARQL
+        // order); the constructed graph is a set, hence the distinct
+        val sols = q.limit.map(df.limit).getOrElse(df)
+        q.template.map { tp =>
+          sols.select(tp.slots.map { case (c, t) =>
+            (if (t.startsWith("?")) col(t.stripPrefix("?")) else lit(t)).as(c)
+          }: _*)
+        }.reduce(_ unionAll _).distinct()
+      case "ASK" =>
+        df.agg((count(lit(1)) > 0).as("ask"))
+    }
   }
 }

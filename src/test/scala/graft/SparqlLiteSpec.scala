@@ -75,6 +75,24 @@ class SparqlLiteSpec extends SparkSpec {
       "SELECT ?c WHERE { ?c in_nation de . } LIMIT 1").count() === 1)
   }
 
+  test("CONSTRUCT templates a new graph; constants allowed; set semantics") {
+    val got = SparqlLite.sparql(tri,
+      """CONSTRUCT { ?n has_customer ?c . ?n a Nation }
+        |WHERE { ?c in_nation ?n }""".stripMargin)
+    assert(got.columns.toSeq === Seq("subj", "pred", "obj"))
+    assert(rows(got) === Set(
+      Seq("de", "has_customer", "c1"), Seq("de", "has_customer", "c2"),
+      Seq("fr", "has_customer", "c3"), Seq("fr", "has_customer", "c4"),
+      Seq("de", "a", "Nation"), Seq("fr", "a", "Nation")))
+  }
+
+  test("ASK answers one boolean row") {
+    def ask(q: String): Boolean =
+      SparqlLite.sparql(tri, q).collect()(0).getBoolean(0)
+    assert(ask("ASK { ?c in_nation de }"))
+    assert(!ask("ASK { ?c in_nation jp }"))
+  }
+
   test("malformed queries are rejected loudly") {
     def bad(q: String): Unit =
       intercept[IllegalArgumentException](SparqlLite.sparql(tri, q))
@@ -85,5 +103,8 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { ?c in_nation ?n } extra")     // trailing tokens
     bad("SELECT ?c WHERE { ?c in_nation 'de }")          // unterminated quote
     bad("SELECT ?c WHERE { OPTIONAL { ?o ordered_by ?c } }") // no required
+    bad("CONSTRUCT { ?z p ?c } WHERE { ?c in_nation ?n }")   // unbound template
+    bad("CONSTRUCT { } WHERE { ?c in_nation ?n }")           // empty template
+    bad("DESCRIBE ?c WHERE { ?c in_nation ?n }")             // unsupported form
   }
 }
