@@ -1635,7 +1635,33 @@ object SparkEntry {
     "q107_sparql_construct" -> ((s, d) =>
       SparqlLite.sparql(bgpTriples(s, d),
         """CONSTRUCT { ?n hosts ?s . ?s located_in ?r }
-          |WHERE { ?s supp_nation ?n . ?n in_region ?r }""".stripMargin)))
+          |WHERE { ?s supp_nation ?n . ?n in_region ?r }""".stripMargin)),
+    // q108: SPARQL aggregates — GROUP BY with COUNT + MIN through the
+    // text front-end; all-integer/string results so the grouped SQL twin
+    // matches value-exact.
+    "q108_sparql_agg" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?n (COUNT(?c) AS ?cnt) (MIN(?c) AS ?first)
+          |WHERE { ?c cust_nation ?n } GROUP BY ?n""".stripMargin)),
+    // q109/q110: KG PROFILING — characteristic sets (Neumann & Moerkotte
+    // SIGMOD'11; one row per entity SHAPE with its subject count — the
+    // big-ticket order filter splits customers into {cust_nation} vs
+    // {cust_nation, placed} shapes) and VoID-style per-predicate
+    // partition statistics; all-integer, value-exact both.
+    "q109_characteristic_sets" -> ((s, d) =>
+      KgStats.characteristicSets(profilingTriples(s, d))),
+    "q110_predicate_stats" -> ((s, d) =>
+      KgStats.predicateStats(profilingTriples(s, d))))
+
+  /** q109/q110 fixture: containment + big-ticket placed edges, giving
+    * subjects heterogeneous predicate shapes.
+    */
+  private def profilingTriples(s: SparkSession, d: String): DataFrame =
+    bgpTriples(s, d).where(col("pred") =!= "supp_nation")
+      .unionAll(t(s, d, "orders").where(col("o_totalprice") > 450000)
+        .select(concat(lit("c"), col("o_custkey")).as("subj"),
+          lit("placed").as("pred"),
+          concat(lit("o"), col("o_orderkey")).as("obj")))
 
   /** q94 fixture: the entity graph as typed-predicate triples. */
   private def bgpTriples(s: SparkSession, d: String): DataFrame = {
@@ -2794,7 +2820,38 @@ object SparkEntry {
         |  WHERE t1.pred = 'supp_nation')
         |SELECT n AS subj, 'hosts' AS pred, s AS obj FROM sol
         |UNION
-        |SELECT s, 'located_in', r FROM sol""".stripMargin)
+        |SELECT s, 'located_in', r FROM sol""".stripMargin,
+    "q108_sparql_agg" ->
+      """SELECT 'n' || n_name AS n, count(*)::BIGINT AS cnt,
+        |  min('c' || c_custkey) AS first
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q109_characteristic_sets" ->
+      (profilingTriplesSql +
+      """,
+        |sp AS (SELECT DISTINCT subj, pred FROM tri),
+        |cs AS (SELECT subj, string_agg(pred, ' ' ORDER BY pred) AS char_set
+        |  FROM sp GROUP BY 1)
+        |SELECT char_set, count(*)::BIGINT AS n_subjects
+        |FROM cs GROUP BY 1""".stripMargin),
+    "q110_predicate_stats" ->
+      (profilingTriplesSql +
+      """
+        |SELECT pred, count(*)::BIGINT AS n_triples,
+        |  count(DISTINCT subj)::BIGINT AS n_subjects,
+        |  count(DISTINCT obj)::BIGINT AS n_objects
+        |FROM tri GROUP BY 1""".stripMargin))
+
+  /** Shared CTE head for q109/q110 — mirrors [[profilingTriples]]. */
+  private val profilingTriplesSql: String =
+    """WITH tri AS (
+      |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+      |      'n' || n_name AS obj
+      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+      |    FROM nation JOIN region ON n_regionkey = r_regionkey
+      |  UNION ALL SELECT 'c' || o_custkey, 'placed', 'o' || o_orderkey
+      |    FROM orders WHERE o_totalprice > 450000)""".stripMargin
 
   /** Shared CTE head for q97/q98 — mirrors [[eventObservations]]. */
   private val eventObservationsSql: String =

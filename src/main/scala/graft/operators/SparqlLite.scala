@@ -13,9 +13,11 @@ import graft.operators.GraphQuery.TriplePattern
   *
   * Grammar (whitespace-separated; `#` comments to end of line):
   * {{{
-  * query  := SELECT DISTINCT? (?var+ | *) WHERE group (LIMIT n)?
+  * query  := SELECT DISTINCT? (sel+ | *) WHERE group
+  *             (GROUP BY ?var+)? (LIMIT n)?
   *         | CONSTRUCT { triple ('.' triple)* } WHERE group (LIMIT n)?
   *         | ASK group
+  * sel    := ?var | ( (COUNT|SUM|MIN|MAX|AVG) ( ?var | * ) AS ?alias )
   * group  := { item ('.' item)* '.'? }
   * item   := term term term                       -- a triple pattern
   *         | OPTIONAL { triple ('.' triple)* }    -- one left-joined group
@@ -37,8 +39,10 @@ object SparqlLite {
 
   private final case class Filter(a: String, op: String, b: String)
   private final case class Values(v: String, consts: Seq[String])
+  private final case class Agg(fn: String, operand: String, alias: String)
   private final case class Query(form: String, distinct: Boolean,
-      select: Seq[String], template: Seq[TriplePattern],
+      select: Seq[String], aggs: Seq[Agg], groupBy: Seq[String],
+      template: Seq[TriplePattern],
       patterns: Seq[TriplePattern], optionals: Seq[Seq[TriplePattern]],
       filters: Seq[Filter], values: Seq[Values], limit: Option[Int])
 
@@ -100,6 +104,7 @@ object SparqlLite {
       s"query must start with SELECT, CONSTRUCT or ASK, got $form")
     var distinct = false
     val select = scala.collection.mutable.ArrayBuffer.empty[String]
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[Agg]
     var star = false
     val template = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
     form match {
@@ -108,8 +113,23 @@ object SparqlLite {
         while (!peek.equalsIgnoreCase("WHERE")) {
           val t = next()
           if (t == "*") star = true
-          else {
-            require(t.startsWith("?"), s"SELECT list takes ?vars or *, got $t")
+          else if (t == "(") {
+            // (AGG(?v|*) AS ?alias)
+            val fn = next().toUpperCase
+            require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG").contains(fn),
+              s"unsupported aggregate $fn")
+            expect("(")
+            val operand = next()
+            require(operand.startsWith("?") || (operand == "*" && fn == "COUNT"),
+              s"$fn takes a ?var${if (fn == "COUNT") " or *" else ""}, got $operand")
+            expect(")"); expect("AS")
+            val alias = next()
+            require(alias.startsWith("?"), s"AS takes a ?alias, got $alias")
+            expect(")")
+            aggs += Agg(fn, operand, alias.stripPrefix("?"))
+            select += alias.stripPrefix("?")
+          } else {
+            require(t.startsWith("?"), s"SELECT list takes ?vars, aggregates or *, got $t")
             select += t.stripPrefix("?")
           }
         }
@@ -173,6 +193,13 @@ object SparqlLite {
       if (peek == ".") next()
     }
     expect("}")
+    val groupBy = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (i < ts.length && peek.equalsIgnoreCase("GROUP")) {
+      next(); expect("BY")
+      while (i < ts.length && peek.startsWith("?"))
+        groupBy += next().stripPrefix("?")
+      require(groupBy.nonEmpty, "GROUP BY names no variables")
+    }
     val limit =
       if (i < ts.length && peek.equalsIgnoreCase("LIMIT")) {
         next(); Some(next().toInt)
@@ -183,15 +210,28 @@ object SparqlLite {
     val bound = (patterns ++ optionals.flatten).flatMap(_.vars).distinct.toList
     val sel = if (star || form != "SELECT") bound else select.toList
     require(sel.nonEmpty, "empty SELECT list")
+    val aliases = aggs.map(_.alias)
     if (form == "SELECT")
-      sel.foreach(v => require(bound.contains(v), s"SELECT ?$v is unbound"))
+      sel.filterNot(aliases.contains).foreach(v =>
+        require(bound.contains(v), s"SELECT ?$v is unbound"))
+    aggs.foreach(a => require(a.operand == "*" ||
+      bound.contains(a.operand.stripPrefix("?")),
+      s"aggregate over unbound ${a.operand}"))
+    groupBy.foreach(v => require(bound.contains(v), s"GROUP BY ?$v is unbound"))
+    if (aggs.nonEmpty)
+      sel.filterNot(aliases.contains).foreach(v => require(groupBy.contains(v),
+        s"?$v is selected next to aggregates but not in GROUP BY"))
+    else require(groupBy.isEmpty, "GROUP BY without an aggregate in SELECT")
+    require(aggs.isEmpty || form == "SELECT", "aggregates require SELECT")
+    require(!(star && aggs.nonEmpty), "SELECT * cannot mix with aggregates")
     template.flatMap(_.vars).distinct
       .foreach(v => require(bound.contains(v), s"CONSTRUCT ?$v is unbound"))
     (filters.flatMap(f => Seq(f.a, f.b)) ++ values.map("?" + _.v))
       .filter(_.startsWith("?")).map(_.stripPrefix("?"))
       .foreach(v => require(bound.contains(v), s"FILTER/VALUES ?$v is unbound"))
-    Query(form, distinct, sel, template.toSeq, patterns.toSeq,
-      optionals.map(_.toSeq).toSeq, filters.toSeq, values.toSeq, limit)
+    Query(form, distinct, sel, aggs.toSeq, groupBy.toList, template.toSeq,
+      patterns.toSeq, optionals.map(_.toSeq).toSeq, filters.toSeq,
+      values.toSeq, limit)
   }
 
   // -------------------------------------------------------------- planner
@@ -232,7 +272,26 @@ object SparqlLite {
     }
     q.form match {
       case "SELECT" =>
-        var out = df.select(q.select.map(col): _*)
+        var out =
+          if (q.aggs.isEmpty) df.select(q.select.map(col): _*)
+          else {
+            // numeric aggregates cast bindings to double (triple objects
+            // are strings); COUNT/MIN/MAX operate on the raw binding
+            val aggCols = q.aggs.map { a =>
+              val c = if (a.operand == "*") null
+                else col(a.operand.stripPrefix("?"))
+              (a.fn match {
+                case "COUNT" => if (a.operand == "*") count(lit(1)) else count(c)
+                case "SUM"   => sum(c.cast("double"))
+                case "AVG"   => avg(c.cast("double"))
+                case "MIN"   => min(c)
+                case "MAX"   => max(c)
+              }).as(a.alias)
+            }
+            df.groupBy(q.groupBy.map(col): _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+              .select(q.select.map(col): _*)
+          }
         if (q.distinct) out = out.distinct()
         q.limit.foreach(n => out = out.limit(n))
         out

@@ -75,6 +75,36 @@ class SparqlLiteSpec extends SparkSpec {
       "SELECT ?c WHERE { ?c in_nation de . } LIMIT 1").count() === 1)
   }
 
+  test("aggregates: GROUP BY count/min, global count, null-skipping COUNT") {
+    val perN = SparqlLite.sparql(tri,
+      """SELECT ?n (COUNT(?c) AS ?cnt) (MIN(?c) AS ?first)
+        |WHERE { ?c in_nation ?n } GROUP BY ?n""".stripMargin)
+    assert(perN.columns.toSeq === Seq("n", "cnt", "first"))
+    assert(rows(perN) === Set(Seq("de", "2", "c1"), Seq("fr", "2", "c3")))
+    val global = SparqlLite.sparql(tri,
+      "SELECT (COUNT(*) AS ?total) WHERE { ?c in_nation ?n }")
+    assert(rows(global) === Set(Seq("4")))
+    // COUNT(?o) skips the null bindings an OPTIONAL leaves behind
+    val nullSkip = SparqlLite.sparql(tri,
+      """SELECT ?n (COUNT(?o) AS ?orders) WHERE {
+        |  ?c in_nation ?n . OPTIONAL { ?o ordered_by ?c }
+        |} GROUP BY ?n""".stripMargin)
+    assert(rows(nullSkip) === Set(Seq("de", "2"), Seq("fr", "0")))
+    val sumAge = SparqlLite.sparql(tri,
+      "SELECT (SUM(?a) AS ?s) WHERE { ?c age ?a }")
+    assert(rows(sumAge) === Set(Seq("80.0")))
+  }
+
+  test("aggregate validation: bare var needs GROUP BY, star cannot mix") {
+    def bad(q: String): Unit =
+      intercept[IllegalArgumentException](SparqlLite.sparql(tri, q))
+    bad("SELECT ?c (COUNT(?n) AS ?x) WHERE { ?c in_nation ?n }")
+    bad("SELECT * (COUNT(?n) AS ?x) WHERE { ?c in_nation ?n }")
+    bad("SELECT ?c WHERE { ?c in_nation ?n } GROUP BY ?c")
+    bad("SELECT (SUM(*) AS ?x) WHERE { ?c in_nation ?n }")
+    bad("SELECT (COUNT(?z) AS ?x) WHERE { ?c in_nation ?n }")
+  }
+
   test("CONSTRUCT templates a new graph; constants allowed; set semantics") {
     val got = SparqlLite.sparql(tri,
       """CONSTRUCT { ?n has_customer ?c . ?n a Nation }
