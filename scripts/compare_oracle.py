@@ -49,6 +49,10 @@ def main(vout: str, sfdir: str) -> int:
         except Exception as e:  # noqa: BLE001 - report and continue
             print(f"ERR  {name}: {e}")
             failed.append(name)
+            try:  # a failed statement leaves the implicit txn aborted;
+                con.execute("ROLLBACK")  # recover so later queries compare
+            except Exception:  # noqa: BLE001 - nothing to roll back
+                pass
     print(f"\n{len(oracle) - len(failed)}/{len(oracle)} green")
     return 1 if failed else 0
 

@@ -1501,16 +1501,16 @@ object SparkEntry {
     // alternation, set-semantics both sides.
     "q101_path_algebra" -> ((s, d) => {
       import GraphQuery.PathExpr._
-      val tri = bgpTriples(s, d)
-        .where(col("pred") =!= "supp_nation")
-        .unionAll(t(s, d, "customer").join(t(s, d, "orders"),
-            col("c_custkey") === col("o_custkey"))
-          .select(concat(lit("c"), col("c_custkey")).as("subj"),
-            lit("placed").as("pred"),
-            concat(lit("o"), col("o_orderkey")).as("obj")))
-      GraphQuery.pathPairs(tri, Chain(Inv(Pred("placed")),
+      GraphQuery.pathPairs(pathTriples(s, d), Chain(Inv(Pred("placed")),
         Plus(Alt(Pred("cust_nation"), Pred("in_region")), maxHops = 3)))
     }),
+    // q111: the SAME path, written as SPARQL 1.1 path SYNTAX through the
+    // text front-end — covers the path tokenizer re-join, the
+    // recursive-descent path parser and the pathPairs planner seam; the
+    // oracle is q101's twin verbatim, so text == algebra == SQL.
+    "q111_sparql_path" -> ((s, d) =>
+      SparqlLite.sparql(pathTriples(s, d),
+        "SELECT ?src ?dst WHERE { ?src ^placed/(cust_nation|in_region)+3 ?dst }")),
     // q102: WEIGHTED SHORTEST PATHS (bounded Bellman-Ford) — min
     // relatedness-distance from the first order's parts over the
     // co-purchase graph, weight = max(1, 100 - n_both), four relaxation
@@ -1660,6 +1660,16 @@ object SparkEntry {
     bgpTriples(s, d).where(col("pred") =!= "supp_nation")
       .unionAll(t(s, d, "orders").where(col("o_totalprice") > 450000)
         .select(concat(lit("c"), col("o_custkey")).as("subj"),
+          lit("placed").as("pred"),
+          concat(lit("o"), col("o_orderkey")).as("obj")))
+
+  /** q101/q111 fixture: containment triples + placed edges. */
+  private def pathTriples(s: SparkSession, d: String): DataFrame =
+    bgpTriples(s, d)
+      .where(col("pred") =!= "supp_nation")
+      .unionAll(t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .select(concat(lit("c"), col("c_custkey")).as("subj"),
           lit("placed").as("pred"),
           concat(lit("o"), col("o_orderkey")).as("obj")))
 
@@ -2649,28 +2659,9 @@ object SparkEntry {
         |                       ORDER BY cnt DESC, label) AS rn
         |  FROM v3) WHERE rn = 1)
         |SELECT node, label FROM l3""".stripMargin),
-    "q101_path_algebra" ->
-      """WITH tri AS (
-        |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
-        |      'n' || n_name AS obj
-        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
-        |    FROM nation JOIN region ON n_regionkey = r_regionkey
-        |  UNION ALL SELECT 'c' || c_custkey, 'placed', 'o' || o_orderkey
-        |    FROM customer JOIN orders ON c_custkey = o_custkey),
-        |w AS (SELECT DISTINCT subj AS src, obj AS dst FROM tri
-        |      WHERE pred IN ('cust_nation', 'in_region')),
-        |cl AS (SELECT DISTINCT src, dst FROM (
-        |  WITH RECURSIVE c AS (
-        |    SELECT src, dst, 1 AS h FROM w
-        |    UNION
-        |    SELECT c.src, w.dst, c.h + 1 FROM c
-        |    JOIN w ON w.src = c.dst WHERE c.h < 3)
-        |  SELECT * FROM c)),
-        |inv AS (SELECT DISTINCT obj AS src, subj AS dst FROM tri
-        |        WHERE pred = 'placed')
-        |SELECT DISTINCT i.src, cl.dst
-        |FROM inv i JOIN cl ON cl.src = i.dst""".stripMargin,
+    "q101_path_algebra" -> pathAlgebraSql,
+    // same path, text-syntax front-end — text == algebra == SQL
+    "q111_sparql_path" -> pathAlgebraSql,
     "q102_weighted_paths" ->
       """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
         |    FROM lineitem
@@ -2841,6 +2832,33 @@ object SparkEntry {
         |  count(DISTINCT subj)::BIGINT AS n_subjects,
         |  count(DISTINCT obj)::BIGINT AS n_objects
         |FROM tri GROUP BY 1""".stripMargin))
+
+  /** q101/q111 twin: the inverse join over a recursive-CTE closure of
+    * the containment alternation — shared by the algebra-API gate and
+    * the text-syntax gate.
+    */
+  private val pathAlgebraSql: String =
+    """WITH tri AS (
+      |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+      |      'n' || n_name AS obj
+      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+      |    FROM nation JOIN region ON n_regionkey = r_regionkey
+      |  UNION ALL SELECT 'c' || c_custkey, 'placed', 'o' || o_orderkey
+      |    FROM customer JOIN orders ON c_custkey = o_custkey),
+      |w AS (SELECT DISTINCT subj AS src, obj AS dst FROM tri
+      |      WHERE pred IN ('cust_nation', 'in_region')),
+      |cl AS (SELECT DISTINCT src, dst FROM (
+      |  WITH RECURSIVE c AS (
+      |    SELECT src, dst, 1 AS h FROM w
+      |    UNION
+      |    SELECT c.src, w.dst, c.h + 1 FROM c
+      |    JOIN w ON w.src = c.dst WHERE c.h < 3)
+      |  SELECT * FROM c)),
+      |inv AS (SELECT DISTINCT obj AS src, subj AS dst FROM tri
+      |        WHERE pred = 'placed')
+      |SELECT DISTINCT i.src, cl.dst
+      |FROM inv i JOIN cl ON cl.src = i.dst""".stripMargin
 
   /** Shared CTE head for q109/q110 — mirrors [[profilingTriples]]. */
   private val profilingTriplesSql: String =

@@ -130,7 +130,7 @@ object GraphQuery {
     * variables (repeated variables within the pattern become equality
     * predicates on the scan).
     */
-  private def patternFrame(triples: DataFrame, tp: TriplePattern): DataFrame = {
+  private[operators] def patternFrame(triples: DataFrame, tp: TriplePattern): DataFrame = {
     require(tp.vars.nonEmpty, s"pattern $tp binds no variable")
     var df = triples
     tp.slots.foreach { case (c, t) =>

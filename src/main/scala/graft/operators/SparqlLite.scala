@@ -19,11 +19,15 @@ import graft.operators.GraphQuery.TriplePattern
   *         | ASK group
   * sel    := ?var | ( (COUNT|SUM|MIN|MAX|AVG) ( ?var | * ) AS ?alias )
   * group  := { item ('.' item)* '.'? }
-  * item   := term term term                       -- a triple pattern
+  * item   := term (pred | path) term              -- a triple pattern
   *         | OPTIONAL { triple ('.' triple)* }    -- one left-joined group
   *         | FILTER ( operand op operand )        -- op: = != < <= > >=
   *         | VALUES ?var { const+ }               -- inline allowed values
   * term   := ?var | 'quoted literal' | "quoted" | <iri> | bare-word
+  * path   := SPARQL 1.1 property paths in the predicate position, written
+  *           without internal spaces: `a|b`, `a/b`, `^a`, `(e)`, `e+`
+  *           (bounded closure, default 10) or `e+N` (bound N); evaluated
+  *           via GraphQuery.pathPairs with SET semantics
   * }}}
   *
   * Documented restrictions vs full SPARQL: FILTERs apply to the complete
@@ -97,6 +101,24 @@ object SparqlLite {
     def term(): String = {
       val t = next()
       if (t.startsWith("'")) t.substring(1) else t
+    }
+    // predicate position may hold a property-path expression, which the
+    // tokenizer splits at parens — re-join while parens are unbalanced or
+    // the next token visibly continues a path (starts with an operator)
+    def continuesPath(tok: String): Boolean =
+      tok == "(" || tok == ")" || "+|/^*".contains(tok.charAt(0))
+    def predTerm(): String = {
+      val first = next()
+      if (first.startsWith("'")) return first.substring(1)
+      if (first.startsWith("?")) return first
+      var s = first
+      var d = s.count(_ == '(') - s.count(_ == ')')
+      while (i < ts.length && (d > 0 || continuesPath(peek))) {
+        val t = next()
+        s += t
+        d += t.count(_ == '(') - t.count(_ == ')')
+      }
+      s
     }
 
     val form = next().toUpperCase
@@ -188,7 +210,7 @@ object SparqlLite {
         require(consts.nonEmpty, "empty VALUES set")
         values += Values(v.stripPrefix("?"), consts.toSeq)
       } else {
-        patterns += TriplePattern(term(), term(), term())
+        patterns += TriplePattern(term(), predTerm(), term())
       }
       if (peek == ".") next()
     }
@@ -234,12 +256,101 @@ object SparqlLite {
       values.toSeq, limit)
   }
 
+  // ---------------------------------------------------------------- paths
+
+  /** A predicate term that is a property-path expression rather than a
+    * plain name (operators can't appear in stored predicate values).
+    */
+  private def isPath(p: String): Boolean =
+    !p.startsWith("?") && p.exists(c => "^|/+*()".contains(c))
+
+  /** Recursive-descent parser for the path fragment (SPARQL 1.1
+    * precedence: `|` < `/` < `^`/postfix): `a|b`, `a/b`, `^a`, `(e)`,
+    * `e+` (closure bounded at 10) or `e+N` (bounded at N).
+    */
+  private[operators] def parsePath(s: String): GraphQuery.PathExpr = {
+    import GraphQuery.PathExpr._
+    var i = 0
+    def peekc: Char = if (i < s.length) s.charAt(i) else ' '
+    def alt(): GraphQuery.PathExpr = {
+      var e = seq()
+      while (peekc == '|') { i += 1; e = Alt(e, seq()) }
+      e
+    }
+    def seq(): GraphQuery.PathExpr = {
+      var e = unary()
+      while (peekc == '/') { i += 1; e = Chain(e, unary()) }
+      e
+    }
+    def unary(): GraphQuery.PathExpr =
+      if (peekc == '^') { i += 1; Inv(unary()) } // ^a+ = ^(a+), per grammar
+      else postfix(primary())
+    def primary(): GraphQuery.PathExpr =
+      if (peekc == '(') {
+        i += 1
+        val e = alt()
+        require(peekc == ')', s"unbalanced parens in path $s")
+        i += 1
+        e
+      } else {
+        val j0 = i
+        while (i < s.length && !"^|/+*()".contains(s.charAt(i))) i += 1
+        require(i > j0, s"empty path step at offset $j0 in $s")
+        Pred(s.substring(j0, i))
+      }
+    def postfix(e: GraphQuery.PathExpr): GraphQuery.PathExpr =
+      if (peekc == '+') {
+        i += 1
+        val j0 = i
+        while (i < s.length && s.charAt(i).isDigit) i += 1
+        val bound = if (i > j0) s.substring(j0, i).toInt else 10
+        Plus(e, bound)
+      } else {
+        require(peekc != '*', s"unbounded * unsupported in path $s — use +N")
+        e
+      }
+    val e = alt()
+    require(i == s.length, s"trailing path syntax at offset $i in $s")
+    e
+  }
+
+  /** A path pattern compiled to its binding frame: the pair set of the
+    * path, endpoints renamed to the pattern's variables or filtered on
+    * its constants (set semantics, as SPARQL paths are).
+    */
+  private def pathFrame(triples: DataFrame, tp: TriplePattern): DataFrame = {
+    require(tp.vars.nonEmpty, s"path pattern $tp binds no variable")
+    var df = GraphQuery.pathPairs(triples, parsePath(tp.p))
+    def slot(c: String, t: String): Unit =
+      if (t.startsWith("?")) df = df.withColumnRenamed(c, t.stripPrefix("?"))
+      else df = df.where(col(c) === lit(t)).drop(c)
+    slot("src", tp.s); slot("dst", tp.o)
+    if (tp.s == tp.o && tp.s.startsWith("?")) {
+      // ?x path ?x — the rename collides; re-derive as an equality filter
+      val v = tp.s.stripPrefix("?")
+      df = GraphQuery.pathPairs(triples, parsePath(tp.p))
+        .where(col("src") === col("dst")).select(col("src").as(v))
+    }
+    df
+  }
+
   // -------------------------------------------------------------- planner
 
   /** Parse and plan `queryText` against a (subj, pred, obj) triple table. */
   def sparql(triples: DataFrame, queryText: String): DataFrame = {
     val q = parse(queryText)
-    var df = GraphQuery.bgpMatch(triples, q.patterns)
+    q.optionals.flatten.foreach(tp => require(!isPath(tp.p),
+      s"property paths are not supported inside OPTIONAL: $tp"))
+    q.template.foreach(tp => require(!isPath(tp.p),
+      s"property paths are not allowed in CONSTRUCT templates: $tp"))
+    val (pathPs, plainPs) = q.patterns.partition(tp => isPath(tp.p))
+    val frames =
+      (if (plainPs.nonEmpty) Seq(GraphQuery.bgpMatch(triples, plainPs))
+       else Seq.empty) ++ pathPs.map(pathFrame(triples, _))
+    var df = frames.reduce { (a, b) =>
+      val shared = a.columns.toSeq.intersect(b.columns.toSeq)
+      if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)
+    }
     q.optionals.foreach { g =>
       val f = GraphQuery.bgpMatch(triples, g)
       val shared = df.columns.toSeq.intersect(f.columns.toSeq)

@@ -105,6 +105,32 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT (COUNT(?z) AS ?x) WHERE { ?c in_nation ?n }")
   }
 
+  test("property paths in the predicate position: ^, /, |, bounded +") {
+    // orders up through both containment levels, via the text syntax
+    val tri2 = tri.unionAll(Seq(("c1", "placed", "o1"), ("c3", "placed", "o3"))
+      .toDF("subj", "pred", "obj"))
+    val got = SparqlLite.sparql(tri2,
+      "SELECT ?o ?x WHERE { ?o ^placed/(in_nation|in_region)+3 ?x }")
+    assert(rows(got) === Set(
+      Seq("o1", "de"), Seq("o1", "europe"),
+      Seq("o3", "fr"), Seq("o3", "europe")))
+    // a path frame joins plain patterns on shared variables
+    val joined = SparqlLite.sparql(tri2,
+      """SELECT ?c ?r WHERE {
+        |  ?c (in_nation/in_region) ?r . ?c placed ?o
+        |}""".stripMargin)
+    assert(rows(joined) === Set(Seq("c1", "europe"), Seq("c3", "europe")))
+    // constant endpoint filters the pair set
+    val const = SparqlLite.sparql(tri2,
+      "SELECT ?c WHERE { ?c in_nation|in_region europe }")
+    assert(rows(const) === Set(Seq("de"), Seq("fr")))
+    def bad(q: String): Unit =
+      intercept[IllegalArgumentException](SparqlLite.sparql(tri2, q))
+    bad("SELECT ?c WHERE { ?c in_nation+* ?n }")        // unbounded *
+    bad("SELECT ?c WHERE { ?c (in_nation ?n }")          // unbalanced
+    bad("SELECT ?c WHERE { ?c in_nation ?n . OPTIONAL { ?c a+ ?z } }")
+  }
+
   test("CONSTRUCT templates a new graph; constants allowed; set semantics") {
     val got = SparqlLite.sparql(tri,
       """CONSTRUCT { ?n has_customer ?c . ?n a Nation }
