@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KG-embedding link-prediction evaluation — the standard benchmark
+  * protocol for the embeddings trained on the s6 triples + s8 negatives:
+  * TransE scoring (Bordes et al. 2013) under the FILTERED setting.
+  *
+  * For each test triple (h, r, t), every candidate tail t' in the
+  * per-relation tail vocabulary is scored ||E(h) + R(r) − E(t')||²; the
+  * filtered rank of the true tail is 1 + #candidates scoring strictly
+  * better, where candidates that are themselves true triples (other than
+  * t) are excluded first and score ties break on candidate id ordering —
+  * fully deterministic, so another engine can recompute every rank.
+  *
+  * Cross-engine-exact arithmetic: each squared difference is computed in
+  * DOUBLE (float32 inputs widen exactly; per-element IEEE ops are
+  * deterministic) and cast to DECIMAL before summation, making the sum
+  * order-independent — rank comparisons are then pure decimal compares.
+  *
+  * Scale shape: |test| × |tail vocab(r)| scored rows (the protocol's
+  * inherent cost), produced by an equi-join on the relation — the same
+  * vocabulary-bounded fan-out as Negatives; embeddings join broadcast.
+  */
+object KgeEval {
+
+  /** ||h + r − t||² with decimal-cast per-element terms (order-independent
+    * exact sum; see object doc).
+    */
+  def transEDist(h: Column, r: Column, t: Column): Column = {
+    val hd = h.cast("array<double>")
+    val rd = r.cast("array<double>")
+    val td = t.cast("array<double>")
+    val diff = zip_with(zip_with(hd, rd, _ + _), td, _ - _)
+    // acc (27,10) + term (25,10) = (28,10) under Spark's precision rules;
+    // the cast back to (27,10) keeps the SCALE (no rounding) and the value
+    // fits 17 integer digits by construction — so the fold stays exact,
+    // where a 38-precision acc would silently drop to scale 9 per step
+    aggregate(
+      transform(diff, x => (x * x).cast("decimal(25,10)")),
+      lit(0).cast("decimal(27,10)"),
+      (acc, v) => (acc + v).cast("decimal(27,10)"))
+  }
+
+  /** Filtered tail ranks. `test` ⊆ `all` are (h, r, t) triples; `entEmb`
+    * is (node, vec), `relEmb` (rel, vec). Returns (h, r, t, rank).
+    */
+  def tailRanks(test: DataFrame, all: DataFrame, entEmb: DataFrame,
+      relEmb: DataFrame): DataFrame = {
+    val cand = all.select(col("r"), col("t").as("cand")).distinct()
+    val tst = test
+      .join(entEmb.select(col("node").as("h"), col("vec").as("hv")), Seq("h"))
+      .join(entEmb.select(col("node").as("t"), col("vec").as("tv")), Seq("t"))
+      .join(relEmb.select(col("rel").as("r"), col("vec").as("rv")), Seq("r"))
+      .withColumn("tdist", transEDist(col("hv"), col("rv"), col("tv")))
+    val scored = tst.join(cand, Seq("r"))
+      .join(entEmb.select(col("node").as("cand"), col("vec").as("cv")),
+        Seq("cand"))
+      // filtered setting: a candidate that is a TRUE triple for this head
+      // (and is not the evaluated tail) never competes
+      .join(all.select(col("h"), col("r"), col("t").as("cand")).distinct()
+        .withColumn("istrue", lit(1)), Seq("h", "r", "cand"), "left")
+      .where(col("istrue").isNull || col("cand") === col("t"))
+      .withColumn("cdist", transEDist(col("hv"), col("rv"), col("cv")))
+    scored.groupBy(col("h"), col("r"), col("t"))
+      .agg((lit(1L) + sum(when(col("cdist") < col("tdist") ||
+        (col("cdist") === col("tdist") && col("cand") < col("t")), 1L)
+        .otherwise(0L))).as("rank"))
+  }
+
+  /** Protocol metrics over a rank frame: MRR and Hits@k. Double-valued
+    * (reporting surface; the cross-engine gate is the rank frame itself).
+    */
+  def metrics(ranks: DataFrame, ks: Seq[Int] = Seq(1, 3, 10)): DataFrame = {
+    val hits = ks.map(k =>
+      avg(when(col("rank") <= k, 1.0).otherwise(0.0)).as(s"hits_at_$k"))
+    ranks.agg(count(lit(1)).as("n"),
+      avg(lit(1.0) / col("rank")).as("mrr") +: hits: _*)
+  }
+}
