@@ -1537,6 +1537,13 @@ object SparkEntry {
       KgeEval.tailRanks(tri(pairs.where(pmod(col("item_a"), lit(3)) === 0)),
         tri(pairs), entEmb, relEmb)
     }),
+    // q113: SPARQL ORDER BY + LIMIT — deterministic top-5 (count desc,
+    // name asc tie-break) through the text front-end; the twin is the
+    // same grouped top-k in SQL.
+    "q113_sparql_topk" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c cust_nation ?n }
+          |GROUP BY ?n ORDER BY DESC(?cnt) ?n LIMIT 5""".stripMargin)),
     // q102: WEIGHTED SHORTEST PATHS (bounded Bellman-Ford) — min
     // relatedness-distance from the first order's parts over the
     // co-purchase graph, weight = max(1, 100 - n_both), four relaxation
@@ -2723,6 +2730,10 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END))::BIGINT AS rank
          |FROM sc GROUP BY 1, 3""".stripMargin
     },
+    "q113_sparql_topk" ->
+      """SELECT 'n' || n_name AS n, count(*)::BIGINT AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY cnt DESC, n LIMIT 5""".stripMargin,
     "q102_weighted_paths" ->
       """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
         |    FROM lineitem

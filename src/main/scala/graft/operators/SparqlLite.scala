@@ -14,7 +14,8 @@ import graft.operators.GraphQuery.TriplePattern
   * Grammar (whitespace-separated; `#` comments to end of line):
   * {{{
   * query  := SELECT DISTINCT? (sel+ | *) WHERE group
-  *             (GROUP BY ?var+)? (LIMIT n)?
+  *             (GROUP BY ?var+)? (ORDER BY key+)? (LIMIT n)?
+  * key    := ?var | ASC ( ?var ) | DESC ( ?var )  -- ?var must be selected
   *         | CONSTRUCT { triple ('.' triple)* } WHERE group (LIMIT n)?
   *         | ASK group
   * sel    := ?var | ( (COUNT|SUM|MIN|MAX|AVG) ( ?var | * ) AS ?alias )
@@ -46,7 +47,7 @@ object SparqlLite {
   private final case class Agg(fn: String, operand: String, alias: String)
   private final case class Query(form: String, distinct: Boolean,
       select: Seq[String], aggs: Seq[Agg], groupBy: Seq[String],
-      template: Seq[TriplePattern],
+      orderBy: Seq[(String, Boolean)], template: Seq[TriplePattern],
       patterns: Seq[TriplePattern], optionals: Seq[Seq[TriplePattern]],
       filters: Seq[Filter], values: Seq[Values], limit: Option[Int])
 
@@ -222,6 +223,24 @@ object SparqlLite {
         groupBy += next().stripPrefix("?")
       require(groupBy.nonEmpty, "GROUP BY names no variables")
     }
+    val orderBy = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    if (i < ts.length && peek.equalsIgnoreCase("ORDER")) {
+      next(); expect("BY")
+      while (i < ts.length && (peek.startsWith("?") ||
+        peek.equalsIgnoreCase("ASC") || peek.equalsIgnoreCase("DESC"))) {
+        val t = next()
+        if (t.startsWith("?")) orderBy += ((t.stripPrefix("?"), true))
+        else {
+          val asc = t.equalsIgnoreCase("ASC")
+          expect("(")
+          val v = next()
+          require(v.startsWith("?"), s"ORDER BY ${t.toUpperCase} takes a ?var")
+          expect(")")
+          orderBy += ((v.stripPrefix("?"), asc))
+        }
+      }
+      require(orderBy.nonEmpty, "ORDER BY names no keys")
+    }
     val limit =
       if (i < ts.length && peek.equalsIgnoreCase("LIMIT")) {
         next(); Some(next().toInt)
@@ -251,9 +270,14 @@ object SparqlLite {
     (filters.flatMap(f => Seq(f.a, f.b)) ++ values.map("?" + _.v))
       .filter(_.startsWith("?")).map(_.stripPrefix("?"))
       .foreach(v => require(bound.contains(v), s"FILTER/VALUES ?$v is unbound"))
-    Query(form, distinct, sel, aggs.toSeq, groupBy.toList, template.toSeq,
-      patterns.toSeq, optionals.map(_.toSeq).toSeq, filters.toSeq,
-      values.toSeq, limit)
+    orderBy.foreach { case (v, _) =>
+      require(form == "SELECT", "ORDER BY requires SELECT")
+      require(sel.contains(v),
+        s"ORDER BY ?$v must appear in the SELECT list")
+    }
+    Query(form, distinct, sel, aggs.toSeq, groupBy.toList, orderBy.toSeq,
+      template.toSeq, patterns.toSeq, optionals.map(_.toSeq).toSeq,
+      filters.toSeq, values.toSeq, limit)
   }
 
   // ---------------------------------------------------------------- paths
@@ -404,6 +428,10 @@ object SparqlLite {
               .select(q.select.map(col): _*)
           }
         if (q.distinct) out = out.distinct()
+        if (q.orderBy.nonEmpty)
+          out = out.orderBy(q.orderBy.map { case (v, asc) =>
+            if (asc) col(v).asc else col(v).desc
+          }: _*)
         q.limit.foreach(n => out = out.limit(n))
         out
       case "CONSTRUCT" =>

@@ -131,6 +131,17 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { ?c in_nation ?n . OPTIONAL { ?c a+ ?z } }")
   }
 
+  test("ORDER BY with LIMIT is deterministic top-k; unselected key rejected") {
+    val got = SparqlLite.sparql(tri,
+      """SELECT ?c ?a WHERE { ?c age ?a }
+        |ORDER BY DESC(?a) ?c LIMIT 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // string ordering: '9' > '40' > '31' lexicographically
+    assert(got === Seq(("c2", "9"), ("c3", "40")))
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a } ORDER BY ?a"))
+  }
+
   test("CONSTRUCT templates a new graph; constants allowed; set semantics") {
     val got = SparqlLite.sparql(tri,
       """CONSTRUCT { ?n has_customer ?c . ?n a Nation }
