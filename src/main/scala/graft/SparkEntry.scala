@@ -1544,6 +1544,37 @@ object SparkEntry {
       SparqlLite.sparql(bgpTriples(s, d),
         """SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c cust_nation ?n }
           |GROUP BY ?n ORDER BY DESC(?cnt) ?n LIMIT 5""".stripMargin)),
+    // q114: SHACL CARDINALITY (sh:minCount/sh:maxCount) — every customer
+    // must have exactly one nation and 1..2 big-ticket orders; the scope
+    // grid is what surfaces ZERO-count subjects (they never appear in
+    // the triple table at all), so min violations are the q99 null-branch
+    // customers and max violations the 3+-order whales.
+    "q114_shacl_cardinality" -> ((s, d) => {
+      val cn = t(s, d, "customer").join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(concat(lit("c"), col("c_custkey")).as("subj"),
+          lit("cust_nation").as("pred"),
+          concat(lit("n"), col("n_name")).as("obj"))
+      val big = t(s, d, "orders").where(col("o_totalprice") > 450000)
+        .select(concat(lit("c"), col("o_custkey")).as("subj"),
+          lit("placed_big").as("pred"),
+          concat(lit("o"), col("o_orderkey")).as("obj"))
+      Constraints.cardinalityViolations(cn.unionAll(big),
+        t(s, d, "customer").select(concat(lit("c"), col("c_custkey"))),
+        Seq(("cust_nation", 1, 1), ("placed_big", 1, 2)))
+    }),
+    // q115: SHACL DATATYPE (sh:datatype xsd:integer) — the k_value
+    // literal predicate planted with a non-numeric value on every 10th
+    // event; try_cast semantics mirrored so both engines quarantine the
+    // same rows.
+    "q115_shacl_datatype" -> ((s, d) =>
+      Constraints.datatypeViolations(
+        t(s, d, "events").select(
+          concat(lit("e"), col("event_id")).as("subj"),
+          lit("k_value").as("pred"),
+          when(pmod(col("event_id"), lit(10)) === 0, col("event_type"))
+            .otherwise(get_json_object(col("props"), "$.k")).as("obj")),
+        "k_value", "integer")),
     // q102: WEIGHTED SHORTEST PATHS (bounded Bellman-Ford) — min
     // relatedness-distance from the first order's parts over the
     // co-purchase graph, weight = max(1, 100 - n_both), four relaxation
@@ -2734,6 +2765,33 @@ object SparkEntry {
       """SELECT 'n' || n_name AS n, count(*)::BIGINT AS cnt
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY cnt DESC, n LIMIT 5""".stripMargin,
+    "q114_shacl_cardinality" ->
+      """WITH tri AS (
+        |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 'c' || o_custkey, 'placed_big', 'o' || o_orderkey
+        |    FROM orders WHERE o_totalprice > 450000),
+        |scope AS (SELECT DISTINCT 'c' || c_custkey AS subj FROM customer),
+        |cons AS (SELECT * FROM (VALUES
+        |  ('cust_nation', 1, 1), ('placed_big', 1, 2)) v(pred, min_c, max_c)),
+        |counts AS (SELECT subj, pred, count(DISTINCT obj) AS n
+        |  FROM tri GROUP BY 1, 2)
+        |SELECT s.subj, c.pred, coalesce(n, 0)::BIGINT AS n_values,
+        |  CASE WHEN coalesce(n, 0) < min_c THEN 'min' ELSE 'max'
+        |  END AS violation
+        |FROM scope s CROSS JOIN cons c
+        |LEFT JOIN counts ON counts.subj = s.subj AND counts.pred = c.pred
+        |WHERE coalesce(n, 0) < min_c OR coalesce(n, 0) > max_c""".stripMargin,
+    "q115_shacl_datatype" ->
+      """WITH tri AS (SELECT 'e' || event_id AS subj, 'k_value' AS pred,
+        |    CASE WHEN event_id % 10 = 0 THEN event_type
+        |         ELSE json_extract_string(props, '$.k') END AS obj
+        |  FROM events)
+        |SELECT subj, pred, obj FROM tri
+        |WHERE NOT coalesce(try_cast(obj AS BIGINT) IS NOT NULL
+        |  AND obj NOT LIKE '%.%' AND obj NOT LIKE '%e%'
+        |  AND obj NOT LIKE '%E%', false)""".stripMargin,
     "q102_weighted_paths" ->
       """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
         |    FROM lineitem

@@ -44,4 +44,36 @@ class ConstraintsSpec extends SparkSpec {
       .collect().map(r => Option(r.getString(2))).toSet
     assert(v == Set(Some("de"), Some("fr"), None))
   }
+
+  test("cardinalityViolations: zero-count min, over-max, in-range absent") {
+    val tri = Seq(
+      ("c1", "lang", "en"),
+      ("c2", "lang", "en"), ("c2", "lang", "fr"), ("c2", "lang", "de"),
+      ("c3", "other", "x") // no lang triples at all
+    ).toDF("subj", "pred", "obj")
+    val scope = Seq("c1", "c2", "c3").toDF("id")
+    val got = Constraints.cardinalityViolations(tri, scope,
+        Seq(("lang", 1, 2)))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSet
+    // c1 has 1 (in range, absent); c2 has 3 (max); c3 has 0 (min)
+    assert(got === Set(("c2", 3L, "max"), ("c3", 0L, "min")))
+    intercept[IllegalArgumentException](
+      Constraints.cardinalityViolations(tri, scope, Seq(("lang", 2, 1))))
+  }
+
+  test("datatypeViolations: integer and double parses, nulls flagged") {
+    val tri = Seq(
+      ("a", "n", "42"), ("b", "n", "-7"), ("c", "n", "12.5"),
+      ("d", "n", "abc"), ("e", "n", null.asInstanceOf[String]),
+      ("f", "n", "1e3"), ("g", "other", "zzz")
+    ).toDF("subj", "pred", "obj")
+    val ints = Constraints.datatypeViolations(tri, "n", "integer")
+      .collect().map(_.getString(0)).toSet
+    assert(ints === Set("c", "d", "e", "f"))
+    val dbls = Constraints.datatypeViolations(tri, "n", "double")
+      .collect().map(_.getString(0)).toSet
+    assert(dbls === Set("d", "e"))
+    intercept[IllegalArgumentException](
+      Constraints.datatypeViolations(tri, "n", "date"))
+  }
 }
