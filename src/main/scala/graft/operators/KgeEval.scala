@@ -69,6 +69,32 @@ object KgeEval {
         .otherwise(0L))).as("rank"))
   }
 
+  /** Filtered HEAD ranks — the other half of the protocol: candidates
+    * h' from the per-relation head vocabulary scored
+    * ||E(h') + R(r) − E(t)||². Same filtering and tie rules as
+    * [[tailRanks]]. Returns (h, r, t, rank).
+    */
+  def headRanks(test: DataFrame, all: DataFrame, entEmb: DataFrame,
+      relEmb: DataFrame): DataFrame = {
+    val cand = all.select(col("r"), col("h").as("cand")).distinct()
+    val tst = test
+      .join(entEmb.select(col("node").as("h"), col("vec").as("hv")), Seq("h"))
+      .join(entEmb.select(col("node").as("t"), col("vec").as("tv")), Seq("t"))
+      .join(relEmb.select(col("rel").as("r"), col("vec").as("rv")), Seq("r"))
+      .withColumn("tdist", transEDist(col("hv"), col("rv"), col("tv")))
+    val scored = tst.join(cand, Seq("r"))
+      .join(entEmb.select(col("node").as("cand"), col("vec").as("cv")),
+        Seq("cand"))
+      .join(all.select(col("h").as("cand"), col("r"), col("t")).distinct()
+        .withColumn("istrue", lit(1)), Seq("cand", "r", "t"), "left")
+      .where(col("istrue").isNull || col("cand") === col("h"))
+      .withColumn("cdist", transEDist(col("cv"), col("rv"), col("tv")))
+    scored.groupBy(col("h"), col("r"), col("t"))
+      .agg((lit(1L) + sum(when(col("cdist") < col("tdist") ||
+        (col("cdist") === col("tdist") && col("cand") < col("h")), 1L)
+        .otherwise(0L))).as("rank"))
+  }
+
   /** Protocol metrics over a rank frame: MRR and Hits@k. Double-valued
     * (reporting surface; the cross-engine gate is the rank frame itself).
     */

@@ -27,6 +27,18 @@ class KgeEvalSpec extends SparkSpec {
     assert(got === Seq(("a", "d", 2L)))
   }
 
+  test("filtered head ranks mirror the protocol on the head side") {
+    // heads scored against t=a (r=0): b=1, c=4, d=9
+    val all2 = Seq(("c", "r", "a"), ("d", "r", "a"), ("b", "r", "b"))
+      .toDF("h", "r", "t")
+    // evaluate (d,r,a): head vocab {b,c,d}; unfiltered b=1,c=4 < 9 → 3rd;
+    // filtered removes the true (c,r,a), leaving b → rank 2
+    val test = Seq(("d", "r", "a")).toDF("h", "r", "t")
+    val got = KgeEval.headRanks(test, all2, ent, rel)
+      .select("h", "rank").as[(String, Long)].collect().toSeq
+    assert(got === Seq(("d", 2L)))
+  }
+
   test("tie ranks break on candidate ordering; metrics aggregate") {
     // head a, tails b and bb at the SAME embedding distance
     val ent2 = ent.unionAll(Seq(("bb", Seq(1f, 0f))).toDF("node", "vec"))
