@@ -1586,6 +1586,27 @@ object SparkEntry {
         t(s, d, "customer").select(concat(lit("c"), col("c_custkey"))),
         Seq(("cust_nation", 1, 1), ("placed_big", 1, 2)))
     }),
+    // q117: SPARQL MINUS — European customers WITHOUT a big-ticket
+    // order, as an anti-join on the shared ?c; the twin is the same
+    // anti-join relationally (the q99 OPTIONAL-null population, derived
+    // by negation instead).
+    "q117_sparql_minus" -> ((s, d) => {
+      val big = t(s, d, "orders").where(col("o_totalprice") > 450000)
+        .select(concat(lit("o"), col("o_orderkey")).as("subj"),
+          lit("placed_by").as("pred"),
+          concat(lit("c"), col("o_custkey")).as("obj"))
+      SparqlLite.sparql(bgpTriples(s, d).unionAll(big),
+        """SELECT ?c ?n WHERE {
+          |  ?c cust_nation ?n . ?n in_region rEUROPE .
+          |  MINUS { ?o placed_by ?c }
+          |}""".stripMargin)
+    }),
+    // q118: SPARQL pagination — ORDER BY + LIMIT + OFFSET slice of the
+    // deterministic customer sequence; the twin pages identically.
+    "q118_sparql_page" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?c ?n WHERE { ?c cust_nation ?n }
+          |ORDER BY ?c LIMIT 20 OFFSET 10""".stripMargin)),
     // q115: SHACL DATATYPE (sh:datatype xsd:integer) — the k_value
     // literal predicate planted with a non-numeric value on every 10th
     // event; try_cast semantics mirrored so both engines quarantine the
@@ -2841,6 +2862,20 @@ object SparkEntry {
         |FROM scope s CROSS JOIN cons c
         |LEFT JOIN counts ON counts.subj = s.subj AND counts.pred = c.pred
         |WHERE coalesce(n, 0) < min_c OR coalesce(n, 0) > max_c""".stripMargin,
+    "q117_sparql_minus" ->
+      """WITH cn AS (SELECT 'c' || c_custkey AS c, 'n' || n_name AS n,
+        |    n_regionkey AS rk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |eu AS (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'),
+        |big AS (SELECT DISTINCT 'c' || o_custkey AS c FROM orders
+        |  WHERE o_totalprice > 450000)
+        |SELECT cn.c, cn.n FROM cn
+        |JOIN eu ON eu.r_regionkey = cn.rk
+        |ANTI JOIN big ON big.c = cn.c""".stripMargin,
+    "q118_sparql_page" ->
+      """SELECT 'c' || c_custkey AS c, 'n' || n_name AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c LIMIT 20 OFFSET 10""".stripMargin,
     "q115_shacl_datatype" ->
       """WITH tri AS (SELECT 'e' || event_id AS subj, 'k_value' AS pred,
         |    CASE WHEN event_id % 10 = 0 THEN event_type

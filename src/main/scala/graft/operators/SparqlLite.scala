@@ -14,7 +14,7 @@ import graft.operators.GraphQuery.TriplePattern
   * Grammar (whitespace-separated; `#` comments to end of line):
   * {{{
   * query  := SELECT DISTINCT? (sel+ | *) WHERE group
-  *             (GROUP BY ?var+)? (ORDER BY key+)? (LIMIT n)?
+  *             (GROUP BY ?var+)? (ORDER BY key+)? (LIMIT n | OFFSET n)*
   * key    := ?var | ASC ( ?var ) | DESC ( ?var )  -- ?var must be selected
   *         | CONSTRUCT { triple ('.' triple)* } WHERE group (LIMIT n)?
   *         | ASK group
@@ -22,6 +22,7 @@ import graft.operators.GraphQuery.TriplePattern
   * group  := { item ('.' item)* '.'? }
   * item   := term (pred | path) term              -- a triple pattern
   *         | OPTIONAL { triple ('.' triple)* }    -- one left-joined group
+  *         | MINUS { triple ('.' triple)* }       -- anti-join on shared vars
   *         | FILTER ( operand op operand )        -- op: = != < <= > >=
   *         | VALUES ?var { const+ }               -- inline allowed values
   * term   := ?var | 'quoted literal' | "quoted" | <iri> | bare-word
@@ -49,7 +50,9 @@ object SparqlLite {
       select: Seq[String], aggs: Seq[Agg], groupBy: Seq[String],
       orderBy: Seq[(String, Boolean)], template: Seq[TriplePattern],
       patterns: Seq[TriplePattern], optionals: Seq[Seq[TriplePattern]],
-      filters: Seq[Filter], values: Seq[Values], limit: Option[Int])
+      minuses: Seq[Seq[TriplePattern]],
+      filters: Seq[Filter], values: Seq[Values], limit: Option[Int],
+      offset: Option[Int])
 
   // ------------------------------------------------------------ tokenizer
 
@@ -184,6 +187,7 @@ object SparqlLite {
       acc.toSeq
     }
 
+    val minuses = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
     while (peek != "}") {
       if (peek.equalsIgnoreCase("OPTIONAL")) {
         next(); expect("{")
@@ -191,6 +195,12 @@ object SparqlLite {
         require(g.nonEmpty, "empty OPTIONAL group")
         expect("}")
         optionals += g
+      } else if (peek.equalsIgnoreCase("MINUS")) {
+        next(); expect("{")
+        val g = tripleList()
+        require(g.nonEmpty, "empty MINUS group")
+        expect("}")
+        minuses += g
       } else if (peek.equalsIgnoreCase("FILTER")) {
         next(); expect("(")
         val a = term()
@@ -241,10 +251,16 @@ object SparqlLite {
       }
       require(orderBy.nonEmpty, "ORDER BY names no keys")
     }
-    val limit =
-      if (i < ts.length && peek.equalsIgnoreCase("LIMIT")) {
-        next(); Some(next().toInt)
-      } else None
+    var limit: Option[Int] = None
+    var offset: Option[Int] = None
+    while (i < ts.length && (peek.equalsIgnoreCase("LIMIT") ||
+      peek.equalsIgnoreCase("OFFSET"))) {
+      val kw = next().toUpperCase
+      val n = next().toInt
+      require(n >= 0, s"$kw takes a non-negative count, got $n")
+      if (kw == "LIMIT") { require(limit.isEmpty, "duplicate LIMIT"); limit = Some(n) }
+      else { require(offset.isEmpty, "duplicate OFFSET"); offset = Some(n) }
+    }
     require(i == ts.length, s"trailing tokens after query: ${ts.drop(i).mkString(" ")}")
     require(patterns.nonEmpty, "query has no required triple pattern")
 
@@ -275,9 +291,13 @@ object SparqlLite {
       require(sel.contains(v),
         s"ORDER BY ?$v must appear in the SELECT list")
     }
+    minuses.foreach(g => require(
+      g.flatMap(_.vars).intersect(bound).nonEmpty,
+      s"MINUS group $g shares no variable with the required graph " +
+        "(SPARQL would remove nothing; write the intended join)"))
     Query(form, distinct, sel, aggs.toSeq, groupBy.toList, orderBy.toSeq,
       template.toSeq, patterns.toSeq, optionals.map(_.toSeq).toSeq,
-      filters.toSeq, values.toSeq, limit)
+      minuses.map(_.toSeq).toSeq, filters.toSeq, values.toSeq, limit, offset)
   }
 
   // ---------------------------------------------------------------- paths
@@ -382,6 +402,18 @@ object SparqlLite {
         s"OPTIONAL group $g shares no variable with the preceding graph")
       df = df.join(f, shared, "left")
     }
+    q.minuses.foreach { g =>
+      // SPARQL MINUS over patterns sharing variables = anti-join on the
+      // shared domain (the FILTER NOT EXISTS-coincident case; disjoint
+      // domains are rejected at parse time)
+      g.foreach(tp => require(!isPath(tp.p),
+        s"property paths are not supported inside MINUS: $tp"))
+      val f = GraphQuery.bgpMatch(triples, g)
+      val shared = df.columns.toSeq.intersect(f.columns.toSeq)
+      require(shared.nonEmpty,
+        s"MINUS group $g shares no variable with the preceding graph")
+      df = df.join(f.select(shared.map(col): _*), shared, "left_anti")
+    }
     q.values.foreach { v =>
       df = df.where(col(v.v).isInCollection(v.consts))
     }
@@ -432,12 +464,14 @@ object SparqlLite {
           out = out.orderBy(q.orderBy.map { case (v, asc) =>
             if (asc) col(v).asc else col(v).desc
           }: _*)
+        q.offset.foreach(n => out = out.offset(n))
         q.limit.foreach(n => out = out.limit(n))
         out
       case "CONSTRUCT" =>
-        // LIMIT bounds the solution sequence BEFORE templating (SPARQL
-        // order); the constructed graph is a set, hence the distinct
-        val sols = q.limit.map(df.limit).getOrElse(df)
+        // OFFSET/LIMIT bound the solution sequence BEFORE templating
+        // (SPARQL order); the constructed graph is a set, hence distinct
+        val paged = q.offset.map(df.offset).getOrElse(df)
+        val sols = q.limit.map(paged.limit).getOrElse(paged)
         q.template.map { tp =>
           sols.select(tp.slots.map { case (c, t) =>
             (if (t.startsWith("?")) col(t.stripPrefix("?")) else lit(t)).as(c)

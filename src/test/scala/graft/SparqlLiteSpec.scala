@@ -142,6 +142,25 @@ class SparqlLiteSpec extends SparkSpec {
       "SELECT ?c WHERE { ?c age ?a } ORDER BY ?a"))
   }
 
+  test("MINUS anti-joins on shared variables; disjoint MINUS rejected") {
+    val tri2 = tri.unionAll(Seq(("c1", "vip", "yes"), ("c4", "vip", "yes"))
+      .toDF("subj", "pred", "obj"))
+    val got = SparqlLite.sparql(tri2,
+      "SELECT ?c WHERE { ?c in_nation ?n . MINUS { ?c vip yes } }")
+    assert(rows(got) === Set(Seq("c2"), Seq("c3")))
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri2,
+      "SELECT ?c WHERE { ?c in_nation ?n . MINUS { ?z vip yes } }"))
+  }
+
+  test("OFFSET pages an ordered solution sequence") {
+    val got = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c in_nation ?n } ORDER BY ?c LIMIT 2 OFFSET 1")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("c2", "c3"))
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c in_nation ?n } OFFSET 1 OFFSET 2"))
+  }
+
   test("CONSTRUCT templates a new graph; constants allowed; set semantics") {
     val got = SparqlLite.sparql(tri,
       """CONSTRUCT { ?n has_customer ?c . ?n a Nation }
