@@ -1607,6 +1607,14 @@ object SparkEntry {
       SparqlLite.sparql(bgpTriples(s, d),
         """SELECT ?c ?n WHERE { ?c cust_nation ?n }
           |ORDER BY ?c LIMIT 20 OFFSET 10""".stripMargin)),
+    // q119: SPARQL DESCRIBE — the outgoing triples of every European
+    // customer (their cust_nation assertions), a semi-join of the triple
+    // table against the solution bindings.
+    "q119_sparql_describe" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """DESCRIBE ?c WHERE {
+          |  ?c cust_nation ?n . ?n in_region rEUROPE
+          |}""".stripMargin)),
     // q115: SHACL DATATYPE (sh:datatype xsd:integer) — the k_value
     // literal predicate planted with a non-numeric value on every 10th
     // event; try_cast semantics mirrored so both engines quarantine the
@@ -2876,6 +2884,13 @@ object SparkEntry {
       """SELECT 'c' || c_custkey AS c, 'n' || n_name AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY c LIMIT 20 OFFSET 10""".stripMargin,
+    "q119_sparql_describe" ->
+      """SELECT DISTINCT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+        |  'n' || n_name AS obj
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'""".stripMargin,
     "q115_shacl_datatype" ->
       """WITH tri AS (SELECT 'e' || event_id AS subj, 'k_value' AS pred,
         |    CASE WHEN event_id % 10 = 0 THEN event_type

@@ -18,6 +18,7 @@ import graft.operators.GraphQuery.TriplePattern
   * key    := ?var | ASC ( ?var ) | DESC ( ?var )  -- ?var must be selected
   *         | CONSTRUCT { triple ('.' triple)* } WHERE group (LIMIT n)?
   *         | ASK group
+  *         | DESCRIBE ?var+ WHERE group   -- outgoing triples of bindings
   * sel    := ?var | ( (COUNT|SUM|MIN|MAX|AVG) ( ?var | * ) AS ?alias )
   * group  := { item ('.' item)* '.'? }
   * item   := term (pred | path) term              -- a triple pattern
@@ -126,8 +127,8 @@ object SparqlLite {
     }
 
     val form = next().toUpperCase
-    require(Seq("SELECT", "CONSTRUCT", "ASK").contains(form),
-      s"query must start with SELECT, CONSTRUCT or ASK, got $form")
+    require(Seq("SELECT", "CONSTRUCT", "ASK", "DESCRIBE").contains(form),
+      s"query must start with SELECT, CONSTRUCT, ASK or DESCRIBE, got $form")
     var distinct = false
     val select = scala.collection.mutable.ArrayBuffer.empty[String]
     val aggs = scala.collection.mutable.ArrayBuffer.empty[Agg]
@@ -170,6 +171,14 @@ object SparqlLite {
         require(template.nonEmpty, "empty CONSTRUCT template")
         expect("WHERE")
       case "ASK" => () // ASK { block } — the block follows directly
+      case "DESCRIBE" =>
+        while (!peek.equalsIgnoreCase("WHERE")) {
+          val v = next()
+          require(v.startsWith("?"), s"DESCRIBE takes ?vars, got $v")
+          select += v.stripPrefix("?")
+        }
+        require(select.nonEmpty, "DESCRIBE names no variables")
+        expect("WHERE")
     }
     expect("{")
 
@@ -265,12 +274,15 @@ object SparqlLite {
     require(patterns.nonEmpty, "query has no required triple pattern")
 
     val bound = (patterns ++ optionals.flatten).flatMap(_.vars).distinct.toList
-    val sel = if (star || form != "SELECT") bound else select.toList
+    val sel =
+      if (form == "DESCRIBE") select.toList
+      else if (star || form != "SELECT") bound
+      else select.toList
     require(sel.nonEmpty, "empty SELECT list")
     val aliases = aggs.map(_.alias)
-    if (form == "SELECT")
+    if (form == "SELECT" || form == "DESCRIBE")
       sel.filterNot(aliases.contains).foreach(v =>
-        require(bound.contains(v), s"SELECT ?$v is unbound"))
+        require(bound.contains(v), s"$form ?$v is unbound"))
     aggs.foreach(a => require(a.operand == "*" ||
       bound.contains(a.operand.stripPrefix("?")),
       s"aggregate over unbound ${a.operand}"))
@@ -479,6 +491,13 @@ object SparqlLite {
         }.reduce(_ unionAll _).distinct()
       case "ASK" =>
         df.agg((count(lit(1)) > 0).as("ask"))
+      case "DESCRIBE" =>
+        // outgoing description: every triple whose subject is bound to a
+        // described variable in some solution (set semantics)
+        val ids = q.select.map(v => df.select(col(v).as("subj")))
+          .reduce(_ unionAll _).where(col("subj").isNotNull).distinct()
+        triples.join(ids, Seq("subj"), "left_semi")
+          .select(col("subj"), col("pred"), col("obj")).distinct()
     }
   }
 }

@@ -172,6 +172,16 @@ class SparqlLiteSpec extends SparkSpec {
       Seq("de", "a", "Nation"), Seq("fr", "a", "Nation")))
   }
 
+  test("DESCRIBE returns the outgoing triples of every binding") {
+    val got = SparqlLite.sparql(tri,
+      "DESCRIBE ?n WHERE { ?c in_nation ?n }")
+    assert(got.columns.toSeq === Seq("subj", "pred", "obj"))
+    assert(rows(got) === Set(
+      Seq("de", "in_region", "europe"), Seq("fr", "in_region", "europe")))
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri,
+      "DESCRIBE ?z WHERE { ?c in_nation ?n }"))
+  }
+
   test("ASK answers one boolean row") {
     def ask(q: String): Boolean =
       SparqlLite.sparql(tri, q).collect()(0).getBoolean(0)
@@ -191,6 +201,6 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { OPTIONAL { ?o ordered_by ?c } }") // no required
     bad("CONSTRUCT { ?z p ?c } WHERE { ?c in_nation ?n }")   // unbound template
     bad("CONSTRUCT { } WHERE { ?c in_nation ?n }")           // empty template
-    bad("DESCRIBE ?c WHERE { ?c in_nation ?n }")             // unsupported form
+    bad("INSERT ?c WHERE { ?c in_nation ?n }")               // unsupported form
   }
 }
