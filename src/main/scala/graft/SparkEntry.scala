@@ -1615,6 +1615,16 @@ object SparkEntry {
         """DESCRIBE ?c WHERE {
           |  ?c cust_nation ?n . ?n in_region rEUROPE
           |}""".stripMargin)),
+    // q120: SPARQL UNION — customers and suppliers merged into one
+    // located-in relation (same-var-set branches, bag union), then
+    // joined down to the European region; the twin is the UNION ALL of
+    // the two relational branches.
+    "q120_sparql_union" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?x ?n WHERE {
+          |  { ?x cust_nation ?n } UNION { ?x supp_nation ?n } .
+          |  ?n in_region rEUROPE
+          |}""".stripMargin)),
     // q115: SHACL DATATYPE (sh:datatype xsd:integer) — the k_value
     // literal predicate planted with a non-numeric value on every 10th
     // event; try_cast semantics mirrored so both engines quarantine the
@@ -2891,6 +2901,17 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'EUROPE'""".stripMargin,
+    "q120_sparql_union" ->
+      """WITH u AS (
+        |  SELECT 'c' || c_custkey AS x, 'n' || n_name AS n
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 's' || s_suppkey, 'n' || n_name
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |eu AS (SELECT 'n' || n_name AS n
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT u.x, u.n FROM u JOIN eu ON eu.n = u.n""".stripMargin,
     "q115_shacl_datatype" ->
       """WITH tri AS (SELECT 'e' || event_id AS subj, 'k_value' AS pred,
         |    CASE WHEN event_id % 10 = 0 THEN event_type

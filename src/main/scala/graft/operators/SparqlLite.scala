@@ -24,6 +24,7 @@ import graft.operators.GraphQuery.TriplePattern
   * item   := term (pred | path) term              -- a triple pattern
   *         | OPTIONAL { triple ('.' triple)* }    -- one left-joined group
   *         | MINUS { triple ('.' triple)* }       -- anti-join on shared vars
+  *         | { triple+ } UNION { triple+ } ...    -- same-var-set branches
   *         | FILTER ( operand op operand )        -- op: = != < <= > >=
   *         | VALUES ?var { const+ }               -- inline allowed values
   * term   := ?var | 'quoted literal' | "quoted" | <iri> | bare-word
@@ -51,7 +52,7 @@ object SparqlLite {
       select: Seq[String], aggs: Seq[Agg], groupBy: Seq[String],
       orderBy: Seq[(String, Boolean)], template: Seq[TriplePattern],
       patterns: Seq[TriplePattern], optionals: Seq[Seq[TriplePattern]],
-      minuses: Seq[Seq[TriplePattern]],
+      minuses: Seq[Seq[TriplePattern]], unions: Seq[Seq[Seq[TriplePattern]]],
       filters: Seq[Filter], values: Seq[Values], limit: Option[Int],
       offset: Option[Int])
 
@@ -197,6 +198,7 @@ object SparqlLite {
     }
 
     val minuses = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
+    val unions = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[TriplePattern]]]
     while (peek != "}") {
       if (peek.equalsIgnoreCase("OPTIONAL")) {
         next(); expect("{")
@@ -210,6 +212,21 @@ object SparqlLite {
         require(g.nonEmpty, "empty MINUS group")
         expect("}")
         minuses += g
+      } else if (peek == "{") {
+        // { triples } UNION { triples } (UNION ...)*
+        val branches = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
+        next()
+        branches += tripleList()
+        expect("}")
+        while (i < ts.length && peek.equalsIgnoreCase("UNION")) {
+          next(); expect("{")
+          branches += tripleList()
+          expect("}")
+        }
+        require(branches.length >= 2,
+          "a braced group must be a UNION of two or more branches")
+        branches.foreach(b => require(b.nonEmpty, "empty UNION branch"))
+        unions += branches.toSeq
       } else if (peek.equalsIgnoreCase("FILTER")) {
         next(); expect("(")
         val a = term()
@@ -271,9 +288,16 @@ object SparqlLite {
       else { require(offset.isEmpty, "duplicate OFFSET"); offset = Some(n) }
     }
     require(i == ts.length, s"trailing tokens after query: ${ts.drop(i).mkString(" ")}")
-    require(patterns.nonEmpty, "query has no required triple pattern")
+    require(patterns.nonEmpty || unions.nonEmpty,
+      "query has no required triple pattern")
+    unions.foreach { branches =>
+      val varSets = branches.map(_.flatMap(_.vars).toSet)
+      require(varSets.distinct.length == 1,
+        s"UNION branches must bind the same variables, got $varSets")
+    }
 
-    val bound = (patterns ++ optionals.flatten).flatMap(_.vars).distinct.toList
+    val bound = (patterns ++ optionals.flatten ++ unions.flatten.flatten)
+      .flatMap(_.vars).distinct.toList
     val sel =
       if (form == "DESCRIBE") select.toList
       else if (star || form != "SELECT") bound
@@ -309,7 +333,8 @@ object SparqlLite {
         "(SPARQL would remove nothing; write the intended join)"))
     Query(form, distinct, sel, aggs.toSeq, groupBy.toList, orderBy.toSeq,
       template.toSeq, patterns.toSeq, optionals.map(_.toSeq).toSeq,
-      minuses.map(_.toSeq).toSeq, filters.toSeq, values.toSeq, limit, offset)
+      minuses.map(_.toSeq).toSeq, unions.toSeq, filters.toSeq,
+      values.toSeq, limit, offset)
   }
 
   // ---------------------------------------------------------------- paths
@@ -400,9 +425,19 @@ object SparqlLite {
     q.template.foreach(tp => require(!isPath(tp.p),
       s"property paths are not allowed in CONSTRUCT templates: $tp"))
     val (pathPs, plainPs) = q.patterns.partition(tp => isPath(tp.p))
+    val unionFrames = q.unions.map { branches =>
+      branches.flatten.foreach(tp => require(!isPath(tp.p),
+        s"property paths are not supported inside UNION branches: $tp"))
+      // branches bind identical var sets (parse-checked); align columns
+      // to the first branch's order before the bag union
+      val order = branches.head.flatMap(_.vars).distinct
+      branches.map(b =>
+        GraphQuery.bgpMatch(triples, b).select(order.map(col): _*))
+        .reduce(_ unionAll _)
+    }
     val frames =
       (if (plainPs.nonEmpty) Seq(GraphQuery.bgpMatch(triples, plainPs))
-       else Seq.empty) ++ pathPs.map(pathFrame(triples, _))
+       else Seq.empty) ++ pathPs.map(pathFrame(triples, _)) ++ unionFrames
     var df = frames.reduce { (a, b) =>
       val shared = a.columns.toSeq.intersect(b.columns.toSeq)
       if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)

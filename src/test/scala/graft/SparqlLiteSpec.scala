@@ -152,6 +152,28 @@ class SparqlLiteSpec extends SparkSpec {
       "SELECT ?c WHERE { ?c in_nation ?n . MINUS { ?z vip yes } }"))
   }
 
+  test("UNION merges same-variable branches and joins the rest") {
+    val got = SparqlLite.sparql(tri,
+      """SELECT ?x ?n WHERE {
+        |  { ?x in_nation ?n } UNION { ?n in_region ?x }
+        |}""".stripMargin)
+    assert(rows(got) === Set(
+      Seq("c1", "de"), Seq("c2", "de"), Seq("c3", "fr"), Seq("c4", "fr"),
+      Seq("europe", "de"), Seq("europe", "fr")))
+    // the union frame joins a plain pattern on its shared variable
+    val joined = SparqlLite.sparql(tri,
+      """SELECT ?x ?a WHERE {
+        |  { ?x in_nation de } UNION { ?x in_nation fr } .
+        |  ?x age ?a
+        |}""".stripMargin)
+    assert(rows(joined) === Set(Seq("c1", "31"), Seq("c2", "9"),
+      Seq("c3", "40")))
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri,
+      "SELECT ?x WHERE { { ?x in_nation ?n } UNION { ?x age ?z } }"))
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri,
+      "SELECT ?x WHERE { { ?x in_nation ?n } }")) // braces without UNION
+  }
+
   test("OFFSET pages an ordered solution sequence") {
     val got = SparqlLite.sparql(tri,
       "SELECT ?c WHERE { ?c in_nation ?n } ORDER BY ?c LIMIT 2 OFFSET 1")
