@@ -1615,6 +1615,29 @@ object SparkEntry {
         """DESCRIBE ?c WHERE {
           |  ?c cust_nation ?n . ?n in_region rEUROPE
           |}""".stripMargin)),
+    // q121: OWL-RL rules in the reasoner — placed/placed_by inverses and
+    // a TransitiveProperty containment closed bounded; the twin derives
+    // the same entailment with a recursive CTE + inverse projection.
+    "q121_owl_closure" -> ((s, d) => {
+      import s.implicits._
+      val schema = Seq(
+        ("placed", "inverseOf", "placed_by"),
+        ("within", "type", "TransitiveProperty")
+      ).toDF("subj", "pred", "obj")
+      val cn = t(s, d, "customer").join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(concat(lit("c"), col("c_custkey")).as("subj"),
+          lit("within").as("pred"), concat(lit("n"), col("n_name")).as("obj"))
+      val nr = t(s, d, "nation").join(t(s, d, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(concat(lit("n"), col("n_name")).as("subj"),
+          lit("within").as("pred"), concat(lit("r"), col("r_name")).as("obj"))
+      val placed = t(s, d, "orders").where(col("o_totalprice") > 450000)
+        .select(concat(lit("c"), col("o_custkey")).as("subj"),
+          lit("placed").as("pred"),
+          concat(lit("o"), col("o_orderkey")).as("obj"))
+      Reasoner.rdfsClosure(cn.unionAll(nr).unionAll(placed), schema)
+    }),
     // q120: SPARQL UNION — customers and suppliers merged into one
     // located-in relation (same-var-set branches, bag union), then
     // joined down to the European region; the twin is the UNION ALL of
@@ -2901,6 +2924,28 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'EUROPE'""".stripMargin,
+    "q121_owl_closure" ->
+      """WITH base AS (
+        |  SELECT 'c' || c_custkey AS subj, 'within' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 'n' || n_name, 'within', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL SELECT 'c' || o_custkey, 'placed', 'o' || o_orderkey
+        |    FROM orders WHERE o_totalprice > 450000),
+        |w AS (SELECT DISTINCT subj AS src, obj AS dst FROM base
+        |      WHERE pred = 'within'),
+        |cl AS (SELECT DISTINCT src, dst FROM (
+        |  WITH RECURSIVE c AS (
+        |    SELECT src, dst, 1 AS h FROM w
+        |    UNION
+        |    SELECT c.src, w.dst, c.h + 1 FROM c
+        |    JOIN w ON w.src = c.dst WHERE c.h < 16)
+        |  SELECT * FROM c))
+        |SELECT subj, pred, obj FROM base
+        |UNION SELECT src, 'within', dst FROM cl
+        |UNION SELECT obj, 'placed_by', subj FROM base
+        |  WHERE pred = 'placed'""".stripMargin,
     "q120_sparql_union" ->
       """WITH u AS (
         |  SELECT 'c' || c_custkey AS x, 'n' || n_name AS n

@@ -3,22 +3,26 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** RDFS-lite forward-chaining inference over a (subj, pred, obj) triple
-  * table: materializes the entailment of the four schema vocabularies
+/** RDFS-lite (+ two OWL-RL rules) forward-chaining inference over a
+  * (subj, pred, obj) triple table: materializes the entailment of
   *
+  *  - `inverseOf`     (owl: s p o ∧ p inverseOf q ⊢ o q s, both ways)
   *  - `subPropertyOf` (rdfs5 transitivity + rdfs7 property inheritance)
+  *  - `type TransitiveProperty` (owl: per-predicate bounded closure)
   *  - `subClassOf`    (rdfs11 transitivity + rdfs9 type propagation)
   *  - `domain`        (rdfs2: s p o ∧ p domain C ⊢ s type C)
   *  - `range`         (rdfs3: s p o ∧ p range D ⊢ o type D)
   *
-  * The rule set stratifies, so ONE pass in dependency order yields the
-  * full fixpoint with no unbounded loop: close subPropertyOf (schema-
-  * scale), inherit property triples up it, apply domain/range to the
-  * inherited set (their type conclusions feed only rdfs9), close
-  * subClassOf, propagate types up it. The two closures run over SCHEMA
-  * triples (vocabulary-sized, broadcast-friendly); every data-scale step
-  * is a single equi-join against one of them — at 10^12 data triples the
-  * plan is three broadcast joins and a distinct, never an iterative
+  * ONE pass in the documented dependency order (inverse → inherit →
+  * transitive-close → domain/range → subclass-propagate) yields the
+  * fixpoint for ontologies whose rules don't feed BACKWARD across that
+  * order (e.g. a transitive property's output re-entering an inverseOf);
+  * that restriction is the price of never running an unbounded
+  * data-scale loop, and it is the common shape of real containment/
+  * taxonomy ontologies. The closures run over SCHEMA triples
+  * (vocabulary-sized, broadcast-friendly) or one predicate's pair set;
+  * every data-scale step is a single equi-join — at 10^12 data triples
+  * the plan is broadcast joins and a distinct, never an iterative
   * data-scale fixpoint.
   *
   * Conventions: schema rows use the pred names above verbatim; data type
@@ -43,11 +47,40 @@ object Reasoner {
     val plain = data.where(col("pred") =!= lit(typePred))
       .select(col("subj"), col("pred"), col("obj"))
 
+    // owl:inverseOf (both directions — the schema declares one row):
+    // (s p o) ∧ (p inverseOf q) ⊢ (o q s), applied to the RAW property
+    // triples so the derived inverses then inherit/close like any other
+    val invK = schema.where(col("pred") === "inverseOf")
+    val invPairs = invK.select(col("subj").as("pred"), col("obj").as("q"))
+      .unionAll(invK.select(col("obj").as("pred"), col("subj").as("q")))
+      .distinct()
+    val inversed = plain.join(invPairs, Seq("pred"))
+      .select(col("obj").as("subj"), col("q").as("pred"),
+        col("subj").as("obj"))
+    val withInv = plain.unionAll(inversed).distinct()
+
     // rdfs7: inherit each property triple up the closed hierarchy
-    val inherited = plain
+    val inherited = withInv
       .join(subProp.withColumnRenamed("src", "pred"), Seq("pred"))
       .select(col("subj"), col("dst").as("pred"), col("obj"))
-    val allProp = plain.unionAll(inherited).distinct()
+    val propsBeforeTrans = withInv.unionAll(inherited).distinct()
+
+    // owl:TransitiveProperty: close each declared predicate's pair set
+    // (bounded like the schema closures; applied AFTER inheritance so a
+    // transitive super-property closes over inherited pairs too)
+    val transPreds = schema
+      .where(col("pred") === lit(typePred) &&
+        col("obj") === "TransitiveProperty")
+      .select(col("subj")).collect().map(_.getString(0)).toSeq
+    val transClosed = transPreds.map { p =>
+      GraphQuery.transitiveClosure(
+        propsBeforeTrans.where(col("pred") === lit(p))
+          .select(col("subj").as("src"), col("obj").as("dst")), maxDepth)
+        .select(col("src").as("subj"), lit(p).as("pred"),
+          col("dst").as("obj"))
+    }
+    val allProp = (propsBeforeTrans +: transClosed).reduce(_ unionAll _)
+      .distinct()
 
     // rdfs2/rdfs3 over the INHERITED set (a triple entailed via rdfs7
     // carries its super-property's domain/range)

@@ -57,6 +57,32 @@ class ReasonerSpec extends SparkSpec {
     assert(got === Set(("x", "a", "C"), ("x", "a", "D")))
   }
 
+  test("owl inverseOf and TransitiveProperty entail through the pass order") {
+    val schema = Seq(
+      ("placed", "inverseOf", "placed_by"),
+      ("within", "type", "TransitiveProperty"),
+      ("within", "subPropertyOf", "located"),
+      ("located", "type", "TransitiveProperty")
+    ).toDF("subj", "pred", "obj")
+    val data = Seq(
+      ("c1", "placed", "o1"),
+      ("o9", "placed_by", "c2"), // inverse declared the other way round
+      ("a", "within", "b"), ("b", "within", "c"), ("c", "within", "d")
+    ).toDF("subj", "pred", "obj")
+    val got = rows(Reasoner.rdfsClosure(data, schema))
+    val within = Set(("a", "b"), ("b", "c"), ("c", "d"),
+      ("a", "c"), ("b", "d"), ("a", "d"))
+    val want =
+      Set(("c1", "placed", "o1"), ("o1", "placed_by", "c1"),
+        ("o9", "placed_by", "c2"), ("c2", "placed", "o9")) ++
+      within.map { case (s, o) => (s, "within", o) } ++
+      // located inherits within's DIRECT pairs then closes itself — same
+      // six pairs here, proving the transitive super-property closes
+      // over inherited pairs
+      within.map { case (s, o) => (s, "located", o) }
+    assert(got === want)
+  }
+
   test("sameAs smushing: chains collapse, duplicates merge, links consumed") {
     val data = Seq(
       ("b9", "sameAs", "a9"), ("a9", "sameAs", "c9"), // chain b9-a9-c9
