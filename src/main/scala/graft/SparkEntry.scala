@@ -1519,46 +1519,20 @@ object SparkEntry {
     // derive identically (ties break on candidate id, true triples
     // filtered from the competition).
     "q112_kge_tail_ranks" -> ((s, d) => {
-      val pairs = Cooccur.edges(t(s, d, "lineitem"), col("l_orderkey"),
-          col("l_partkey"), minBoth = 2)
-        .select(col("item_a"), col("item_b"))
-      def tri(df: DataFrame) = df.select(
-        concat(lit("p"), col("item_a")).as("h"),
-        lit("bought_with").as("r"),
-        concat(lit("p"), col("item_b")).as("t"))
-      val emb = t(s, d, "embeddings")
-      val parts = pairs.select(col("item_a").as("id"))
-        .unionAll(pairs.select(col("item_b").as("id"))).distinct()
-      val entEmb = parts.join(emb, pmod(col("id"), lit(500)) === col("vec_id"))
-        .select(concat(lit("p"), col("id")).as("node"),
-          col("embedding").as("vec"))
-      val relEmb = emb.where(col("vec_id") === 7)
-        .select(lit("bought_with").as("rel"), col("embedding").as("vec"))
-      KgeEval.tailRanks(tri(pairs.where(pmod(col("item_a"), lit(3)) === 0)),
-        tri(pairs), entEmb, relEmb)
+      val f = kgeFixture(s, d)
+      KgeEval.tailRanks(
+        f.tri(f.pairs.where(pmod(col("item_a"), lit(3)) === 0)),
+        f.tri(f.pairs), f.entEmb, f.relEmb)
     }),
     // q116: the HEAD side of the same protocol — candidates h' scored
     // ||E(h')+R(r)-E(t)||² over the per-relation head vocabulary, same
     // filtering and tie rules; DuckDB derives every head rank
     // identically.
     "q116_kge_head_ranks" -> ((s, d) => {
-      val pairs = Cooccur.edges(t(s, d, "lineitem"), col("l_orderkey"),
-          col("l_partkey"), minBoth = 2)
-        .select(col("item_a"), col("item_b"))
-      def tri(df: DataFrame) = df.select(
-        concat(lit("p"), col("item_a")).as("h"),
-        lit("bought_with").as("r"),
-        concat(lit("p"), col("item_b")).as("t"))
-      val emb = t(s, d, "embeddings")
-      val parts = pairs.select(col("item_a").as("id"))
-        .unionAll(pairs.select(col("item_b").as("id"))).distinct()
-      val entEmb = parts.join(emb, pmod(col("id"), lit(500)) === col("vec_id"))
-        .select(concat(lit("p"), col("id")).as("node"),
-          col("embedding").as("vec"))
-      val relEmb = emb.where(col("vec_id") === 7)
-        .select(lit("bought_with").as("rel"), col("embedding").as("vec"))
-      KgeEval.headRanks(tri(pairs.where(pmod(col("item_b"), lit(3)) === 0)),
-        tri(pairs), entEmb, relEmb)
+      val f = kgeFixture(s, d)
+      KgeEval.headRanks(
+        f.tri(f.pairs.where(pmod(col("item_b"), lit(3)) === 0)),
+        f.tri(f.pairs), f.entEmb, f.relEmb)
     }),
     // q113: SPARQL ORDER BY + LIMIT — deterministic top-5 (count desc,
     // name asc tie-break) through the text front-end; the twin is the
@@ -1811,6 +1785,32 @@ object SparkEntry {
         .select(concat(lit("c"), col("o_custkey")).as("subj"),
           lit("placed").as("pred"),
           concat(lit("o"), col("o_orderkey")).as("obj")))
+
+  /** q112/q116 shared fixture: co-purchase pairs with modulo-assigned
+    * entity embeddings and a fixed relation vector.
+    */
+  private final case class KgeFixture(pairs: DataFrame, entEmb: DataFrame,
+      relEmb: DataFrame) {
+    def tri(df: DataFrame): DataFrame = df.select(
+      concat(lit("p"), col("item_a")).as("h"),
+      lit("bought_with").as("r"),
+      concat(lit("p"), col("item_b")).as("t"))
+  }
+
+  private def kgeFixture(s: SparkSession, d: String): KgeFixture = {
+    val pairs = Cooccur.edges(t(s, d, "lineitem"), col("l_orderkey"),
+        col("l_partkey"), minBoth = 2)
+      .select(col("item_a"), col("item_b"))
+    val emb = t(s, d, "embeddings")
+    val parts = pairs.select(col("item_a").as("id"))
+      .unionAll(pairs.select(col("item_b").as("id"))).distinct()
+    val entEmb = parts.join(emb, pmod(col("id"), lit(500)) === col("vec_id"))
+      .select(concat(lit("p"), col("id")).as("node"),
+        col("embedding").as("vec"))
+    val relEmb = emb.where(col("vec_id") === 7)
+      .select(lit("bought_with").as("rel"), col("embedding").as("vec"))
+    KgeFixture(pairs, entEmb, relEmb)
+  }
 
   /** q101/q111 fixture: containment triples + placed edges. */
   private def pathTriples(s: SparkSession, d: String): DataFrame =
@@ -2811,76 +2811,8 @@ object SparkEntry {
     "q101_path_algebra" -> pathAlgebraSql,
     // same path, text-syntax front-end — text == algebra == SQL
     "q111_sparql_path" -> pathAlgebraSql,
-    "q112_kge_tail_ranks" -> {
-      def dist(h: String, t: String): String =
-        s"list_sum(list_transform(range(1, 65), i -> " +
-          s"((($h[i]::DOUBLE + rel.rv[i]::DOUBLE) - $t[i]::DOUBLE) * " +
-          s"(($h[i]::DOUBLE + rel.rv[i]::DOUBLE) - $t[i]::DOUBLE))" +
-          "::DECIMAL(25,10)))"
-      s"""WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
-         |    FROM lineitem
-         |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-         |pairs AS (SELECT a.i AS item_a, b.i AS item_b
-         |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |test AS (SELECT item_a, item_b FROM pairs WHERE item_a % 3 = 0),
-         |rel AS (SELECT embedding AS rv FROM embeddings WHERE vec_id = 7),
-         |cand AS (SELECT DISTINCT item_b AS cb FROM pairs),
-         |ex AS (SELECT DISTINCT item_a, item_b FROM pairs),
-         |sc AS (
-         |  SELECT te.item_a, te.item_b, c.cb,
-         |    ${dist("he.embedding", "ce.embedding")} AS cdist,
-         |    ${dist("he.embedding", "tte.embedding")} AS tdist
-         |  FROM test te
-         |  JOIN embeddings he ON he.vec_id = te.item_a % 500
-         |  JOIN embeddings tte ON tte.vec_id = te.item_b % 500
-         |  CROSS JOIN rel
-         |  CROSS JOIN cand c
-         |  JOIN embeddings ce ON ce.vec_id = c.cb % 500
-         |  LEFT JOIN ex ON ex.item_a = te.item_a AND ex.item_b = c.cb
-         |  WHERE ex.item_a IS NULL OR c.cb = te.item_b)
-         |SELECT 'p' || item_a AS h, 'bought_with' AS r,
-         |  'p' || item_b AS t,
-         |  (1 + sum(CASE WHEN cdist < tdist
-         |      OR (cdist = tdist AND 'p' || cb < 'p' || item_b)
-         |    THEN 1 ELSE 0 END))::BIGINT AS rank
-         |FROM sc GROUP BY 1, 3""".stripMargin
-    },
-    "q116_kge_head_ranks" -> {
-      def dist(h: String, t: String): String =
-        s"list_sum(list_transform(range(1, 65), i -> " +
-          s"((($h[i]::DOUBLE + rel.rv[i]::DOUBLE) - $t[i]::DOUBLE) * " +
-          s"(($h[i]::DOUBLE + rel.rv[i]::DOUBLE) - $t[i]::DOUBLE))" +
-          "::DECIMAL(25,10)))"
-      s"""WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
-         |    FROM lineitem
-         |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-         |pairs AS (SELECT a.i AS item_a, b.i AS item_b
-         |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |test AS (SELECT item_a, item_b FROM pairs WHERE item_b % 3 = 0),
-         |rel AS (SELECT embedding AS rv FROM embeddings WHERE vec_id = 7),
-         |cand AS (SELECT DISTINCT item_a AS ch FROM pairs),
-         |ex AS (SELECT DISTINCT item_a, item_b FROM pairs),
-         |sc AS (
-         |  SELECT te.item_a, te.item_b, c.ch,
-         |    ${dist("ce.embedding", "tte.embedding")} AS cdist,
-         |    ${dist("he.embedding", "tte.embedding")} AS tdist
-         |  FROM test te
-         |  JOIN embeddings he ON he.vec_id = te.item_a % 500
-         |  JOIN embeddings tte ON tte.vec_id = te.item_b % 500
-         |  CROSS JOIN rel
-         |  CROSS JOIN cand c
-         |  JOIN embeddings ce ON ce.vec_id = c.ch % 500
-         |  LEFT JOIN ex ON ex.item_a = c.ch AND ex.item_b = te.item_b
-         |  WHERE ex.item_a IS NULL OR c.ch = te.item_a)
-         |SELECT 'p' || item_a AS h, 'bought_with' AS r,
-         |  'p' || item_b AS t,
-         |  (1 + sum(CASE WHEN cdist < tdist
-         |      OR (cdist = tdist AND 'p' || ch < 'p' || item_a)
-         |    THEN 1 ELSE 0 END))::BIGINT AS rank
-         |FROM sc GROUP BY 1, 3""".stripMargin
-    },
+    "q112_kge_tail_ranks" -> kgeRanksSql(headSide = false),
+    "q116_kge_head_ranks" -> kgeRanksSql(headSide = true),
     "q113_sparql_topk" ->
       """SELECT 'n' || n_name AS n, count(*)::BIGINT AS cnt
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -3163,6 +3095,58 @@ object SparkEntry {
       |        WHERE pred = 'placed')
       |SELECT DISTINCT i.src, cl.dst
       |FROM inv i JOIN cl ON cl.src = i.dst""".stripMargin
+
+  /** q112/q116 twin builder — one parameterized SQL for both protocol
+    * sides, mirroring [[kgeFixture]] (tail side ranks candidate tails
+    * against the head, head side candidate heads against the tail).
+    */
+  private def kgeRanksSql(headSide: Boolean): String = {
+    def dist(h: String, t: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> " +
+        s"((($h[i]::DOUBLE + rel.rv[i]::DOUBLE) - $t[i]::DOUBLE) * " +
+        s"(($h[i]::DOUBLE + rel.rv[i]::DOUBLE) - $t[i]::DOUBLE))" +
+        "::DECIMAL(25,10)))"
+    val (testFilter, candSel, cdist, exJoin, tieCol) =
+      if (headSide)
+        ("item_b % 3 = 0", "item_a AS cv",
+          dist("ce.embedding", "tte.embedding"),
+          "ex.item_a = c.cv AND ex.item_b = te.item_b",
+          "te.item_a")
+      else
+        ("item_a % 3 = 0", "item_b AS cv",
+          dist("he.embedding", "ce.embedding"),
+          "ex.item_a = te.item_a AND ex.item_b = c.cv",
+          "te.item_b")
+    val anchor = if (headSide) "te.item_a" else "te.item_b"
+    s"""WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+       |    FROM lineitem
+       |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pairs AS (SELECT a.i AS item_a, b.i AS item_b
+       |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |test AS (SELECT item_a, item_b FROM pairs WHERE $testFilter),
+       |rel AS (SELECT embedding AS rv FROM embeddings WHERE vec_id = 7),
+       |cand AS (SELECT DISTINCT $candSel FROM pairs),
+       |ex AS (SELECT DISTINCT item_a, item_b FROM pairs),
+       |sc AS (
+       |  SELECT te.item_a, te.item_b, c.cv,
+       |    $cdist AS cdist,
+       |    ${dist("he.embedding", "tte.embedding")} AS tdist
+       |  FROM test te
+       |  JOIN embeddings he ON he.vec_id = te.item_a % 500
+       |  JOIN embeddings tte ON tte.vec_id = te.item_b % 500
+       |  CROSS JOIN rel
+       |  CROSS JOIN cand c
+       |  JOIN embeddings ce ON ce.vec_id = c.cv % 500
+       |  LEFT JOIN ex ON $exJoin
+       |  WHERE ex.item_a IS NULL OR c.cv = $anchor)
+       |SELECT 'p' || item_a AS h, 'bought_with' AS r,
+       |  'p' || item_b AS t,
+       |  (1 + sum(CASE WHEN cdist < tdist
+       |      OR (cdist = tdist AND 'p' || cv < 'p' || ${tieCol.replace("te.", "")})
+       |    THEN 1 ELSE 0 END))::BIGINT AS rank
+       |FROM sc GROUP BY 1, 3""".stripMargin
+  }
 
   /** Shared CTE head for q109/q110 — mirrors [[profilingTriples]]. */
   private val profilingTriplesSql: String =

@@ -203,16 +203,19 @@ object GraphQuery {
     * semantics would be ambiguous there.
     *
     * Left rows whose key columns contain nulls never match (join
-    * semantics); right rows with null keys are dropped from
-    * consideration. Output: every left column, plus each `payload`
-    * column and the matched right timestamp, renamed `prefix`+name.
+    * semantics); right rows with null keys OR a null timestamp are
+    * dropped from consideration (a null ts can never satisfy
+    * `r.ts <= l.ts` — and it would otherwise sort nulls-first into every
+    * frame as a phantom match). Output: every left column, plus each
+    * `payload` column and the matched right timestamp, renamed
+    * `prefix`+name.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payload: Seq[String], prefix: String = "r_"): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     val matchStruct = struct((tsCol +: payload).map(col): _*)
     val r = right
-      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .where((keys :+ tsCol).map(col(_).isNotNull).reduce(_ && _))
       .select((keys :+ tsCol).map(col) :+ matchStruct.as("__m"): _*)
       .withColumn("__side", lit(0))
     val leftCols = left.columns.toSeq

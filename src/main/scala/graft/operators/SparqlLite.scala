@@ -188,13 +188,31 @@ object SparqlLite {
     val filters = scala.collection.mutable.ArrayBuffer.empty[Filter]
     val values = scala.collection.mutable.ArrayBuffer.empty[Values]
 
+    val groupKeywords = Seq("FILTER", "VALUES", "OPTIONAL", "MINUS", "UNION")
     def tripleList(): Seq[TriplePattern] = {
       val acc = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
       while (peek != "}") {
+        // a clause keyword here would otherwise be swallowed into a
+        // garbage TriplePattern and fail far away with the wrong message
+        require(!groupKeywords.exists(peek.equalsIgnoreCase),
+          s"$peek is not supported inside a nested group — only triples")
         acc += TriplePattern(term(), term(), term())
         if (peek == ".") next()
       }
       acc.toSeq
+    }
+    // FILTER operands may be fractional numbers, which the tokenizer
+    // splits at the '.' — re-fuse `<int> . <digits>` into one literal
+    def filterOperand(): String = {
+      val t = term()
+      val intLike = t.nonEmpty &&
+        (t.head.isDigit || (t.head == '-' && t.length > 1)) &&
+        t.drop(1).forall(_.isDigit)
+      if (intLike && i + 1 < ts.length && peek == "." &&
+        ts(i + 1).nonEmpty && ts(i + 1).forall(_.isDigit)) {
+        next()
+        t + "." + next()
+      } else t
     }
 
     val minuses = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
@@ -229,11 +247,11 @@ object SparqlLite {
         unions += branches.toSeq
       } else if (peek.equalsIgnoreCase("FILTER")) {
         next(); expect("(")
-        val a = term()
+        val a = filterOperand()
         val op = next()
         require(Seq("=", "!=", "<", "<=", ">", ">=").contains(op),
           s"unsupported FILTER operator $op")
-        val b = term()
+        val b = filterOperand()
         expect(")")
         filters += Filter(a, op, b)
       } else if (peek.equalsIgnoreCase("VALUES")) {
@@ -290,6 +308,9 @@ object SparqlLite {
     require(i == ts.length, s"trailing tokens after query: ${ts.drop(i).mkString(" ")}")
     require(patterns.nonEmpty || unions.nonEmpty,
       "query has no required triple pattern")
+    if (form == "ASK" || form == "DESCRIBE")
+      require(limit.isEmpty && offset.isEmpty,
+        s"$form does not take LIMIT/OFFSET")
     unions.foreach { branches =>
       val varSets = branches.map(_.flatMap(_.vars).toSet)
       require(varSets.distinct.length == 1,
@@ -401,18 +422,19 @@ object SparqlLite {
     */
   private def pathFrame(triples: DataFrame, tp: TriplePattern): DataFrame = {
     require(tp.vars.nonEmpty, s"path pattern $tp binds no variable")
-    var df = GraphQuery.pathPairs(triples, parsePath(tp.p))
-    def slot(c: String, t: String): Unit =
-      if (t.startsWith("?")) df = df.withColumnRenamed(c, t.stripPrefix("?"))
-      else df = df.where(col(c) === lit(t)).drop(c)
-    slot("src", tp.s); slot("dst", tp.o)
-    if (tp.s == tp.o && tp.s.startsWith("?")) {
-      // ?x path ?x — the rename collides; re-derive as an equality filter
-      val v = tp.s.stripPrefix("?")
-      df = GraphQuery.pathPairs(triples, parsePath(tp.p))
-        .where(col("src") === col("dst")).select(col("src").as(v))
+    val pairs = GraphQuery.pathPairs(triples, parsePath(tp.p))
+    if (tp.s == tp.o) {
+      // ?x path ?x — an equality constraint on the pair set, one column
+      pairs.where(col("src") === col("dst"))
+        .select(col("src").as(tp.s.stripPrefix("?")))
+    } else {
+      var df = pairs
+      def slot(c: String, t: String): Unit =
+        if (t.startsWith("?")) df = df.withColumnRenamed(c, t.stripPrefix("?"))
+        else df = df.where(col(c) === lit(t)).drop(c)
+      slot("src", tp.s); slot("dst", tp.o)
+      df
     }
-    df
   }
 
   // -------------------------------------------------------------- planner
@@ -525,7 +547,8 @@ object SparqlLite {
           }: _*)
         }.reduce(_ unionAll _).distinct()
       case "ASK" =>
-        df.agg((count(lit(1)) > 0).as("ask"))
+        // limit(1) first: existence needs one row, not the full count
+        df.limit(1).agg((count(lit(1)) > 0).as("ask"))
       case "DESCRIBE" =>
         // outgoing description: every triple whose subject is bound to a
         // described variable in some solution (set semantics)

@@ -201,6 +201,17 @@ class GraphQuerySpec extends SparkSpec {
     assert(got === Seq(1L -> None))
   }
 
+  test("as-of join: a null right timestamp is never a phantom match") {
+    // the null-ts row would sort nulls-first into every frame; the
+    // contract (and the q95 twin's r.ts <= l.ts) says it matches nothing
+    val left = Seq((1L, "k", ts(10))).toDF("id", "k", "ts")
+    val right = Seq(("k", null.asInstanceOf[Timestamp], 9.0),
+      ("k", ts(20), 8.0)).toDF("k", "ts", "v")
+    val got = GraphQuery.asOfJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .select("id", "r_v").as[(Long, Option[Double])].collect().toSeq
+    assert(got === Seq(1L -> None))
+  }
+
   // ------------------------------------------------------------ temporal
 
   test("validity intervals: change points only, repeats extend, snapshot slices") {

@@ -54,6 +54,10 @@ class SparqlLiteSpec extends SparkSpec {
     val num = SparqlLite.sparql(tri,
       "SELECT ?c WHERE { ?c age ?a . FILTER ( ?a >= 31 ) }")
     assert(rows(num) === Set(Seq("c1"), Seq("c3")))
+    // fractional literal: the tokenizer splits at '.', the parser re-fuses
+    val frac = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( ?a > 31.5 ) }")
+    assert(rows(frac) === Set(Seq("c3")))
   }
 
   test("VALUES restricts a binding; quoted and <iri> terms tokenize") {
@@ -224,5 +228,8 @@ class SparqlLiteSpec extends SparkSpec {
     bad("CONSTRUCT { ?z p ?c } WHERE { ?c in_nation ?n }")   // unbound template
     bad("CONSTRUCT { } WHERE { ?c in_nation ?n }")           // empty template
     bad("INSERT ?c WHERE { ?c in_nation ?n }")               // unsupported form
+    bad("ASK { ?c in_nation ?n } LIMIT 1")                   // would be dropped
+    bad("DESCRIBE ?c WHERE { ?c in_nation ?n } LIMIT 1")     // would be dropped
+    bad("SELECT ?c WHERE { ?c in_nation ?n . OPTIONAL { ?o ordered_by ?c . FILTER ( ?o != o9 ) } }")
   }
 }
