@@ -1612,6 +1612,38 @@ object SparkEntry {
           concat(lit("o"), col("o_orderkey")).as("obj"))
       Reasoner.rdfsClosure(cn.unionAll(nr).unionAll(placed), schema)
     }),
+    // q122: the SEMANTIC PIPELINE COMPOSED — sameAs smushing feeds RDFS+
+    // OWL entailment: alias customers collapse first, then cust_nation /
+    // in_region inherit into a TRANSITIVE located_in, so every (possibly
+    // alias-named) customer reaches its region through canonical ids
+    // only. The twin chains the q106 canonical map into the q105-style
+    // inherit + recursive closure.
+    "q122_smush_then_entail" -> ((s, d) => {
+      import s.implicits._
+      val cn = t(s, d, "customer").join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("k"), col("n_name").as("nm"))
+      def tri(subj: Column, pred: String, obj: Column) =
+        Seq(subj.as("subj"), lit(pred).as("pred"), obj.as("obj"))
+      val data = cn.select(tri(concat(lit("c"), col("k")), "cust_nation",
+          concat(lit("n"), col("nm"))): _*)
+        .unionAll(cn.where(pmod(col("k"), lit(7)) === 0)
+          .select(tri(concat(lit("a"), col("k")), "cust_nation",
+            concat(lit("n"), col("nm"))): _*))
+        .unionAll(cn.where(pmod(col("k"), lit(7)) === 0)
+          .select(tri(concat(lit("a"), col("k")), "sameAs",
+            concat(lit("c"), col("k"))): _*))
+        .unionAll(t(s, d, "nation").join(t(s, d, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(tri(concat(lit("n"), col("n_name")), "in_region",
+            concat(lit("r"), col("r_name"))): _*))
+      val schema = Seq(
+        ("cust_nation", "subPropertyOf", "located_in"),
+        ("in_region", "subPropertyOf", "located_in"),
+        ("located_in", "type", "TransitiveProperty")
+      ).toDF("subj", "pred", "obj")
+      Reasoner.rdfsClosure(Reasoner.smushSameAs(data), schema)
+    }),
     // q120: SPARQL UNION — customers and suppliers merged into one
     // located-in relation (same-var-set branches, bag union), then
     // joined down to the European region; the twin is the UNION ALL of
@@ -2878,6 +2910,36 @@ object SparkEntry {
         |UNION SELECT src, 'within', dst FROM cl
         |UNION SELECT obj, 'placed_by', subj FROM base
         |  WHERE pred = 'placed'""".stripMargin,
+    "q122_smush_then_entail" ->
+      """WITH cn AS (SELECT c_custkey AS k, n_name AS nm
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |links AS (SELECT 'a' || k AS src, 'c' || k AS dst FROM cn
+        |          WHERE k % 7 = 0),
+        |canon AS (SELECT src AS node, least(src, dst) AS label FROM links
+        |  UNION SELECT dst, least(src, dst) FROM links),
+        |raw AS (
+        |  SELECT 'c' || k AS subj, 'cust_nation' AS pred,
+        |      'n' || nm AS obj FROM cn
+        |  UNION ALL SELECT 'a' || k, 'cust_nation', 'n' || nm FROM cn
+        |    WHERE k % 7 = 0
+        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |base AS (SELECT DISTINCT coalesce(c1.label, raw.subj) AS subj,
+        |    raw.pred, coalesce(c2.label, raw.obj) AS obj
+        |  FROM raw
+        |  LEFT JOIN canon c1 ON c1.node = raw.subj
+        |  LEFT JOIN canon c2 ON c2.node = raw.obj),
+        |loc AS (SELECT DISTINCT subj AS src, obj AS dst FROM base
+        |        WHERE pred IN ('cust_nation', 'in_region')),
+        |cl AS (SELECT DISTINCT src, dst FROM (
+        |  WITH RECURSIVE c AS (
+        |    SELECT src, dst, 1 AS h FROM loc
+        |    UNION
+        |    SELECT c.src, l.dst, c.h + 1 FROM c
+        |    JOIN loc l ON l.src = c.dst WHERE c.h < 16)
+        |  SELECT * FROM c))
+        |SELECT subj, pred, obj FROM base
+        |UNION SELECT src, 'located_in', dst FROM cl""".stripMargin,
     "q120_sparql_union" ->
       """WITH u AS (
         |  SELECT 'c' || c_custkey AS x, 'n' || n_name AS n
