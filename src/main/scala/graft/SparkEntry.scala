@@ -1268,8 +1268,14 @@ object SparkEntry {
     // computation itself is a pure function of the graph: DuckDB unrolls
     // the same three supersteps in decimal and the compare is value-exact
     // — a double-summed PageRank could never pass this (float sum order).
+    // Emission is canonical BIGINT micro-units (rank × 10^15): the two
+    // engines' DECIMAL(30,20) wire representations hash differently even
+    // when the values are equal, so the query emits a representation-
+    // stable integer instead (exact — the 3-superstep true scale is 13,
+    // so the scale-15 narrowing never rounds; see GraphMetrics.rankFp15).
     "q76_entity_pagerank" -> ((s, d) =>
-      GraphMetrics.pageRankExact(entityEdges(s, d), iters = 3)),
+      GraphMetrics.rankFp15(
+        GraphMetrics.pageRankExact(entityEdges(s, d), iters = 3))),
     // q77: degree centrality over the same entity graph — hub/leaf
     // signals for canonical-entity selection; sources and sinks keep
     // zero-coalesced rows through the full-outer join.
@@ -1401,11 +1407,13 @@ object SparkEntry {
     // rank flows to their nation, segments and region; every node not
     // reachable from the seed set must sit at EXACTLY zero, and DuckDB
     // replays the seeded supersteps value-exact.
+    // Emission: canonical BIGINT micro-units, same rationale as q76.
     "q92_personalized_ppr" -> ((s, d) =>
-      GraphMetrics.personalizedPageRankExact(entityEdges(s, d),
-        t(s, d, "customer").filter(col("c_nationkey") === 0)
-          .select(concat(lit("c"), col("c_custkey")).as("node")),
-        iters = 3)),
+      GraphMetrics.rankFp15(
+        GraphMetrics.personalizedPageRankExact(entityEdges(s, d),
+          t(s, d, "customer").filter(col("c_nationkey") === 0)
+            .select(concat(lit("c"), col("c_custkey")).as("node")),
+          iters = 3))),
     // q91: JSON extraction from the events props column —
     // get_json_object path navigation, typed cast, grouped aggregation;
     // DuckDB's JSON extractor recomputes it value-exact (integer sums).
@@ -2509,7 +2517,9 @@ object SparkEntry {
         |    + coalesce(sum(r.rank * ew.wd), 0))::DECIMAL(30,20) AS rank
         |  FROM nodes n LEFT JOIN ew ON ew.dst = n.node
         |  LEFT JOIN r2 r ON r.node = ew.src GROUP BY 1)
-        |SELECT node, rank FROM r3""".stripMargin),
+        |SELECT node, CAST(CAST(rank AS DECIMAL(19,15))
+        |  * 1000000000000000::DECIMAL(16,0) AS BIGINT) AS rank_fp
+        |FROM r3""".stripMargin),
     "q77_entity_degrees" ->
       (entityEdgesSql +
       """
@@ -2726,7 +2736,9 @@ object SparkEntry {
         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
         |  LEFT JOIN ew ON ew.dst = n.node
         |  LEFT JOIN r2 r ON r.node = ew.src GROUP BY n.node, s.node)
-        |SELECT node, rank FROM r3""".stripMargin),
+        |SELECT node, CAST(CAST(rank AS DECIMAL(19,15))
+        |  * 1000000000000000::DECIMAL(16,0) AS BIGINT) AS rank_fp
+        |FROM r3""".stripMargin),
     "q93_path_closure" ->
       (entityEdgesSql +
       """,

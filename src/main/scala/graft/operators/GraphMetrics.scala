@@ -116,6 +116,27 @@ object GraphMetrics {
       iters: Int, checkpointEvery: Int = 1): DataFrame =
     pageRankExact(edges, iters, checkpointEvery, seeds = Some(seeds))
 
+  /** Canonical cross-engine emission for exact-decimal ranks: BIGINT
+    * micro-units at scale 15, `rank_fp = rank × 10^15`. DECIMAL(30,20)
+    * values that are numerically equal still SERIALIZE differently
+    * across engines (Spark's Decimal wire form vs DuckDB's widened
+    * decimal), so a hash over the representation disagrees even when a
+    * value compare passes. An integer has exactly one representation.
+    *
+    * Exactness: [[pageRankExact]]'s budget means the true scale after
+    * k supersteps is 1 + 4k ≤ 13 decimal places (weights are scale-4,
+    * sums add no scale), so the narrowing cast to DECIMAL(19,15) and the
+    * 10^15 shift never round — `rank_fp` is the exact rank, shifted.
+    * Precision: rank < 0.15 + 0.85·Σmass ≤ 10^4 for any graph under
+    * ~10^4 nodes of unit init mass, so 4 integer digits suffice and the
+    * product DECIMAL(19,15)×DECIMAL(16,0) = DECIMAL(36,15) stays under
+    * Spark's 38-digit cap (never silently rescaled).
+    */
+  def rankFp15(ranks: DataFrame): DataFrame =
+    ranks.select(col("node"),
+      (col("rank").cast(DecimalType(19, 15)) *
+        lit(java.math.BigDecimal.TEN.pow(15))).cast("long").as("rank_fp"))
+
   /** Multi-source BFS: minimum hop count from any seed node, one frontier
     * superstep per hop — frontier ⋈ edges, anti-join against everything
     * already labeled, checkpoint, repeat; stops early when the frontier

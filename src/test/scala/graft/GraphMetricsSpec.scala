@@ -41,6 +41,24 @@ class GraphMetricsSpec extends SparkSpec {
     r
   }
 
+  test("rankFp15: BIGINT micro-units equal the exact rank shifted 15 places") {
+    val exact = GraphMetrics.pageRankExact(edges, iters = 3)
+    val fp = GraphMetrics.rankFp15(exact).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = localPageRank(
+      Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "a"), ("e", "c")),
+      iters = 3)
+    for ((n, r) <- ref) {
+      // the shift must be EXACT: movePointRight(15) of the true rank is an
+      // integer (scale ≤ 13 after 3 supersteps) and rank_fp must equal it
+      val shifted = r.movePointRight(15).stripTrailingZeros
+      assert(shifted.scale <= 0, s"node $n: true rank has scale > 15")
+      assert(fp(n) == shifted.longValueExact, s"node $n: ${fp(n)} vs $shifted")
+    }
+    assert(GraphMetrics.rankFp15(exact).schema.map(f => (f.name, f.dataType.typeName))
+      == Seq(("node", "string"), ("rank_fp", "long")))
+  }
+
   test("degrees: per-direction counts, zero-coalesced sources and sinks") {
     val d = GraphMetrics.degrees(edges).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
