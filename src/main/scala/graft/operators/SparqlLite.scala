@@ -447,6 +447,14 @@ object SparqlLite {
     q.template.foreach(tp => require(!isPath(tp.p),
       s"property paths are not allowed in CONSTRUCT templates: $tp"))
     val (pathPs, plainPs) = q.patterns.partition(tp => isPath(tp.p))
+    // predicate statistics for BGP join ordering: computed at most ONCE
+    // per query (lazy — single-pattern-only queries never pay the job)
+    // and shared by every group, exactly how a store would hold them
+    // precomputed beside the table
+    lazy val bgpStats = GraphQuery.BgpStats.compute(triples)
+    def matchBgp(ps: Seq[GraphQuery.TriplePattern]) =
+      GraphQuery.bgpMatch(triples, ps,
+        if (ps.lengthCompare(1) > 0) Some(bgpStats) else None)
     val unionFrames = q.unions.map { branches =>
       branches.flatten.foreach(tp => require(!isPath(tp.p),
         s"property paths are not supported inside UNION branches: $tp"))
@@ -454,18 +462,18 @@ object SparqlLite {
       // to the first branch's order before the bag union
       val order = branches.head.flatMap(_.vars).distinct
       branches.map(b =>
-        GraphQuery.bgpMatch(triples, b).select(order.map(col): _*))
+        matchBgp(b).select(order.map(col): _*))
         .reduce(_ unionAll _)
     }
     val frames =
-      (if (plainPs.nonEmpty) Seq(GraphQuery.bgpMatch(triples, plainPs))
+      (if (plainPs.nonEmpty) Seq(matchBgp(plainPs))
        else Seq.empty) ++ pathPs.map(pathFrame(triples, _)) ++ unionFrames
     var df = frames.reduce { (a, b) =>
       val shared = a.columns.toSeq.intersect(b.columns.toSeq)
       if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)
     }
     q.optionals.foreach { g =>
-      val f = GraphQuery.bgpMatch(triples, g)
+      val f = matchBgp(g)
       val shared = df.columns.toSeq.intersect(f.columns.toSeq)
       require(shared.nonEmpty,
         s"OPTIONAL group $g shares no variable with the preceding graph")
@@ -477,7 +485,7 @@ object SparqlLite {
       // domains are rejected at parse time)
       g.foreach(tp => require(!isPath(tp.p),
         s"property paths are not supported inside MINUS: $tp"))
-      val f = GraphQuery.bgpMatch(triples, g)
+      val f = matchBgp(g)
       val shared = df.columns.toSeq.intersect(f.columns.toSeq)
       require(shared.nonEmpty,
         s"MINUS group $g shares no variable with the preceding graph")

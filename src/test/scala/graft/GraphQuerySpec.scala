@@ -107,6 +107,60 @@ class GraphQuerySpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- bgp join ordering
+
+  test("orderPatterns: hub predicate joins last on a skewed fixture") {
+    // skewed graph: 'mentions' is a hub predicate (200 triples), 'ceo_of'
+    // is rare (2), 'hq_in' mid (20); user writes the hub FIRST
+    val skewed = ((0 until 200).map(i => (s"d$i", "mentions", s"e${i % 50}")) ++
+      (0 until 20).map(i => (s"e$i", "hq_in", s"city${i % 5}")) ++
+      Seq(("p1", "ceo_of", "e1"), ("p2", "ceo_of", "e2")))
+      .toDF("subj", "pred", "obj")
+    val stats = GraphQuery.BgpStats.compute(skewed)
+    val userOrder = Seq(
+      TriplePattern("?d", "mentions", "?e"),   // hub: est 200
+      TriplePattern("?e", "hq_in", "?city"),   // est 20
+      TriplePattern("?p", "ceo_of", "?e"))     // est 2
+    val ordered = GraphQuery.orderPatterns(userOrder, stats)
+    assert(ordered.head === userOrder(2), "cheapest (ceo_of) must lead")
+    assert(ordered.last === userOrder.head, "hub (mentions) must join last")
+    // constant slots shrink the estimate: a constant obj on the hub
+    // divides by its distinct-object count, overtaking the mid predicate
+    assert(stats.estimate(TriplePattern("?d", "mentions", "e1"))
+      < stats.estimate(TriplePattern("?e", "hq_in", "?city")))
+    // unknown predicate estimates 0 — provably empty, always first
+    assert(stats.estimate(TriplePattern("?a", "no_such_pred", "?b")) === 0.0)
+  }
+
+  test("orderPatterns: prefers a connected pattern over a cheaper disjoint one") {
+    val df = ((0 until 100).map(i => (s"a$i", "big", s"b$i")) ++
+      (0 until 10).map(i => (s"b$i", "mid", s"c$i")) ++
+      Seq(("z1", "tiny", "z2"))).toDF("subj", "pred", "obj")
+    val stats = GraphQuery.BgpStats.compute(df)
+    val ps = Seq(
+      TriplePattern("?x", "big", "?y"),
+      TriplePattern("?y", "mid", "?z"),
+      TriplePattern("?u", "tiny", "?v")) // cheapest but shares no var
+    val ordered = GraphQuery.orderPatterns(ps, stats)
+    // tiny leads (global cheapest), then the OTHER component must start
+    // from its own cheapest (mid) and stay connected (big last) — never
+    // interleave back to the disjoint component mid-chain
+    assert(ordered === Seq(ps(2), ps(1), ps(0)))
+  }
+
+  test("bgp ordering is semantics-preserving: ordered == user-order bindings") {
+    val userOrder = Seq(
+      TriplePattern("?c", "in_nation", "?n"),
+      TriplePattern("?s", "supplies_in", "?n"),
+      TriplePattern("?n", "in_region", "europe"))
+    val auto = GraphQuery.bgpMatch(triples, userOrder)
+    val manual = GraphQuery.bgpMatch(triples, userOrder, stats = None)
+    assert(auto.columns.toSeq === manual.columns.toSeq,
+      "output column order follows the USER order regardless of join order")
+    assert(auto.as[(String, String, String)].collect().sorted.toSeq
+      === manual.as[(String, String, String)].collect().sorted.toSeq)
+  }
+
   test("path algebra: Pred/Inv/Chain/Alt/Plus against hand-computed pair sets") {
     import GraphQuery.PathExpr._
     val tri = Seq(
