@@ -1519,6 +1519,22 @@ object SparkEntry {
     "q111_sparql_path" -> ((s, d) =>
       SparqlLite.sparql(pathTriples(s, d),
         "SELECT ?src ?dst WHERE { ?src ^placed/(cust_nation|in_region)+3 ?dst }")),
+    // q123: UNBOUNDED `p+` through the text front-end — the SPARQL 1.1
+    // arbitrary-length form users actually write, planned onto the
+    // semi-naive transitiveClosure FIXPOINT (empty-frontier stop), not a
+    // bounded unroll: ^placed puts orders three hops from their region,
+    // so convergence takes exactly the graph's depth; DuckDB's
+    // recursive CTE recomputes the closure value-exact.
+    "q123_sparql_path_plus" -> ((s, d) =>
+      SparqlLite.sparql(pathTriples(s, d),
+        "SELECT ?src ?dst WHERE { ?src (^placed|cust_nation|in_region)+ ?dst }")),
+    // q124: `p*` reflexive closure — SPARQL's zero-length path connects
+    // every term IN THE GRAPH to itself (it does not constrain the
+    // predicate), so the identity rows range over all subjects and
+    // objects of the queried table, unioned with the unbounded closure.
+    "q124_sparql_path_star" -> ((s, d) =>
+      SparqlLite.sparql(pathTriples(s, d),
+        "SELECT ?src ?dst WHERE { ?src (cust_nation|in_region)* ?dst }")),
     // q112: KG-EMBEDDING EVALUATION — TransE filtered tail ranks (the
     // Bordes et al. 2013 link-prediction protocol) over the co-purchase
     // triples with embeddings assigned by id-modulo from the embeddings
@@ -2855,6 +2871,47 @@ object SparkEntry {
     "q101_path_algebra" -> pathAlgebraSql,
     // same path, text-syntax front-end — text == algebra == SQL
     "q111_sparql_path" -> pathAlgebraSql,
+    "q123_sparql_path_plus" ->
+      """WITH tri AS (
+        |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL SELECT 'c' || c_custkey, 'placed', 'o' || o_orderkey
+        |    FROM customer JOIN orders ON c_custkey = o_custkey),
+        |e AS (SELECT DISTINCT obj AS src, subj AS dst FROM tri
+        |        WHERE pred = 'placed'
+        |      UNION SELECT DISTINCT subj, obj FROM tri
+        |        WHERE pred IN ('cust_nation', 'in_region'))
+        |SELECT DISTINCT src, dst FROM (
+        |  WITH RECURSIVE c AS (
+        |    SELECT src, dst FROM e
+        |    UNION
+        |    SELECT c.src, e.dst FROM c JOIN e ON e.src = c.dst)
+        |  SELECT * FROM c)""".stripMargin,
+    "q124_sparql_path_star" ->
+      """WITH tri AS (
+        |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL SELECT 'c' || c_custkey, 'placed', 'o' || o_orderkey
+        |    FROM customer JOIN orders ON c_custkey = o_custkey),
+        |w AS (SELECT DISTINCT subj AS src, obj AS dst FROM tri
+        |      WHERE pred IN ('cust_nation', 'in_region')),
+        |cl AS (SELECT src, dst FROM (
+        |  WITH RECURSIVE c AS (
+        |    SELECT src, dst FROM w
+        |    UNION
+        |    SELECT c.src, w.dst FROM c JOIN w ON w.src = c.dst)
+        |  SELECT * FROM c)),
+        |terms AS (SELECT DISTINCT subj AS t FROM tri
+        |          UNION SELECT DISTINCT obj FROM tri)
+        |SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM cl
+        |  UNION ALL SELECT t AS src, t AS dst FROM terms)""".stripMargin,
     "q112_kge_tail_ranks" -> kgeRanksSql(headSide = false),
     "q116_kge_head_ranks" -> kgeRanksSql(headSide = true),
     "q113_sparql_topk" ->

@@ -268,6 +268,19 @@ object GraphQuery {
     final case class Alt(a: PathExpr, b: PathExpr) extends PathExpr
     /** `e+` bounded at `maxHops` compositions. */
     final case class Plus(e: PathExpr, maxHops: Int) extends PathExpr
+    /** `e+` UNBOUNDED — semi-naive closure to fixpoint (the SPARQL 1.1
+      * arbitrary-length form). Converges in ≤ diameter supersteps: the
+      * frontier empties as soon as no new pair appears, so "unbounded"
+      * costs exactly as many rounds as the graph is deep — never a
+      * data-scale fixpoint over the accumulated closure.
+      */
+    final case class PlusAll(e: PathExpr) extends PathExpr
+    /** `e*` — [[PlusAll]] plus the zero-length path: per SPARQL 1.1 the
+      * zero-length path connects every RDF term IN THE GRAPH to itself
+      * (it does not constrain the predicate), so the identity rows range
+      * over all subjects and objects of the queried triple table.
+      */
+    final case class Star(e: PathExpr) extends PathExpr
   }
 
   /** Compile a path expression against a triple table to its (src, dst)
@@ -291,6 +304,16 @@ object GraphQuery {
       case Plus(e, maxHops) =>
         transitiveClosure(pathPairs(triples, e), maxHops)
           .select(col("src"), col("dst"))
+      case PlusAll(e) =>
+        transitiveClosure(pathPairs(triples, e), Int.MaxValue)
+          .select(col("src"), col("dst"))
+      case Star(e) =>
+        val nodes = triples.select(col("subj").as("src"))
+          .unionAll(triples.select(col("obj").cast("string").as("src")))
+          .where(col("src").isNotNull).distinct()
+        nodes.select(col("src"), col("src").as("dst"))
+          .unionAll(pathPairs(triples, PlusAll(e)))
+          .distinct()
     }
   }
 

@@ -30,8 +30,10 @@ import graft.operators.GraphQuery.TriplePattern
   * term   := ?var | 'quoted literal' | "quoted" | <iri> | bare-word
   * path   := SPARQL 1.1 property paths in the predicate position, written
   *           without internal spaces: `a|b`, `a/b`, `^a`, `(e)`, `e+`
-  *           (bounded closure, default 10) or `e+N` (bound N); evaluated
-  *           via GraphQuery.pathPairs with SET semantics
+  *           (UNBOUNDED closure — semi-naive to fixpoint), `e+N`
+  *           (closure bounded at N hops) or `e*` (reflexive closure:
+  *           zero-length rows over every graph term, then `e+`);
+  *           evaluated via GraphQuery.pathPairs with SET semantics
   * }}}
   *
   * Documented restrictions vs full SPARQL: FILTERs apply to the complete
@@ -368,7 +370,8 @@ object SparqlLite {
 
   /** Recursive-descent parser for the path fragment (SPARQL 1.1
     * precedence: `|` < `/` < `^`/postfix): `a|b`, `a/b`, `^a`, `(e)`,
-    * `e+` (closure bounded at 10) or `e+N` (bounded at N).
+    * `e+` (unbounded closure to fixpoint), `e+N` (bounded at N), `e*`
+    * (reflexive closure).
     */
   private[operators] def parsePath(s: String): GraphQuery.PathExpr = {
     import GraphQuery.PathExpr._
@@ -405,12 +408,12 @@ object SparqlLite {
         i += 1
         val j0 = i
         while (i < s.length && s.charAt(i).isDigit) i += 1
-        val bound = if (i > j0) s.substring(j0, i).toInt else 10
-        Plus(e, bound)
-      } else {
-        require(peekc != '*', s"unbounded * unsupported in path $s — use +N")
-        e
-      }
+        if (i > j0) Plus(e, s.substring(j0, i).toInt) // e+N bounded
+        else PlusAll(e)                               // e+ to fixpoint
+      } else if (peekc == '*') {
+        i += 1
+        Star(e) // reflexive: identity over every graph term, then e+
+      } else e
     val e = alt()
     require(i == s.length, s"trailing path syntax at offset $i in $s")
     e

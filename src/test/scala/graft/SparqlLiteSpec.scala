@@ -135,6 +135,32 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { ?c in_nation ?n . OPTIONAL { ?c a+ ?z } }")
   }
 
+  test("property paths: unbounded + runs to fixpoint; * adds reflexive rows") {
+    // a 14-link chain — the pre-round-4 default bound (10) would
+    // truncate it; unbounded `+` must reach the far end and stop on the
+    // empty frontier, not on any hop count
+    val chain = (0 until 14).map(i => (f"n$i%02d", "next", f"n${i + 1}%02d"))
+      .toDF("subj", "pred", "obj")
+    val plus = SparqlLite.sparql(chain, "SELECT ?b WHERE { n00 next+ ?b }")
+    assert(rows(plus) === (1 to 14).map(i => Seq(f"n$i%02d")).toSet)
+    // `*` from a constant endpoint includes the zero-length self row
+    val star = SparqlLite.sparql(chain, "SELECT ?b WHERE { n00 next* ?b }")
+    assert(rows(star) === (0 to 14).map(i => Seq(f"n$i%02d")).toSet)
+    // with both ends unbound, the zero-length path ranges over EVERY
+    // term of the graph (SPARQL 1.1: it does not constrain the
+    // predicate) — identity rows for all subjects/objects, plus the
+    // ordinary closure pairs
+    val refl = SparqlLite.sparql(tri, "SELECT ?a ?b WHERE { ?a in_region* ?b }")
+    val terms = tri.select("subj").unionAll(tri.select("obj"))
+      .distinct().as[String].collect().toSet
+    val expected = terms.map(t => Seq(t, t)) ++
+      Set(Seq("de", "europe"), Seq("fr", "europe"))
+    assert(rows(refl) === expected)
+    // `+N` stays the bounded form
+    val bounded = SparqlLite.sparql(chain, "SELECT ?b WHERE { n00 next+2 ?b }")
+    assert(rows(bounded) === Set(Seq("n01"), Seq("n02")))
+  }
+
   test("ORDER BY with LIMIT is deterministic top-k; unselected key rejected") {
     val got = SparqlLite.sparql(tri,
       """SELECT ?c ?a WHERE { ?c age ?a }
