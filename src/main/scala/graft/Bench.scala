@@ -186,11 +186,21 @@ object Bench {
     // 0.68 s steady). One full pass amortizes that across the set.
     headline.foreach(name => SparkEntry.queries.get(name).foreach(fn => fn(spark, sfDir).count()))
 
+    // min-of-QREPS per query with per-query steal tracking: r03's driver
+    // artifact showed q21/q22 3x their quiet-host numbers inside a run
+    // whose kg-stage steal read 0.1% — the storm hit the HEADLINE segment
+    // only, and min-of-2 wasn't enough to duck it. headline_steal_pct
+    // makes that segment's interference visible in the artifact itself.
+    val qReps = sys.env.getOrElse("SPARK_GRAFT_QREPS", "3").toInt
+    var headlineSteal = -1.0
     val qTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val (_, warm) = time(fn(spark, sfDir).count()) // plan+run once
-        val (_, sec) = time(fn(spark, sfDir).count())
-        name -> math.min(warm, sec)
+        val runs = (1 to qReps).map { _ =>
+          val (_, m) = measure(fn(spark, sfDir).count())
+          headlineSteal = math.max(headlineSteal, m.stealPct)
+          m.sec
+        }
+        name -> runs.min
       }
     }
 
@@ -219,7 +229,7 @@ object Bench {
     val total = all.map(_._2).sum
     val runsJson = kg.runs.map(m => f"${m.sec}%.3f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(all)},"sf":"$sfDir","kg_turns":${kg.nTurns},"kg_triples":${kg.nTriples},"turns_per_sec":$turnsPerSec%.1f,"kg_stages":${jmap(kg.stages)},"kg_runs":$runsJson,"kg_cpu_sec":${best.cpuSec}%.1f,"turns_per_cpu_sec":$turnsPerCpuSec%.1f,"steal_pct":${best.stealPct}%.1f,"ann_recall_at_5":$annRecall%.3f,"cores":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(all)},"sf":"$sfDir","kg_turns":${kg.nTurns},"kg_triples":${kg.nTriples},"turns_per_sec":$turnsPerSec%.1f,"kg_stages":${jmap(kg.stages)},"kg_runs":$runsJson,"kg_cpu_sec":${best.cpuSec}%.1f,"turns_per_cpu_sec":$turnsPerCpuSec%.1f,"steal_pct":${best.stealPct}%.1f,"headline_steal_pct":$headlineSteal%.1f,"ann_recall_at_5":$annRecall%.3f,"cores":$cpus}""")
     spark.stop()
   }
 }
