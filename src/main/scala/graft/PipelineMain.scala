@@ -478,7 +478,16 @@ object PipelineMain {
     if (active("s5_entities")) {
       val convs = spark.read.parquet(path("s4_conv"))
       val mentions = convs.select(explode(col("orgs")).as("surface"))
-      write("s5_entities", Linking.canonicalize(mentions), Seq("s4_conv"))
+      val (canon, blockingAudit) = Linking.canonicalizeWithMetrics(mentions)
+      write("s5_entities", canon, Seq("s4_conv"))
+      // blocking-skew audit beside the stage output (VERDICT r3 #5): on
+      // the LSH path this records n_oversized_buckets / n_star_pairs —
+      // the star-sampling recall trade, visible per run instead of
+      // silent; melted into the metrics table's (pred=key, count) shape
+      blockingAudit
+        .select(col("metric").as("pred"), col("value").as("count"))
+        .withColumn("run_id", lit(runId)).withColumn("stage", lit("s5_blocking"))
+        .write.mode(SaveMode.Append).parquet(s"$out/metrics")
     }
 
     // ---- s6: scoring + triple emission, partitioned by pred ----

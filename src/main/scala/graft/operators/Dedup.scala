@@ -78,7 +78,24 @@ object Dedup {
     * identical-text families before blocking ever sees them.
     */
   def bandedMinHashPairs(nodes: DataFrame, bands: Int = 12, rowsPerBand: Int = 2,
-      bucketCap: Int = 2000, seed: Int = 42): DataFrame = {
+      bucketCap: Int = 2000, seed: Int = 42): DataFrame =
+    bandedMinHashPairsAudited(nodes, bands, rowsPerBand, bucketCap, seed)._1
+
+  /** [[bandedMinHashPairs]] plus its skew-audit frame: the pair frame
+    * unchanged, beside a LAZY one-row metrics frame in long form
+    * (`metric`, `value`) — n_buckets (collision buckets, size > 1),
+    * n_allpairs_buckets, n_oversized_buckets (switched to star
+    * sampling), n_star_pairs (edges the star kept; the residual recall
+    * loss documented above is proportional to what all-pairs WOULD have
+    * generated in those buckets minus this), and max_bucket_size. At
+    * 100 TB the silently-sampled number is the one an operator needs on
+    * a dashboard — "stated, never silent". Both frames share the banded
+    * checkpoint, so the audit costs one extra schema-scale aggregation
+    * only when the caller materializes it.
+    */
+  def bandedMinHashPairsAudited(nodes: DataFrame, bands: Int = 12,
+      rowsPerBand: Int = 2, bucketCap: Int = 2000,
+      seed: Int = 42): (DataFrame, DataFrame) = {
     // all band buckets in one codegen'd pass over the shingle array
     // (graft.functions.MinHashBandsExpr); bucket ids are band-salted longs
     val sig = graft.functions.MinHashFunctions.minhash_bands(
@@ -103,7 +120,23 @@ object Dedup {
     val starPairs = banded.join(big, Seq("band", "bucket"))
       .filter(col("id") =!= col("bmin"))
       .select(col("bmin").as("id_a"), col("id").as("id_b")) // bmin is the bucket min
-    allPairs.union(starPairs).distinct()
+    val pairs = allPairs.union(starPairs).distinct()
+    val zero = lit(0L)
+    val metricsWide = census.agg(
+      coalesce(sum(when(col("bsz") > 1, 1L)), zero).as("n_buckets"),
+      coalesce(sum(when(col("bsz") > 1 && col("bsz") <= bucketCap, 1L)), zero)
+        .as("n_allpairs_buckets"),
+      coalesce(sum(when(col("bsz") > bucketCap, 1L)), zero)
+        .as("n_oversized_buckets"),
+      coalesce(sum(when(col("bsz") > bucketCap, col("bsz") - 1L)), zero)
+        .as("n_star_pairs"),
+      coalesce(max(col("bsz")), zero).as("max_bucket_size"))
+    val metrics = metricsWide.select(expr(
+      "stack(5, 'n_buckets', n_buckets, 'n_allpairs_buckets', n_allpairs_buckets," +
+        " 'n_oversized_buckets', n_oversized_buckets," +
+        " 'n_star_pairs', n_star_pairs, 'max_bucket_size', max_bucket_size)"
+    ).as(Seq("metric", "value")))
+    (pairs, metrics)
   }
 
   /** Candidate near-duplicate pairs (id_a < id_b, exact jaccard distance ≤

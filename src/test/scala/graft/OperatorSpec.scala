@@ -151,6 +151,31 @@ class OperatorSpec extends SparkSpec {
     assert(full.size == 15, s"expected all pairs under the cap, got ${full.size}")
   }
 
+  test("bandedMinHashPairs audit frame counts star-sampled buckets, never silently") {
+    import spark.implicits._
+    val nodes = (1L to 6L).map(i => (i, Seq("a b c", "b c d", "c d e")))
+      .toDF("id", "shingles")
+    // capped run: every one of the 12 bands holds one size-6 bucket →
+    // 12 oversized buckets, 5 star edges each (pre-distinct)
+    val (pairs, metrics) = Dedup.bandedMinHashPairsAudited(nodes, bucketCap = 3)
+    val m = metrics.as[(String, Long)].collect().toMap
+    assert(m("n_oversized_buckets") == 12L, s"audit: $m")
+    assert(m("n_star_pairs") == 12L * 5, s"audit: $m")
+    assert(m("n_allpairs_buckets") == 0L && m("max_bucket_size") == 6L, s"audit: $m")
+    assert(pairs.as[(Long, Long)].collect().toSet ==
+      (2L to 6L).map(v => (1L, v)).toSet, "audited pairs == plain pairs")
+    // roomy cap: zero oversized, all buckets all-pairs
+    val (_, m2d) = Dedup.bandedMinHashPairsAudited(nodes, bucketCap = 2000)
+    val m2 = m2d.as[(String, Long)].collect().toMap
+    assert(m2("n_oversized_buckets") == 0L && m2("n_star_pairs") == 0L
+      && m2("n_allpairs_buckets") == 12L, s"audit: $m2")
+    // canonicalizeWithMetrics surfaces the path taken
+    val mentions = Seq("acme gmbh", "acme  gmbh", "other co")
+      .toDF("surface")
+    val (_, lm) = graft.operators.Linking.canonicalizeWithMetrics(mentions)
+    assert(lm.as[(String, Long)].collect().toMap.contains("path_local"))
+  }
+
   test("ivfTopK guards zero-norm embeddings and samples the quantizer fit") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
