@@ -186,7 +186,12 @@ object PipelineMain {
       val keys = dt match {
         case org.apache.spark.sql.types.StringType => raw.toDF(c)
         case _: org.apache.spark.sql.types.NumericType =>
-          raw.map(_.toLong).toDF(c).select(col(c).cast(dt))
+          // parse via BigDecimal, not toLong: fractional values against a
+          // double/float/decimal key column must key-match, not throw
+          raw.map(v => scala.util.Try(BigDecimal(v)).getOrElse(
+            throw new IllegalArgumentException(
+              s"--mor-values: '$v' is not numeric for column $c ($dt)")))
+            .toDF(c).select(col(c).cast(dt))
         case other => throw new IllegalArgumentException(
           s"--mor-delete supports string/numeric key columns, $c is $other")
       }

@@ -49,7 +49,22 @@ import org.apache.spark.sql.types.{NumericType, StringType, StructType}
 object VersionedTable {
 
   final case class Version(seq: Int, snapshotId: Long, dirs: Seq[String],
-      colMap: Option[ColMapping] = None, dels: Seq[DeleteFile] = Seq.empty)
+      colMap: Option[ColMapping] = None, dels: Seq[DeleteFile] = Seq.empty,
+      dirSeqs: Seq[Int] = Seq.empty, changes: Option[String] = None) {
+    /** TRUE commit seq of data dir `d` in this version: the birth the
+      * manifest line records (authoritative — minted inside the commit
+      * lock), falling back to the name-parsed seq for pre-dirseqs
+      * tables. The name alone is NOT evidence: append/appendOnce mint
+      * the dir name from a pre-lock manifest read, so when other
+      * commits land between that read and the append's commit the name
+      * seq LAGS the real one — scoping delete files by name would then
+      * anti-join away rows appended after the delete.
+      */
+    def birthOf(d: String): Int = {
+      val i = dirs.indexOf(d)
+      if (i >= 0 && i < dirSeqs.length) dirSeqs(i) else dirSeq(d)
+    }
+  }
 
   /** One committed EQUALITY-DELETE file (Iceberg v2 merge-on-read): a
     * small parquet of key tuples under `deletes/`, applying to every data
@@ -71,9 +86,11 @@ object VersionedTable {
       throw new IllegalStateException(
         s"data dir '$dir' does not carry a version seq — cannot scope delete files"))
 
-  /** The delete files of `v` that apply to data dir `d`. */
+  /** The delete files of `v` that apply to data dir `d` — scoped by the
+    * dir's RECORDED birth seq (Version.birthOf), never the name alone.
+    */
   private def applicableDels(v: Version, d: String): Seq[DeleteFile] =
-    if (v.dels.isEmpty) Seq.empty else v.dels.filter(df => dirSeq(d) < df.seq)
+    if (v.dels.isEmpty) Seq.empty else v.dels.filter(df => v.birthOf(d) < df.seq)
 
   /** Column-mapping state of a version (Delta column-mapping / Iceberg
     * schema-evolution semantics, name-mode): data files keep their
@@ -224,7 +241,11 @@ object VersionedTable {
         DeleteFile(unb64(m.group(1)), m.group(2).toInt,
           m.group(3).split(',').filter(_.nonEmpty)
             .map(c => unb64(c.trim.stripPrefix("\"").stripSuffix("\""))).toSeq,
-          m.group(4).toLong)).toSeq)
+          m.group(4).toLong)).toSeq,
+      """"dirseqs":\[([^\]]*)\]""".r.findFirstMatchIn(line)
+        .map(_.group(1).split(',').filter(_.nonEmpty).map(_.trim.toInt).toSeq)
+        .getOrElse(Seq.empty),
+      """"changes":"([^"]*)"""".r.findFirstMatchIn(line).map(m => unb64(m.group(1))))
 
   /** Delete-file entry codec: dir and column names ride b64 (arbitrary
     * user column names can never tear the JSON), the whole entry is
@@ -352,9 +373,11 @@ object VersionedTable {
     */
   private def commitTransform(table: String,
       colMapF: Option[ColMapping] => Option[ColMapping] = identity,
-      delsF: (Option[Version], Seq[String]) => Seq[DeleteFile] = carryDels)(
+      delsF: (Option[Version], Seq[String]) => Seq[DeleteFile] = carryDels,
+      changes: Option[String] = None)(
       f: Option[Version] => (Seq[String], Long)): Version =
-    commitWith(table, colMapF = colMapF, delsF = delsF)(base => Some(f(base)))
+    commitWith(table, colMapF = colMapF, delsF = delsF, changes = changes)(
+      base => Some(f(base)))
       .getOrElse(throw new IllegalStateException("unreachable: unconditional commit aborted"))
 
   /** Default delete-file inheritance: the base version's delete files,
@@ -366,7 +389,13 @@ object VersionedTable {
     */
   private def carryDels(base: Option[Version], newDirs: Seq[String]): Seq[DeleteFile] =
     base.map(_.dels).getOrElse(Seq.empty)
-      .filter(df => newDirs.exists(d => dirSeq(d) < df.seq))
+      .filter(df => newDirs.exists(d =>
+        // recorded birth for carried dirs; name-parse fallback for a dir
+        // the base doesn't know (the committer's NEW dir) — which can
+        // only under-report and thus KEEP the delete file, the safe
+        // direction (applicableDels decides actual application by the
+        // recorded birth)
+        base.map(_.birthOf(d)).getOrElse(dirSeq(d)) < df.seq))
 
   /** Like [[commitTransform]] but `f` may ABORT by returning None (the
     * committer saw, inside the critical section, that its work is already
@@ -375,7 +404,8 @@ object VersionedTable {
     */
   private def commitWith(table: String, txn: Option[String] = None,
       colMapF: Option[ColMapping] => Option[ColMapping] = identity,
-      delsF: (Option[Version], Seq[String]) => Seq[DeleteFile] = carryDels)(
+      delsF: (Option[Version], Seq[String]) => Seq[DeleteFile] = carryDels,
+      changes: Option[String] = None)(
       f: Option[Version] => Option[(Seq[String], Long)]): Option[Version] =
     withCommitLock(table) {
       val st = manifestState(table) // ONE in-lock read: base + txn ledger
@@ -393,14 +423,34 @@ object VersionedTable {
         val cm = colMapF(base.flatMap(_.colMap)).filter(!_.isIdentity)
         val cmJson = cm.map(m => s""","colmap":"${b64(colMapToJson(m))}"""").getOrElse("")
         val dels = delsF(base, dirs)
-        val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]${delsJson(dels)}$cmJson$txnJson}"""
+        // authoritative per-dir commit seqs, minted HERE inside the lock:
+        // a dir already recorded by any retained line keeps its first
+        // recorded birth (copied forward commit after commit, so expire
+        // can never lose it); an unrecorded dir is new in THIS commit and
+        // is born at `seq` — its pre-lock NAME may lag when other commits
+        // interleaved, which is exactly why the name is not the evidence
+        val known = st.versions.foldLeft(Map.empty[String, Int]) { (m, v) =>
+          v.dirs.zipWithIndex.foldLeft(m) { case (mm, (d, i)) =>
+            if (mm.contains(d)) mm
+            else mm.updated(d, if (i < v.dirSeqs.length) v.dirSeqs(i)
+                                else scala.util.Try(dirSeq(d)).getOrElse(v.seq))
+          }
+        }
+        val dirSeqs = dirs.map(d => known.getOrElse(d, seq))
+        val dirSeqsJson =
+          if (dirs.isEmpty) "" else s""","dirseqs":[${dirSeqs.mkString(",")}]"""
+        // the capture sidecar this commit OWNS (b64 like every user
+        // string): the feed replays only recorded sidecars, so a crashed
+        // op's orphan can never be claimed by an unrelated commit
+        val chJson = changes.map(c => s""","changes":"${b64(c)}"""").getOrElse("")
+        val line = s"""{"seq":$seq,"snapshot_id":$sid,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]$dirSeqsJson$chJson${delsJson(dels)}$cmJson$txnJson}"""
         // whole-file atomic replace, never append: portable to stores
         // without append(), and a crash leaves the old or the new
         // manifest — no torn tail at all (parseLine still tolerates one
         // from pre-refactor tables)
         atomicWrite(manifestPath(table),
           (st.lines :+ line).mkString("", "\n", "\n"))
-        Version(seq, sid, dirs, cm, dels)
+        Version(seq, sid, dirs, cm, dels, dirSeqs, changes)
       }
     }
 
@@ -854,6 +904,19 @@ object VersionedTable {
 
   private def changesDir(table: String, seq: Int) = s"$table/changes/v$seq"
 
+  /** Mint a UNIQUE capture-sidecar dir for one row-level commit. The seq
+    * in the name is for humans only — identity comes from the uuid plus
+    * the committed manifest line that records the dir (like delete
+    * files). A pre-commit-seq NAME alone was the round-3 defect: after a
+    * crash between capture and commit, an unrelated later commit could
+    * claim the same seq and the feed would replay the orphan as ITS
+    * changes; and a straight retry would hit ErrorIfExists on the
+    * leftover dir. Unique names make retries collision-free and orphans
+    * unclaimable; [[vacuum]] reclaims anything no manifest line records.
+    */
+  private def newChangesDir(seq: Int): String =
+    s"changes/v$seq-${java.util.UUID.randomUUID().toString.take(8)}"
+
   /** Enable/disable change capture for FUTURE row-level commits (Delta's
     * `delta.enableChangeDataFeed`). Appends need no capture (their file
     * groups ARE the change set); a delete/merge committed while disabled
@@ -876,11 +939,13 @@ object VersionedTable {
     * changes.
     */
   private def captureChanges(table: String, seq: Int,
-      slices: Seq[(DataFrame, String)]): Unit = {
+      slices: Seq[(DataFrame, String)]): String = {
+    val dir = newChangesDir(seq)
     val tagged = slices.map { case (df, kind) =>
       df.withColumn("_change_type", lit(kind)) }
     tagged.reduce(_.unionByName(_, allowMissingColumns = true))
-      .write.parquet(changesDir(table, seq))
+      .write.parquet(s"$table/$dir")
+    dir
   }
 
   /** The change data feed of versions (fromSeq, toSeq] (Delta's
@@ -928,14 +993,21 @@ object VersionedTable {
                 .withColumn("_change_type", lit("insert"))
                 .withColumn("_commit_version", lit(b.seq)))
             else if (b.snapshotId == a.snapshotId) Seq.empty // layout-only (incl. applyDeletes)
-            else if (hexists(hpath(changesDir(table, b.seq))))
-              Seq(spark.read.option("mergeSchema", "true")
-                .parquet(changesDir(table, b.seq))
-                .withColumn("_commit_version", lit(b.seq)))
-            else throw new IllegalStateException(
-              s"commit v${b.seq} of $table changed rows without change capture " +
-                "(overwrite/rollback, or a delete/merge/morDelete before " +
-                "setChangeCapture) — the feed cannot replay it; read snapshots instead")
+            else b.changes match {
+              // replay ONLY the sidecar the commit's own manifest line
+              // records — a bare changes/v<seq> dir on disk is not
+              // evidence (a crashed op's orphan could carry that name
+              // for an unrelated commit) and is left to [[vacuum]]
+              case Some(cd) =>
+                Seq(spark.read.option("mergeSchema", "true")
+                  .parquet(s"$table/$cd")
+                  .withColumn("_commit_version", lit(b.seq)))
+              case None => throw new IllegalStateException(
+                s"commit v${b.seq} of $table changed rows without a recorded " +
+                  "change capture (overwrite/rollback, or a delete/merge/" +
+                  "morDelete before setChangeCapture) — the feed cannot " +
+                  "replay it; read snapshots instead")
+            }
           case _ => Seq.empty
         }.toSeq
     val phys =
@@ -1092,14 +1164,17 @@ object VersionedTable {
     val adj = aggRow.getDecimal(0).toBigInteger
       .mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
     // CDF: the deleted rows are exactly the semi-join over the same dirs
-    if (changeCaptureEnabled(table)) {
-      val touchedDf = spark.read.option("mergeSchema", "true")
-        .parquet(usable.map(d => s"$table/$d"): _*)
-      captureChanges(table, seq,
-        Seq((touchedDf.join(bcast, pCols, "left_semi"), "delete")))
-    }
+    val chDir =
+      if (!changeCaptureEnabled(table)) None
+      else {
+        val touchedDf = spark.read.option("mergeSchema", "true")
+          .parquet(usable.map(d => s"$table/$d"): _*)
+        Some(captureChanges(table, seq,
+          Seq((touchedDf.join(bcast, pCols, "left_semi"), "delete"))))
+      }
     val entry = DeleteFile(delDir, seq, pCols, matched)
-    commitWith(table, delsF = (base, nd) => carryDels(base, nd) :+ entry) { base =>
+    commitWith(table, delsF = (base, nd) => carryDels(base, nd) :+ entry,
+        changes = chDir) { base =>
       if (!base.exists(_.seq == cur.seq)) throw new IllegalStateException(
         s"concurrent commit during equality delete against v${cur.seq} " +
           s"(tip is now v${base.map(_.seq).getOrElse(0)}) — retry")
@@ -1370,12 +1445,24 @@ object VersionedTable {
     // crashed between capture and manifest commit) are orphans too —
     // committed seqs keep theirs until [[expire]] drops the version
     val chRoot = hpath(table, "changes")
-    val committedSeqs = versions(table).map(v => s"v${v.seq}").toSet
+    // a sidecar survives only while a retained manifest line RECORDS it
+    // (legacy pre-record tables: while its name-seq is a retained
+    // version — those lines carry no pointer to check against)
+    val recordedCh = versions(table).flatMap(_.changes)
+      .map(_.stripPrefix("changes/")).toSet
+    // bare v<seq> names are protected ONLY for genuinely legacy lines
+    // (no dirseqs, no changes pointer — written before sidecars were
+    // recorded); a post-record commit that owns a sidecar names it in
+    // its line, so an unrecorded bare-name dir at a live seq is a
+    // crashed op's orphan, not anyone's change set
+    val legacySeqs = versions(table)
+      .filter(v => v.changes.isEmpty && v.dirSeqs.isEmpty)
+      .map(v => s"v${v.seq}").toSet
     val chOrphans =
       if (!hexists(chRoot)) Nil
       else scala.util.Try(fsOf(chRoot).listStatus(chRoot).toSeq).getOrElse(Seq.empty)
         .map(_.getPath.getName)
-        .filterNot(committedSeqs)
+        .filterNot(n => recordedCh.contains(n) || legacySeqs.contains(n))
         .map(n => s"changes/$n")
         .filter(d => newestMtime(hpath(table, d)).exists(_ <= cutoff))
         .toList
@@ -1676,10 +1763,11 @@ object VersionedTable {
     // change capture: the deleted rows are the complement of the remainder
     // over the SAME touched groups the rewrite reads anyway — one extra
     // write of the deleted rows, no extra groups opened
-    if (changeCaptureEnabled(table))
-      captureChanges(table, seq, Seq(
+    val chDir =
+      if (!changeCaptureEnabled(table)) None
+      else Some(captureChanges(table, seq, Seq(
         (touchedDf.where(col(pc).isNotNull && col(pc).between(lit(lo), lit(hi))),
-          "delete")))
+          "delete"))))
     val remainder = touchedDf.where(
       col(pc).isNull || !col(pc).between(lit(lo), lit(hi)))
     val (remSid, remRows) = writeGroup(table, dir, remainder)
@@ -1689,7 +1777,7 @@ object VersionedTable {
     if (!keepRem) deleteRecursively(hpath(table, dir))
     val newDirs = untouched ++ (if (keepRem) Seq(dir) else Seq.empty)
     val sid = untouched.map(d => dirSid(table, d)).sum + (if (keepRem) remSid else 0L)
-    commitWith(table) { base =>
+    commitWith(table, changes = chDir) { base =>
       if (!base.exists(_.seq == cur.seq)) throw new IllegalStateException(
         s"concurrent commit during delete against v${cur.seq} " +
           s"(tip is now v${base.map(_.seq).getOrElse(0)}) — retry")
@@ -1751,23 +1839,26 @@ object VersionedTable {
     // untouched groups hold no batch key), postimages the batch rows that
     // matched, inserts the rest. The matched-key set is ≤ |batch| and
     // rides broadcast both ways.
-    if (changeCaptureEnabled(table)) {
-      import org.apache.spark.sql.functions.broadcast
-      val pBatchDf = spark.read.parquet(s"$table/$batchDir")
-      if (touched.isEmpty) captureChanges(table, seq, Seq((pBatchDf, "insert")))
+    val chDir =
+      if (!changeCaptureEnabled(table)) None
       else {
-        val touchedDf = spark.read.option("mergeSchema", "true")
-          .parquet(touched.map(d => s"$table/$d"): _*)
-        val batchKeys = broadcast(
-          pBatchDf.select(col(pKey)).where(col(pKey).isNotNull).distinct())
-        val pre = touchedDf.join(batchKeys, Seq(pKey), "left_semi")
-        val matched = broadcast(pre.select(col(pKey)).distinct())
-        captureChanges(table, seq, Seq(
-          (pre, "update_preimage"),
-          (pBatchDf.join(matched, Seq(pKey), "left_semi"), "update_postimage"),
-          (pBatchDf.join(matched, Seq(pKey), "left_anti"), "insert")))
+        import org.apache.spark.sql.functions.broadcast
+        val pBatchDf = spark.read.parquet(s"$table/$batchDir")
+        if (touched.isEmpty)
+          Some(captureChanges(table, seq, Seq((pBatchDf, "insert"))))
+        else {
+          val touchedDf = spark.read.option("mergeSchema", "true")
+            .parquet(touched.map(d => s"$table/$d"): _*)
+          val batchKeys = broadcast(
+            pBatchDf.select(col(pKey)).where(col(pKey).isNotNull).distinct())
+          val pre = touchedDf.join(batchKeys, Seq(pKey), "left_semi")
+          val matched = broadcast(pre.select(col(pKey)).distinct())
+          Some(captureChanges(table, seq, Seq(
+            (pre, "update_preimage"),
+            (pBatchDf.join(matched, Seq(pKey), "left_semi"), "update_postimage"),
+            (pBatchDf.join(matched, Seq(pKey), "left_anti"), "insert"))))
+        }
       }
-    }
     val remDirKeptSid: Option[(String, Long)] = if (touched.isEmpty) None else {
       val remDir = s"data/v$seq-mrg-rem-$sfx"
       val touchedDf = spark.read.option("mergeSchema", "true")
@@ -1783,7 +1874,7 @@ object VersionedTable {
     val newDirs = untouched ++ remDirKeptSid.map(_._1).toSeq :+ batchDir
     val sid = untouched.map(d => dirSid(table, d)).sum +
       remDirKeptSid.map(_._2).getOrElse(0L) + batchSid
-    commitWith(table, colMapF = extendMapping(minted)) { base =>
+    commitWith(table, colMapF = extendMapping(minted), changes = chDir) { base =>
       if (!base.exists(_.seq == cur.seq)) throw new IllegalStateException(
         s"concurrent commit during merge against v${cur.seq} " +
           s"(tip is now v${base.map(_.seq).getOrElse(0)}) — retry")
@@ -2253,8 +2344,11 @@ object VersionedTable {
         dropped.flatMap(_.dirs).distinct.filterNot(keepDirs) ++
           dropped.flatMap(_.dels.map(_.dir)).distinct.filterNot(keepDels) ++
           // a dropped version's change-capture sidecar goes with it (the
-          // feed already refuses windows crossing an expired version)
-          dropped.map(v => s"changes/v${v.seq}")
+          // feed already refuses windows crossing an expired version);
+          // recorded dirs first, the bare name for legacy lines
+          (dropped.flatMap(_.changes) ++
+            dropped.filter(_.changes.isEmpty).map(v => s"changes/v${v.seq}"))
+            .filterNot(retained.flatMap(_.changes).toSet)
             .filter(c => hexists(hpath(table, c)))
       }
     }

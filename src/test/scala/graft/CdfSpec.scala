@@ -89,7 +89,7 @@ class CdfSpec extends SparkSpec {
     VersionedTable.overwrite(rows(0, 49), p) // capture NOT enabled
     VersionedTable.deleteRange(p, "id", 0L, 4L)
     val e1 = intercept[IllegalStateException](feed(p, 1, 2).collect())
-    assert(e1.getMessage.contains("without change capture"))
+    assert(e1.getMessage.contains("without a recorded change capture"))
     // enabling later doesn't backfill v2
     VersionedTable.setChangeCapture(p, enabled = true)
     intercept[IllegalStateException](feed(p, 1, 2).collect())
@@ -119,7 +119,8 @@ class CdfSpec extends SparkSpec {
     VersionedTable.append(rows(100, 104), p)     // v3
     assert(feed(p, 1, 3).count() == 15)
     val dropped = VersionedTable.expire(p, keep = 1)
-    assert(dropped.contains("changes/v2"), s"expire must drop v2's sidecar: $dropped")
+    assert(dropped.exists(_.startsWith("changes/v2")),
+      s"expire must drop v2's sidecar: $dropped")
     // an orphan sidecar from a crashed writer
     val orphan = java.nio.file.Paths.get(p, "changes/v99")
     Files.createDirectories(orphan)
@@ -127,6 +128,33 @@ class CdfSpec extends SparkSpec {
     val removed = VersionedTable.vacuum(p, olderThanMillis = -1000L)
     assert(removed.contains("changes/v99"))
     assert(!Files.exists(orphan))
+  }
+
+  test("an orphan sidecar is never replayed as another commit's changes") {
+    val p = tmp()
+    VersionedTable.setChangeCapture(p, enabled = true)
+    VersionedTable.overwrite(rows(0, 19), p) // v1
+    // a crashed op's orphan at the LEGACY name of the NEXT seq: a commit
+    // that then claims seq 2 must NOT adopt it as its change set
+    val orphan2 = java.nio.file.Paths.get(p, "changes/v2")
+    Files.createDirectories(orphan2)
+    Files.writeString(orphan2.resolve("part-0.parquet"), "junk")
+    VersionedTable.overwrite(rows(50, 59), p) // v2: uncaptured overwrite
+    val e = intercept[IllegalStateException](feed(p, 1, 2).collect())
+    assert(e.getMessage.contains("without a recorded change capture"),
+      s"feed must refuse, not replay the orphan: ${e.getMessage}")
+    // and a retried row-level op never collides with its own leftover:
+    // an orphan already sits at the legacy name of seq 3
+    val orphan3 = java.nio.file.Paths.get(p, "changes/v3")
+    Files.createDirectories(orphan3)
+    Files.writeString(orphan3.resolve("part-0.parquet"), "junk")
+    val v3 = VersionedTable.deleteRange(p, "id", 50L, 52L) // commits fine
+    assert(v3.seq == 3 && v3.changes.exists(_.startsWith("changes/v3-")))
+    assert(feed(p, 2, 3).count() == 3)
+    // vacuum reclaims both orphans but keeps the recorded sidecar
+    val removed = VersionedTable.vacuum(p, olderThanMillis = -1000L)
+    assert(removed.contains("changes/v2") && removed.contains("changes/v3"))
+    assert(feed(p, 2, 3).count() == 3, "recorded sidecar must survive vacuum")
   }
 
   test("feed surfaces the toSeq logical schema after a rename") {

@@ -130,6 +130,37 @@ class MorDeleteSpec extends SparkSpec {
     assert(e.getMessage.contains("pending equality-delete"))
   }
 
+  test("delete scoping follows the RECORDED birth seq, not the dir name") {
+    // the append race: a dir's NAME seq is minted from a pre-lock read,
+    // so when >=2 commits land between that read and the append's commit
+    // the name lags the true commit seq. Simulate the lagged outcome by
+    // renaming a post-delete append's dir to a v1-name while the
+    // manifest's dirseqs still records its true birth — rows appended
+    // AFTER the delete must survive the read (name-based scoping would
+    // anti-join them away), and applyDeletes' identity gate must hold.
+    val p = tmp()
+    VersionedTable.overwrite(rows(0, 49), p)                    // v1
+    VersionedTable.morDelete(keys(10L), p)                      // v2 deletes id 10
+    VersionedTable.append(Seq((10L, "readd", 0)).toDF("id", "text", "grp"), p) // v3
+    assert(VersionedTable.read(p).filter(col("id") === 10).count() == 1)
+    // force the lag: v3's dir renamed to a v1 name on disk + in the line
+    val mf = new java.io.File(p, "_graft_manifest.jsonl")
+    val lines = scala.io.Source.fromFile(mf).getLines().toSeq
+    val v3dir = VersionedTable.versions(p).last.dirs
+      .find(_.startsWith("data/v3-")).get
+    val lagged = "data/v1-lagged00"
+    assert(new java.io.File(p, v3dir).renameTo(new java.io.File(p, lagged)))
+    java.nio.file.Files.writeString(mf.toPath,
+      lines.map(_.replace(v3dir, lagged)).mkString("", "\n", "\n"))
+    val reread = VersionedTable.read(p)
+    assert(reread.filter(col("id") === 10).count() == 1,
+      "post-delete append must survive under a lagging dir NAME")
+    assert(reread.count() == 50, "delete still applies to the v1 dir")
+    // maintenance still passes its content-identity gate
+    VersionedTable.applyDeletes(p)
+    assert(VersionedTable.read(p).filter(col("id") === 10).count() == 1)
+  }
+
   test("applyDeletes folds the debt: content id kept, untouched groups by reference") {
     val p = tmp()
     def slice(lo: Int): DataFrame =
@@ -191,7 +222,7 @@ class MorDeleteSpec extends SparkSpec {
     VersionedTable.morDelete(keys(1L), q)
     val e2 = intercept[IllegalStateException](
       VersionedTable.readChangeFeed(q, 1, 2).collect())
-    assert(e2.getMessage.contains("without change capture"))
+    assert(e2.getMessage.contains("without a recorded change capture"))
   }
 
   test("rollback restores the target's delete-file set either direction") {
