@@ -1445,6 +1445,23 @@ object SparkEntry {
         GraphQuery.TriplePattern("?c", "cust_nation", "?n"),
         GraphQuery.TriplePattern("?s", "supp_nation", "?n"),
         GraphQuery.TriplePattern("?n", "in_region", "rEUROPE")))),
+    // q125: SPARQL FILTER with string functions and arithmetic through
+    // the text front-end — CONTAINS/STRLEN compile to codegen'd Column
+    // predicates applied on the binding frame; DuckDB recomputes via
+    // LIKE/length value-exact.
+    "q125_sparql_filter_fn" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?c ?n WHERE { ?c cust_nation ?n .
+          |  FILTER ( CONTAINS ( ?n , 'A' ) ) .
+          |  FILTER ( STRLEN ( ?c ) - 1 <= 3 ) }""".stripMargin)),
+    // q126: SPARQL BIND — a computed binding (STRLEN arithmetic) joins
+    // the solution frame, filters see it, and it projects out like any
+    // variable; the twin recomputes the expression in SQL.
+    "q126_sparql_bind" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?c ?score WHERE { ?c cust_nation ?n .
+          |  BIND ( STRLEN ( ?n ) * 10 AS ?score ) .
+          |  FILTER ( ?score >= 80 ) }""".stripMargin)),
     // q95: AS-OF JOIN (temporal alignment) — every purchase matched to
     // the user's latest click at or before it, via the union-tag/window
     // form: ONE shuffle on user_id, no |L|×|R| pair explosion. The DuckDB
@@ -2782,6 +2799,16 @@ object SparkEntry {
         |JOIN tri t3 ON t3.pred = 'in_region' AND t3.subj = t1.obj
         |  AND t3.obj = 'rEUROPE'
         |WHERE t1.pred = 'cust_nation'""".stripMargin,
+    "q125_sparql_filter_fn" ->
+      """SELECT 'c' || c_custkey AS c, 'n' || n_name AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE ('n' || n_name) LIKE '%A%'
+        |  AND length('c' || c_custkey) - 1 <= 3""".stripMargin,
+    "q126_sparql_bind" ->
+      """SELECT 'c' || c_custkey AS c,
+        |  length('n' || n_name) * 10.0 AS score
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE length('n' || n_name) * 10 >= 80""".stripMargin,
     "q95_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events
         |    WHERE event_type = 'purchase'),

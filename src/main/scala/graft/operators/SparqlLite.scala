@@ -25,7 +25,13 @@ import graft.operators.GraphQuery.TriplePattern
   *         | OPTIONAL { triple ('.' triple)* }    -- one left-joined group
   *         | MINUS { triple ('.' triple)* }       -- anti-join on shared vars
   *         | { triple+ } UNION { triple+ } ...    -- same-var-set branches
-  *         | FILTER ( operand op operand )        -- op: = != < <= > >=
+  *         | FILTER ( expr (op expr)? )           -- op: = != < <= > >= ;
+  *                                   expr: ?var | literal | expr (+|-|*|/)
+  *                                   expr | fn(args) with fn in STRLEN
+  *                                   UCASE LCASE ABS SUBSTR CONCAT and
+  *                                   boolean CONTAINS STRSTARTS STRENDS
+  *                                   (operators whitespace-separated)
+  *         | BIND ( expr AS ?var )                 -- computed binding
   *         | VALUES ?var { const+ }               -- inline allowed values
   * term   := ?var | 'quoted literal' | "quoted" | <iri> | bare-word
   * path   := SPARQL 1.1 property paths in the predicate position, written
@@ -47,7 +53,96 @@ object SparqlLite {
 
   // ------------------------------------------------------------------ AST
 
-  private final case class Filter(a: String, op: String, b: String)
+  /** FILTER/BIND expression AST: terms (?vars and literals), arithmetic
+    * (+ - * /, whitespace-separated tokens, parens group), comparisons
+    * and the SPARQL 1.1 string/number builtins most queries reach for —
+    * STRLEN UCASE LCASE ABS SUBSTR CONCAT plus the boolean
+    * CONTAINS / STRSTARTS / STRENDS.
+    */
+  private sealed trait FExpr
+  private final case class FTerm(t: String) extends FExpr
+  private final case class FBin(op: String, a: FExpr, b: FExpr) extends FExpr
+  private final case class FFn(name: String, args: Seq[FExpr]) extends FExpr
+
+  private val cmpOps = Set("=", "!=", "<", "<=", ">", ">=")
+  private val boolFns = Set("CONTAINS", "STRSTARTS", "STRENDS")
+  private val allFns = boolFns ++ Set("STRLEN", "UCASE", "LCASE", "ABS",
+    "SUBSTR", "CONCAT")
+
+  private def fvars(e: FExpr): Seq[String] = e match {
+    case FTerm(t) => if (t.startsWith("?")) Seq(t.stripPrefix("?")) else Seq.empty
+    case FBin(_, a, b) => fvars(a) ++ fvars(b)
+    case FFn(_, as) => as.flatMap(fvars)
+  }
+
+  /** An expression whose VALUE is numeric — decides comparison typing
+    * (numeric compare casts both sides to double, exactly the legacy
+    * literal-side rule generalized; string compare otherwise).
+    */
+  private def numericF(e: FExpr): Boolean = e match {
+    case FTerm(t) => !t.startsWith("?") && scala.util.Try(t.toDouble).isSuccess
+    case FBin(op, _, _) => !cmpOps.contains(op)
+    case FFn(n, _) => n == "STRLEN" || n == "ABS"
+  }
+
+  private def valCol(e: FExpr): Column = e match {
+    case FTerm(t) if t.startsWith("?") => col(t.stripPrefix("?"))
+    case FTerm(t) =>
+      scala.util.Try(t.toDouble).toOption.map(d => lit(d)).getOrElse(lit(t))
+    case FBin(op, a, b) if !cmpOps.contains(op) =>
+      val (x, y) = (valCol(a).cast("double"), valCol(b).cast("double"))
+      op match {
+        case "+" => x + y
+        case "-" => x - y
+        case "*" => x * y
+        case "/" => x / y
+      }
+    case FFn("STRLEN", Seq(a)) => length(valCol(a)).cast("double")
+    case FFn("UCASE", Seq(a)) => upper(valCol(a))
+    case FFn("LCASE", Seq(a)) => lower(valCol(a))
+    case FFn("ABS", Seq(a)) => abs(valCol(a).cast("double"))
+    case FFn("SUBSTR", Seq(str, pos)) =>
+      valCol(str).substr(valCol(pos).cast("int"), lit(Int.MaxValue))
+    case FFn("SUBSTR", Seq(str, pos, len)) =>
+      valCol(str).substr(valCol(pos).cast("int"), valCol(len).cast("int"))
+    case FFn("CONCAT", as) if as.nonEmpty => concat(as.map(valCol): _*)
+    case f @ FFn(n, _) if boolFns.contains(n) => boolCol(f)
+    case other => throw new IllegalArgumentException(
+      s"unsupported expression (check function arity): $other")
+  }
+
+  private def cmpCol(op: String, a: Column, b: Column): Column = op match {
+    case "="  => a === b
+    case "!=" => a =!= b
+    case "<"  => a < b
+    case "<=" => a <= b
+    case ">"  => a > b
+    case ">=" => a >= b
+  }
+
+  private def boolCol(e: FExpr): Column = e match {
+    case FBin(op, FTerm(x), FTerm(y)) if cmpOps.contains(op) =>
+      // the original two-term rule, verbatim: numeric comparison exactly
+      // when the OTHER side is a number literal
+      def side(t: String, other: String): Column =
+        if (t.startsWith("?")) {
+          if (!other.startsWith("?") && scala.util.Try(other.toDouble).isSuccess)
+            col(t.stripPrefix("?")).cast("double")
+          else col(t.stripPrefix("?"))
+        } else if (scala.util.Try(t.toDouble).isSuccess && other.startsWith("?"))
+          lit(t.toDouble)
+        else lit(t)
+      cmpCol(op, side(x, y), side(y, x))
+    case FBin(op, a, b) if cmpOps.contains(op) =>
+      if (numericF(a) || numericF(b))
+        cmpCol(op, valCol(a).cast("double"), valCol(b).cast("double"))
+      else cmpCol(op, valCol(a), valCol(b))
+    case FFn("CONTAINS", Seq(a, b)) => valCol(a).contains(valCol(b))
+    case FFn("STRSTARTS", Seq(a, b)) => valCol(a).startsWith(valCol(b))
+    case FFn("STRENDS", Seq(a, b)) => valCol(a).endsWith(valCol(b))
+    case other => throw new IllegalArgumentException(
+      s"FILTER needs a comparison or boolean function, got $other")
+  }
   private final case class Values(v: String, consts: Seq[String])
   private final case class Agg(fn: String, operand: String, alias: String)
   private final case class Query(form: String, distinct: Boolean,
@@ -55,8 +150,8 @@ object SparqlLite {
       orderBy: Seq[(String, Boolean)], template: Seq[TriplePattern],
       patterns: Seq[TriplePattern], optionals: Seq[Seq[TriplePattern]],
       minuses: Seq[Seq[TriplePattern]], unions: Seq[Seq[Seq[TriplePattern]]],
-      filters: Seq[Filter], values: Seq[Values], limit: Option[Int],
-      offset: Option[Int])
+      filters: Seq[FExpr], binds: Seq[(String, FExpr)], values: Seq[Values],
+      limit: Option[Int], offset: Option[Int])
 
   // ------------------------------------------------------------ tokenizer
 
@@ -78,15 +173,23 @@ object SparqlLite {
         out += ("'" + q.substring(i + 1, j)) // sentinel marks "literal"
         i = j + 1
       } else if (c == '<') {
+        // `<` opens an IRI only when a whitespace-free `<...>` follows;
+        // otherwise it is the comparison operator `<` / `<=` (an IRI
+        // contains no whitespace, an operator is never followed by `>`
+        // inside the same token)
         val j = q.indexOf('>', i + 1)
-        require(j >= 0, s"unterminated <iri> at offset $i")
-        out += ("'" + q.substring(i + 1, j))
-        i = j + 1
-      } else if ("{}().".contains(c)) { out += c.toString; i += 1 }
+        val isIri = j >= 0 && !q.substring(i + 1, j).exists(_.isWhitespace) &&
+          (i + 1 >= n || q.charAt(i + 1) != '=')
+        if (isIri) {
+          out += ("'" + q.substring(i + 1, j))
+          i = j + 1
+        } else if (i + 1 < n && q.charAt(i + 1) == '=') { out += "<="; i += 2 }
+        else { out += "<"; i += 1 }
+      } else if ("{}(),".contains(c)) { out += c.toString; i += 1 }
       else {
         val j0 = i
         while (i < n && !q.charAt(i).isWhitespace &&
-          !"{}().#'\"<".contains(q.charAt(i))) i += 1
+          !"{}(),#'\"<".contains(q.charAt(i))) i += 1
         out += q.substring(j0, i)
       }
     }
@@ -187,10 +290,11 @@ object SparqlLite {
 
     val patterns = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
     val optionals = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
-    val filters = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    val filters = scala.collection.mutable.ArrayBuffer.empty[FExpr]
+    val binds = scala.collection.mutable.ArrayBuffer.empty[(String, FExpr)]
     val values = scala.collection.mutable.ArrayBuffer.empty[Values]
 
-    val groupKeywords = Seq("FILTER", "VALUES", "OPTIONAL", "MINUS", "UNION")
+    val groupKeywords = Seq("FILTER", "BIND", "VALUES", "OPTIONAL", "MINUS", "UNION")
     def tripleList(): Seq[TriplePattern] = {
       val acc = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
       while (peek != "}") {
@@ -215,6 +319,41 @@ object SparqlLite {
         next()
         t + "." + next()
       } else t
+    }
+    // recursive-descent FILTER/BIND expressions: * / bind tighter than
+    // + -, parens group, functions take comma-separated args; operator
+    // tokens must be whitespace-separated (the grammar's global rule)
+    def isFnAt: Boolean = i + 1 < ts.length && !ts(i).startsWith("'") &&
+      !ts(i).startsWith("?") && allFns.contains(ts(i).toUpperCase) &&
+      ts(i + 1) == "("
+    def fprimary(): FExpr =
+      if (peek == "(") { next(); val e = fexpr(); expect(")"); e }
+      else if (isFnAt) {
+        val name = next().toUpperCase
+        expect("(")
+        val args = scala.collection.mutable.ArrayBuffer[FExpr](fexpr())
+        while (peek == ",") { next(); args += fexpr() }
+        expect(")")
+        FFn(name, args.toSeq)
+      } else FTerm(filterOperand())
+    def fmul(): FExpr = {
+      var e = fprimary()
+      while (peek == "*" || peek == "/") { val op = next(); e = FBin(op, e, fprimary()) }
+      e
+    }
+    def fexpr(): FExpr = {
+      var e = fmul()
+      while (peek == "+" || peek == "-") { val op = next(); e = FBin(op, e, fmul()) }
+      e
+    }
+    def fbool(): FExpr = {
+      val a = fexpr()
+      if (cmpOps.contains(peek)) { val op = next(); FBin(op, a, fexpr()) }
+      else a match {
+        case f @ FFn(n, _) if boolFns.contains(n) => f
+        case other => throw new IllegalArgumentException(
+          s"FILTER needs a comparison or boolean function, got $other")
+      }
     }
 
     val minuses = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
@@ -249,13 +388,16 @@ object SparqlLite {
         unions += branches.toSeq
       } else if (peek.equalsIgnoreCase("FILTER")) {
         next(); expect("(")
-        val a = filterOperand()
-        val op = next()
-        require(Seq("=", "!=", "<", "<=", ">", ">=").contains(op),
-          s"unsupported FILTER operator $op")
-        val b = filterOperand()
+        filters += fbool()
         expect(")")
-        filters += Filter(a, op, b)
+      } else if (peek.equalsIgnoreCase("BIND")) {
+        next(); expect("(")
+        val e = fexpr()
+        expect("AS")
+        val v = next()
+        require(v.startsWith("?"), s"BIND takes AS ?var, got $v")
+        expect(")")
+        binds += ((v.stripPrefix("?"), e))
       } else if (peek.equalsIgnoreCase("VALUES")) {
         next()
         val v = next()
@@ -321,19 +463,32 @@ object SparqlLite {
 
     val bound = (patterns ++ optionals.flatten ++ unions.flatten.flatten)
       .flatMap(_.vars).distinct.toList
+    // BIND scope: an expression may use pattern vars and EARLIER binds;
+    // the bound name must be fresh (SPARQL forbids rebinding)
+    val bindNames = scala.collection.mutable.ListBuffer.empty[String]
+    binds.foreach { case (v, e) =>
+      require(!bound.contains(v) && !bindNames.contains(v),
+        s"BIND ?$v rebinds an already-bound variable")
+      fvars(e).foreach(u => require(bound.contains(u) || bindNames.contains(u),
+        s"BIND expression uses unbound ?$u"))
+      bindNames += v
+    }
+    val boundAll = bound ++ bindNames
+    filters.foreach(f => fvars(f).foreach(u =>
+      require(boundAll.contains(u), s"FILTER uses unbound ?$u")))
     val sel =
       if (form == "DESCRIBE") select.toList
-      else if (star || form != "SELECT") bound
+      else if (star || form != "SELECT") boundAll
       else select.toList
     require(sel.nonEmpty, "empty SELECT list")
     val aliases = aggs.map(_.alias)
     if (form == "SELECT" || form == "DESCRIBE")
       sel.filterNot(aliases.contains).foreach(v =>
-        require(bound.contains(v), s"$form ?$v is unbound"))
+        require(boundAll.contains(v), s"$form ?$v is unbound"))
     aggs.foreach(a => require(a.operand == "*" ||
-      bound.contains(a.operand.stripPrefix("?")),
+      boundAll.contains(a.operand.stripPrefix("?")),
       s"aggregate over unbound ${a.operand}"))
-    groupBy.foreach(v => require(bound.contains(v), s"GROUP BY ?$v is unbound"))
+    groupBy.foreach(v => require(boundAll.contains(v), s"GROUP BY ?$v is unbound"))
     if (aggs.nonEmpty)
       sel.filterNot(aliases.contains).foreach(v => require(groupBy.contains(v),
         s"?$v is selected next to aggregates but not in GROUP BY"))
@@ -342,9 +497,8 @@ object SparqlLite {
     require(!(star && aggs.nonEmpty), "SELECT * cannot mix with aggregates")
     template.flatMap(_.vars).distinct
       .foreach(v => require(bound.contains(v), s"CONSTRUCT ?$v is unbound"))
-    (filters.flatMap(f => Seq(f.a, f.b)) ++ values.map("?" + _.v))
-      .filter(_.startsWith("?")).map(_.stripPrefix("?"))
-      .foreach(v => require(bound.contains(v), s"FILTER/VALUES ?$v is unbound"))
+    values.map(_.v)
+      .foreach(v => require(boundAll.contains(v), s"VALUES ?$v is unbound"))
     orderBy.foreach { case (v, _) =>
       require(form == "SELECT", "ORDER BY requires SELECT")
       require(sel.contains(v),
@@ -357,7 +511,7 @@ object SparqlLite {
     Query(form, distinct, sel, aggs.toSeq, groupBy.toList, orderBy.toSeq,
       template.toSeq, patterns.toSeq, optionals.map(_.toSeq).toSeq,
       minuses.map(_.toSeq).toSeq, unions.toSeq, filters.toSeq,
-      values.toSeq, limit, offset)
+      binds.toSeq, values.toSeq, limit, offset)
   }
 
   // ---------------------------------------------------------------- paths
@@ -497,26 +651,10 @@ object SparqlLite {
     q.values.foreach { v =>
       df = df.where(col(v.v).isInCollection(v.consts))
     }
-    q.filters.foreach { f =>
-      def side(t: String, other: String): Column =
-        if (t.startsWith("?")) {
-          // numeric comparison when the OTHER side is a number literal
-          if (!other.startsWith("?") && scala.util.Try(other.toDouble).isSuccess)
-            col(t.stripPrefix("?")).cast("double")
-          else col(t.stripPrefix("?"))
-        } else if (scala.util.Try(t.toDouble).isSuccess && other.startsWith("?"))
-          lit(t.toDouble)
-        else lit(t)
-      val (a, b) = (side(f.a, f.b), side(f.b, f.a))
-      df = df.where(f.op match {
-        case "="  => a === b
-        case "!=" => a =!= b
-        case "<"  => a < b
-        case "<=" => a <= b
-        case ">"  => a > b
-        case ">=" => a >= b
-      })
-    }
+    // BIND before FILTER: a filter may reference a bound expression
+    // (both are top-level scope here, the documented restriction)
+    q.binds.foreach { case (v, e) => df = df.withColumn(v, valCol(e)) }
+    q.filters.foreach(f => df = df.where(boolCol(f)))
     q.form match {
       case "SELECT" =>
         var out =

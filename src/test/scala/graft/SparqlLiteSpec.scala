@@ -161,6 +161,63 @@ class SparqlLiteSpec extends SparkSpec {
     assert(rows(bounded) === Set(Seq("n01"), Seq("n02")))
   }
 
+  test("FILTER expressions: arithmetic precedence, string functions") {
+    // * binds tighter than +; comparison is numeric (ages 31, 9, 40)
+    val arith = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( ?a * 2 + 1 > 20 ) }")
+    assert(rows(arith) === Set(Seq("c1"), Seq("c3")))
+    // parens override precedence: (a + 1) * 2 > 20 keeps 31 and 40 only
+    val paren = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( ( ?a + 1 ) * 2 > 21 ) }")
+    assert(rows(paren) === Set(Seq("c1"), Seq("c3")))
+    // CONTAINS / STRSTARTS / STRENDS over bindings
+    val contains = SparqlLite.sparql(tri,
+      "SELECT ?n WHERE { ?n in_region europe . FILTER ( CONTAINS ( ?n , 'd' ) ) }")
+    assert(rows(contains) === Set(Seq("de")))
+    val starts = SparqlLite.sparql(tri,
+      "SELECT ?n WHERE { ?n in_region europe . FILTER ( STRSTARTS ( ?n , 'f' ) ) }")
+    assert(rows(starts) === Set(Seq("fr")))
+    // UCASE/SUBSTR/CONCAT compose; STRLEN is numeric
+    val ucase = SparqlLite.sparql(tri,
+      "SELECT ?n WHERE { ?n in_region europe . FILTER ( UCASE ( ?n ) = 'DE' ) }")
+    assert(rows(ucase) === Set(Seq("de")))
+    val sub = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c in_nation ?n . FILTER ( SUBSTR ( ?c , 2 , 1 ) = '1' ) }")
+    assert(rows(sub) === Set(Seq("c1")))
+    val strlen = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( STRLEN ( ?a ) >= 2 ) }")
+    assert(rows(strlen) === Set(Seq("c1"), Seq("c3")))
+    val concat = SparqlLite.sparql(tri,
+      "SELECT ?n WHERE { ?n in_region europe . FILTER ( CONCAT ( ?n , '!' ) = 'de!' ) }")
+    assert(rows(concat) === Set(Seq("de")))
+    // a non-boolean FILTER body is rejected at parse time
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( ?a + 1 ) }"))
+  }
+
+  test("BIND: computed bindings join the frame, feed filters and selects") {
+    val b = SparqlLite.sparql(tri,
+      """SELECT ?c ?dbl WHERE { ?c age ?a .
+        |  BIND ( ?a * 2 AS ?dbl ) . FILTER ( ?dbl >= 62 ) }""".stripMargin)
+    assert(rows(b) === Set(Seq("c1", "62.0"), Seq("c3", "80.0")))
+    // a later BIND may use an earlier one; SELECT * includes bind vars
+    val chain = SparqlLite.sparql(tri,
+      """SELECT * WHERE { ?c age ?a .
+        |  BIND ( ?a + 1 AS ?b ) . BIND ( ?b * 0 AS ?z ) }""".stripMargin)
+    assert(chain.columns.toSeq === Seq("c", "a", "b", "z"))
+    assert(chain.count() === 3)
+    // string BIND: UCASE flows into equality like any binding
+    val sb = SparqlLite.sparql(tri,
+      """SELECT ?u WHERE { ?n in_region europe .
+        |  BIND ( UCASE ( ?n ) AS ?u ) . FILTER ( ?u != 'DE' ) }""".stripMargin)
+    assert(rows(sb) === Set(Seq("FR")))
+    def bad(q: String): Unit =
+      intercept[IllegalArgumentException](SparqlLite.sparql(tri, q))
+    bad("SELECT ?c WHERE { ?c age ?a . BIND ( ?a AS ?a ) }")      // rebind
+    bad("SELECT ?c WHERE { ?c age ?a . BIND ( ?nope + 1 AS ?b ) }") // unbound
+    bad("SELECT ?c WHERE { ?c age ?a . FILTER ( ?ghost > 1 ) }")  // unbound
+  }
+
   test("ORDER BY with LIMIT is deterministic top-k; unselected key rejected") {
     val got = SparqlLite.sparql(tri,
       """SELECT ?c ?a WHERE { ?c age ?a }
