@@ -1575,6 +1575,23 @@ object SparkEntry {
         f.tri(f.pairs.where(pmod(col("item_b"), lit(3)) === 0)),
         f.tri(f.pairs), f.entEmb, f.relEmb)
     }),
+    // q127/q128: DISTMULT through the same filtered-rank protocol —
+    // trilinear dot product, HIGHER is better, identical filtering and
+    // tie rules; the scorer is one Column function plugged into the
+    // shared kernel, and DuckDB re-derives every rank with the product
+    // computed in the same (h·r)·t order.
+    "q127_kge_distmult_tails" -> ((s, d) => {
+      val f = kgeFixture(s, d)
+      KgeEval.distMultTailRanks(
+        f.tri(f.pairs.where(pmod(col("item_a"), lit(3)) === 0)),
+        f.tri(f.pairs), f.entEmb, f.relEmb)
+    }),
+    "q128_kge_distmult_heads" -> ((s, d) => {
+      val f = kgeFixture(s, d)
+      KgeEval.distMultHeadRanks(
+        f.tri(f.pairs.where(pmod(col("item_b"), lit(3)) === 0)),
+        f.tri(f.pairs), f.entEmb, f.relEmb)
+    }),
     // q113: SPARQL ORDER BY + LIMIT — deterministic top-5 (count desc,
     // name asc tie-break) through the text front-end; the twin is the
     // same grouped top-k in SQL.
@@ -2941,6 +2958,8 @@ object SparkEntry {
         |  UNION ALL SELECT t AS src, t AS dst FROM terms)""".stripMargin,
     "q112_kge_tail_ranks" -> kgeRanksSql(headSide = false),
     "q116_kge_head_ranks" -> kgeRanksSql(headSide = true),
+    "q127_kge_distmult_tails" -> kgeRanksSql(headSide = false, distMult = true),
+    "q128_kge_distmult_heads" -> kgeRanksSql(headSide = true, distMult = true),
     "q113_sparql_topk" ->
       """SELECT 'n' || n_name AS n, count(*)::BIGINT AS cnt
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -3258,12 +3277,21 @@ object SparkEntry {
     * sides, mirroring [[kgeFixture]] (tail side ranks candidate tails
     * against the head, head side candidate heads against the tail).
     */
-  private def kgeRanksSql(headSide: Boolean): String = {
+  private def kgeRanksSql(headSide: Boolean, distMult: Boolean = false): String = {
+    // TransE squared distance (lower better) or the DistMult trilinear
+    // product (higher better) — multiplication order (h·r)·t matches the
+    // engine's left-assoc zip_with fold exactly
     def dist(h: String, t: String): String =
-      s"list_sum(list_transform(range(1, 65), i -> " +
-        s"((($h[i]::DOUBLE + rel.rv[i]::DOUBLE) - $t[i]::DOUBLE) * " +
-        s"(($h[i]::DOUBLE + rel.rv[i]::DOUBLE) - $t[i]::DOUBLE))" +
-        "::DECIMAL(25,10)))"
+      if (distMult)
+        s"list_sum(list_transform(range(1, 65), i -> " +
+          s"(($h[i]::DOUBLE * rel.rv[i]::DOUBLE) * $t[i]::DOUBLE)" +
+          "::DECIMAL(25,10)))"
+      else
+        s"list_sum(list_transform(range(1, 65), i -> " +
+          s"((($h[i]::DOUBLE + rel.rv[i]::DOUBLE) - $t[i]::DOUBLE) * " +
+          s"(($h[i]::DOUBLE + rel.rv[i]::DOUBLE) - $t[i]::DOUBLE))" +
+          "::DECIMAL(25,10)))"
+    val beats = if (distMult) "cdist > tdist" else "cdist < tdist"
     val (testFilter, candSel, cdist, exJoin, tieCol) =
       if (headSide)
         ("item_b % 3 = 0", "item_a AS cv",
@@ -3300,7 +3328,7 @@ object SparkEntry {
        |  WHERE ex.item_a IS NULL OR c.cv = $anchor)
        |SELECT 'p' || item_a AS h, 'bought_with' AS r,
        |  'p' || item_b AS t,
-       |  (1 + sum(CASE WHEN cdist < tdist
+       |  (1 + sum(CASE WHEN $beats
        |      OR (cdist = tdist AND 'p' || cv < 'p' || ${tieCol.replace("te.", "")})
        |    THEN 1 ELSE 0 END))::BIGINT AS rank
        |FROM sc GROUP BY 1, 3""".stripMargin

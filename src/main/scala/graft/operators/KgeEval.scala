@@ -43,31 +43,72 @@ object KgeEval {
       (acc, v) => (acc + v).cast("decimal(27,10)"))
   }
 
-  /** Filtered tail ranks. `test` ⊆ `all` are (h, r, t) triples; `entEmb`
-    * is (node, vec), `relEmb` (rel, vec). Returns (h, r, t, rank).
+  /** DistMult score Σᵢ hᵢ·rᵢ·tᵢ (Yang et al. 2015) — the trilinear dot
+    * product, HIGHER is better. Same exactness scheme as [[transEDist]]:
+    * per-element products in double ((h·r)·t, left-assoc — the twin must
+    * multiply in the same order), decimal-cast terms, order-independent
+    * decimal fold.
     */
-  def tailRanks(test: DataFrame, all: DataFrame, entEmb: DataFrame,
-      relEmb: DataFrame): DataFrame = {
-    val cand = all.select(col("r"), col("t").as("cand")).distinct()
+  def distMultScore(h: Column, r: Column, t: Column): Column = {
+    val hd = h.cast("array<double>")
+    val rd = r.cast("array<double>")
+    val td = t.cast("array<double>")
+    val prod = zip_with(zip_with(hd, rd, _ * _), td, _ * _)
+    aggregate(
+      transform(prod, x => x.cast("decimal(25,10)")),
+      lit(0).cast("decimal(27,10)"),
+      (acc, v) => (acc + v).cast("decimal(27,10)"))
+  }
+
+  /** The shared filtered-rank kernel both scorers (and both protocol
+    * sides) instantiate: candidates from the per-relation vocabulary,
+    * true triples excluded from the competition, rank = 1 + #candidates
+    * strictly better (direction set by `higherIsBetter`), ties on
+    * candidate id. The eval harness proving it GENERALIZES across
+    * scoring functions is the point — a second scorer is one Column
+    * function, not a second pipeline.
+    */
+  private def filteredRanks(test: DataFrame, all: DataFrame,
+      entEmb: DataFrame, relEmb: DataFrame, headSide: Boolean,
+      score: (Column, Column, Column) => Column,
+      higherIsBetter: Boolean): DataFrame = {
+    val candCol = if (headSide) "h" else "t"
+    val cand = all.select(col("r"), col(candCol).as("cand")).distinct()
     val tst = test
       .join(entEmb.select(col("node").as("h"), col("vec").as("hv")), Seq("h"))
       .join(entEmb.select(col("node").as("t"), col("vec").as("tv")), Seq("t"))
       .join(relEmb.select(col("rel").as("r"), col("vec").as("rv")), Seq("r"))
-      .withColumn("tdist", transEDist(col("hv"), col("rv"), col("tv")))
+      .withColumn("tdist", score(col("hv"), col("rv"), col("tv")))
+    // filtered setting: a candidate that is a TRUE triple on this side
+    // (and is not the evaluated entity) never competes
+    val truth =
+      if (headSide) all.select(col("h").as("cand"), col("r"), col("t"))
+      else all.select(col("h"), col("r"), col("t").as("cand"))
+    val truthKeys = if (headSide) Seq("cand", "r", "t") else Seq("h", "r", "cand")
     val scored = tst.join(cand, Seq("r"))
       .join(entEmb.select(col("node").as("cand"), col("vec").as("cv")),
         Seq("cand"))
-      // filtered setting: a candidate that is a TRUE triple for this head
-      // (and is not the evaluated tail) never competes
-      .join(all.select(col("h"), col("r"), col("t").as("cand")).distinct()
-        .withColumn("istrue", lit(1)), Seq("h", "r", "cand"), "left")
-      .where(col("istrue").isNull || col("cand") === col("t"))
-      .withColumn("cdist", transEDist(col("hv"), col("rv"), col("cv")))
+      .join(truth.distinct().withColumn("istrue", lit(1)), truthKeys, "left")
+      .where(col("istrue").isNull || col("cand") === col(candCol))
+      .withColumn("cdist",
+        if (headSide) score(col("cv"), col("rv"), col("tv"))
+        else score(col("hv"), col("rv"), col("cv")))
+    val better =
+      if (higherIsBetter) col("cdist") > col("tdist")
+      else col("cdist") < col("tdist")
     scored.groupBy(col("h"), col("r"), col("t"))
-      .agg((lit(1L) + sum(when(col("cdist") < col("tdist") ||
-        (col("cdist") === col("tdist") && col("cand") < col("t")), 1L)
+      .agg((lit(1L) + sum(when(better ||
+        (col("cdist") === col("tdist") && col("cand") < col(candCol)), 1L)
         .otherwise(0L))).as("rank"))
   }
+
+  /** Filtered tail ranks. `test` ⊆ `all` are (h, r, t) triples; `entEmb`
+    * is (node, vec), `relEmb` (rel, vec). Returns (h, r, t, rank).
+    */
+  def tailRanks(test: DataFrame, all: DataFrame, entEmb: DataFrame,
+      relEmb: DataFrame): DataFrame =
+    filteredRanks(test, all, entEmb, relEmb, headSide = false,
+      transEDist, higherIsBetter = false)
 
   /** Filtered HEAD ranks — the other half of the protocol: candidates
     * h' from the per-relation head vocabulary scored
@@ -75,25 +116,22 @@ object KgeEval {
     * [[tailRanks]]. Returns (h, r, t, rank).
     */
   def headRanks(test: DataFrame, all: DataFrame, entEmb: DataFrame,
-      relEmb: DataFrame): DataFrame = {
-    val cand = all.select(col("r"), col("h").as("cand")).distinct()
-    val tst = test
-      .join(entEmb.select(col("node").as("h"), col("vec").as("hv")), Seq("h"))
-      .join(entEmb.select(col("node").as("t"), col("vec").as("tv")), Seq("t"))
-      .join(relEmb.select(col("rel").as("r"), col("vec").as("rv")), Seq("r"))
-      .withColumn("tdist", transEDist(col("hv"), col("rv"), col("tv")))
-    val scored = tst.join(cand, Seq("r"))
-      .join(entEmb.select(col("node").as("cand"), col("vec").as("cv")),
-        Seq("cand"))
-      .join(all.select(col("h").as("cand"), col("r"), col("t")).distinct()
-        .withColumn("istrue", lit(1)), Seq("cand", "r", "t"), "left")
-      .where(col("istrue").isNull || col("cand") === col("h"))
-      .withColumn("cdist", transEDist(col("cv"), col("rv"), col("tv")))
-    scored.groupBy(col("h"), col("r"), col("t"))
-      .agg((lit(1L) + sum(when(col("cdist") < col("tdist") ||
-        (col("cdist") === col("tdist") && col("cand") < col("h")), 1L)
-        .otherwise(0L))).as("rank"))
-  }
+      relEmb: DataFrame): DataFrame =
+    filteredRanks(test, all, entEmb, relEmb, headSide = true,
+      transEDist, higherIsBetter = false)
+
+  /** DistMult filtered ranks through the SAME protocol (similarity is
+    * maximized where TransE distance is minimized).
+    */
+  def distMultTailRanks(test: DataFrame, all: DataFrame, entEmb: DataFrame,
+      relEmb: DataFrame): DataFrame =
+    filteredRanks(test, all, entEmb, relEmb, headSide = false,
+      distMultScore, higherIsBetter = true)
+
+  def distMultHeadRanks(test: DataFrame, all: DataFrame, entEmb: DataFrame,
+      relEmb: DataFrame): DataFrame =
+    filteredRanks(test, all, entEmb, relEmb, headSide = true,
+      distMultScore, higherIsBetter = true)
 
   /** Protocol metrics over a rank frame: MRR and Hits@k. Double-valued
     * (reporting surface; the cross-engine gate is the rank frame itself).

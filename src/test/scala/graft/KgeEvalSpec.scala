@@ -39,6 +39,30 @@ class KgeEvalSpec extends SparkSpec {
     assert(got === Seq(("d", 2L)))
   }
 
+  test("DistMult ranks: higher trilinear score is better, same filtering") {
+    // r = (1,1) so score(h,t) = h·t (elementwise through r=1):
+    //   from head h=(1,2): t b=(1,0)→1, c=(2,0)→2, d=(0,3)→6
+    val entD = Seq(
+      ("h", Seq(1f, 2f)), ("b", Seq(1f, 0f)),
+      ("c", Seq(2f, 0f)), ("d", Seq(0f, 3f))
+    ).toDF("node", "vec")
+    val relD = Seq(("r", Seq(1f, 1f))).toDF("rel", "vec")
+    val all = Seq(("h", "r", "b"), ("h", "r", "d"), ("c", "r", "c"))
+      .toDF("h", "r", "t")
+    // evaluate (h,r,b): score 1; unfiltered d(6) and c(2) beat it → rank 3;
+    // filtering removes the TRUE (h,r,d), leaving c → rank 2
+    val test = Seq(("h", "r", "b")).toDF("h", "r", "t")
+    val got = KgeEval.distMultTailRanks(test, all, entD, relD)
+      .select("h", "t", "rank").as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("h", "b", 2L)))
+    // head side: candidates {h, c} scored against t=d=(0,3): h→6, c→0;
+    // evaluating (c,r,c) is not in vocab... use (h,r,d) itself: rank 1
+    val got2 = KgeEval.distMultHeadRanks(
+      Seq(("h", "r", "d")).toDF("h", "r", "t"), all, entD, relD)
+      .select("rank").as[Long].collect().toSeq
+    assert(got2 === Seq(1L))
+  }
+
   test("tie ranks break on candidate ordering; metrics aggregate") {
     // head a, tails b and bb at the SAME embedding distance
     val ent2 = ent.unionAll(Seq(("bb", Seq(1f, 0f))).toDF("node", "vec"))
