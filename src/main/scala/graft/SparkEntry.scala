@@ -1462,6 +1462,20 @@ object SparkEntry {
         """SELECT ?c ?score WHERE { ?c cust_nation ?n .
           |  BIND ( STRLEN ( ?n ) * 10 AS ?score ) .
           |  FILTER ( ?score >= 80 ) }""".stripMargin)),
+    // q129: FILTER boolean connectives — (A || B) && !C over string
+    // builtins, compiled to one codegen'd predicate; DuckDB recomputes
+    // via LIKE algebra.
+    "q129_sparql_connectives" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?c ?n WHERE { ?c cust_nation ?n .
+          |  FILTER ( ( STRENDS ( ?n , '1' ) || STRENDS ( ?n , '2' ) )
+          |    && ! ( CONTAINS ( ?c , '9' ) ) ) }""".stripMargin)),
+    // q130: zero-or-one path `p?` composed in a chain — customers reach
+    // their nation (zero) and its region (one optional in_region hop);
+    // the twin unions the direct pairs with the one-hop join.
+    "q130_sparql_path_opt" -> ((s, d) =>
+      SparqlLite.sparql(pathTriples(s, d),
+        "SELECT ?src ?dst WHERE { ?src cust_nation/in_region? ?dst }")),
     // q95: AS-OF JOIN (temporal alignment) — every purchase matched to
     // the user's latest click at or before it, via the union-tag/window
     // form: ONE shuffle on user_id, no |L|×|R| pair explosion. The DuckDB
@@ -2816,6 +2830,25 @@ object SparkEntry {
         |JOIN tri t3 ON t3.pred = 'in_region' AND t3.subj = t1.obj
         |  AND t3.obj = 'rEUROPE'
         |WHERE t1.pred = 'cust_nation'""".stripMargin,
+    "q129_sparql_connectives" ->
+      """SELECT 'c' || c_custkey AS c, 'n' || n_name AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE (('n' || n_name) LIKE '%1' OR ('n' || n_name) LIKE '%2')
+        |  AND NOT (('c' || c_custkey) LIKE '%9%')""".stripMargin,
+    "q130_sparql_path_opt" ->
+      """WITH tri AS (
+        |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL SELECT 'c' || c_custkey, 'placed', 'o' || o_orderkey
+        |    FROM customer JOIN orders ON c_custkey = o_custkey),
+        |cn AS (SELECT DISTINCT subj, obj FROM tri WHERE pred = 'cust_nation'),
+        |ir AS (SELECT DISTINCT subj, obj FROM tri WHERE pred = 'in_region')
+        |SELECT DISTINCT src, dst FROM (
+        |  SELECT subj AS src, obj AS dst FROM cn
+        |  UNION ALL SELECT cn.subj, ir.obj FROM cn JOIN ir ON ir.subj = cn.obj)""".stripMargin,
     "q125_sparql_filter_fn" ->
       """SELECT 'c' || c_custkey AS c, 'n' || n_name AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

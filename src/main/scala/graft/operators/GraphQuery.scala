@@ -281,6 +281,10 @@ object GraphQuery {
       * over all subjects and objects of the queried triple table.
       */
     final case class Star(e: PathExpr) extends PathExpr
+    /** `e?` — zero-or-one: the same graph-wide zero-length identity as
+      * [[Star]], plus e's OWN pairs (no closure).
+      */
+    final case class Opt(e: PathExpr) extends PathExpr
   }
 
   /** Compile a path expression against a triple table to its (src, dst)
@@ -308,14 +312,24 @@ object GraphQuery {
         transitiveClosure(pathPairs(triples, e), Int.MaxValue)
           .select(col("src"), col("dst"))
       case Star(e) =>
-        val nodes = triples.select(col("subj").as("src"))
-          .unionAll(triples.select(col("obj").cast("string").as("src")))
-          .where(col("src").isNotNull).distinct()
-        nodes.select(col("src"), col("src").as("dst"))
+        graphIdentity(triples)
           .unionAll(pathPairs(triples, PlusAll(e)))
+          .distinct()
+      case Opt(e) =>
+        graphIdentity(triples)
+          .unionAll(pathPairs(triples, e))
           .distinct()
     }
   }
+
+  /** The SPARQL zero-length path: every term of the graph paired with
+    * itself (shared by `e*` and `e?`).
+    */
+  private def graphIdentity(triples: DataFrame): DataFrame =
+    triples.select(col("subj").as("src"))
+      .unionAll(triples.select(col("obj").cast("string").as("src")))
+      .where(col("src").isNotNull).distinct()
+      .select(col("src"), col("src").as("dst"))
 
   // ---------------------------------------------------------------- as-of
 

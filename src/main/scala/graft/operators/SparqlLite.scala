@@ -25,7 +25,10 @@ import graft.operators.GraphQuery.TriplePattern
   *         | OPTIONAL { triple ('.' triple)* }    -- one left-joined group
   *         | MINUS { triple ('.' triple)* }       -- anti-join on shared vars
   *         | { triple+ } UNION { triple+ } ...    -- same-var-set branches
-  *         | FILTER ( expr (op expr)? )           -- op: = != < <= > >= ;
+  *         | FILTER ( bool )   -- bool: comparison | boolean fn | ! bool
+  *                             | bool && bool | bool || bool | ( bool ) ;
+  *                                comparison: expr (op expr)? with op in
+  *                                = != < <= > >= ;
   *                                   expr: ?var | literal | expr (+|-|*|/)
   *                                   expr | fn(args) with fn in STRLEN
   *                                   UCASE LCASE ABS SUBSTR CONCAT and
@@ -37,8 +40,9 @@ import graft.operators.GraphQuery.TriplePattern
   * path   := SPARQL 1.1 property paths in the predicate position, written
   *           without internal spaces: `a|b`, `a/b`, `^a`, `(e)`, `e+`
   *           (UNBOUNDED closure — semi-naive to fixpoint), `e+N`
-  *           (closure bounded at N hops) or `e*` (reflexive closure:
-  *           zero-length rows over every graph term, then `e+`);
+  *           (closure bounded at N hops), `e*` (reflexive closure:
+  *           zero-length rows over every graph term, then `e+`) or `e?`
+  *           (zero-or-one: the same identity, plus e's own pairs);
   *           evaluated via GraphQuery.pathPairs with SET semantics
   * }}}
   *
@@ -63,6 +67,7 @@ object SparqlLite {
   private final case class FTerm(t: String) extends FExpr
   private final case class FBin(op: String, a: FExpr, b: FExpr) extends FExpr
   private final case class FFn(name: String, args: Seq[FExpr]) extends FExpr
+  private final case class FNot(e: FExpr) extends FExpr
 
   private val cmpOps = Set("=", "!=", "<", "<=", ">", ">=")
   private val boolFns = Set("CONTAINS", "STRSTARTS", "STRENDS")
@@ -73,6 +78,7 @@ object SparqlLite {
     case FTerm(t) => if (t.startsWith("?")) Seq(t.stripPrefix("?")) else Seq.empty
     case FBin(_, a, b) => fvars(a) ++ fvars(b)
     case FFn(_, as) => as.flatMap(fvars)
+    case FNot(e0) => fvars(e0)
   }
 
   /** An expression whose VALUE is numeric — decides comparison typing
@@ -80,16 +86,22 @@ object SparqlLite {
     * literal-side rule generalized; string compare otherwise).
     */
   private def numericF(e: FExpr): Boolean = e match {
-    case FTerm(t) => !t.startsWith("?") && scala.util.Try(t.toDouble).isSuccess
-    case FBin(op, _, _) => !cmpOps.contains(op)
+    case FTerm(t) => !t.startsWith("?") && !t.startsWith("'") &&
+      scala.util.Try(t.toDouble).isSuccess
+    case FBin(op, _, _) => !cmpOps.contains(op) && op != "&&" && op != "||"
     case FFn(n, _) => n == "STRLEN" || n == "ABS"
+    case FNot(_) => false
   }
 
   private def valCol(e: FExpr): Column = e match {
     case FTerm(t) if t.startsWith("?") => col(t.stripPrefix("?"))
+    // the tokenizer's quote sentinel survives into FTerm so a QUOTED
+    // literal stays a string even when it parses as a number —
+    // STRENDS(?n, '1') must compare strings, not doubles
+    case FTerm(t) if t.startsWith("'") => lit(t.substring(1))
     case FTerm(t) =>
       scala.util.Try(t.toDouble).toOption.map(d => lit(d)).getOrElse(lit(t))
-    case FBin(op, a, b) if !cmpOps.contains(op) =>
+    case FBin(op, a, b) if !cmpOps.contains(op) && op != "&&" && op != "||" =>
       val (x, y) = (valCol(a).cast("double"), valCol(b).cast("double"))
       op match {
         case "+" => x + y
@@ -121,9 +133,12 @@ object SparqlLite {
   }
 
   private def boolCol(e: FExpr): Column = e match {
-    case FBin(op, FTerm(x), FTerm(y)) if cmpOps.contains(op) =>
+    case FBin(op, FTerm(x0), FTerm(y0)) if cmpOps.contains(op) =>
       // the original two-term rule, verbatim: numeric comparison exactly
-      // when the OTHER side is a number literal
+      // when the OTHER side is a number literal — quote sentinels are
+      // STRIPPED here, because the legacy grammar treated '9' and 9
+      // alike in simple comparisons (documented restriction)
+      val (x, y) = (x0.stripPrefix("'"), y0.stripPrefix("'"))
       def side(t: String, other: String): Column =
         if (t.startsWith("?")) {
           if (!other.startsWith("?") && scala.util.Try(other.toDouble).isSuccess)
@@ -140,6 +155,9 @@ object SparqlLite {
     case FFn("CONTAINS", Seq(a, b)) => valCol(a).contains(valCol(b))
     case FFn("STRSTARTS", Seq(a, b)) => valCol(a).startsWith(valCol(b))
     case FFn("STRENDS", Seq(a, b)) => valCol(a).endsWith(valCol(b))
+    case FBin("&&", a, b) => boolCol(a) && boolCol(b)
+    case FBin("||", a, b) => boolCol(a) || boolCol(b)
+    case FNot(e0) => !boolCol(e0)
     case other => throw new IllegalArgumentException(
       s"FILTER needs a comparison or boolean function, got $other")
   }
@@ -217,7 +235,7 @@ object SparqlLite {
     // tokenizer splits at parens — re-join while parens are unbalanced or
     // the next token visibly continues a path (starts with an operator)
     def continuesPath(tok: String): Boolean =
-      tok == "(" || tok == ")" || "+|/^*".contains(tok.charAt(0))
+      tok == "(" || tok == ")" || tok == "?" || "+|/^*".contains(tok.charAt(0))
     def predTerm(): String = {
       val first = next()
       if (first.startsWith("'")) return first.substring(1)
@@ -335,7 +353,8 @@ object SparqlLite {
         while (peek == ",") { next(); args += fexpr() }
         expect(")")
         FFn(name, args.toSeq)
-      } else FTerm(filterOperand())
+      } else if (i < ts.length && ts(i).startsWith("'")) FTerm(next())
+      else FTerm(filterOperand())
     def fmul(): FExpr = {
       var e = fprimary()
       while (peek == "*" || peek == "/") { val op = next(); e = FBin(op, e, fprimary()) }
@@ -346,15 +365,50 @@ object SparqlLite {
       while (peek == "+" || peek == "-") { val op = next(); e = FBin(op, e, fmul()) }
       e
     }
-    def fbool(): FExpr = {
+    def fcompare(): FExpr = {
       val a = fexpr()
-      if (cmpOps.contains(peek)) { val op = next(); FBin(op, a, fexpr()) }
-      else a match {
+      if (i < ts.length && cmpOps.contains(peek)) {
+        val op = next(); FBin(op, a, fexpr())
+      } else a match {
         case f @ FFn(n, _) if boolFns.contains(n) => f
         case other => throw new IllegalArgumentException(
           s"FILTER needs a comparison or boolean function, got $other")
       }
     }
+    def fatom(): FExpr =
+      if (peek == "!") { next(); FNot(fatom()) }
+      else if (peek == "(") {
+        // '(' in boolean position is ambiguous: a boolean group
+        // ((A || B) && C) or an arithmetic group ((?a + 1) * 2 > 21).
+        // Try the boolean reading first and BACKTRACK on failure or
+        // when an operator follows the closing paren (then the parens
+        // belonged to an arithmetic operand of a comparison).
+        val save = i
+        val asBool =
+          try {
+            next()
+            val e = forExpr()
+            expect(")")
+            val follows = if (i < ts.length) ts(i) else ")"
+            if (cmpOps.contains(follows) || "+-*/".contains(follows)) None
+            else Some(e)
+          } catch { case _: IllegalArgumentException => None }
+        asBool match {
+          case Some(e) => e
+          case None => i = save; fcompare()
+        }
+      } else fcompare()
+    def fandExpr(): FExpr = {
+      var e = fatom()
+      while (peek == "&&") { next(); e = FBin("&&", e, fatom()) }
+      e
+    }
+    def forExpr(): FExpr = {
+      var e = fandExpr()
+      while (peek == "||") { next(); e = FBin("||", e, fandExpr()) }
+      e
+    }
+    def fbool(): FExpr = forExpr()
 
     val minuses = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
     val unions = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[TriplePattern]]]
@@ -520,7 +574,7 @@ object SparqlLite {
     * plain name (operators can't appear in stored predicate values).
     */
   private def isPath(p: String): Boolean =
-    !p.startsWith("?") && p.exists(c => "^|/+*()".contains(c))
+    !p.startsWith("?") && p.exists(c => "^|/+*()?".contains(c))
 
   /** Recursive-descent parser for the path fragment (SPARQL 1.1
     * precedence: `|` < `/` < `^`/postfix): `a|b`, `a/b`, `^a`, `(e)`,
@@ -553,7 +607,7 @@ object SparqlLite {
         e
       } else {
         val j0 = i
-        while (i < s.length && !"^|/+*()".contains(s.charAt(i))) i += 1
+        while (i < s.length && !"^|/+*()?".contains(s.charAt(i))) i += 1
         require(i > j0, s"empty path step at offset $j0 in $s")
         Pred(s.substring(j0, i))
       }
@@ -567,6 +621,9 @@ object SparqlLite {
       } else if (peekc == '*') {
         i += 1
         Star(e) // reflexive: identity over every graph term, then e+
+      } else if (peekc == '?') {
+        i += 1
+        Opt(e) // zero-or-one: the same identity, plus e's own pairs
       } else e
     val e = alt()
     require(i == s.length, s"trailing path syntax at offset $i in $s")

@@ -195,6 +195,41 @@ class SparqlLiteSpec extends SparkSpec {
       "SELECT ?c WHERE { ?c age ?a . FILTER ( ?a + 1 ) }"))
   }
 
+  test("FILTER boolean connectives: && || ! with grouping and backtracking") {
+    // ages: c1 31, c2 9, c3 40
+    val and = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( ?a > 10 && ?a < 35 ) }")
+    assert(rows(and) === Set(Seq("c1")))
+    val or = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( ?a < 10 || ?a > 35 ) }")
+    assert(rows(or) === Set(Seq("c2"), Seq("c3")))
+    val not = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( ! ( ?a = 9 ) ) }")
+    assert(rows(not) === Set(Seq("c1"), Seq("c3")))
+    // grouping: (A || B) && C — and && binds tighter than || without it
+    val grouped = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( ( ?a < 10 || ?a > 35 ) && ?a != 40 ) }")
+    assert(rows(grouped) === Set(Seq("c2")))
+    val tight = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( ?a < 10 || ?a > 35 && ?a != 40 ) }")
+    assert(rows(tight) === Set(Seq("c2")), "&& must bind tighter than ||")
+    // the arithmetic-group backtrack still works next to connectives
+    val mixed = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( ( ?a + 1 ) * 2 > 21 && CONTAINS ( ?c , 'c' ) ) }")
+    assert(rows(mixed) === Set(Seq("c1"), Seq("c3")))
+  }
+
+  test("property path ?: zero-or-one pairs without closure") {
+    val chain = (0 until 4).map(i => (s"n$i", "next", s"n${i + 1}"))
+      .toDF("subj", "pred", "obj")
+    val opt = SparqlLite.sparql(chain, "SELECT ?b WHERE { n0 next? ?b }")
+    assert(rows(opt) === Set(Seq("n0"), Seq("n1")),
+      "n0 next? = itself (zero) plus its direct successor (one) — no closure")
+    // composes inside a path expression: one optional hop then a real hop
+    val comp = SparqlLite.sparql(chain, "SELECT ?b WHERE { n0 next?/next ?b }")
+    assert(rows(comp) === Set(Seq("n1"), Seq("n2")))
+  }
+
   test("BIND: computed bindings join the frame, feed filters and selects") {
     val b = SparqlLite.sparql(tri,
       """SELECT ?c ?dbl WHERE { ?c age ?a .
