@@ -1462,6 +1462,20 @@ object SparkEntry {
         """SELECT ?c ?score WHERE { ?c cust_nation ?n .
           |  BIND ( STRLEN ( ?n ) * 10 AS ?score ) .
           |  FILTER ( ?score >= 80 ) }""".stripMargin)),
+    // q131: GROUP_CONCAT — deterministic sorted-member concatenation
+    // per group (SPARQL's order-free aggregate made cross-engine exact);
+    // DuckDB recomputes via string_agg ORDER BY.
+    "q131_sparql_group_concat" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?r (GROUP_CONCAT(?n) AS ?members)
+          |WHERE { ?n in_region ?r } GROUP BY ?r""".stripMargin)),
+    // q132: SAMPLE + HAVING — deterministic min-binding sample and a
+    // post-aggregation predicate over the alias.
+    "q132_sparql_sample_having" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?n (COUNT(*) AS ?cnt) (SAMPLE(?c) AS ?first)
+          |WHERE { ?c cust_nation ?n }
+          |GROUP BY ?n HAVING ( ?cnt >= 50 )""".stripMargin)),
     // q129: FILTER boolean connectives — (A || B) && !C over string
     // builtins, compiled to one codegen'd predicate; DuckDB recomputes
     // via LIKE algebra.
@@ -2830,6 +2844,16 @@ object SparkEntry {
         |JOIN tri t3 ON t3.pred = 'in_region' AND t3.subj = t1.obj
         |  AND t3.obj = 'rEUROPE'
         |WHERE t1.pred = 'cust_nation'""".stripMargin,
+    "q131_sparql_group_concat" ->
+      """SELECT 'r' || r_name AS r,
+        |  string_agg('n' || n_name, ' ' ORDER BY 'n' || n_name) AS members
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "q132_sparql_sample_having" ->
+      """SELECT 'n' || n_name AS n, count(*)::BIGINT AS cnt,
+        |  min('c' || c_custkey) AS first
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 HAVING count(*) >= 50""".stripMargin,
     "q129_sparql_connectives" ->
       """SELECT 'c' || c_custkey AS c, 'n' || n_name AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -14,12 +14,17 @@ import graft.operators.GraphQuery.TriplePattern
   * Grammar (whitespace-separated; `#` comments to end of line):
   * {{{
   * query  := SELECT DISTINCT? (sel+ | *) WHERE group
-  *             (GROUP BY ?var+)? (ORDER BY key+)? (LIMIT n | OFFSET n)*
+  *             (GROUP BY ?var+ (HAVING ( bool ))*)?
+  *             (ORDER BY key+)? (LIMIT n | OFFSET n)*
   * key    := ?var | ASC ( ?var ) | DESC ( ?var )  -- ?var must be selected
   *         | CONSTRUCT { triple ('.' triple)* } WHERE group (LIMIT n)?
   *         | ASK group
   *         | DESCRIBE ?var+ WHERE group   -- outgoing triples of bindings
-  * sel    := ?var | ( (COUNT|SUM|MIN|MAX|AVG) ( ?var | * ) AS ?alias )
+  * sel    := ?var | ( agg ( ?var | * ) AS ?alias )
+  *           agg := COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE
+  *           (GROUP_CONCAT joins SORTED members with one space; SAMPLE
+  *            picks the min binding — deterministic forms of SPARQL's
+  *            order-free aggregates, so they stay cross-engine exact)
   * group  := { item ('.' item)* '.'? }
   * item   := term (pred | path) term              -- a triple pattern
   *         | OPTIONAL { triple ('.' triple)* }    -- one left-joined group
@@ -169,7 +174,7 @@ object SparqlLite {
       patterns: Seq[TriplePattern], optionals: Seq[Seq[TriplePattern]],
       minuses: Seq[Seq[TriplePattern]], unions: Seq[Seq[Seq[TriplePattern]]],
       filters: Seq[FExpr], binds: Seq[(String, FExpr)], values: Seq[Values],
-      limit: Option[Int], offset: Option[Int])
+      havings: Seq[FExpr], limit: Option[Int], offset: Option[Int])
 
   // ------------------------------------------------------------ tokenizer
 
@@ -267,7 +272,8 @@ object SparqlLite {
           else if (t == "(") {
             // (AGG(?v|*) AS ?alias)
             val fn = next().toUpperCase
-            require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG").contains(fn),
+            require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG",
+              "GROUP_CONCAT", "SAMPLE").contains(fn),
               s"unsupported aggregate $fn")
             expect("(")
             val operand = next()
@@ -469,11 +475,17 @@ object SparqlLite {
     }
     expect("}")
     val groupBy = scala.collection.mutable.ArrayBuffer.empty[String]
+    val havings = scala.collection.mutable.ArrayBuffer.empty[FExpr]
     if (i < ts.length && peek.equalsIgnoreCase("GROUP")) {
       next(); expect("BY")
       while (i < ts.length && peek.startsWith("?"))
         groupBy += next().stripPrefix("?")
       require(groupBy.nonEmpty, "GROUP BY names no variables")
+      while (i < ts.length && peek.equalsIgnoreCase("HAVING")) {
+        next(); expect("(")
+        havings += fbool()
+        expect(")")
+      }
     }
     val orderBy = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     if (i < ts.length && peek.equalsIgnoreCase("ORDER")) {
@@ -548,6 +560,10 @@ object SparqlLite {
         s"?$v is selected next to aggregates but not in GROUP BY"))
     else require(groupBy.isEmpty, "GROUP BY without an aggregate in SELECT")
     require(aggs.isEmpty || form == "SELECT", "aggregates require SELECT")
+    require(havings.isEmpty || aggs.nonEmpty, "HAVING requires aggregates")
+    havings.foreach(h => fvars(h).foreach(v =>
+      require(aliases.contains(v) || groupBy.contains(v),
+        s"HAVING ?$v must be an aggregate alias or a grouped variable")))
     require(!(star && aggs.nonEmpty), "SELECT * cannot mix with aggregates")
     template.flatMap(_.vars).distinct
       .foreach(v => require(bound.contains(v), s"CONSTRUCT ?$v is unbound"))
@@ -565,7 +581,7 @@ object SparqlLite {
     Query(form, distinct, sel, aggs.toSeq, groupBy.toList, orderBy.toSeq,
       template.toSeq, patterns.toSeq, optionals.map(_.toSeq).toSeq,
       minuses.map(_.toSeq).toSeq, unions.toSeq, filters.toSeq,
-      binds.toSeq, values.toSeq, limit, offset)
+      binds.toSeq, values.toSeq, havings.toSeq, limit, offset)
   }
 
   // ---------------------------------------------------------------- paths
@@ -728,11 +744,19 @@ object SparqlLite {
                 case "AVG"   => avg(c.cast("double"))
                 case "MIN"   => min(c)
                 case "MAX"   => max(c)
+                // deterministic forms of SPARQL's order-free aggregates,
+                // so another engine can recompute them value-exact:
+                // GROUP_CONCAT emits members in sorted order (space-
+                // separated); SAMPLE picks the minimum binding
+                case "GROUP_CONCAT" =>
+                  concat_ws(" ", sort_array(collect_list(c)))
+                case "SAMPLE" => min(c)
               }).as(a.alias)
             }
-            df.groupBy(q.groupBy.map(col): _*)
+            var agged = df.groupBy(q.groupBy.map(col): _*)
               .agg(aggCols.head, aggCols.tail: _*)
-              .select(q.select.map(col): _*)
+            q.havings.foreach(h => agged = agged.where(boolCol(h)))
+            agged.select(q.select.map(col): _*)
           }
         if (q.distinct) out = out.distinct()
         if (q.orderBy.nonEmpty)

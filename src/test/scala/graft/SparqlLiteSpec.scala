@@ -253,6 +253,28 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { ?c age ?a . FILTER ( ?ghost > 1 ) }")  // unbound
   }
 
+  test("GROUP_CONCAT/SAMPLE aggregates and HAVING") {
+    val gc = SparqlLite.sparql(tri,
+      """SELECT ?n (GROUP_CONCAT(?c) AS ?members) WHERE { ?c in_nation ?n }
+        |GROUP BY ?n""".stripMargin)
+    assert(rows(gc) === Set(Seq("de", "c1 c2"), Seq("fr", "c3 c4")),
+      "members must concatenate in SORTED order")
+    val smp = SparqlLite.sparql(tri,
+      """SELECT ?n (SAMPLE(?c) AS ?one) WHERE { ?c in_nation ?n }
+        |GROUP BY ?n""".stripMargin)
+    assert(rows(smp) === Set(Seq("de", "c1"), Seq("fr", "c3")),
+      "SAMPLE is deterministic: the minimum binding")
+    val hav = SparqlLite.sparql(tri,
+      """SELECT ?c (COUNT(*) AS ?cnt) WHERE { ?o ordered_by ?c }
+        |GROUP BY ?c HAVING ( ?cnt >= 2 )""".stripMargin)
+    assert(rows(hav) === Set(Seq("c1", "2")))
+    def bad(q: String): Unit =
+      intercept[IllegalArgumentException](SparqlLite.sparql(tri, q))
+    bad("SELECT ?c WHERE { ?c in_nation ?n } HAVING ( ?c > 1 )") // no aggs
+    bad("""SELECT ?n (COUNT(*) AS ?cnt) WHERE { ?c in_nation ?n }
+        |GROUP BY ?n HAVING ( ?ghost > 1 )""".stripMargin)       // unbound
+  }
+
   test("ORDER BY with LIMIT is deterministic top-k; unselected key rejected") {
     val got = SparqlLite.sparql(tri,
       """SELECT ?c ?a WHERE { ?c age ?a }
