@@ -1462,6 +1462,15 @@ object SparkEntry {
         """SELECT ?c ?score WHERE { ?c cust_nation ?n .
           |  BIND ( STRLEN ( ?n ) * 10 AS ?score ) .
           |  FILTER ( ?score >= 80 ) }""".stripMargin)),
+    // q133: OPTIONAL + !BOUND — SPARQL's negation-by-failure idiom
+    // (customers with no orders), compiled to a left join + null filter
+    // that Catalyst rewrites into an anti-join shape; DuckDB recomputes
+    // via ANTI JOIN.
+    "q133_sparql_not_bound" -> ((s, d) =>
+      SparqlLite.sparql(profilingTriples(s, d),
+        """SELECT ?c WHERE { ?c cust_nation ?n .
+          |  OPTIONAL { ?c placed ?o } .
+          |  FILTER ( ! ( BOUND ( ?o ) ) ) }""".stripMargin)),
     // q131: GROUP_CONCAT — deterministic sorted-member concatenation
     // per group (SPARQL's order-free aggregate made cross-engine exact);
     // DuckDB recomputes via string_agg ORDER BY.
@@ -2844,6 +2853,11 @@ object SparkEntry {
         |JOIN tri t3 ON t3.pred = 'in_region' AND t3.subj = t1.obj
         |  AND t3.obj = 'rEUROPE'
         |WHERE t1.pred = 'cust_nation'""".stripMargin,
+    "q133_sparql_not_bound" ->
+      """SELECT 'c' || c_custkey AS c
+        |FROM customer
+        |ANTI JOIN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |  ON o_custkey = c_custkey""".stripMargin,
     "q131_sparql_group_concat" ->
       """SELECT 'r' || r_name AS r,
         |  string_agg('n' || n_name, ' ' ORDER BY 'n' || n_name) AS members

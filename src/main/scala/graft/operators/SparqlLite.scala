@@ -36,8 +36,9 @@ import graft.operators.GraphQuery.TriplePattern
   *                                = != < <= > >= ;
   *                                   expr: ?var | literal | expr (+|-|*|/)
   *                                   expr | fn(args) with fn in STRLEN
-  *                                   UCASE LCASE ABS SUBSTR CONCAT and
-  *                                   boolean CONTAINS STRSTARTS STRENDS
+  *                                   UCASE LCASE ABS SUBSTR CONCAT
+  *                                   COALESCE IF(bool,a,b) and boolean
+  *                                   CONTAINS STRSTARTS STRENDS BOUND(?v)
   *                                   (operators whitespace-separated)
   *         | BIND ( expr AS ?var )                 -- computed binding
   *         | VALUES ?var { const+ }               -- inline allowed values
@@ -75,9 +76,9 @@ object SparqlLite {
   private final case class FNot(e: FExpr) extends FExpr
 
   private val cmpOps = Set("=", "!=", "<", "<=", ">", ">=")
-  private val boolFns = Set("CONTAINS", "STRSTARTS", "STRENDS")
+  private val boolFns = Set("CONTAINS", "STRSTARTS", "STRENDS", "BOUND")
   private val allFns = boolFns ++ Set("STRLEN", "UCASE", "LCASE", "ABS",
-    "SUBSTR", "CONCAT")
+    "SUBSTR", "CONCAT", "COALESCE", "IF")
 
   private def fvars(e: FExpr): Seq[String] = e match {
     case FTerm(t) => if (t.startsWith("?")) Seq(t.stripPrefix("?")) else Seq.empty
@@ -123,6 +124,8 @@ object SparqlLite {
     case FFn("SUBSTR", Seq(str, pos, len)) =>
       valCol(str).substr(valCol(pos).cast("int"), valCol(len).cast("int"))
     case FFn("CONCAT", as) if as.nonEmpty => concat(as.map(valCol): _*)
+    case FFn("COALESCE", as) if as.nonEmpty => coalesce(as.map(valCol): _*)
+    case FFn("IF", Seq(c, a, b)) => when(boolCol(c), valCol(a)).otherwise(valCol(b))
     case f @ FFn(n, _) if boolFns.contains(n) => boolCol(f)
     case other => throw new IllegalArgumentException(
       s"unsupported expression (check function arity): $other")
@@ -160,6 +163,11 @@ object SparqlLite {
     case FFn("CONTAINS", Seq(a, b)) => valCol(a).contains(valCol(b))
     case FFn("STRSTARTS", Seq(a, b)) => valCol(a).startsWith(valCol(b))
     case FFn("STRENDS", Seq(a, b)) => valCol(a).endsWith(valCol(b))
+    // SPARQL BOUND: an OPTIONAL-unmatched binding is a null column here,
+    // so BOUND(?x) is exactly isNotNull — with !, the classic
+    // negation-by-failure idiom over OPTIONAL
+    case FFn("BOUND", Seq(a @ FTerm(t))) if t.startsWith("?") =>
+      valCol(a).isNotNull
     case FBin("&&", a, b) => boolCol(a) && boolCol(b)
     case FBin("||", a, b) => boolCol(a) || boolCol(b)
     case FNot(e0) => !boolCol(e0)
@@ -355,7 +363,10 @@ object SparqlLite {
       else if (isFnAt) {
         val name = next().toUpperCase
         expect("(")
-        val args = scala.collection.mutable.ArrayBuffer[FExpr](fexpr())
+        // IF's first argument is a BOOLEAN (comparison/connectives);
+        // every other argument position is a value expression
+        val args = scala.collection.mutable.ArrayBuffer[FExpr](
+          if (name == "IF") forExpr() else fexpr())
         while (peek == ",") { next(); args += fexpr() }
         expect(")")
         FFn(name, args.toSeq)

@@ -253,6 +253,31 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { ?c age ?a . FILTER ( ?ghost > 1 ) }")  // unbound
   }
 
+  test("BOUND over OPTIONAL nulls; COALESCE and IF expressions") {
+    // c1 has orders; c2/c3/c4 do not — !BOUND is negation by failure
+    val noOrders = SparqlLite.sparql(tri,
+      """SELECT ?c WHERE { ?c in_nation ?n .
+        |  OPTIONAL { ?o ordered_by ?c } .
+        |  FILTER ( ! ( BOUND ( ?o ) ) ) }""".stripMargin)
+    assert(rows(noOrders) === Set(Seq("c2"), Seq("c3"), Seq("c4")))
+    val bound = SparqlLite.sparql(tri,
+      """SELECT DISTINCT ?c WHERE { ?c in_nation ?n .
+        |  OPTIONAL { ?o ordered_by ?c } . FILTER ( BOUND ( ?o ) ) }""".stripMargin)
+    assert(rows(bound) === Set(Seq("c1")))
+    // COALESCE fills OPTIONAL nulls; IF branches on a boolean
+    val coal = SparqlLite.sparql(tri,
+      """SELECT DISTINCT ?c ?x WHERE { ?c in_nation ?n .
+        |  OPTIONAL { ?o ordered_by ?c } .
+        |  BIND ( COALESCE ( ?o , 'none' ) AS ?x ) }""".stripMargin)
+    assert(rows(coal).contains(Seq("c2", "none")))
+    assert(rows(coal).filter(_.head == "c1").map(_(1)) === Set("o1", "o2"))
+    val iff = SparqlLite.sparql(tri,
+      """SELECT ?c ?band WHERE { ?c age ?a .
+        |  BIND ( IF ( ?a >= 30 , 'senior' , 'junior' ) AS ?band ) }""".stripMargin)
+    assert(rows(iff) === Set(Seq("c1", "senior"), Seq("c2", "junior"),
+      Seq("c3", "senior")))
+  }
+
   test("GROUP_CONCAT/SAMPLE aggregates and HAVING") {
     val gc = SparqlLite.sparql(tri,
       """SELECT ?n (GROUP_CONCAT(?c) AS ?members) WHERE { ?c in_nation ?n }
