@@ -1471,6 +1471,14 @@ object SparkEntry {
         """SELECT ?c WHERE { ?c cust_nation ?n .
           |  OPTIONAL { ?c placed ?o } .
           |  FILTER ( ! ( BOUND ( ?o ) ) ) }""".stripMargin)),
+    // q134: FILTER INSIDE an OPTIONAL group — narrows the group before
+    // the left join (c keeps its row with a null binding when no
+    // filtered order matches), never removes required-graph solutions;
+    // DuckDB recomputes via LEFT JOIN onto the pre-filtered subquery.
+    "q134_sparql_optional_filter" -> ((s, d) =>
+      SparqlLite.sparql(profilingTriples(s, d),
+        """SELECT ?c ?o WHERE { ?c cust_nation ?n .
+          |  OPTIONAL { ?c placed ?o . FILTER ( STRENDS ( ?o , '0' ) ) } }""".stripMargin)),
     // q131: GROUP_CONCAT — deterministic sorted-member concatenation
     // per group (SPARQL's order-free aggregate made cross-engine exact);
     // DuckDB recomputes via string_agg ORDER BY.
@@ -2853,6 +2861,14 @@ object SparkEntry {
         |JOIN tri t3 ON t3.pred = 'in_region' AND t3.subj = t1.obj
         |  AND t3.obj = 'rEUROPE'
         |WHERE t1.pred = 'cust_nation'""".stripMargin,
+    "q134_sparql_optional_filter" ->
+      """SELECT 'c' || c_custkey AS c, big.o AS o
+        |FROM customer
+        |LEFT JOIN (SELECT 'c' || o_custkey AS c2, 'o' || o_orderkey AS o
+        |    FROM orders
+        |    WHERE o_totalprice > 450000
+        |      AND ('o' || o_orderkey) LIKE '%0') big
+        |  ON big.c2 = 'c' || c_custkey""".stripMargin,
     "q133_sparql_not_bound" ->
       """SELECT 'c' || c_custkey AS c
         |FROM customer

@@ -27,7 +27,9 @@ import graft.operators.GraphQuery.TriplePattern
   *            order-free aggregates, so they stay cross-engine exact)
   * group  := { item ('.' item)* '.'? }
   * item   := term (pred | path) term              -- a triple pattern
-  *         | OPTIONAL { triple ('.' triple)* }    -- one left-joined group
+  *         | OPTIONAL { (triple | FILTER ( bool )) ('.' ...)* }
+  *                        -- one left-joined group; an inner FILTER
+  *                           narrows the group before the join
   *         | MINUS { triple ('.' triple)* }       -- anti-join on shared vars
   *         | { triple+ } UNION { triple+ } ...    -- same-var-set branches
   *         | FILTER ( bool )   -- bool: comparison | boolean fn | ! bool
@@ -179,7 +181,8 @@ object SparqlLite {
   private final case class Query(form: String, distinct: Boolean,
       select: Seq[String], aggs: Seq[Agg], groupBy: Seq[String],
       orderBy: Seq[(String, Boolean)], template: Seq[TriplePattern],
-      patterns: Seq[TriplePattern], optionals: Seq[Seq[TriplePattern]],
+      patterns: Seq[TriplePattern],
+      optionals: Seq[(Seq[TriplePattern], Seq[FExpr])],
       minuses: Seq[Seq[TriplePattern]], unions: Seq[Seq[Seq[TriplePattern]]],
       filters: Seq[FExpr], binds: Seq[(String, FExpr)], values: Seq[Values],
       havings: Seq[FExpr], limit: Option[Int], offset: Option[Int])
@@ -321,7 +324,8 @@ object SparqlLite {
     expect("{")
 
     val patterns = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
-    val optionals = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
+    val optionals =
+      scala.collection.mutable.ArrayBuffer.empty[(Seq[TriplePattern], Seq[FExpr])]
     val filters = scala.collection.mutable.ArrayBuffer.empty[FExpr]
     val binds = scala.collection.mutable.ArrayBuffer.empty[(String, FExpr)]
     val values = scala.collection.mutable.ArrayBuffer.empty[Values]
@@ -431,11 +435,33 @@ object SparqlLite {
     val unions = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[TriplePattern]]]
     while (peek != "}") {
       if (peek.equalsIgnoreCase("OPTIONAL")) {
+        // OPTIONAL { triples . (FILTER ( bool ))* } — a filter INSIDE the
+        // group applies to the group's frame BEFORE the left join
+        // (SPARQL group scope: it narrows what can match, it never
+        // removes a solution of the required graph)
         next(); expect("{")
-        val g = tripleList()
+        val g = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
+        val gf = scala.collection.mutable.ArrayBuffer.empty[FExpr]
+        while (peek != "}") {
+          if (peek.equalsIgnoreCase("FILTER")) {
+            next(); expect("(")
+            gf += fbool()
+            expect(")")
+          } else {
+            require(!groupKeywords.exists(peek.equalsIgnoreCase),
+              s"$peek is not supported inside OPTIONAL — only triples and FILTER")
+            g += TriplePattern(term(), term(), term())
+          }
+          if (peek == ".") next()
+        }
         require(g.nonEmpty, "empty OPTIONAL group")
         expect("}")
-        optionals += g
+        // group scope: an inner filter may only reference the group's
+        // own variables (the frame it applies to)
+        val gVars = g.flatMap(_.vars).toSet
+        gf.foreach(e => fvars(e).foreach(v => require(gVars.contains(v),
+          s"OPTIONAL FILTER uses ?$v, which the group does not bind")))
+        optionals += ((g.toSeq, gf.toSeq))
       } else if (peek.equalsIgnoreCase("MINUS")) {
         next(); expect("{")
         val g = tripleList()
@@ -538,7 +564,7 @@ object SparqlLite {
         s"UNION branches must bind the same variables, got $varSets")
     }
 
-    val bound = (patterns ++ optionals.flatten ++ unions.flatten.flatten)
+    val bound = (patterns ++ optionals.flatMap(_._1) ++ unions.flatten.flatten)
       .flatMap(_.vars).distinct.toList
     // BIND scope: an expression may use pattern vars and EARLIER binds;
     // the bound name must be fresh (SPARQL forbids rebinding)
@@ -590,7 +616,7 @@ object SparqlLite {
       s"MINUS group $g shares no variable with the required graph " +
         "(SPARQL would remove nothing; write the intended join)"))
     Query(form, distinct, sel, aggs.toSeq, groupBy.toList, orderBy.toSeq,
-      template.toSeq, patterns.toSeq, optionals.map(_.toSeq).toSeq,
+      template.toSeq, patterns.toSeq, optionals.toSeq,
       minuses.map(_.toSeq).toSeq, unions.toSeq, filters.toSeq,
       binds.toSeq, values.toSeq, havings.toSeq, limit, offset)
   }
@@ -683,7 +709,7 @@ object SparqlLite {
   /** Parse and plan `queryText` against a (subj, pred, obj) triple table. */
   def sparql(triples: DataFrame, queryText: String): DataFrame = {
     val q = parse(queryText)
-    q.optionals.flatten.foreach(tp => require(!isPath(tp.p),
+    q.optionals.flatMap(_._1).foreach(tp => require(!isPath(tp.p),
       s"property paths are not supported inside OPTIONAL: $tp"))
     q.template.foreach(tp => require(!isPath(tp.p),
       s"property paths are not allowed in CONSTRUCT templates: $tp"))
@@ -713,8 +739,9 @@ object SparqlLite {
       val shared = a.columns.toSeq.intersect(b.columns.toSeq)
       if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)
     }
-    q.optionals.foreach { g =>
-      val f = matchBgp(g)
+    q.optionals.foreach { case (g, gf) =>
+      var f = matchBgp(g)
+      gf.foreach(e => f = f.where(boolCol(e)))
       val shared = df.columns.toSeq.intersect(f.columns.toSeq)
       require(shared.nonEmpty,
         s"OPTIONAL group $g shares no variable with the preceding graph")

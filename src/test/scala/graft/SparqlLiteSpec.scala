@@ -253,6 +253,26 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { ?c age ?a . FILTER ( ?ghost > 1 ) }")  // unbound
   }
 
+  test("FILTER inside OPTIONAL narrows the group, never the solution") {
+    // inner filter: only o2 can match — c1 still appears (with o2), and
+    // an inner filter must NEVER drop required-graph solutions
+    val inner = SparqlLite.sparql(tri,
+      """SELECT ?c ?o WHERE { ?c in_nation ?n .
+        |  OPTIONAL { ?o ordered_by ?c . FILTER ( ?o != 'o1' ) } }""".stripMargin)
+    assert(rows(inner) === Set(Seq("c1", "o2"), Seq("c2", null),
+      Seq("c3", null), Seq("c4", null)))
+    // contrast: the same predicate OUTSIDE the group removes solutions
+    // where it is false (null != 'o1' is null → dropped)
+    val outer = SparqlLite.sparql(tri,
+      """SELECT ?c ?o WHERE { ?c in_nation ?n .
+        |  OPTIONAL { ?o ordered_by ?c } . FILTER ( ?o != 'o1' ) }""".stripMargin)
+    assert(rows(outer) === Set(Seq("c1", "o2")))
+    // an inner filter over a variable the group does not bind is rejected
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri,
+      """SELECT ?c WHERE { ?c in_nation ?n .
+        |  OPTIONAL { ?o ordered_by ?c . FILTER ( ?n = 'de' ) } }""".stripMargin))
+  }
+
   test("BOUND over OPTIONAL nulls; COALESCE and IF expressions") {
     // c1 has orders; c2/c3/c4 do not — !BOUND is negation by failure
     val noOrders = SparqlLite.sparql(tri,
@@ -395,6 +415,8 @@ class SparqlLiteSpec extends SparkSpec {
     bad("INSERT ?c WHERE { ?c in_nation ?n }")               // unsupported form
     bad("ASK { ?c in_nation ?n } LIMIT 1")                   // would be dropped
     bad("DESCRIBE ?c WHERE { ?c in_nation ?n } LIMIT 1")     // would be dropped
-    bad("SELECT ?c WHERE { ?c in_nation ?n . OPTIONAL { ?o ordered_by ?c . FILTER ( ?o != o9 ) } }")
+    // an OPTIONAL-inner FILTER is legal since round 4 — but only over
+    // variables the group itself binds
+    bad("SELECT ?c WHERE { ?c in_nation ?n . OPTIONAL { ?o ordered_by ?c . FILTER ( ?n != de ) } }")
   }
 }
