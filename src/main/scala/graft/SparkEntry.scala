@@ -1471,6 +1471,13 @@ object SparkEntry {
         """SELECT ?c WHERE { ?c cust_nation ?n .
           |  OPTIONAL { ?c placed ?o } .
           |  FILTER ( ! ( BOUND ( ?o ) ) ) }""".stripMargin)),
+    // q135: FILTER EXISTS — the SPARQL 1.1 correlated pattern test as a
+    // semi-join (one row per solution, never multiplied by matches);
+    // DuckDB recomputes via SEMI JOIN.
+    "q135_sparql_exists" -> ((s, d) =>
+      SparqlLite.sparql(profilingTriples(s, d),
+        """SELECT ?c ?n WHERE { ?c cust_nation ?n .
+          |  FILTER EXISTS { ?c placed ?o } }""".stripMargin)),
     // q134: FILTER INSIDE an OPTIONAL group — narrows the group before
     // the left join (c keeps its row with a null binding when no
     // filtered order matches), never removes required-graph solutions;
@@ -2861,6 +2868,11 @@ object SparkEntry {
         |JOIN tri t3 ON t3.pred = 'in_region' AND t3.subj = t1.obj
         |  AND t3.obj = 'rEUROPE'
         |WHERE t1.pred = 'cust_nation'""".stripMargin,
+    "q135_sparql_exists" ->
+      """SELECT 'c' || c_custkey AS c, 'n' || n_name AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |SEMI JOIN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |  ON o_custkey = c_custkey""".stripMargin,
     "q134_sparql_optional_filter" ->
       """SELECT 'c' || c_custkey AS c, big.o AS o
         |FROM customer

@@ -31,6 +31,8 @@ import graft.operators.GraphQuery.TriplePattern
   *                        -- one left-joined group; an inner FILTER
   *                           narrows the group before the join
   *         | MINUS { triple ('.' triple)* }       -- anti-join on shared vars
+  *         | FILTER EXISTS { triple+ }            -- semi-join pattern test
+  *         | FILTER NOT EXISTS { triple+ }        -- anti-join pattern test
   *         | { triple+ } UNION { triple+ } ...    -- same-var-set branches
   *         | FILTER ( bool )   -- bool: comparison | boolean fn | ! bool
   *                             | bool && bool | bool || bool | ( bool ) ;
@@ -185,7 +187,8 @@ object SparqlLite {
       optionals: Seq[(Seq[TriplePattern], Seq[FExpr])],
       minuses: Seq[Seq[TriplePattern]], unions: Seq[Seq[Seq[TriplePattern]]],
       filters: Seq[FExpr], binds: Seq[(String, FExpr)], values: Seq[Values],
-      havings: Seq[FExpr], limit: Option[Int], offset: Option[Int])
+      havings: Seq[FExpr], exists: Seq[(Seq[TriplePattern], Boolean)],
+      limit: Option[Int], offset: Option[Int])
 
   // ------------------------------------------------------------ tokenizer
 
@@ -432,6 +435,8 @@ object SparqlLite {
     def fbool(): FExpr = forExpr()
 
     val minuses = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
+    val exists =
+      scala.collection.mutable.ArrayBuffer.empty[(Seq[TriplePattern], Boolean)]
     val unions = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[TriplePattern]]]
     while (peek != "}") {
       if (peek.equalsIgnoreCase("OPTIONAL")) {
@@ -484,9 +489,23 @@ object SparqlLite {
         branches.foreach(b => require(b.nonEmpty, "empty UNION branch"))
         unions += branches.toSeq
       } else if (peek.equalsIgnoreCase("FILTER")) {
-        next(); expect("(")
-        filters += fbool()
-        expect(")")
+        next()
+        // FILTER EXISTS { ... } / FILTER NOT EXISTS { ... } — pattern
+        // tests compiled to semi/anti joins on the shared variables
+        // (the well-designed-pattern correlation, same domain rule as
+        // MINUS); otherwise an expression FILTER
+        val neg = peek.equalsIgnoreCase("NOT") && { next(); true }
+        if (neg || peek.equalsIgnoreCase("EXISTS")) {
+          expect("EXISTS"); expect("{")
+          val g = tripleList()
+          require(g.nonEmpty, "empty EXISTS group")
+          expect("}")
+          exists += ((g, !neg))
+        } else {
+          expect("(")
+          filters += fbool()
+          expect(")")
+        }
       } else if (peek.equalsIgnoreCase("BIND")) {
         next(); expect("(")
         val e = fexpr()
@@ -615,10 +634,14 @@ object SparqlLite {
       g.flatMap(_.vars).intersect(bound).nonEmpty,
       s"MINUS group $g shares no variable with the required graph " +
         "(SPARQL would remove nothing; write the intended join)"))
+    exists.foreach { case (g, _) => require(
+      g.flatMap(_.vars).intersect(bound).nonEmpty,
+      s"EXISTS group $g shares no variable with the required graph " +
+        "(the test would be uncorrelated; write the intended join)") }
     Query(form, distinct, sel, aggs.toSeq, groupBy.toList, orderBy.toSeq,
       template.toSeq, patterns.toSeq, optionals.toSeq,
       minuses.map(_.toSeq).toSeq, unions.toSeq, filters.toSeq,
-      binds.toSeq, values.toSeq, havings.toSeq, limit, offset)
+      binds.toSeq, values.toSeq, havings.toSeq, exists.toSeq, limit, offset)
   }
 
   // ---------------------------------------------------------------- paths
@@ -746,6 +769,14 @@ object SparqlLite {
       require(shared.nonEmpty,
         s"OPTIONAL group $g shares no variable with the preceding graph")
       df = df.join(f, shared, "left")
+    }
+    q.exists.foreach { case (g, positive) =>
+      g.foreach(tp => require(!isPath(tp.p),
+        s"property paths are not supported inside EXISTS: $tp"))
+      val f = matchBgp(g)
+      val shared = df.columns.toSeq.intersect(f.columns.toSeq)
+      df = df.join(f.select(shared.map(col): _*), shared,
+        if (positive) "left_semi" else "left_anti")
     }
     q.minuses.foreach { g =>
       // SPARQL MINUS over patterns sharing variables = anti-join on the

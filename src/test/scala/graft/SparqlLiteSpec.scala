@@ -253,6 +253,26 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { ?c age ?a . FILTER ( ?ghost > 1 ) }")  // unbound
   }
 
+  test("FILTER EXISTS / NOT EXISTS compile to semi/anti pattern tests") {
+    val ex = SparqlLite.sparql(tri,
+      """SELECT ?c WHERE { ?c in_nation ?n .
+        |  FILTER EXISTS { ?o ordered_by ?c } }""".stripMargin)
+    assert(rows(ex) === Set(Seq("c1")),
+      "semi-join: one row per solution, never multiplied by matches")
+    val nex = SparqlLite.sparql(tri,
+      """SELECT ?c WHERE { ?c in_nation ?n .
+        |  FILTER NOT EXISTS { ?o ordered_by ?c } }""".stripMargin)
+    assert(rows(nex) === Set(Seq("c2"), Seq("c3"), Seq("c4")))
+    // composes with an expression FILTER in the same group
+    val both = SparqlLite.sparql(tri,
+      """SELECT ?c WHERE { ?c in_nation ?n .
+        |  FILTER NOT EXISTS { ?o ordered_by ?c } . FILTER ( ?n = 'de' ) }""".stripMargin)
+    assert(rows(both) === Set(Seq("c2")))
+    // an uncorrelated EXISTS group is rejected
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c in_nation ?n . FILTER EXISTS { ?x age ?y } }"))
+  }
+
   test("FILTER inside OPTIONAL narrows the group, never the solution") {
     // inner filter: only o2 can match — c1 still appears (with o2), and
     // an inner filter must NEVER drop required-graph solutions
