@@ -1471,6 +1471,15 @@ object SparkEntry {
         """SELECT ?c WHERE { ?c cust_nation ?n .
           |  OPTIONAL { ?c placed ?o } .
           |  FILTER ( ! ( BOUND ( ?o ) ) ) }""".stripMargin)),
+    // q136: multi-variable VALUES — an inline binding TABLE broadcast-
+    // joined on its variable columns; one tuple is deliberately absent
+    // from the data and must produce no row. DuckDB joins the same
+    // tuple relation.
+    "q136_sparql_values_table" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?c ?n WHERE { ?c cust_nation ?n . ?n in_region ?r .
+          |  VALUES ( ?n ?r ) { ( nNATION_0 rAFRICA ) ( nNATION_1 rAMERICA )
+          |    ( nNATION_12 rASIA ) ( nNATION_0 rASIA ) } }""".stripMargin)),
     // q135: FILTER EXISTS — the SPARQL 1.1 correlated pattern test as a
     // semi-join (one row per solution, never multiplied by matches);
     // DuckDB recomputes via SEMI JOIN.
@@ -2868,6 +2877,14 @@ object SparkEntry {
         |JOIN tri t3 ON t3.pred = 'in_region' AND t3.subj = t1.obj
         |  AND t3.obj = 'rEUROPE'
         |WHERE t1.pred = 'cust_nation'""".stripMargin,
+    "q136_sparql_values_table" ->
+      """SELECT 'c' || c_custkey AS c, 'n' || n_name AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN (VALUES ('nNATION_0', 'rAFRICA'), ('nNATION_1', 'rAMERICA'),
+        |      ('nNATION_12', 'rASIA'), ('nNATION_0', 'rASIA')) vt(vn, vr)
+        |  ON vn = 'n' || n_name AND vr = 'r' || r_name""".stripMargin,
     "q135_sparql_exists" ->
       """SELECT 'c' || c_custkey AS c, 'n' || n_name AS n
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

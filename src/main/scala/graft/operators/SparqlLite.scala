@@ -46,6 +46,8 @@ import graft.operators.GraphQuery.TriplePattern
   *                                   (operators whitespace-separated)
   *         | BIND ( expr AS ?var )                 -- computed binding
   *         | VALUES ?var { const+ }               -- inline allowed values
+  *         | VALUES ( ?var+ ) { ( const+ )+ }     -- inline binding TABLE
+  *                        (broadcast-joined on its variable columns)
   * term   := ?var | 'quoted literal' | "quoted" | <iri> | bare-word
   * path   := SPARQL 1.1 property paths in the predicate position, written
   *           without internal spaces: `a|b`, `a/b`, `^a`, `(e)`, `e+`
@@ -179,6 +181,10 @@ object SparqlLite {
       s"FILTER needs a comparison or boolean function, got $other")
   }
   private final case class Values(v: String, consts: Seq[String])
+  /** Multi-variable VALUES: an inline binding TABLE joined on its
+    * variable columns (vars.length columns, each row one tuple).
+    */
+  private final case class ValuesTable(vars: Seq[String], rows: Seq[Seq[String]])
   private final case class Agg(fn: String, operand: String, alias: String)
   private final case class Query(form: String, distinct: Boolean,
       select: Seq[String], aggs: Seq[Agg], groupBy: Seq[String],
@@ -187,7 +193,8 @@ object SparqlLite {
       optionals: Seq[(Seq[TriplePattern], Seq[FExpr])],
       minuses: Seq[Seq[TriplePattern]], unions: Seq[Seq[Seq[TriplePattern]]],
       filters: Seq[FExpr], binds: Seq[(String, FExpr)], values: Seq[Values],
-      havings: Seq[FExpr], exists: Seq[(Seq[TriplePattern], Boolean)],
+      valueTables: Seq[ValuesTable], havings: Seq[FExpr],
+      exists: Seq[(Seq[TriplePattern], Boolean)],
       limit: Option[Int], offset: Option[Int])
 
   // ------------------------------------------------------------ tokenizer
@@ -332,6 +339,7 @@ object SparqlLite {
     val filters = scala.collection.mutable.ArrayBuffer.empty[FExpr]
     val binds = scala.collection.mutable.ArrayBuffer.empty[(String, FExpr)]
     val values = scala.collection.mutable.ArrayBuffer.empty[Values]
+    val valueTables = scala.collection.mutable.ArrayBuffer.empty[ValuesTable]
 
     val groupKeywords = Seq("FILTER", "BIND", "VALUES", "OPTIONAL", "MINUS", "UNION")
     def tripleList(): Seq[TriplePattern] = {
@@ -516,14 +524,42 @@ object SparqlLite {
         binds += ((v.stripPrefix("?"), e))
       } else if (peek.equalsIgnoreCase("VALUES")) {
         next()
-        val v = next()
-        require(v.startsWith("?"), s"VALUES takes a ?var, got $v")
-        expect("{")
-        val consts = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (peek != "}") consts += term()
-        expect("}")
-        require(consts.nonEmpty, "empty VALUES set")
-        values += Values(v.stripPrefix("?"), consts.toSeq)
+        if (peek == "(") {
+          // multi-variable form: VALUES (?a ?b) { (x y) (u v) ... } —
+          // an inline binding table joined on its variable columns
+          next()
+          val vs = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (peek != ")") {
+            val v = next()
+            require(v.startsWith("?"), s"VALUES var list takes ?vars, got $v")
+            vs += v.stripPrefix("?")
+          }
+          next() // ')'
+          require(vs.nonEmpty, "empty VALUES var list")
+          expect("{")
+          val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+          while (peek != "}") {
+            expect("(")
+            val row = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (peek != ")") row += term()
+            next() // ')'
+            require(row.length == vs.length,
+              s"VALUES row (${row.mkString(" ")}) arity ${row.length} != ${vs.length}")
+            rows += row.toSeq
+          }
+          expect("}")
+          require(rows.nonEmpty, "empty VALUES set")
+          valueTables += ValuesTable(vs.toSeq, rows.toSeq)
+        } else {
+          val v = next()
+          require(v.startsWith("?"), s"VALUES takes a ?var, got $v")
+          expect("{")
+          val consts = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (peek != "}") consts += term()
+          expect("}")
+          require(consts.nonEmpty, "empty VALUES set")
+          values += Values(v.stripPrefix("?"), consts.toSeq)
+        }
       } else {
         patterns += TriplePattern(term(), predTerm(), term())
       }
@@ -623,7 +659,7 @@ object SparqlLite {
     require(!(star && aggs.nonEmpty), "SELECT * cannot mix with aggregates")
     template.flatMap(_.vars).distinct
       .foreach(v => require(bound.contains(v), s"CONSTRUCT ?$v is unbound"))
-    values.map(_.v)
+    (values.map(_.v) ++ valueTables.flatMap(_.vars))
       .foreach(v => require(boundAll.contains(v), s"VALUES ?$v is unbound"))
     orderBy.foreach { case (v, _) =>
       require(form == "SELECT", "ORDER BY requires SELECT")
@@ -641,7 +677,8 @@ object SparqlLite {
     Query(form, distinct, sel, aggs.toSeq, groupBy.toList, orderBy.toSeq,
       template.toSeq, patterns.toSeq, optionals.toSeq,
       minuses.map(_.toSeq).toSeq, unions.toSeq, filters.toSeq,
-      binds.toSeq, values.toSeq, havings.toSeq, exists.toSeq, limit, offset)
+      binds.toSeq, values.toSeq, valueTables.toSeq, havings.toSeq,
+      exists.toSeq, limit, offset)
   }
 
   // ---------------------------------------------------------------- paths
@@ -792,6 +829,17 @@ object SparqlLite {
     }
     q.values.foreach { v =>
       df = df.where(col(v.v).isInCollection(v.consts))
+    }
+    q.valueTables.foreach { vt =>
+      // inline data is tiny by construction: broadcast the tuple table
+      // and inner-join on the variable columns
+      val rows = vt.rows.map(r => org.apache.spark.sql.Row(r: _*))
+      val schema = org.apache.spark.sql.types.StructType(vt.vars.map(v =>
+        org.apache.spark.sql.types.StructField(v,
+          org.apache.spark.sql.types.StringType)))
+      val inline = triples.sparkSession.createDataFrame(
+        triples.sparkSession.sparkContext.parallelize(rows, 1), schema)
+      df = df.join(broadcast(inline), vt.vars)
     }
     // BIND before FILTER: a filter may reference a bound expression
     // (both are top-level scope here, the documented restriction)

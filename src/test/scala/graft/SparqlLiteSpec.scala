@@ -253,6 +253,20 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { ?c age ?a . FILTER ( ?ghost > 1 ) }")  // unbound
   }
 
+  test("multi-variable VALUES joins an inline binding table") {
+    val vt = SparqlLite.sparql(tri,
+      """SELECT ?c ?n WHERE { ?c in_nation ?n .
+        |  VALUES ( ?c ?n ) { ( c1 de ) ( c3 fr ) ( c4 de ) } }""".stripMargin)
+    // (c4, de) is in the VALUES table but not in the data — no row
+    assert(rows(vt) === Set(Seq("c1", "de"), Seq("c3", "fr")))
+    def bad(q: String): Unit =
+      intercept[IllegalArgumentException](SparqlLite.sparql(tri, q))
+    bad("""SELECT ?c WHERE { ?c in_nation ?n .
+        |  VALUES ( ?c ?n ) { ( c1 ) } }""".stripMargin)   // arity mismatch
+    bad("""SELECT ?c WHERE { ?c in_nation ?n .
+        |  VALUES ( ?c ?ghost ) { ( c1 x ) } }""".stripMargin) // unbound var
+  }
+
   test("FILTER EXISTS / NOT EXISTS compile to semi/anti pattern tests") {
     val ex = SparqlLite.sparql(tri,
       """SELECT ?c WHERE { ?c in_nation ?n .
