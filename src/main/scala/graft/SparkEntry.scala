@@ -1471,6 +1471,16 @@ object SparkEntry {
         """SELECT ?c WHERE { ?c cust_nation ?n .
           |  OPTIONAL { ?c placed ?o } .
           |  FILTER ( ! ( BOUND ( ?o ) ) ) }""".stripMargin)),
+    // q137: SPARQL 1.1 SUBQUERY — an aggregate computed in a nested
+    // SELECT (per-customer big-order counts) whose projected variables
+    // join the enclosing graph; DuckDB recomputes with a grouped
+    // derived table.
+    "q137_sparql_subquery" -> ((s, d) =>
+      SparqlLite.sparql(profilingTriples(s, d),
+        """SELECT ?n ?cnt WHERE {
+          |  ?c cust_nation ?n .
+          |  { SELECT ?c (COUNT(*) AS ?cnt) WHERE { ?c placed ?o } GROUP BY ?c }
+          |}""".stripMargin)),
     // q136: multi-variable VALUES — an inline binding TABLE broadcast-
     // joined on its variable columns; one tuple is deliberately absent
     // from the data and must produce no row. DuckDB joins the same
@@ -2877,6 +2887,13 @@ object SparkEntry {
         |JOIN tri t3 ON t3.pred = 'in_region' AND t3.subj = t1.obj
         |  AND t3.obj = 'rEUROPE'
         |WHERE t1.pred = 'cust_nation'""".stripMargin,
+    "q137_sparql_subquery" ->
+      """SELECT 'n' || n_name AS n, cnt
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN (SELECT o_custkey, count(*)::BIGINT AS cnt FROM orders
+        |      WHERE o_totalprice > 450000 GROUP BY 1) big
+        |  ON big.o_custkey = c_custkey""".stripMargin,
     "q136_sparql_values_table" ->
       """SELECT 'c' || c_custkey AS c, 'n' || n_name AS n
         |FROM customer

@@ -48,6 +48,9 @@ import graft.operators.GraphQuery.TriplePattern
   *         | VALUES ?var { const+ }               -- inline allowed values
   *         | VALUES ( ?var+ ) { ( const+ )+ }     -- inline binding TABLE
   *                        (broadcast-joined on its variable columns)
+  *         | { SELECT ... }                       -- SPARQL 1.1 subquery:
+  *                        evaluated recursively, its PROJECTED variables
+  *                        join the enclosing group
   * term   := ?var | 'quoted literal' | "quoted" | <iri> | bare-word
   * path   := SPARQL 1.1 property paths in the predicate position, written
   *           without internal spaces: `a|b`, `a/b`, `^a`, `(e)`, `e+`
@@ -194,7 +197,7 @@ object SparqlLite {
       minuses: Seq[Seq[TriplePattern]], unions: Seq[Seq[Seq[TriplePattern]]],
       filters: Seq[FExpr], binds: Seq[(String, FExpr)], values: Seq[Values],
       valueTables: Seq[ValuesTable], havings: Seq[FExpr],
-      exists: Seq[(Seq[TriplePattern], Boolean)],
+      exists: Seq[(Seq[TriplePattern], Boolean)], subqueries: Seq[String],
       limit: Option[Int], offset: Option[Int])
 
   // ------------------------------------------------------------ tokenizer
@@ -340,6 +343,7 @@ object SparqlLite {
     val binds = scala.collection.mutable.ArrayBuffer.empty[(String, FExpr)]
     val values = scala.collection.mutable.ArrayBuffer.empty[Values]
     val valueTables = scala.collection.mutable.ArrayBuffer.empty[ValuesTable]
+    val subqueries = scala.collection.mutable.ArrayBuffer.empty[String]
 
     val groupKeywords = Seq("FILTER", "BIND", "VALUES", "OPTIONAL", "MINUS", "UNION")
     def tripleList(): Seq[TriplePattern] = {
@@ -481,6 +485,26 @@ object SparqlLite {
         require(g.nonEmpty, "empty MINUS group")
         expect("}")
         minuses += g
+      } else if (peek == "{" && i + 1 < ts.length &&
+          ts(i + 1).equalsIgnoreCase("SELECT")) {
+        // SPARQL 1.1 subquery: { SELECT ... } — collect the balanced
+        // token span, reassemble it as query text (re-quoting literal
+        // sentinels) and evaluate it RECURSIVELY at plan time; only its
+        // projected variables join the outer group. Validated eagerly
+        // below (the recursive parse), so malformed subqueries fail at
+        // the outer parse, not mid-plan.
+        next() // '{'
+        val sub = scala.collection.mutable.ArrayBuffer.empty[String]
+        var depth = 1
+        while (depth > 0) {
+          val t = next()
+          if (t == "{") depth += 1
+          else if (t == "}") depth -= 1
+          if (depth > 0) sub += t
+        }
+        subqueries += sub.map(tok =>
+          if (tok.startsWith("'")) "'" + tok.substring(1) + "'" else tok)
+          .mkString(" ")
       } else if (peek == "{") {
         // { triples } UNION { triples } (UNION ...)*
         val branches = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
@@ -608,7 +632,7 @@ object SparqlLite {
       else { require(offset.isEmpty, "duplicate OFFSET"); offset = Some(n) }
     }
     require(i == ts.length, s"trailing tokens after query: ${ts.drop(i).mkString(" ")}")
-    require(patterns.nonEmpty || unions.nonEmpty,
+    require(patterns.nonEmpty || unions.nonEmpty || subqueries.nonEmpty,
       "query has no required triple pattern")
     if (form == "ASK" || form == "DESCRIBE")
       require(limit.isEmpty && offset.isEmpty,
@@ -619,8 +643,13 @@ object SparqlLite {
         s"UNION branches must bind the same variables, got $varSets")
     }
 
-    val bound = (patterns ++ optionals.flatMap(_._1) ++ unions.flatten.flatten)
-      .flatMap(_.vars).distinct.toList
+    val subProjected = subqueries.flatMap { t =>
+      val sq = parse(t)
+      require(sq.form == "SELECT", "subqueries must be SELECT queries")
+      sq.select
+    }
+    val bound = ((patterns ++ optionals.flatMap(_._1) ++ unions.flatten.flatten)
+      .flatMap(_.vars) ++ subProjected).distinct.toList
     // BIND scope: an expression may use pattern vars and EARLIER binds;
     // the bound name must be fresh (SPARQL forbids rebinding)
     val bindNames = scala.collection.mutable.ListBuffer.empty[String]
@@ -678,7 +707,7 @@ object SparqlLite {
       template.toSeq, patterns.toSeq, optionals.toSeq,
       minuses.map(_.toSeq).toSeq, unions.toSeq, filters.toSeq,
       binds.toSeq, values.toSeq, valueTables.toSeq, havings.toSeq,
-      exists.toSeq, limit, offset)
+      exists.toSeq, subqueries.toSeq, limit, offset)
   }
 
   // ---------------------------------------------------------------- paths
@@ -792,9 +821,11 @@ object SparqlLite {
         matchBgp(b).select(order.map(col): _*))
         .reduce(_ unionAll _)
     }
+    val subFrames = q.subqueries.map(t => sparql(triples, t))
     val frames =
       (if (plainPs.nonEmpty) Seq(matchBgp(plainPs))
-       else Seq.empty) ++ pathPs.map(pathFrame(triples, _)) ++ unionFrames
+       else Seq.empty) ++ pathPs.map(pathFrame(triples, _)) ++ unionFrames ++
+      subFrames
     var df = frames.reduce { (a, b) =>
       val shared = a.columns.toSeq.intersect(b.columns.toSeq)
       if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)

@@ -253,6 +253,34 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { ?c age ?a . FILTER ( ?ghost > 1 ) }")  // unbound
   }
 
+  test("subqueries: aggregate-in-subquery joins the outer group") {
+    // per-customer order counts via subquery, joined to the nation graph
+    val sq = SparqlLite.sparql(tri,
+      """SELECT ?c ?n ?cnt WHERE {
+        |  ?c in_nation ?n .
+        |  { SELECT ?c (COUNT(*) AS ?cnt) WHERE { ?o ordered_by ?c } GROUP BY ?c }
+        |}""".stripMargin)
+    assert(rows(sq) === Set(Seq("c1", "de", "2")),
+      "only customers the subquery projects join the outer graph")
+    // subquery with ORDER BY + LIMIT: the classic top-k-then-join
+    // (bindings sort as STRINGS — the documented ORDER BY restriction —
+    // so DESC takes "9" before "40")
+    val topk = SparqlLite.sparql(tri,
+      """SELECT ?c ?a WHERE {
+        |  ?c in_nation ?n .
+        |  { SELECT ?c ?a WHERE { ?c age ?a } ORDER BY DESC ( ?a ) LIMIT 2 }
+        |}""".stripMargin)
+    assert(rows(topk) === Set(Seq("c2", "9"), Seq("c3", "40")))
+    // a subquery can be the only group member
+    val only = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { { SELECT ?c WHERE { ?o ordered_by ?c } } }")
+    assert(rows(only) === Set(Seq("c1")))
+    def bad(q: String): Unit =
+      intercept[IllegalArgumentException](SparqlLite.sparql(tri, q))
+    bad("SELECT ?c WHERE { { SELECT ?z WHERE { ?z bad } } }") // malformed sub
+    bad("SELECT ?x WHERE { { SELECT ?c WHERE { ?o ordered_by ?c } } }") // unbound
+  }
+
   test("multi-variable VALUES joins an inline binding table") {
     val vt = SparqlLite.sparql(tri,
       """SELECT ?c ?n WHERE { ?c in_nation ?n .
