@@ -1741,6 +1741,23 @@ object SparkEntry {
           concat(lit("o"), col("o_orderkey")).as("obj"))
       Reasoner.rdfsClosure(cn.unionAll(nr).unionAll(placed), schema)
     }),
+    // q138: owl:SymmetricProperty — (s p o) ⊢ (o p s), applied BEFORE
+    // rdfs7 so the symmetric pairs inherit up the property hierarchy
+    // too; DuckDB mirrors with a both-directions union feeding the
+    // super-property projection.
+    "q138_owl_symmetric" -> ((s, d) => {
+      import s.implicits._
+      val schema = Seq(
+        ("borders", "type", "SymmetricProperty"),
+        ("borders", "subPropertyOf", "connected")
+      ).toDF("subj", "pred", "obj")
+      val n = t(s, d, "nation")
+      val m = n.select(col("n_nationkey").as("k2"), col("n_name").as("nm2"))
+      val b = n.join(m, col("k2") === col("n_nationkey") + 1)
+        .select(concat(lit("n"), col("n_name")).as("subj"),
+          lit("borders").as("pred"), concat(lit("n"), col("nm2")).as("obj"))
+      Reasoner.rdfsClosure(b, schema)
+    }),
     // q122: the SEMANTIC PIPELINE COMPOSED — sameAs smushing feeds RDFS+
     // OWL entailment: alias customers collapse first, then cust_nation /
     // in_region inherit into a TRANSITIVE located_in, so every (possibly
@@ -3136,6 +3153,14 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'EUROPE'""".stripMargin,
+    "q138_owl_symmetric" ->
+      """WITH b AS (SELECT 'n' || a.n_name AS s, 'n' || c.n_name AS o
+        |    FROM nation a JOIN nation c ON c.n_nationkey = a.n_nationkey + 1),
+        |sym AS (SELECT s, o FROM b UNION SELECT o, s FROM b)
+        |SELECT subj, pred, obj FROM (
+        |  SELECT s AS subj, 'borders' AS pred, o AS obj FROM sym
+        |  UNION
+        |  SELECT s, 'connected', o FROM sym)""".stripMargin,
     "q121_owl_closure" ->
       """WITH base AS (
         |  SELECT 'c' || c_custkey AS subj, 'within' AS pred,

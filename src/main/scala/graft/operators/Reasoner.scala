@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   *  - `inverseOf`     (owl: s p o ∧ p inverseOf q ⊢ o q s, both ways)
   *  - `subPropertyOf` (rdfs5 transitivity + rdfs7 property inheritance)
   *  - `type TransitiveProperty` (owl: per-predicate bounded closure)
+  *  - `type SymmetricProperty`  (owl: s p o ⊢ o p s)
   *  - `subClassOf`    (rdfs11 transitivity + rdfs9 type propagation)
   *  - `domain`        (rdfs2: s p o ∧ p domain C ⊢ s type C)
   *  - `range`         (rdfs3: s p o ∧ p range D ⊢ o type D)
@@ -59,11 +60,21 @@ object Reasoner {
         col("subj").as("obj"))
     val withInv = plain.unionAll(inversed).distinct()
 
+    // owl:SymmetricProperty: (s p o) ⊢ (o p s) for declared predicates —
+    // applied after inverseOf and BEFORE inheritance/transitive close,
+    // so symmetric pairs inherit and close like asserted ones
+    val symPreds = schema.where(col("pred") === lit(typePred) &&
+        col("obj") === "SymmetricProperty")
+      .select(col("subj").as("pred")).distinct()
+    val symmed = withInv.join(symPreds, Seq("pred"))
+      .select(col("obj").as("subj"), col("pred"), col("subj").as("obj"))
+    val withSym = withInv.unionAll(symmed).distinct()
+
     // rdfs7: inherit each property triple up the closed hierarchy
-    val inherited = withInv
+    val inherited = withSym
       .join(subProp.withColumnRenamed("src", "pred"), Seq("pred"))
       .select(col("subj"), col("dst").as("pred"), col("obj"))
-    val propsBeforeTrans = withInv.unionAll(inherited).distinct()
+    val propsBeforeTrans = withSym.unionAll(inherited).distinct()
 
     // owl:TransitiveProperty: close each declared predicate's pair set
     // (bounded like the schema closures; applied AFTER inheritance so a

@@ -83,6 +83,27 @@ class ReasonerSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("owl SymmetricProperty: both directions, before inherit and close") {
+    val schema = Seq(
+      ("adj", "type", "SymmetricProperty"),
+      ("adj", "subPropertyOf", "near"),
+      ("conn", "type", "SymmetricProperty"),
+      ("conn", "type", "TransitiveProperty")
+    ).toDF("subj", "pred", "obj")
+    val data = Seq(
+      ("a", "adj", "b"),
+      ("x", "conn", "y"), ("y", "conn", "z")
+    ).toDF("subj", "pred", "obj")
+    val got = rows(Reasoner.rdfsClosure(data, schema))
+    // symmetry fires, then rdfs7 inherits BOTH directions into near
+    assert(got.contains(("b", "adj", "a")))
+    assert(got.contains(("a", "near", "b")) && got.contains(("b", "near", "a")))
+    // symmetric + transitive = the whole component pairs up (incl. selfs
+    // via x→y→x) — symmetry must fire BEFORE the transitive close
+    for (u <- Seq("x", "y", "z"); v <- Seq("x", "y", "z"))
+      assert(got.contains((u, "conn", v)), s"missing ($u conn $v)")
+  }
+
   test("sameAs smushing: chains collapse, duplicates merge, links consumed") {
     val data = Seq(
       ("b9", "sameAs", "a9"), ("a9", "sameAs", "c9"), // chain b9-a9-c9
