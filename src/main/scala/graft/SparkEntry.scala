@@ -1607,6 +1607,12 @@ object SparkEntry {
     "q111_sparql_path" -> ((s, d) =>
       SparqlLite.sparql(pathTriples(s, d),
         "SELECT ?src ?dst WHERE { ?src ^placed/(cust_nation|in_region)+3 ?dst }")),
+    // q139: NEGATED PROPERTY SET — `!(p1|p2)` keeps every pair whose
+    // predicate is OUTSIDE the set (one inverted constant-filtered
+    // scan); DuckDB mirrors with NOT IN.
+    "q139_sparql_negated_set" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        "SELECT ?a ?b WHERE { ?a !(cust_nation|supp_nation) ?b }")),
     // q123: UNBOUNDED `p+` through the text front-end — the SPARQL 1.1
     // arbitrary-length form users actually write, planned onto the
     // semi-naive transitiveClosure FIXPOINT (empty-frontier stop), not a
@@ -3065,6 +3071,16 @@ object SparkEntry {
     "q101_path_algebra" -> pathAlgebraSql,
     // same path, text-syntax front-end — text == algebra == SQL
     "q111_sparql_path" -> pathAlgebraSql,
+    "q139_sparql_negated_set" ->
+      """SELECT DISTINCT subj AS a, obj AS b FROM (
+        |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 's' || s_suppkey, 'supp_nation', 'n' || n_name
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |WHERE pred NOT IN ('cust_nation', 'supp_nation')""".stripMargin,
     "q123_sparql_path_plus" ->
       """WITH tri AS (
         |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,

@@ -285,6 +285,12 @@ object GraphQuery {
       * [[Star]], plus e's OWN pairs (no closure).
       */
     final case class Opt(e: PathExpr) extends PathExpr
+    /** `!p` / `!(p1|...|pn)` — SPARQL 1.1 negated property set (forward
+      * links only): every (subj, obj) pair whose predicate is NOT in the
+      * set. One constant-filtered scan, exactly like [[Pred]] with the
+      * filter inverted.
+      */
+    final case class NegatedSet(preds: Seq[String]) extends PathExpr
   }
 
   /** Compile a path expression against a triple table to its (src, dst)
@@ -319,6 +325,10 @@ object GraphQuery {
         graphIdentity(triples)
           .unionAll(pathPairs(triples, e))
           .distinct()
+      case NegatedSet(preds) =>
+        triples.where(col("pred").isNotNull &&
+            !col("pred").isInCollection(preds))
+          .select(col("subj").as("src"), col("obj").as("dst")).distinct()
     }
   }
 

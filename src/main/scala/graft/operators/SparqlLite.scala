@@ -55,7 +55,8 @@ import graft.operators.GraphQuery.TriplePattern
   * path   := SPARQL 1.1 property paths in the predicate position, written
   *           without internal spaces: `a|b`, `a/b`, `^a`, `(e)`, `e+`
   *           (UNBOUNDED closure — semi-naive to fixpoint), `e+N`
-  *           (closure bounded at N hops), `e*` (reflexive closure:
+  *           (closure bounded at N hops), `!p` / `!(p1|..|pn)` (negated
+  *           property set, forward links), `e*` (reflexive closure:
   *           zero-length rows over every graph term, then `e+`) or `e?`
   *           (zero-or-one: the same identity, plus e's own pairs);
   *           evaluated via GraphQuery.pathPairs with SET semantics
@@ -716,7 +717,7 @@ object SparqlLite {
     * plain name (operators can't appear in stored predicate values).
     */
   private def isPath(p: String): Boolean =
-    !p.startsWith("?") && p.exists(c => "^|/+*()?".contains(c))
+    !p.startsWith("?") && p.exists(c => "^|/+*()?!".contains(c))
 
   /** Recursive-descent parser for the path fragment (SPARQL 1.1
     * precedence: `|` < `/` < `^`/postfix): `a|b`, `a/b`, `^a`, `(e)`,
@@ -739,7 +740,24 @@ object SparqlLite {
     }
     def unary(): GraphQuery.PathExpr =
       if (peekc == '^') { i += 1; Inv(unary()) } // ^a+ = ^(a+), per grammar
+      else if (peekc == '!') { i += 1; postfix(negatedSet()) }
       else postfix(primary())
+    def negatedSet(): GraphQuery.PathExpr = {
+      def name(): String = {
+        val j0 = i
+        while (i < s.length && !"^|/+*()?!".contains(s.charAt(i))) i += 1
+        require(i > j0, s"empty negated-set member at offset $j0 in $s")
+        s.substring(j0, i)
+      }
+      if (peekc == '(') {
+        i += 1
+        val names = scala.collection.mutable.ArrayBuffer(name())
+        while (peekc == '|') { i += 1; names += name() }
+        require(peekc == ')', s"unbalanced parens in negated set of $s")
+        i += 1
+        NegatedSet(names.toSeq)
+      } else NegatedSet(Seq(name()))
+    }
     def primary(): GraphQuery.PathExpr =
       if (peekc == '(') {
         i += 1

@@ -135,6 +135,22 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { ?c in_nation ?n . OPTIONAL { ?c a+ ?z } }")
   }
 
+  test("negated property sets: !p and !(p1|p2)") {
+    val single = SparqlLite.sparql(tri,
+      "SELECT ?a ?b WHERE { ?a !in_nation ?b }")
+    val expected = tri.filter($"pred" =!= "in_nation")
+      .select("subj", "obj").as[(String, String)].collect()
+      .map { case (a, b) => Seq(a, b) }.toSet
+    assert(rows(single) === expected)
+    val set = SparqlLite.sparql(tri,
+      "SELECT ?a ?b WHERE { ?a !(in_nation|age|ordered_by) ?b }")
+    assert(rows(set) === Set(Seq("de", "europe"), Seq("fr", "europe")))
+    // composes: anything-but-age, then a region hop
+    val chained = SparqlLite.sparql(tri,
+      "SELECT ?a WHERE { ?a !(age|ordered_by)/in_region ?r }")
+    assert(rows(chained) === Set(Seq("c1"), Seq("c2"), Seq("c3"), Seq("c4")))
+  }
+
   test("property paths: unbounded + runs to fixpoint; * adds reflexive rows") {
     // a 14-link chain — the pre-round-4 default bound (10) would
     // truncate it; unbounded `+` must reach the far end and stop on the
