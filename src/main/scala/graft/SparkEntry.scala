@@ -1607,6 +1607,14 @@ object SparkEntry {
     "q111_sparql_path" -> ((s, d) =>
       SparqlLite.sparql(pathTriples(s, d),
         "SELECT ?src ?dst WHERE { ?src ^placed/(cust_nation|in_region)+3 ?dst }")),
+    // q140: PROPERTY PATH INSIDE A UNION BRANCH — groups compose paths
+    // and plain patterns with the same frame machinery as the top-level
+    // graph; DuckDB unions the two-hop join with the direct pairs.
+    "q140_sparql_union_path" -> ((s, d) =>
+      SparqlLite.sparql(pathTriples(s, d),
+        """SELECT ?c ?x WHERE {
+          |  { ?c cust_nation/in_region ?x } UNION { ?c placed ?x }
+          |}""".stripMargin)),
     // q139: NEGATED PROPERTY SET — `!(p1|p2)` keeps every pair whose
     // predicate is OUTSIDE the set (one inverted constant-filtered
     // scan); DuckDB mirrors with NOT IN.
@@ -3071,6 +3079,14 @@ object SparkEntry {
     "q101_path_algebra" -> pathAlgebraSql,
     // same path, text-syntax front-end — text == algebra == SQL
     "q111_sparql_path" -> pathAlgebraSql,
+    "q140_sparql_union_path" ->
+      """SELECT 'c' || c_custkey AS c, 'r' || r_name AS x
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |UNION ALL
+        |SELECT 'c' || c_custkey, 'o' || o_orderkey
+        |FROM customer JOIN orders ON o_custkey = c_custkey""".stripMargin,
     "q139_sparql_negated_set" ->
       """SELECT DISTINCT subj AS a, obj AS b FROM (
         |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,

@@ -354,7 +354,7 @@ object SparqlLite {
         // garbage TriplePattern and fail far away with the wrong message
         require(!groupKeywords.exists(peek.equalsIgnoreCase),
           s"$peek is not supported inside a nested group — only triples")
-        acc += TriplePattern(term(), term(), term())
+        acc += TriplePattern(term(), predTerm(), term())
         if (peek == ".") next()
       }
       acc.toSeq
@@ -468,7 +468,7 @@ object SparqlLite {
           } else {
             require(!groupKeywords.exists(peek.equalsIgnoreCase),
               s"$peek is not supported inside OPTIONAL — only triples and FILTER")
-            g += TriplePattern(term(), term(), term())
+            g += TriplePattern(term(), predTerm(), term())
           }
           if (peek == ".") next()
         }
@@ -816,8 +816,6 @@ object SparqlLite {
   /** Parse and plan `queryText` against a (subj, pred, obj) triple table. */
   def sparql(triples: DataFrame, queryText: String): DataFrame = {
     val q = parse(queryText)
-    q.optionals.flatMap(_._1).foreach(tp => require(!isPath(tp.p),
-      s"property paths are not supported inside OPTIONAL: $tp"))
     q.template.foreach(tp => require(!isPath(tp.p),
       s"property paths are not allowed in CONSTRUCT templates: $tp"))
     val (pathPs, plainPs) = q.patterns.partition(tp => isPath(tp.p))
@@ -829,14 +827,25 @@ object SparqlLite {
     def matchBgp(ps: Seq[GraphQuery.TriplePattern]) =
       GraphQuery.bgpMatch(triples, ps,
         if (ps.lengthCompare(1) > 0) Some(bgpStats) else None)
+    // one group (a UNION branch, OPTIONAL/MINUS/EXISTS body) may mix
+    // plain patterns and property paths: compile each family and join
+    // the frames on shared variables — the same composition the
+    // top-level graph gets
+    def groupFrame(g: Seq[GraphQuery.TriplePattern]): DataFrame = {
+      val (gPath, gPlain) = g.partition(tp => isPath(tp.p))
+      val fs = (if (gPlain.nonEmpty) Seq(matchBgp(gPlain)) else Seq.empty) ++
+        gPath.map(pathFrame(triples, _))
+      fs.reduce { (a, b) =>
+        val shared = a.columns.toSeq.intersect(b.columns.toSeq)
+        if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)
+      }
+    }
     val unionFrames = q.unions.map { branches =>
-      branches.flatten.foreach(tp => require(!isPath(tp.p),
-        s"property paths are not supported inside UNION branches: $tp"))
       // branches bind identical var sets (parse-checked); align columns
       // to the first branch's order before the bag union
       val order = branches.head.flatMap(_.vars).distinct
       branches.map(b =>
-        matchBgp(b).select(order.map(col): _*))
+        groupFrame(b).select(order.map(col): _*))
         .reduce(_ unionAll _)
     }
     val subFrames = q.subqueries.map(t => sparql(triples, t))
@@ -849,7 +858,7 @@ object SparqlLite {
       if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)
     }
     q.optionals.foreach { case (g, gf) =>
-      var f = matchBgp(g)
+      var f = groupFrame(g)
       gf.foreach(e => f = f.where(boolCol(e)))
       val shared = df.columns.toSeq.intersect(f.columns.toSeq)
       require(shared.nonEmpty,
@@ -857,9 +866,7 @@ object SparqlLite {
       df = df.join(f, shared, "left")
     }
     q.exists.foreach { case (g, positive) =>
-      g.foreach(tp => require(!isPath(tp.p),
-        s"property paths are not supported inside EXISTS: $tp"))
-      val f = matchBgp(g)
+      val f = groupFrame(g)
       val shared = df.columns.toSeq.intersect(f.columns.toSeq)
       df = df.join(f.select(shared.map(col): _*), shared,
         if (positive) "left_semi" else "left_anti")
@@ -868,9 +875,7 @@ object SparqlLite {
       // SPARQL MINUS over patterns sharing variables = anti-join on the
       // shared domain (the FILTER NOT EXISTS-coincident case; disjoint
       // domains are rejected at parse time)
-      g.foreach(tp => require(!isPath(tp.p),
-        s"property paths are not supported inside MINUS: $tp"))
-      val f = matchBgp(g)
+      val f = groupFrame(g)
       val shared = df.columns.toSeq.intersect(f.columns.toSeq)
       require(shared.nonEmpty,
         s"MINUS group $g shares no variable with the preceding graph")

@@ -132,7 +132,32 @@ class SparqlLiteSpec extends SparkSpec {
       intercept[IllegalArgumentException](SparqlLite.sparql(tri2, q))
     bad("SELECT ?c WHERE { ?c in_nation+* ?n }")        // unbounded *
     bad("SELECT ?c WHERE { ?c (in_nation ?n }")          // unbalanced
-    bad("SELECT ?c WHERE { ?c in_nation ?n . OPTIONAL { ?c a+ ?z } }")
+    // paths are legal in nested groups since round 4; a malformed one
+    // still fails loudly
+    bad("SELECT ?c WHERE { ?c in_nation ?n . OPTIONAL { ?c (a+ ?z } }")
+  }
+
+  test("property paths inside UNION / OPTIONAL / MINUS / EXISTS groups") {
+    val tri2 = tri.unionAll(Seq(("c1", "placed", "o1"))
+      .toDF("subj", "pred", "obj"))
+    // UNION branch mixing a path with a plain branch
+    val u = SparqlLite.sparql(tri2,
+      """SELECT ?c ?x WHERE {
+        |  { ?c in_nation/in_region ?x } UNION { ?c placed ?x }
+        |}""".stripMargin)
+    assert(rows(u) === Set(Seq("c1", "europe"), Seq("c2", "europe"),
+      Seq("c3", "europe"), Seq("c4", "europe"), Seq("c1", "o1")))
+    // OPTIONAL with a two-hop path: unmatched keeps null
+    val o = SparqlLite.sparql(tri2,
+      """SELECT DISTINCT ?c ?r WHERE { ?c in_nation ?n .
+        |  OPTIONAL { ?c in_nation/in_region ?r } }""".stripMargin)
+    assert(rows(o) === Set(Seq("c1", "europe"), Seq("c2", "europe"),
+      Seq("c3", "europe"), Seq("c4", "europe")))
+    // NOT EXISTS over a path: who CANNOT reach europe two hops out?
+    val ne = SparqlLite.sparql(tri2,
+      """SELECT ?o WHERE { ?o ordered_by ?c .
+        |  FILTER NOT EXISTS { ?o ordered_by/in_nation ?n } }""".stripMargin)
+    assert(rows(ne) === Set.empty)
   }
 
   test("negated property sets: !p and !(p1|p2)") {
