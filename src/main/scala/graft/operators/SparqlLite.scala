@@ -13,7 +13,8 @@ import graft.operators.GraphQuery.TriplePattern
   *
   * Grammar (whitespace-separated; `#` comments to end of line):
   * {{{
-  * query  := SELECT DISTINCT? (sel+ | *) WHERE group
+  * query  := (PREFIX name: <iri>)*  -- ex:foo expands in term positions
+  *           SELECT DISTINCT? (sel+ | *) WHERE group
   *             (GROUP BY ?var+ (HAVING ( bool ))*)?
   *             (ORDER BY key+)? (LIMIT n | OFFSET n)*
   * key    := ?var | ASC ( ?var ) | DESC ( ?var )  -- ?var must be selected
@@ -199,6 +200,7 @@ object SparqlLite {
       filters: Seq[FExpr], binds: Seq[(String, FExpr)], values: Seq[Values],
       valueTables: Seq[ValuesTable], havings: Seq[FExpr],
       exists: Seq[(Seq[TriplePattern], Boolean)], subqueries: Seq[String],
+      prefixes: Map[String, String],
       limit: Option[Int], offset: Option[Int])
 
   // ------------------------------------------------------------ tokenizer
@@ -256,10 +258,29 @@ object SparqlLite {
       val t = next()
       require(t.equalsIgnoreCase(kw), s"expected $kw, got $t")
     }
+    // PREFIX declarations: `PREFIX ex: <http://...>` before the query
+    // form; `ex:name` then expands to the IRI + local part in every term
+    // position (and inside path expressions, at path-compile time).
+    // Undeclared colon-bearing tokens stay VERBATIM — terms match the
+    // triple table's values as written, the documented rule.
+    val prefixes = scala.collection.mutable.Map.empty[String, String]
+    while (i < ts.length && peek.equalsIgnoreCase("PREFIX")) {
+      next()
+      val name = next()
+      require(name.endsWith(":") && name.length > 1,
+        s"PREFIX name must end with ':', got $name")
+      val iri = next()
+      require(iri.startsWith("'"), s"PREFIX $name needs an <iri>, got $iri")
+      prefixes(name.dropRight(1)) = iri.substring(1)
+    }
+    def expand(t: String): String = expandPrefixed(t, prefixes)
+
     // a term in pattern position: strip the literal sentinel; vars keep '?'
     def term(): String = {
       val t = next()
-      if (t.startsWith("'")) t.substring(1) else t
+      if (t.startsWith("'")) t.substring(1)
+      else if (t.startsWith("?")) t
+      else expand(t)
     }
     // predicate position may hold a property-path expression, which the
     // tokenizer splits at parens — re-join while parens are unbalanced or
@@ -277,7 +298,11 @@ object SparqlLite {
         s += t
         d += t.count(_ == '(') - t.count(_ == ')')
       }
-      s
+      // raw-syntax classification: operator chars make it a PATH (its
+      // members expand inside parsePath); otherwise a literal predicate
+      // name, prefix-expanded here
+      if (s.exists(c => "^|/+*()?!".contains(c))) PathMark + s
+      else expand(s)
     }
 
     val form = next().toUpperCase
@@ -708,23 +733,42 @@ object SparqlLite {
       template.toSeq, patterns.toSeq, optionals.toSeq,
       minuses.map(_.toSeq).toSeq, unions.toSeq, filters.toSeq,
       binds.toSeq, values.toSeq, valueTables.toSeq, havings.toSeq,
-      exists.toSeq, subqueries.toSeq, limit, offset)
+      exists.toSeq, subqueries.toSeq, prefixes.toMap, limit, offset)
   }
 
   // ---------------------------------------------------------------- paths
 
-  /** A predicate term that is a property-path expression rather than a
-    * plain name (operators can't appear in stored predicate values).
+  /** Path-ness is decided at PARSE time from the RAW syntax (operator
+    * chars outside any <iri> brackets) and recorded as a marker prefix —
+    * an EXPANDED prefixed name or a bracketed IRI may legitimately
+    * contain '/' and must stay a literal predicate, never re-parse as
+    * path syntax.
     */
-  private def isPath(p: String): Boolean =
-    !p.startsWith("?") && p.exists(c => "^|/+*()?!".contains(c))
+  private val PathMark = "\u0001"
+  private def isPath(p: String): Boolean = p.startsWith(PathMark)
+  private def pathText(p: String): String = p.stripPrefix(PathMark)
 
   /** Recursive-descent parser for the path fragment (SPARQL 1.1
     * precedence: `|` < `/` < `^`/postfix): `a|b`, `a/b`, `^a`, `(e)`,
     * `e+` (unbounded closure to fixpoint), `e+N` (bounded at N), `e*`
     * (reflexive closure).
     */
-  private[operators] def parsePath(s: String): GraphQuery.PathExpr = {
+  /** `pfx:rest` → declared IRI + rest; everything else verbatim. */
+  private def expandPrefixed(t: String, prefixes:
+      scala.collection.Map[String, String]): String = {
+    val c = t.indexOf(':')
+    if (c <= 0) t
+    else prefixes.get(t.substring(0, c)) match {
+      case Some(iri) => iri + t.substring(c + 1)
+      case None => t
+    }
+  }
+
+  private[operators] def parsePath(s: String): GraphQuery.PathExpr =
+    parsePath(s, Map.empty)
+
+  private[operators] def parsePath(s: String,
+      prefixes: scala.collection.Map[String, String]): GraphQuery.PathExpr = {
     import GraphQuery.PathExpr._
     var i = 0
     def peekc: Char = if (i < s.length) s.charAt(i) else ' '
@@ -747,7 +791,7 @@ object SparqlLite {
         val j0 = i
         while (i < s.length && !"^|/+*()?!".contains(s.charAt(i))) i += 1
         require(i > j0, s"empty negated-set member at offset $j0 in $s")
-        s.substring(j0, i)
+        expandPrefixed(s.substring(j0, i), prefixes)
       }
       if (peekc == '(') {
         i += 1
@@ -769,7 +813,7 @@ object SparqlLite {
         val j0 = i
         while (i < s.length && !"^|/+*()?".contains(s.charAt(i))) i += 1
         require(i > j0, s"empty path step at offset $j0 in $s")
-        Pred(s.substring(j0, i))
+        Pred(expandPrefixed(s.substring(j0, i), prefixes))
       }
     def postfix(e: GraphQuery.PathExpr): GraphQuery.PathExpr =
       if (peekc == '+') {
@@ -794,9 +838,10 @@ object SparqlLite {
     * path, endpoints renamed to the pattern's variables or filtered on
     * its constants (set semantics, as SPARQL paths are).
     */
-  private def pathFrame(triples: DataFrame, tp: TriplePattern): DataFrame = {
+  private def pathFrame(triples: DataFrame, tp: TriplePattern,
+      prefixes: Map[String, String] = Map.empty): DataFrame = {
     require(tp.vars.nonEmpty, s"path pattern $tp binds no variable")
-    val pairs = GraphQuery.pathPairs(triples, parsePath(tp.p))
+    val pairs = GraphQuery.pathPairs(triples, parsePath(pathText(tp.p), prefixes))
     if (tp.s == tp.o) {
       // ?x path ?x — an equality constraint on the pair set, one column
       pairs.where(col("src") === col("dst"))
@@ -834,7 +879,7 @@ object SparqlLite {
     def groupFrame(g: Seq[GraphQuery.TriplePattern]): DataFrame = {
       val (gPath, gPlain) = g.partition(tp => isPath(tp.p))
       val fs = (if (gPlain.nonEmpty) Seq(matchBgp(gPlain)) else Seq.empty) ++
-        gPath.map(pathFrame(triples, _))
+        gPath.map(pathFrame(triples, _, q.prefixes))
       fs.reduce { (a, b) =>
         val shared = a.columns.toSeq.intersect(b.columns.toSeq)
         if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)
@@ -851,8 +896,8 @@ object SparqlLite {
     val subFrames = q.subqueries.map(t => sparql(triples, t))
     val frames =
       (if (plainPs.nonEmpty) Seq(matchBgp(plainPs))
-       else Seq.empty) ++ pathPs.map(pathFrame(triples, _)) ++ unionFrames ++
-      subFrames
+       else Seq.empty) ++ pathPs.map(pathFrame(triples, _, q.prefixes)) ++
+      unionFrames ++ subFrames
     var df = frames.reduce { (a, b) =>
       val shared = a.columns.toSeq.intersect(b.columns.toSeq)
       if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)

@@ -137,6 +137,34 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { ?c in_nation ?n . OPTIONAL { ?c (a+ ?z } }")
   }
 
+  test("PREFIX declarations expand prefixed names everywhere") {
+    val iri = Seq(
+      ("c1", "http://ex.org/in_nation", "de"),
+      ("c2", "http://ex.org/in_nation", "fr"),
+      ("de", "http://ex.org/in_region", "europe")
+    ).toDF("subj", "pred", "obj")
+    val got = SparqlLite.sparql(iri,
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?c ?r WHERE { ?c ex:in_nation/ex:in_region ?r }""".stripMargin)
+    assert(rows(got) === Set(Seq("c1", "europe")),
+      "prefixed names must expand inside path expressions too")
+    val plain = SparqlLite.sparql(iri,
+      """PREFIX ex: <http://ex.org/>
+        |SELECT ?c WHERE { ?c ex:in_nation de }""".stripMargin)
+    assert(rows(plain) === Set(Seq("c1")))
+    // an UNDECLARED prefix stays verbatim (terms match table values)
+    val verbatim = SparqlLite.sparql(iri,
+      "SELECT ?c WHERE { ?c other:in_nation ?n }")
+    assert(verbatim.count() === 0)
+    // a BRACKETED IRI predicate is literal even though it contains '/'
+    // (path-ness is raw syntax, decided at parse — round-4 fix)
+    val bracketed = SparqlLite.sparql(iri,
+      "SELECT ?c WHERE { ?c <http://ex.org/in_nation> de }")
+    assert(rows(bracketed) === Set(Seq("c1")))
+    intercept[IllegalArgumentException](SparqlLite.sparql(iri,
+      "PREFIX ex <http://ex.org/> SELECT ?c WHERE { ?c ex:p ?n }"))
+  }
+
   test("property paths inside UNION / OPTIONAL / MINUS / EXISTS groups") {
     val tri2 = tri.unionAll(Seq(("c1", "placed", "o1"))
       .toDF("subj", "pred", "obj"))
