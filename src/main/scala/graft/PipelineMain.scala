@@ -187,11 +187,25 @@ object PipelineMain {
         case org.apache.spark.sql.types.StringType => raw.toDF(c)
         case _: org.apache.spark.sql.types.NumericType =>
           // parse via BigDecimal, not toLong: fractional values against a
-          // double/float/decimal key column must key-match, not throw
-          raw.map(v => scala.util.Try(BigDecimal(v)).getOrElse(
-            throw new IllegalArgumentException(
-              s"--mor-values: '$v' is not numeric for column $c ($dt)")))
-            .toDF(c).select(col(c).cast(dt))
+          // double/float/decimal key column must key-match, not throw —
+          // but a fractional value against an INTEGRAL column must fail
+          // LOUDLY, not silently truncate into deleting the wrong keys
+          val integral = dt match {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType => true
+            case _ => false
+          }
+          raw.map { v =>
+            val bd = scala.util.Try(BigDecimal(v)).getOrElse(
+              throw new IllegalArgumentException(
+                s"--mor-values: '$v' is not numeric for column $c ($dt)"))
+            require(!integral || bd.isWhole,
+              s"--mor-values: '$v' is fractional but column $c is $dt — " +
+                "a truncating cast would delete the wrong keys")
+            bd
+          }.toDF(c).select(col(c).cast(dt))
         case other => throw new IllegalArgumentException(
           s"--mor-delete supports string/numeric key columns, $c is $other")
       }

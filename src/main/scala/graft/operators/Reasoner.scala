@@ -60,21 +60,27 @@ object Reasoner {
         col("subj").as("obj"))
     val withInv = plain.unionAll(inversed).distinct()
 
-    // owl:SymmetricProperty: (s p o) ⊢ (o p s) for declared predicates —
-    // applied after inverseOf and BEFORE inheritance/transitive close,
-    // so symmetric pairs inherit and close like asserted ones
+    // owl:SymmetricProperty: (s p o) ⊢ (o p s) for declared predicates.
+    // Symmetry and rdfs7 inheritance feed EACH OTHER exactly once each
+    // way — a symmetric sub-property's flipped pairs must inherit
+    // upward, and a triple that becomes an instance of a symmetric
+    // SUPER-property via inheritance must flip — so the pass runs
+    // sym → inherit → sym → inherit, which is the fixpoint: the
+    // subPropertyOf closure is transitive, so one inheritance step
+    // reaches every super, and flipping is an involution per predicate.
     val symPreds = schema.where(col("pred") === lit(typePred) &&
         col("obj") === "SymmetricProperty")
       .select(col("subj").as("pred")).distinct()
-    val symmed = withInv.join(symPreds, Seq("pred"))
-      .select(col("obj").as("subj"), col("pred"), col("subj").as("obj"))
-    val withSym = withInv.unionAll(symmed).distinct()
-
-    // rdfs7: inherit each property triple up the closed hierarchy
-    val inherited = withSym
-      .join(subProp.withColumnRenamed("src", "pred"), Seq("pred"))
-      .select(col("subj"), col("dst").as("pred"), col("obj"))
-    val propsBeforeTrans = withSym.unionAll(inherited).distinct()
+    def symClose(df: DataFrame): DataFrame =
+      df.unionAll(df.join(symPreds, Seq("pred"))
+          .select(col("obj").as("subj"), col("pred"), col("subj").as("obj")))
+        .distinct()
+    def inherit(df: DataFrame): DataFrame =
+      df.unionAll(df
+          .join(subProp.withColumnRenamed("src", "pred"), Seq("pred"))
+          .select(col("subj"), col("dst").as("pred"), col("obj")))
+        .distinct()
+    val propsBeforeTrans = inherit(symClose(inherit(symClose(withInv))))
 
     // owl:TransitiveProperty: close each declared predicate's pair set
     // (bounded like the schema closures; applied AFTER inheritance so a

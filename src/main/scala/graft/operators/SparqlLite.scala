@@ -235,11 +235,11 @@ object SparqlLite {
           i = j + 1
         } else if (i + 1 < n && q.charAt(i + 1) == '=') { out += "<="; i += 2 }
         else { out += "<"; i += 1 }
-      } else if ("{}(),".contains(c)) { out += c.toString; i += 1 }
+      } else if ("{}().,".contains(c)) { out += c.toString; i += 1 }
       else {
         val j0 = i
         while (i < n && !q.charAt(i).isWhitespace &&
-          !"{}(),#'\"<".contains(q.charAt(i))) i += 1
+          !"{}().,#'\"<".contains(q.charAt(i))) i += 1
         out += q.substring(j0, i)
       }
     }
@@ -528,9 +528,14 @@ object SparqlLite {
           else if (t == "}") depth -= 1
           if (depth > 0) sub += t
         }
-        subqueries += sub.map(tok =>
+        // outer PREFIX declarations apply inside the subquery (SPARQL
+        // prologue scope): prepend them to the reassembled text
+        val prologue = prefixes.toSeq.sortBy(_._1)
+          .map { case (n, iri) => s"PREFIX $n: <$iri>" }.mkString(" ")
+        val body = sub.map(tok =>
           if (tok.startsWith("'")) "'" + tok.substring(1) + "'" else tok)
           .mkString(" ")
+        subqueries += (if (prologue.isEmpty) body else s"$prologue $body")
       } else if (peek == "{") {
         // { triples } UNION { triples } (UNION ...)*
         val branches = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
@@ -926,6 +931,9 @@ object SparqlLite {
         s"MINUS group $g shares no variable with the preceding graph")
       df = df.join(f.select(shared.map(col): _*), shared, "left_anti")
     }
+    // BIND first: VALUES and FILTER may reference computed bindings
+    // (VALUES is a restriction/join — it commutes with the computation)
+    q.binds.foreach { case (v, e) => df = df.withColumn(v, valCol(e)) }
     q.values.foreach { v =>
       df = df.where(col(v.v).isInCollection(v.consts))
     }
@@ -940,9 +948,6 @@ object SparqlLite {
         triples.sparkSession.sparkContext.parallelize(rows, 1), schema)
       df = df.join(broadcast(inline), vt.vars)
     }
-    // BIND before FILTER: a filter may reference a bound expression
-    // (both are top-level scope here, the documented restriction)
-    q.binds.foreach { case (v, e) => df = df.withColumn(v, valCol(e)) }
     q.filters.foreach(f => df = df.where(boolCol(f)))
     q.form match {
       case "SELECT" =>

@@ -1002,6 +1002,17 @@ object VersionedTable {
                 Seq(spark.read.option("mergeSchema", "true")
                   .parquet(s"$table/$cd")
                   .withColumn("_commit_version", lit(b.seq)))
+              // LEGACY lines (pre-dirseqs, pre-recorded-sidecar tables)
+              // never named their sidecar: for those — and ONLY those,
+              // matching vacuum/expire's legacy protection — fall back
+              // to the bare-name dir. A post-record commit that owns a
+              // sidecar always names it, so an unrecorded bare dir at a
+              // modern commit's seq stays an unclaimable orphan.
+              case None if b.dirSeqs.isEmpty &&
+                  hexists(hpath(changesDir(table, b.seq))) =>
+                Seq(spark.read.option("mergeSchema", "true")
+                  .parquet(changesDir(table, b.seq))
+                  .withColumn("_commit_version", lit(b.seq)))
               case None => throw new IllegalStateException(
                 s"commit v${b.seq} of $table changed rows without a recorded " +
                   "change capture (overwrite/rollback, or a delete/merge/" +

@@ -102,6 +102,18 @@ class ReasonerSpec extends SparkSpec {
     // via x→y→x) — symmetry must fire BEFORE the transitive close
     for (u <- Seq("x", "y", "z"); v <- Seq("x", "y", "z"))
       assert(got.contains((u, "conn", v)), s"missing ($u conn $v)")
+    // a triple that becomes an instance of a symmetric SUPER-property
+    // via rdfs7 must flip too, and the flip inherits onward (sub ⊑ q ⊑ r,
+    // q symmetric): (a sub b) ⊢ (a q b), (b q a), (a r b), (b r a)
+    val schema2 = Seq(
+      ("sub", "subPropertyOf", "q"), ("q", "subPropertyOf", "r"),
+      ("q", "type", "SymmetricProperty")
+    ).toDF("subj", "pred", "obj")
+    val got2 = rows(Reasoner.rdfsClosure(
+      Seq(("a", "sub", "b")).toDF("subj", "pred", "obj"), schema2))
+    assert(got2 === Set(
+      ("a", "sub", "b"), ("a", "q", "b"), ("b", "q", "a"),
+      ("a", "r", "b"), ("b", "r", "a")))
   }
 
   test("sameAs smushing: chains collapse, duplicates merge, links consumed") {

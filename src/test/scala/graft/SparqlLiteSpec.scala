@@ -322,6 +322,25 @@ class SparqlLiteSpec extends SparkSpec {
     bad("SELECT ?c WHERE { ?c age ?a . FILTER ( ?ghost > 1 ) }")  // unbound
   }
 
+  test("review regressions: glued dot, VALUES over BIND, subquery PREFIX") {
+    // a dot glued to the object term is punctuation, not part of the term
+    val glued = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c in_nation de. }")
+    assert(rows(glued) === Set(Seq("c1"), Seq("c2")))
+    // VALUES over a BIND-computed variable restricts it (binds apply first)
+    val vb = SparqlLite.sparql(tri,
+      """SELECT ?c WHERE { ?c age ?a .
+        |  BIND ( ?a + 1 AS ?b ) . VALUES ?b { '32.0' '10.0' } }""".stripMargin)
+    assert(rows(vb) === Set(Seq("c1"), Seq("c2")))
+    // outer PREFIX declarations reach into subqueries
+    val iri = Seq(("c1", "http://e/p", "x"), ("c2", "http://e/p", "y"))
+      .toDF("subj", "pred", "obj")
+    val sp = SparqlLite.sparql(iri,
+      """PREFIX ex: <http://e/>
+        |SELECT ?s WHERE { { SELECT ?s WHERE { ?s ex:p ?o } } }""".stripMargin)
+    assert(rows(sp) === Set(Seq("c1"), Seq("c2")))
+  }
+
   test("subqueries: aggregate-in-subquery joins the outer group") {
     // per-customer order counts via subquery, joined to the nation graph
     val sq = SparqlLite.sparql(tri,
