@@ -48,11 +48,40 @@ object GraphQuery {
     * pairs, so converged components stop contributing work even before
     * `maxHops`.
     */
-  def transitiveClosure(edges: DataFrame, maxHops: Int): DataFrame = {
+  def transitiveClosure(edges: DataFrame, maxHops: Int): DataFrame =
+    closureImpl(edges, maxHops, None)
+
+  /** [[transitiveClosure]] seeded at a frontier: only pairs whose origin
+    * is in `seeds` (one column `src`) are computed — the first frontier
+    * is `edges` semi-joined to the seeds, so every superstep's cost
+    * scales with the REACHABLE set of the seeds, never the whole graph.
+    * This is how a point query `<c> p+ ?x` must evaluate at 100-TB
+    * scale: a constant endpoint pays its own reachable cone, not the
+    * all-pairs fixpoint (the SPARQL-engine frontier-seeding rule).
+    */
+  def transitiveClosureFrom(edges: DataFrame, maxHops: Int,
+      seeds: DataFrame): DataFrame =
+    closureImpl(edges, maxHops, Some(seeds))
+
+  private def closureImpl(edges: DataFrame, maxHops: Int,
+      seeds: Option[DataFrame]): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    val e = edges.select(col("src"), col("dst"))
+    val e0 = edges.select(col("src"), col("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-    var reach = e.distinct().withColumn("hops", lit(1)).localCheckpoint(true)
+    val e = seeds match {
+      // seeded runs re-join the edge table every superstep; pin it so
+      // the frontier joins hit a materialized edge set, not a recomputed
+      // lineage (the unseeded path touches e only through `reach`)
+      case Some(_) => e0.localCheckpoint(true)
+      case None    => e0
+    }
+    val first = seeds match {
+      case Some(s) => e.join(
+        s.select(col("src")).where(col("src").isNotNull).distinct(),
+        Seq("src"), "left_semi")
+      case None => e
+    }
+    var reach = first.distinct().withColumn("hops", lit(1)).localCheckpoint(true)
     var frontier = reach
     var h = 1
     var done = false
@@ -118,9 +147,41 @@ object GraphQuery {
       if (oConst) e /= math.max(1L, no)
       e
     }
+
+    /** Estimated pair-set cardinality of a property path — the numbers
+      * that let a path FRAME participate in join ordering next to plain
+      * patterns (SparqlLite's greedy frame order). Same independence
+      * assumptions as [[estimate]]: Chain is a mid-join shrunk by the
+      * subject universe, Alt adds, closures charge a small constant
+      * expansion factor over their base set (a closure's true size is
+      * data-dependent; 3x is the conventional planning guess), Star/Opt
+      * add the graph-identity rows.
+      */
+    def estimatePath(e: PathExpr): Double = {
+      import PathExpr._
+      val identity = (totalSubjects + totalObjects).toDouble
+      e match {
+        case Pred(p) => byPred.get(p).map(_.nTriples.toDouble).getOrElse(0.0)
+        case Inv(x) => estimatePath(x)
+        case NegatedSet(ps) => math.max(0.0, totalTriples.toDouble -
+          ps.flatMap(byPred.get).map(_.nTriples.toDouble).sum)
+        case Chain(a, b) =>
+          estimatePath(a) * estimatePath(b) / math.max(1.0, totalSubjects.toDouble)
+        case Alt(a, b) => estimatePath(a) + estimatePath(b)
+        case Plus(x, _) => 3.0 * estimatePath(x)
+        case PlusAll(x) => 3.0 * estimatePath(x)
+        case Star(x) => 3.0 * estimatePath(x) + identity
+        case Opt(x) => estimatePath(x) + identity
+      }
+    }
   }
 
   object BgpStats {
+    /** Total number of [[compute]] jobs this JVM has run — observability
+      * for the stats-reuse contract (SparqlLite's session cache pins "N
+      * queries, one stats job" against it in spec).
+      */
+    val computeCount = new java.util.concurrent.atomic.AtomicLong(0L)
     /** One aggregation job over the triple table (grouped by predicate,
       * so the shuffle and the collected result are both schema-scale).
       * Callers running several BGPs against the same graph compute this
@@ -128,6 +189,7 @@ object GraphQuery {
       * the numbers a store keeps precomputed next to the table.
       */
     def compute(triples: DataFrame): BgpStats = {
+      computeCount.incrementAndGet()
       val rows = triples.where(col("pred").isNotNull)
         .groupBy(col("pred"))
         .agg(count(lit(1)).as("n"),
@@ -330,6 +392,101 @@ object GraphQuery {
             !col("pred").isInCollection(preds))
           .select(col("subj").as("src"), col("obj").as("dst")).distinct()
     }
+  }
+
+  /** The syntactic reverse of a path: `pathPairs(reverse(e))` is exactly
+    * `pathPairs(e)` with src/dst swapped. Distributing the reversal
+    * (`(a/b)ʳ = bʳ/aʳ`, `(e+)ʳ = (eʳ)+`, `(^e)ʳ = e`) pushes inversions
+    * to the predicate leaves, which is what lets a seeded evaluation
+    * start from EITHER endpoint of any path shape.
+    */
+  def reverse(e: PathExpr): PathExpr = {
+    import PathExpr._
+    e match {
+      case p @ Pred(_)       => Inv(p)
+      case n @ NegatedSet(_) => Inv(n)
+      case Inv(x)            => x
+      case Chain(a, b)       => Chain(reverse(b), reverse(a))
+      case Alt(a, b)         => Alt(reverse(a), reverse(b))
+      case Plus(x, n)        => Plus(reverse(x), n)
+      case PlusAll(x)        => PlusAll(reverse(x))
+      case Star(x)           => Star(reverse(x))
+      case Opt(x)            => Opt(reverse(x))
+    }
+  }
+
+  /** Equivalent expression with `Inv` only over predicate leaves (via
+    * [[reverse]]'s distribution laws) — the shape [[pathPairsFrom]]'s
+    * structural recursion needs.
+    */
+  private def normalizeInv(e: PathExpr): PathExpr = {
+    import PathExpr._
+    e match {
+      case Inv(p @ Pred(_))       => Inv(p)
+      case Inv(n @ NegatedSet(_)) => Inv(n)
+      case Inv(x)                 => normalizeInv(reverse(x))
+      case Chain(a, b)            => Chain(normalizeInv(a), normalizeInv(b))
+      case Alt(a, b)              => Alt(normalizeInv(a), normalizeInv(b))
+      case Plus(x, n)             => Plus(normalizeInv(x), n)
+      case PlusAll(x)             => PlusAll(normalizeInv(x))
+      case Star(x)                => Star(normalizeInv(x))
+      case Opt(x)                 => Opt(normalizeInv(x))
+      case leaf                   => leaf
+    }
+  }
+
+  /** [[pathPairs]] seeded at a source frontier: only pairs whose src is
+    * in `seeds` (one column `src`) are computed. Leaves become
+    * seed-semi-joined scans; `Chain` threads the frontier left to right
+    * (the right leg is seeded by the left leg's reachable dsts); `Plus`/
+    * `PlusAll` run the seeded semi-naive closure over the inner pair set
+    * — so a constant-endpoint path query costs its reachable cone, not
+    * the full-graph fixpoint. A bound OBJECT seeds the [[reverse]]d
+    * expression and swaps the result (see SparqlLite.pathFrame).
+    * Same pair set as `pathPairs(e).where(src ∈ seeds)`, spec-pinned.
+    */
+  def pathPairsFrom(triples: DataFrame, expr: PathExpr,
+      seeds: DataFrame): DataFrame = {
+    import PathExpr._
+    val seed0 = seeds.select(col("src"))
+      .where(col("src").isNotNull).distinct()
+    def ident(s: DataFrame): DataFrame =
+      graphIdentity(triples).join(s, Seq("src"), "left_semi")
+    def go(e: PathExpr, s: DataFrame): DataFrame = e match {
+      case Pred(p) => triples.where(col("pred") === lit(p))
+        .select(col("subj").as("src"), col("obj").as("dst"))
+        .join(s, Seq("src"), "left_semi").distinct()
+      case Inv(Pred(p)) => triples.where(col("pred") === lit(p))
+        .select(col("obj").as("src"), col("subj").as("dst"))
+        .join(s, Seq("src"), "left_semi").distinct()
+      case NegatedSet(ps) => triples.where(col("pred").isNotNull &&
+          !col("pred").isInCollection(ps))
+        .select(col("subj").as("src"), col("obj").as("dst"))
+        .join(s, Seq("src"), "left_semi").distinct()
+      case Inv(NegatedSet(ps)) => triples.where(col("pred").isNotNull &&
+          !col("pred").isInCollection(ps))
+        .select(col("obj").as("src"), col("subj").as("dst"))
+        .join(s, Seq("src"), "left_semi").distinct()
+      case Inv(x) => go(normalizeInv(reverse(x)), s)
+      case Chain(a, b) =>
+        val left = go(a, s)
+        val right = go(b, left.select(col("dst").as("src")).distinct())
+        left.withColumnRenamed("dst", "mid")
+          .join(right.withColumnRenamed("src", "mid"), Seq("mid"))
+          .select(col("src"), col("dst")).distinct()
+      case Alt(a, b) => go(a, s).unionAll(go(b, s)).distinct()
+      case Plus(x, maxHops) =>
+        transitiveClosureFrom(pathPairs(triples, x), maxHops, s)
+          .select(col("src"), col("dst"))
+      case PlusAll(x) =>
+        transitiveClosureFrom(pathPairs(triples, x), Int.MaxValue, s)
+          .select(col("src"), col("dst"))
+      case Star(x) =>
+        ident(s).unionAll(go(PlusAll(x), s)).distinct()
+      case Opt(x) =>
+        ident(s).unionAll(go(x, s)).distinct()
+    }
+    go(normalizeInv(expr), seed0)
   }
 
   /** The SPARQL zero-length path: every term of the graph paired with

@@ -34,8 +34,25 @@ object Reasoner {
 
   def rdfsClosure(data: DataFrame, schema: DataFrame,
       typePred: String = "type", maxDepth: Int = 16): DataFrame = {
+    // owl:equivalentClass / owl:equivalentProperty (OWL RL scm-eqc1/
+    // scm-eqp1): an equivalence is mutual subsumption, so each declared
+    // row expands to subClassOf/subPropertyOf BOTH ways before the
+    // hierarchy closures run — chains and mixes (equivalent-to-a-
+    // subclass-of) then close transitively for free. The 2-cycles this
+    // introduces are safe: the semi-naive closure anti-joins known
+    // pairs, so it terminates, and rdfs9/rdfs7 over an A⊑B⊑A pair is
+    // exactly equivalence semantics.
+    def mutual(eqPred: String, subPred: String): DataFrame = {
+      val eq = schema.where(col("pred") === lit(eqPred))
+      eq.select(col("subj"), lit(subPred).as("pred"), col("obj"))
+        .unionAll(eq.select(col("obj").as("subj"), lit(subPred).as("pred"),
+          col("subj").as("obj")))
+    }
+    val schemaX = schema
+      .unionAll(mutual("equivalentClass", "subClassOf"))
+      .unionAll(mutual("equivalentProperty", "subPropertyOf"))
     def pairsOf(p: String): DataFrame = {
-      val direct = schema.where(col("pred") === lit(p))
+      val direct = schemaX.where(col("pred") === lit(p))
         .select(col("subj").as("src"), col("obj").as("dst"))
       GraphQuery.transitiveClosure(direct, maxDepth)
         .select(col("src"), col("dst"))
@@ -119,6 +136,46 @@ object Reasoner {
       .select(col("subj"), lit(typePred).as("pred"), col("obj")).distinct()
 
     allProp.unionAll(allTypes).distinct()
+  }
+
+  /** owl:FunctionalProperty / owl:InverseFunctionalProperty → derived
+    * `sameAs` links (OWL RL prp-fp / prp-ifp): a functional predicate
+    * maps each subject to ONE individual, so two objects asserted for
+    * the same (subject, predicate) are the same entity; inverse-
+    * functional is the mirror (two subjects sharing one object — the
+    * classic "same email ⇒ same person" identity rule). Declarations are
+    * `p type FunctionalProperty` / `p type InverseFunctionalProperty`
+    * schema rows.
+    *
+    * Emits the STAR form — (group-min, other) per violating group —
+    * which is exactly the seed [[smushSameAs]]'s connected-component
+    * labeling needs; transitivity/symmetry of the identity comes from
+    * the smusher, not from quadratic pair emission here. Cost: one
+    * broadcast semi-join to the declared predicates, then ONE window
+    * shuffle per direction over only those predicates' triples — no
+    * group ever materializes pairwise.
+    */
+  def functionalSameAs(data: DataFrame, schema: DataFrame,
+      typePred: String = "type", sameAsPred: String = "sameAs"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def declared(cls: String): DataFrame =
+      schema.where(col("pred") === lit(typePred) && col("obj") === lit(cls))
+        .select(col("subj").as("pred")).distinct()
+    def starLinks(keyCol: String, valCol: String, cls: String): DataFrame = {
+      val scoped = data
+        .where(col("subj").isNotNull && col("obj").isNotNull)
+        .join(broadcast(declared(cls)), Seq("pred"))
+      val w = Window.partitionBy(col("pred"), col(keyCol))
+      scoped
+        .withColumn("__rep", min(col(valCol)).over(w))
+        .where(col(valCol) =!= col("__rep"))
+        .select(col("__rep").as("subj"), lit(sameAsPred).as("pred"),
+          col(valCol).as("obj"))
+        .distinct()
+    }
+    starLinks("subj", "obj", "FunctionalProperty")
+      .unionAll(starLinks("obj", "subj", "InverseFunctionalProperty"))
+      .distinct()
   }
 
   /** owl:sameAs smushing — canonicalization applied to the triple table:

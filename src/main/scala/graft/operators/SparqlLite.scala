@@ -846,7 +846,20 @@ object SparqlLite {
   private def pathFrame(triples: DataFrame, tp: TriplePattern,
       prefixes: Map[String, String] = Map.empty): DataFrame = {
     require(tp.vars.nonEmpty, s"path pattern $tp binds no variable")
-    val pairs = GraphQuery.pathPairs(triples, parsePath(pathText(tp.p), prefixes))
+    val expr = parsePath(pathText(tp.p), prefixes)
+    // constant-endpoint seeding: `<c> p+ ?x` starts the closure frontier
+    // AT c (a bound object seeds the reversed path and swaps back)
+    // instead of filtering the full-graph fixpoint afterwards — the cost
+    // becomes the constant's reachable cone (GraphQuery.pathPairsFrom)
+    def seed(c: String): DataFrame =
+      triples.sparkSession.range(1).select(lit(c).as("src"))
+    val pairs =
+      if (!tp.s.startsWith("?"))
+        GraphQuery.pathPairsFrom(triples, expr, seed(tp.s))
+      else if (!tp.o.startsWith("?"))
+        GraphQuery.pathPairsFrom(triples, GraphQuery.reverse(expr), seed(tp.o))
+          .select(col("dst").as("src"), col("src").as("dst"))
+      else GraphQuery.pathPairs(triples, expr)
     if (tp.s == tp.o) {
       // ?x path ?x — an equality constraint on the pair set, one column
       pairs.where(col("src") === col("dst"))
@@ -863,17 +876,54 @@ object SparqlLite {
 
   // -------------------------------------------------------------- planner
 
+  /** Session stats cache, keyed by the triple table's canonicalized
+    * logical plan: N queries against the same table pay ONE statistics
+    * job (at 100-TB scale the stats aggregation is itself a full-table
+    * pass — it belongs to the TABLE, not the query). Bounded; staleness
+    * is safe by construction because statistics only influence join
+    * ORDER, never the result set — a stale entry costs plan quality,
+    * not correctness. [[clearStatsCache]] drops it (e.g. after a bulk
+    * rewrite of the underlying table).
+    */
+  private val statsCacheMax = 32
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    GraphQuery.BgpStats]()
+
+  def clearStatsCache(): Unit = statsCache.clear()
+
+  private def cachedStats(triples: DataFrame): GraphQuery.BgpStats = {
+    val key = triples.queryExecution.analyzed.canonicalized
+    val hit = statsCache.get(key)
+    if (hit != null) hit
+    else {
+      val s = GraphQuery.BgpStats.compute(triples)
+      if (statsCache.size >= statsCacheMax) statsCache.clear()
+      statsCache.put(key, s)
+      s
+    }
+  }
+
   /** Parse and plan `queryText` against a (subj, pred, obj) triple table. */
-  def sparql(triples: DataFrame, queryText: String): DataFrame = {
+  def sparql(triples: DataFrame, queryText: String): DataFrame =
+    sparql(triples, queryText, None)
+
+  /** [[sparql]] with caller-provided predicate statistics — the API a
+    * store uses to hold VoID stats precomputed beside the table instead
+    * of deriving them per query (`stats = None` falls back to the
+    * session cache, then to one compute job).
+    */
+  def sparql(triples: DataFrame, queryText: String,
+      stats: Option[GraphQuery.BgpStats]): DataFrame = {
     val q = parse(queryText)
     q.template.foreach(tp => require(!isPath(tp.p),
       s"property paths are not allowed in CONSTRUCT templates: $tp"))
     val (pathPs, plainPs) = q.patterns.partition(tp => isPath(tp.p))
-    // predicate statistics for BGP join ordering: computed at most ONCE
-    // per query (lazy — single-pattern-only queries never pay the job)
-    // and shared by every group, exactly how a store would hold them
-    // precomputed beside the table
-    lazy val bgpStats = GraphQuery.BgpStats.compute(triples)
+    // predicate statistics for BGP join ordering: caller-provided, else
+    // session-cached, else computed at most ONCE per query (lazy —
+    // single-pattern-only queries never pay the job) and shared by every
+    // group AND by subqueries
+    lazy val bgpStats = stats.getOrElse(cachedStats(triples))
     def matchBgp(ps: Seq[GraphQuery.TriplePattern]) =
       GraphQuery.bgpMatch(triples, ps,
         if (ps.lengthCompare(1) > 0) Some(bgpStats) else None)
@@ -890,23 +940,76 @@ object SparqlLite {
         if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)
       }
     }
+    // per-pattern cardinality estimate, path-aware: a path frame's cost
+    // folds into frame ordering next to plain patterns (a constant
+    // endpoint shrinks it by the term universe, mirroring
+    // BgpStats.estimate's constant-slot rule)
+    def patternEst(tp: TriplePattern): Double =
+      if (isPath(tp.p)) {
+        var e = bgpStats.estimatePath(parsePath(pathText(tp.p), q.prefixes))
+        if (!tp.s.startsWith("?"))
+          e /= math.max(1.0, bgpStats.totalSubjects.toDouble)
+        if (!tp.o.startsWith("?"))
+          e /= math.max(1.0, bgpStats.totalObjects.toDouble)
+        e
+      } else bgpStats.estimate(tp)
     val unionFrames = q.unions.map { branches =>
       // branches bind identical var sets (parse-checked); align columns
       // to the first branch's order before the bag union
       val order = branches.head.flatMap(_.vars).distinct
-      branches.map(b =>
+      val f = branches.map(b =>
         groupFrame(b).select(order.map(col): _*))
         .reduce(_ unionAll _)
+      // a union's size is the sum of its branches; a branch joins
+      // DOWN from its cheapest member
+      (f, () => branches.map(b => b.map(patternEst).min).sum)
     }
-    val subFrames = q.subqueries.map(t => sparql(triples, t))
-    val frames =
-      (if (plainPs.nonEmpty) Seq(matchBgp(plainPs))
-       else Seq.empty) ++ pathPs.map(pathFrame(triples, _, q.prefixes)) ++
+    val subFrames = q.subqueries.map { t =>
+      // thread the outer stats through — a subquery against the same
+      // table must never pay its own stats job
+      (sparql(triples, t, Some(bgpStats)),
+        () => bgpStats.totalTriples.toDouble)
+    }
+    val frames: Seq[(DataFrame, () => Double)] =
+      (if (plainPs.nonEmpty)
+         Seq((matchBgp(plainPs), () => plainPs.map(patternEst).min))
+       else Seq.empty) ++
+      pathPs.map(tp => (pathFrame(triples, tp, q.prefixes),
+        () => patternEst(tp))) ++
       unionFrames ++ subFrames
-    var df = frames.reduce { (a, b) =>
-      val shared = a.columns.toSeq.intersect(b.columns.toSeq)
-      if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)
-    }
+    // greedy frame order — cheapest first, then cheapest CONNECTED (the
+    // same law orderPatterns applies inside the plain BGP), so a
+    // selective path or union can anchor the join prefix and an
+    // expensive closure defers to the end. Estimates are thunks: a
+    // single-frame query never forces the stats job. Inner equi-joins
+    // and cross joins commute, so this is semantics-preserving; the
+    // final SELECT fixes the output column order either way.
+    var df =
+      if (frames.lengthCompare(1) == 0) frames.head._1
+      else {
+        val est = frames.map(_._2())
+        val vars = frames.map(_._1.columns.toSet)
+        val remaining =
+          scala.collection.mutable.LinkedHashSet(frames.indices: _*)
+        val bound = scala.collection.mutable.Set.empty[String]
+        def pick(c: Iterable[Int]): Int = c.minBy(i => (est(i), i))
+        var acc: DataFrame = null
+        while (remaining.nonEmpty) {
+          val connected = remaining.filter(i => vars(i).exists(bound))
+          val next = if (acc != null && connected.nonEmpty) pick(connected)
+                     else pick(remaining)
+          val f = frames(next)._1
+          acc =
+            if (acc == null) f
+            else {
+              val shared = acc.columns.toSeq.intersect(f.columns.toSeq)
+              if (shared.nonEmpty) acc.join(f, shared) else acc.crossJoin(f)
+            }
+          bound ++= vars(next)
+          remaining -= next
+        }
+        acc
+      }
     q.optionals.foreach { case (g, gf) =>
       var f = groupFrame(g)
       gf.foreach(e => f = f.where(boolCol(e)))

@@ -187,6 +187,57 @@ class GraphQuerySpec extends SparkSpec {
       ("o2", "n2"), ("o2", "r1"), ("o2", "w")))
   }
 
+  test("seeded path evaluation == full evaluation filtered to the seeds") {
+    import GraphQuery.PathExpr._
+    val tri = Seq(
+      ("o1", "placed_by", "c1"), ("o2", "placed_by", "c2"),
+      ("c1", "in", "n1"), ("c2", "in", "n2"),
+      ("n1", "part_of", "r1"), ("n2", "part_of", "r1"),
+      ("r1", "part_of", "w"), ("w", "part_of", "n1") // cycle back
+    ).toDF("subj", "pred", "obj")
+    val exprs = Seq[GraphQuery.PathExpr](
+      Pred("in"),
+      Inv(Pred("placed_by")),
+      NegatedSet(Seq("placed_by")),
+      Inv(NegatedSet(Seq("in", "part_of"))),
+      Chain(Pred("in"), Pred("part_of")),
+      Alt(Pred("in"), Pred("part_of")),
+      Plus(Pred("part_of"), 3),
+      PlusAll(Pred("part_of")), // cyclic — seeded fixpoint must stop
+      Star(Pred("part_of")),
+      Opt(Pred("in")),
+      Inv(Chain(Pred("in"), Plus(Pred("part_of"), 4))), // Inv over composite
+      Chain(Pred("placed_by"), PlusAll(Alt(Pred("in"), Pred("part_of")))))
+    val seedSets = Seq(Seq("c1"), Seq("n1"), Seq("o1", "r1"), Seq("ghost"),
+      Seq("w"))
+    for (e <- exprs; seeds <- seedSets) {
+      val full = GraphQuery.pathPairs(tri, e)
+        .where(col("src").isInCollection(seeds))
+        .as[(String, String)].collect().toSet
+      val seeded = GraphQuery.pathPairsFrom(tri, e,
+        seeds.toDF("src")).as[(String, String)].collect().toSet
+      assert(seeded === full, s"expr=$e seeds=$seeds")
+    }
+  }
+
+  test("reverse(e) pairs == pairs(e) swapped, for every constructor") {
+    import GraphQuery.PathExpr._
+    val tri = Seq(
+      ("a", "p", "b"), ("b", "p", "c"), ("b", "q", "d"), ("d", "r", "a")
+    ).toDF("subj", "pred", "obj")
+    val exprs = Seq[GraphQuery.PathExpr](
+      Pred("p"), Inv(Pred("q")), Chain(Pred("p"), Pred("q")),
+      Alt(Pred("p"), Pred("r")), Plus(Pred("p"), 3), PlusAll(Pred("p")),
+      Star(Pred("q")), Opt(Pred("r")), NegatedSet(Seq("q")))
+    exprs.foreach { e =>
+      val fwd = GraphQuery.pathPairs(tri, e)
+        .as[(String, String)].collect().toSet
+      val rev = GraphQuery.pathPairs(tri, GraphQuery.reverse(e))
+        .as[(String, String)].collect().toSet
+      assert(rev === fwd.map(_.swap), s"expr=$e")
+    }
+  }
+
   test("bgp OPTIONAL keeps unmatched solutions with null bindings") {
     val tri = triples.unionAll(Seq(
       ("o1", "ordered_by", "c1"), ("o2", "ordered_by", "c1"),

@@ -116,6 +116,80 @@ class ReasonerSpec extends SparkSpec {
       ("a", "r", "b"), ("b", "r", "a")))
   }
 
+  test("equivalentClass/equivalentProperty expand to mutual subsumption") {
+    val schema = Seq(
+      ("Person", "equivalentClass", "Human"),
+      ("Human", "subClassOf", "Agent"),
+      ("hires", "equivalentProperty", "employs"),
+      ("employs", "subPropertyOf", "engages")
+    ).toDF("subj", "pred", "obj")
+    val data = Seq(
+      ("x", "type", "Person"),
+      ("y", "type", "Human"),
+      ("acme", "hires", "bob"),
+      ("corp", "employs", "eve")
+    ).toDF("subj", "pred", "obj")
+    val got = rows(Reasoner.rdfsClosure(data, schema))
+    // equivalence both ways: Person-typed gets Human (and up to Agent),
+    // Human-typed gets Person; hires↔employs mutually entail, both
+    // inherit up to engages through the MIXED chain
+    assert(got === Set(
+      ("x", "type", "Person"), ("x", "type", "Human"), ("x", "type", "Agent"),
+      ("y", "type", "Human"), ("y", "type", "Person"), ("y", "type", "Agent"),
+      ("acme", "hires", "bob"), ("acme", "employs", "bob"),
+      ("acme", "engages", "bob"),
+      ("corp", "employs", "eve"), ("corp", "hires", "eve"),
+      ("corp", "engages", "eve")))
+  }
+
+  test("FunctionalProperty / InverseFunctionalProperty derive sameAs links") {
+    val schema = Seq(
+      ("hq_city", "type", "FunctionalProperty"),
+      ("email", "type", "InverseFunctionalProperty")
+    ).toDF("subj", "pred", "obj")
+    val data = Seq(
+      // functional: acme's two asserted HQs are the same city
+      ("acme", "hq_city", "muc"), ("acme", "hq_city", "munich"),
+      ("acme", "hq_city", "muc"),            // duplicate — no self-link
+      ("globex", "hq_city", "berlin"),       // singleton — no link
+      // inverse-functional: two subjects sharing an email merge
+      ("p1", "email", "a@x"), ("p2", "email", "a@x"), ("p3", "email", "a@x"),
+      ("p9", "email", "z@x"),
+      // a NON-declared predicate with shared objects must not fire
+      ("p1", "likes", "pizza"), ("p2", "likes", "pizza")
+    ).toDF("subj", "pred", "obj")
+    val got = rows(Reasoner.functionalSameAs(data, schema))
+    assert(got === Set(
+      ("muc", "sameAs", "munich"),
+      ("p1", "sameAs", "p2"), ("p1", "sameAs", "p3")))
+    // composes: detected links + the smusher collapse the aliases
+    val smushed = rows(Reasoner.smushSameAs(
+      data.unionAll(got.toSeq.toDF("subj", "pred", "obj"))))
+    assert(smushed.contains(("acme", "hq_city", "muc")))
+    assert(!smushed.exists(_._3 == "munich"))
+    assert(smushed.filter(_._2 == "email").map(_._1) === Set("p1", "p9"))
+  }
+
+  test("functional sameAs feeds smush feeds entailment (detect→smush→entail)") {
+    val schema = Seq(
+      ("ceo_of", "type", "InverseFunctionalProperty"),
+      ("ceo_of", "domain", "Person"),
+      ("Person", "subClassOf", "Agent")
+    ).toDF("subj", "pred", "obj")
+    val data = Seq(
+      ("bob", "ceo_of", "acme"), ("robert", "ceo_of", "acme"),
+      ("robert", "age", "55")
+    ).toDF("subj", "pred", "obj")
+    val links = Reasoner.functionalSameAs(data, schema)
+    assert(rows(links) === Set(("bob", "sameAs", "robert")))
+    val smushed = Reasoner.smushSameAs(data.unionAll(links))
+    val entailed = rows(Reasoner.rdfsClosure(smushed, schema))
+    // one canonical node carries BOTH facts and the domain-derived types
+    assert(entailed === Set(
+      ("bob", "ceo_of", "acme"), ("bob", "age", "55"),
+      ("bob", "type", "Person"), ("bob", "type", "Agent")))
+  }
+
   test("sameAs smushing: chains collapse, duplicates merge, links consumed") {
     val data = Seq(
       ("b9", "sameAs", "a9"), ("a9", "sameAs", "c9"), // chain b9-a9-c9

@@ -204,6 +204,81 @@ class SparqlLiteSpec extends SparkSpec {
     assert(rows(chained) === Set(Seq("c1"), Seq("c2"), Seq("c3"), Seq("c4")))
   }
 
+  test("session stats cache: N queries against one table pay ONE stats job") {
+    SparqlLite.clearStatsCache()
+    val before = GraphQuery.BgpStats.computeCount.get()
+    (1 to 3).foreach { _ =>
+      SparqlLite.sparql(tri,
+        "SELECT ?c ?n WHERE { ?c in_nation ?n . ?n in_region europe }").count()
+    }
+    assert(GraphQuery.BgpStats.computeCount.get() - before === 1L,
+      "three multi-pattern queries over the same frame must share one stats job")
+    // caller-provided stats: zero jobs, even with a cold cache
+    val st = GraphQuery.BgpStats.compute(tri)
+    SparqlLite.clearStatsCache()
+    val b2 = GraphQuery.BgpStats.computeCount.get()
+    SparqlLite.sparql(tri,
+      "SELECT ?c ?n WHERE { ?c in_nation ?n . ?n in_region europe }",
+      Some(st)).count()
+    assert(GraphQuery.BgpStats.computeCount.get() === b2,
+      "caller-provided stats must suppress the per-query compute entirely")
+    // a subquery threads the outer stats through — still one job total
+    SparqlLite.clearStatsCache()
+    val b3 = GraphQuery.BgpStats.computeCount.get()
+    SparqlLite.sparql(tri,
+      """SELECT ?c ?n WHERE {
+        |  ?c in_nation ?n . ?n in_region europe .
+        |  { SELECT ?c WHERE { ?o ordered_by ?c . ?c in_nation ?n2 } }
+        |}""".stripMargin).count()
+    assert(GraphQuery.BgpStats.computeCount.get() - b3 === 1L,
+      "subqueries must reuse the enclosing query's stats")
+  }
+
+  test("greedy frame order: paths participate, bindings unchanged") {
+    // expensive frame written FIRST (an unbounded closure), selective
+    // plain pattern last — the planner may reorder, the rows may not
+    // change
+    val a = SparqlLite.sparql(tri,
+      """SELECT ?c ?x WHERE {
+        |  ?c (in_nation|in_region)+ ?x . ?o ordered_by ?c
+        |}""".stripMargin)
+    val b = SparqlLite.sparql(tri,
+      """SELECT ?c ?x WHERE {
+        |  ?o ordered_by ?c . ?c (in_nation|in_region)+ ?x
+        |}""".stripMargin)
+    assert(rows(a) === rows(b))
+    assert(rows(a) === Set(Seq("c1", "de"), Seq("c1", "europe")))
+  }
+
+  test("constant-endpoint paths: seeded closure == full closure + filter") {
+    // chain c1 → de → europe plus a cycle europe → de so the seeded
+    // fixpoint must terminate on a cycle reachable FROM the seed
+    val tri2 = tri.unionAll(Seq(("europe", "in_nation", "de"))
+      .toDF("subj", "pred", "obj"))
+    // bound subject: the closure is seeded at c1 (GraphQuery
+    // .pathPairsFrom), never the all-pairs fixpoint
+    val fromC1 = SparqlLite.sparql(tri2,
+      "SELECT ?x WHERE { c1 (in_nation|in_region)+ ?x }")
+    assert(rows(fromC1) === Set(Seq("de"), Seq("europe")))
+    // bound object: seeds the REVERSED path and swaps back
+    val toEurope = SparqlLite.sparql(tri2,
+      "SELECT ?c WHERE { ?c (in_nation|in_region)+ europe }")
+    assert(rows(toEurope) ===
+      Set(Seq("c1"), Seq("c2"), Seq("c3"), Seq("c4"), Seq("de"), Seq("fr"),
+        Seq("europe")))
+    // both endpoints bound still answers (ASK-style point lookup)
+    assert(rows(SparqlLite.sparql(tri2,
+      "SELECT ?x WHERE { c1 in_nation+/in_region ?x . ?x in_nation de }"))
+      === Set(Seq("europe")))
+    // star with a bound subject keeps the zero-length row
+    assert(rows(SparqlLite.sparql(tri2,
+      "SELECT ?x WHERE { de in_region* ?x }"))
+      === Set(Seq("de"), Seq("europe")))
+    // unreachable constant: empty, not an error
+    assert(rows(SparqlLite.sparql(tri2,
+      "SELECT ?x WHERE { o1 in_nation+ ?x }")) === Set.empty)
+  }
+
   test("property paths: unbounded + runs to fixpoint; * adds reflexive rows") {
     // a 14-link chain — the pre-round-4 default bound (10) would
     // truncate it; unbounded `+` must reach the far end and stop on the
