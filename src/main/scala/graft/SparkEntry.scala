@@ -1958,6 +1958,63 @@ object SparkEntry {
       SparqlLite.sparql(bgpTriples(s, d),
         """SELECT ?n (COUNT(?c) AS ?cnt) (MIN(?c) AS ?first)
           |WHERE { ?c cust_nation ?n } GROUP BY ?n""".stripMargin)),
+    // q141: SPARQL COUNT(DISTINCT) — per-region customer-link count
+    // next to the DISTINCT nation count through the text front-end;
+    // all-integer, the grouped SQL twin matches value-exact.
+    "q141_sparql_count_distinct" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?r (COUNT(?c) AS ?links) (COUNT(DISTINCT ?n) AS ?nations)
+          |WHERE { ?c cust_nation ?n . ?n in_region ?r } GROUP BY ?r""".stripMargin)),
+    // q142: REGEX and STR inside FILTER — unanchored Java-regex find
+    // over a binding, STR feeding a string predicate; DuckDB twin uses
+    // regexp_matches/starts_with on identical operands.
+    "q142_sparql_regex_str" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?c ?n WHERE { ?c cust_nation ?n .
+          |  FILTER ( REGEX ( ?n , 'ION_1[0-9]$' ) && STRSTARTS ( STR ( ?c ) , 'c1' ) ) }""".stripMargin)),
+    // q143: FILTER scoped INSIDE one UNION branch — narrows that branch
+    // only (the other branch flows through unfiltered); bag semantics,
+    // UNION ALL twin.
+    "q143_sparql_union_filter" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?x ?n WHERE {
+          |  { ?x cust_nation ?n . FILTER ( STRENDS ( ?n , '1' ) ) }
+          |  UNION { ?x supp_nation ?n }
+          |}""".stripMargin)),
+    // q144: NESTED OPTIONAL — customers optionally carry orders, orders
+    // optionally carry a big-ticket flag; two genuine null tiers the
+    // chained-left-join twin mirrors.
+    "q144_sparql_nested_optional" -> ((s, d) =>
+      SparqlLite.sparql(orderTriples(s, d),
+        """SELECT ?c ?o ?b WHERE { ?c cust_nation ?n .
+          |  OPTIONAL { ?c placed ?o . OPTIONAL { ?o is_big ?b } }
+          |}""".stripMargin)),
+    // q145: owl:FunctionalProperty / InverseFunctionalProperty → derived
+    // sameAs links (OWL RL prp-fp/prp-ifp, star form feeding the q106
+    // smusher): suppliers asserting two HQ spellings merge the
+    // spellings, customers sharing a contact key merge with each other.
+    "q145_owl_functional_sameas" -> ((s, d) => {
+      val (data, schema) = functionalFixture(s, d)
+      Reasoner.functionalSameAs(data, schema)
+    }),
+    // q146: one deterministic FULL-BATCH TransE epoch over the
+    // co-purchase graph (content-hash negative draws, order-free
+    // scale-10 fixed-point gradient sums — the q76 BIGINT trick
+    // promoted into the whole kernel); DuckDB replays the epoch.
+    "q146_kge_transe_epoch" -> ((s, d) => kgeTrained(s, d).entUpd),
+    // q147: filtered tail ranks computed from the TRAINED vectors —
+    // the epoch's output feeds the shared q112 rank kernel, so the
+    // protocol evaluates real trained embeddings; the twin replays
+    // epoch + ranking end to end.
+    "q147_kge_trained_ranks" -> ((s, d) => {
+      val f = kgeFixture(s, d)
+      val trained = kgeTrained(s, d)
+      val entV = KgeTrain.assembleVecs(trained.entUpd, "node")
+      val relV = KgeTrain.assembleVecs(trained.relUpd, "rel")
+      KgeEval.tailRanks(
+        f.tri(f.pairs.where(pmod(col("item_a"), lit(3)) === 0)),
+        f.tri(f.pairs), entV, relV)
+    }),
     // q109/q110: KG PROFILING — characteristic sets (Neumann & Moerkotte
     // SIGMOD'11; one row per entity SHAPE with its subject count — the
     // big-ticket order filter splits customers into {cust_nation} vs
@@ -2002,6 +2059,59 @@ object SparkEntry {
     val relEmb = emb.where(col("vec_id") === 7)
       .select(lit("bought_with").as("rel"), col("embedding").as("vec"))
     KgeFixture(pairs, entEmb, relEmb)
+  }
+
+  /** q144 fixture: cust_nation containment + placed edges + a big-ticket
+    * flag on the expensive orders (two optional tiers).
+    */
+  private def orderTriples(s: SparkSession, d: String): DataFrame = {
+    val cn = bgpTriples(s, d).where(col("pred") === "cust_nation")
+    val placed = t(s, d, "orders").select(
+      concat(lit("c"), col("o_custkey")).as("subj"),
+      lit("placed").as("pred"),
+      concat(lit("o"), col("o_orderkey")).as("obj"))
+    val big = t(s, d, "orders").where(col("o_totalprice") > 450000)
+      .select(concat(lit("o"), col("o_orderkey")).as("subj"),
+        lit("is_big").as("pred"), lit("yes").as("obj"))
+    cn.unionAll(placed).unionAll(big)
+  }
+
+  /** q145 fixture: a functional `hq` predicate where every fifth
+    * supplier asserts a second spelling of its nation, and an
+    * inverse-functional `contact` key shared by customers modulo 97 —
+    * both violation shapes the OWL RL identity rules merge.
+    */
+  private def functionalFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val sup = t(s, d, "supplier").join(t(s, d, "nation"),
+      col("s_nationkey") === col("n_nationkey"))
+    val hq = sup.select(concat(lit("s"), col("s_suppkey")).as("subj"),
+        lit("hq").as("pred"), concat(lit("n"), col("n_name")).as("obj"))
+      .unionAll(sup.where(pmod(col("s_suppkey"), lit(5)) === 0)
+        .select(concat(lit("s"), col("s_suppkey")).as("subj"),
+          lit("hq").as("pred"), concat(lit("x"), col("n_name")).as("obj")))
+    val contact = t(s, d, "customer").select(
+      concat(lit("c"), col("c_custkey")).as("subj"),
+      lit("contact").as("pred"),
+      concat(lit("e"), pmod(col("c_custkey"), lit(97))).as("obj"))
+    val schema = Seq(("hq", "type", "FunctionalProperty"),
+      ("contact", "type", "InverseFunctionalProperty"))
+      .toDF("subj", "pred", "obj")
+    (hq.unionAll(contact), schema)
+  }
+
+  /** q146/q147 shared step: the deterministic TransE epoch over the
+    * kgeFixture graph with the arithmetic content-hash negative draw
+    * (`item_a·31 + item_b·17 + 7` — replayable in plain SQL).
+    */
+  private def kgeTrained(s: SparkSession, d: String): KgeTrain.Trained = {
+    val f = kgeFixture(s, d)
+    val pos = f.pairs.select(
+      concat(lit("p"), col("item_a")).as("h"),
+      lit("bought_with").as("r"),
+      concat(lit("p"), col("item_b")).as("t"),
+      (col("item_a") * 31 + col("item_b") * 17 + 7).cast("long").as("negseed"))
+    KgeTrain.transEEpoch(pos, f.entEmb, f.relEmb, col("negseed"))
   }
 
   /** q101/q111 fixture: containment triples + placed edges. */
@@ -3420,6 +3530,89 @@ object SparkEntry {
         |  min('c' || c_custkey) AS first
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
+    "q141_sparql_count_distinct" ->
+      """SELECT 'r' || r_name AS r, count(*)::BIGINT AS links,
+        |  count(DISTINCT 'n' || n_name)::BIGINT AS nations
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "q142_sparql_regex_str" ->
+      """SELECT 'c' || c_custkey AS c, 'n' || n_name AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE regexp_matches('n' || n_name, 'ION_1[0-9]$')
+        |  AND starts_with('c' || c_custkey, 'c1')""".stripMargin,
+    "q143_sparql_union_filter" ->
+      """WITH cn AS (SELECT 'c' || c_custkey AS x, 'n' || n_name AS n
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |sn AS (SELECT 's' || s_suppkey AS x, 'n' || n_name AS n
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT x, n FROM cn WHERE ends_with(n, '1')
+        |UNION ALL SELECT x, n FROM sn""".stripMargin,
+    "q144_sparql_nested_optional" ->
+      """WITH cn AS (SELECT 'c' || c_custkey AS c
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |ord AS (SELECT 'c' || o_custkey AS c, 'o' || o_orderkey AS o
+        |  FROM orders),
+        |big AS (SELECT 'o' || o_orderkey AS o, 'yes' AS b
+        |  FROM orders WHERE o_totalprice > 450000),
+        |grp AS (SELECT ord.c, ord.o, big.b
+        |  FROM ord LEFT JOIN big ON big.o = ord.o)
+        |SELECT cn.c, g.o, g.b
+        |FROM cn LEFT JOIN grp g ON g.c = cn.c""".stripMargin,
+    "q145_owl_functional_sameas" ->
+      """WITH hq AS (
+        |  SELECT 's' || s_suppkey AS subj, 'n' || n_name AS obj
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 's' || s_suppkey, 'x' || n_name
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE s_suppkey % 5 = 0),
+        |contact AS (SELECT 'c' || c_custkey AS subj,
+        |    'e' || (c_custkey % 97) AS obj FROM customer),
+        |f AS (SELECT subj, obj,
+        |    min(obj) OVER (PARTITION BY subj) AS rep FROM hq),
+        |g AS (SELECT subj, obj,
+        |    min(subj) OVER (PARTITION BY obj) AS rep FROM contact)
+        |SELECT DISTINCT rep AS subj, 'sameAs' AS pred, obj
+        |  FROM f WHERE obj <> rep
+        |UNION
+        |SELECT DISTINCT g.rep, 'sameAs', g.subj
+        |  FROM g WHERE g.subj <> g.rep""".stripMargin,
+    "q146_kge_transe_epoch" ->
+      (kgeEpochSql +
+      """
+        |SELECT node, idx, val_fp FROM upd""".stripMargin),
+    "q147_kge_trained_ranks" ->
+      (kgeEpochSql +
+      """,
+        |entv AS (SELECT node, list(val_fp::DOUBLE / 1e10 ORDER BY idx) AS vec
+        |  FROM upd GROUP BY 1),
+        |relv AS (SELECT list(val_fp::DOUBLE / 1e10 ORDER BY idx) AS rv
+        |  FROM relupd),
+        |test AS (SELECT 'p' || item_a AS h, 'p' || item_b AS t
+        |  FROM pairs WHERE item_a % 3 = 0),
+        |cand AS (SELECT DISTINCT 'p' || item_b AS cand FROM pairs),
+        |ex AS (SELECT DISTINCT 'p' || item_a AS h, 'p' || item_b AS t
+        |  FROM pairs),
+        |sc AS (SELECT te.h, te.t, c.cand,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (((he.vec[i] + r.rv[i]) - ce.vec[i]) *
+        |       ((he.vec[i] + r.rv[i]) - ce.vec[i]))::DECIMAL(25,10))) AS cdist,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (((he.vec[i] + r.rv[i]) - tte.vec[i]) *
+        |       ((he.vec[i] + r.rv[i]) - tte.vec[i]))::DECIMAL(25,10))) AS tdist
+        |  FROM test te
+        |  JOIN entv he ON he.node = te.h
+        |  JOIN entv tte ON tte.node = te.t
+        |  CROSS JOIN relv r
+        |  CROSS JOIN cand c
+        |  JOIN entv ce ON ce.node = c.cand
+        |  LEFT JOIN ex ON ex.h = te.h AND ex.t = c.cand
+        |  WHERE ex.h IS NULL OR c.cand = te.t)
+        |SELECT h, 'bought_with' AS r, t,
+        |  (1 + sum(CASE WHEN cdist < tdist OR (cdist = tdist AND cand < t)
+        |    THEN 1 ELSE 0 END))::BIGINT AS rank
+        |FROM sc GROUP BY 1, 3""".stripMargin),
     "q109_characteristic_sets" ->
       (profilingTriplesSql +
       """,
@@ -3467,6 +3660,91 @@ object SparkEntry {
     * sides, mirroring [[kgeFixture]] (tail side ranks candidate tails
     * against the head, head side candidate heads against the tail).
     */
+  /** Shared CTE head for q146/q147: the DuckDB replay of
+    * KgeTrain.transEEpoch over the kgeFixture graph — deterministic
+    * arithmetic negative draw, double per-element work, every summed
+    * value snapped to a scale-10 fixed-point BIGINT via
+    * `round(x · 1e10)` (integer-boundary rounding is the one
+    * double→exact conversion both engines answer identically; a
+    * DECIMAL(·,10) cast is NOT — its digit-10 half-way behavior
+    * diverges between shortest-string and binary conversions), learning
+    * rate folded into the double products (±0.02 = ±2·lr) so the
+    * integer layer only ever adds. Ends with `upd` (updated entity
+    * components) and `relupd` (updated relation components), both
+    * (…, idx, val_fp BIGINT).
+    */
+  private val kgeEpochSql: String =
+    """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+      |    FROM lineitem
+      |    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |pairs AS (SELECT a.i AS item_a, b.i AS item_b
+      |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |ents AS (SELECT DISTINCT i FROM (
+      |  SELECT item_a AS i FROM pairs UNION SELECT item_b FROM pairs)),
+      |vocab AS (SELECT 'p' || i AS node,
+      |    row_number() OVER (ORDER BY 'p' || i) - 1 AS nrank FROM ents),
+      |vsize AS (SELECT count(*) AS c FROM vocab),
+      |emb AS (SELECT 'p' || i AS node, e.embedding AS vec
+      |  FROM ents JOIN embeddings e ON e.vec_id = i % 500),
+      |rel AS (SELECT embedding AS rv FROM embeddings WHERE vec_id = 7),
+      |pos AS (SELECT 'p' || item_a AS h, 'p' || item_b AS t,
+      |    (item_a * 31 + item_b * 17 + 7)::BIGINT AS seed FROM pairs),
+      |neg AS (SELECT p.h, p.t, v.node AS tneg
+      |  FROM pos p JOIN vocab v ON v.nrank = p.seed % (SELECT c FROM vsize)
+      |  WHERE v.node <> p.t),
+      |jd AS (SELECT n.h, n.t, n.tneg,
+      |    list_transform(range(1, 65), i ->
+      |      ((he.vec[i]::DOUBLE + rel.rv[i]::DOUBLE)
+      |        - te.vec[i]::DOUBLE)) AS diff,
+      |    list_transform(range(1, 65), i ->
+      |      ((he.vec[i]::DOUBLE + rel.rv[i]::DOUBLE)
+      |        - ne.vec[i]::DOUBLE)) AS diffn
+      |  FROM neg n
+      |  JOIN emb he ON he.node = n.h
+      |  JOIN emb te ON te.node = n.t
+      |  JOIN emb ne ON ne.node = n.tneg
+      |  CROSS JOIN rel),
+      |act AS (SELECT * FROM jd WHERE
+      |  list_sum(list_transform(diff, x -> round((x * x) * 1e10)::BIGINT))
+      |      + 10000000000
+      |  > list_sum(list_transform(diffn, x -> round((x * x) * 1e10)::BIGINT))),
+      |terms AS (
+      |  SELECT h AS node, s.i - 1 AS idx,
+      |      round((diff[s.i] * 0.02) * 1e10)::BIGINT AS term
+      |    FROM act CROSS JOIN generate_series(1, 64) s(i)
+      |  UNION ALL
+      |  SELECT h, s.i - 1, round((diffn[s.i] * -0.02) * 1e10)::BIGINT
+      |    FROM act CROSS JOIN generate_series(1, 64) s(i)
+      |  UNION ALL
+      |  SELECT t, s.i - 1, round((diff[s.i] * -0.02) * 1e10)::BIGINT
+      |    FROM act CROSS JOIN generate_series(1, 64) s(i)
+      |  UNION ALL
+      |  SELECT tneg, s.i - 1, round((diffn[s.i] * 0.02) * 1e10)::BIGINT
+      |    FROM act CROSS JOIN generate_series(1, 64) s(i)),
+      |grads AS (SELECT node, idx, sum(term)::BIGINT AS grad
+      |  FROM terms GROUP BY 1, 2),
+      |upd AS (SELECT b.node, b.idx,
+      |    (round(b.v0::DOUBLE * 1e10)::BIGINT
+      |      - coalesce(g.grad, 0)) AS val_fp
+      |  FROM (SELECT emb.node, s.i - 1 AS idx, emb.vec[s.i] AS v0
+      |    FROM emb CROSS JOIN generate_series(1, 64) s(i)) b
+      |  LEFT JOIN grads g ON g.node = b.node AND g.idx = b.idx),
+      |relterms AS (
+      |  SELECT s.i - 1 AS idx, round((diff[s.i] * 0.02) * 1e10)::BIGINT AS term
+      |    FROM act CROSS JOIN generate_series(1, 64) s(i)
+      |  UNION ALL
+      |  SELECT s.i - 1, round((diffn[s.i] * -0.02) * 1e10)::BIGINT
+      |    FROM act CROSS JOIN generate_series(1, 64) s(i)),
+      |relgrads AS (SELECT idx, sum(term)::BIGINT AS grad
+      |  FROM relterms GROUP BY 1),
+      |relupd AS (SELECT b.idx,
+      |    (round(b.v0::DOUBLE * 1e10)::BIGINT
+      |      - coalesce(g.grad, 0)) AS val_fp
+      |  FROM (SELECT s.i - 1 AS idx, rel.rv[s.i] AS v0
+      |    FROM rel CROSS JOIN generate_series(1, 64) s(i)) b
+      |  LEFT JOIN relgrads g ON g.idx = b.idx)""".stripMargin
+
   private def kgeRanksSql(headSide: Boolean, distMult: Boolean = false): String = {
     // TransE squared distance (lower better) or the DistMult trilinear
     // product (higher better) — multiplication order (h·r)·t matches the

@@ -87,9 +87,10 @@ object SparqlLite {
   private final case class FNot(e: FExpr) extends FExpr
 
   private val cmpOps = Set("=", "!=", "<", "<=", ">", ">=")
-  private val boolFns = Set("CONTAINS", "STRSTARTS", "STRENDS", "BOUND")
+  private val boolFns = Set("CONTAINS", "STRSTARTS", "STRENDS", "BOUND",
+    "REGEX")
   private val allFns = boolFns ++ Set("STRLEN", "UCASE", "LCASE", "ABS",
-    "SUBSTR", "CONCAT", "COALESCE", "IF")
+    "SUBSTR", "CONCAT", "COALESCE", "IF", "STR")
 
   private def fvars(e: FExpr): Seq[String] = e match {
     case FTerm(t) => if (t.startsWith("?")) Seq(t.stripPrefix("?")) else Seq.empty
@@ -135,6 +136,10 @@ object SparqlLite {
     case FFn("SUBSTR", Seq(str, pos, len)) =>
       valCol(str).substr(valCol(pos).cast("int"), valCol(len).cast("int"))
     case FFn("CONCAT", as) if as.nonEmpty => concat(as.map(valCol): _*)
+    // SPARQL STR: the lexical form of the term — our object domain is
+    // already strings, so this is a string cast (it exists so numeric-
+    // typed BIND results can feed string functions/comparisons)
+    case FFn("STR", Seq(a)) => valCol(a).cast("string")
     case FFn("COALESCE", as) if as.nonEmpty => coalesce(as.map(valCol): _*)
     case FFn("IF", Seq(c, a, b)) => when(boolCol(c), valCol(a)).otherwise(valCol(b))
     case f @ FFn(n, _) if boolFns.contains(n) => boolCol(f)
@@ -174,6 +179,9 @@ object SparqlLite {
     case FFn("CONTAINS", Seq(a, b)) => valCol(a).contains(valCol(b))
     case FFn("STRSTARTS", Seq(a, b)) => valCol(a).startsWith(valCol(b))
     case FFn("STRENDS", Seq(a, b)) => valCol(a).endsWith(valCol(b))
+    // SPARQL REGEX(text, pattern) — Java regex `find` semantics
+    // (unanchored), matching DuckDB's regexp_matches for the oracle twin
+    case FFn("REGEX", Seq(a, b)) => regexp_like(valCol(a), valCol(b))
     // SPARQL BOUND: an OPTIONAL-unmatched binding is a null column here,
     // so BOUND(?x) is exactly isNotNull — with !, the classic
     // negation-by-failure idiom over OPTIONAL
@@ -190,16 +198,49 @@ object SparqlLite {
     * variable columns (vars.length columns, each row one tuple).
     */
   private final case class ValuesTable(vars: Seq[String], rows: Seq[Seq[String]])
-  private final case class Agg(fn: String, operand: String, alias: String)
+  private final case class Agg(fn: String, operand: String, alias: String,
+      distinct: Boolean)
+
+  /** One group graph pattern `{ ... }` — the RECURSIVE unit of the
+    * grammar: triples and property paths, expression FILTERs, BINDs,
+    * VALUES, subqueries, and nested OPTIONAL / MINUS / UNION / EXISTS
+    * groups, each of which is itself a full GGroup. Brace nesting is
+    * general: OPTIONAL can contain OPTIONAL, UNION branches can carry
+    * FILTERs, MINUS bodies can hold paths, and so on — the planner
+    * composes each group to a frame the same way at every depth.
+    */
+  private final case class GGroup(
+      patterns: Seq[TriplePattern],
+      filters: Seq[FExpr],
+      binds: Seq[(String, FExpr)],
+      values: Seq[Values],
+      valueTables: Seq[ValuesTable],
+      optionals: Seq[GGroup],
+      minuses: Seq[GGroup],
+      unions: Seq[Seq[GGroup]],
+      exists: Seq[(GGroup, Boolean)],
+      subqueries: Seq[(String, Seq[String])]) {
+    /** Does this group contribute a joinable frame of its own? */
+    def hasFrame: Boolean =
+      patterns.nonEmpty || unions.nonEmpty || subqueries.nonEmpty
+    /** Variables present as COLUMNS of the group's frame before its own
+      * BINDs run: patterns, then optional groups, then union branches,
+      * then subquery projections — first-appearance order, which pins
+      * `SELECT *` column order (MINUS/EXISTS groups bind nothing
+      * outward).
+      */
+    def frameVars: Seq[String] =
+      (patterns.flatMap(_.vars) ++ optionals.flatMap(_.allVars) ++
+        unions.flatMap(_.flatMap(_.allVars)) ++
+        subqueries.flatMap(_._2)).distinct
+    /** [[frameVars]] plus this group's own BIND names. */
+    def allVars: Seq[String] = (frameVars ++ binds.map(_._1)).distinct
+  }
+
   private final case class Query(form: String, distinct: Boolean,
       select: Seq[String], aggs: Seq[Agg], groupBy: Seq[String],
       orderBy: Seq[(String, Boolean)], template: Seq[TriplePattern],
-      patterns: Seq[TriplePattern],
-      optionals: Seq[(Seq[TriplePattern], Seq[FExpr])],
-      minuses: Seq[Seq[TriplePattern]], unions: Seq[Seq[Seq[TriplePattern]]],
-      filters: Seq[FExpr], binds: Seq[(String, FExpr)], values: Seq[Values],
-      valueTables: Seq[ValuesTable], havings: Seq[FExpr],
-      exists: Seq[(Seq[TriplePattern], Boolean)], subqueries: Seq[String],
+      root: GGroup, havings: Seq[FExpr],
       prefixes: Map[String, String],
       limit: Option[Int], offset: Option[Int])
 
@@ -320,20 +361,24 @@ object SparqlLite {
           val t = next()
           if (t == "*") star = true
           else if (t == "(") {
-            // (AGG(?v|*) AS ?alias)
+            // (AGG(DISTINCT? ?v|*) AS ?alias)
             val fn = next().toUpperCase
             require(Seq("COUNT", "SUM", "MIN", "MAX", "AVG",
               "GROUP_CONCAT", "SAMPLE").contains(fn),
               s"unsupported aggregate $fn")
             expect("(")
+            val dist = peek.equalsIgnoreCase("DISTINCT") && { next(); true }
+            require(!dist || fn == "COUNT" || fn == "SUM",
+              s"DISTINCT is supported for COUNT and SUM, got $fn")
             val operand = next()
-            require(operand.startsWith("?") || (operand == "*" && fn == "COUNT"),
-              s"$fn takes a ?var${if (fn == "COUNT") " or *" else ""}, got $operand")
+            require(operand.startsWith("?") ||
+              (operand == "*" && fn == "COUNT" && !dist),
+              s"$fn takes a ?var${if (fn == "COUNT" && !dist) " or *" else ""}, got $operand")
             expect(")"); expect("AS")
             val alias = next()
             require(alias.startsWith("?"), s"AS takes a ?alias, got $alias")
             expect(")")
-            aggs += Agg(fn, operand, alias.stripPrefix("?"))
+            aggs += Agg(fn, operand, alias.stripPrefix("?"), dist)
             select += alias.stripPrefix("?")
           } else {
             require(t.startsWith("?"), s"SELECT list takes ?vars, aggregates or *, got $t")
@@ -359,30 +404,6 @@ object SparqlLite {
         }
         require(select.nonEmpty, "DESCRIBE names no variables")
         expect("WHERE")
-    }
-    expect("{")
-
-    val patterns = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
-    val optionals =
-      scala.collection.mutable.ArrayBuffer.empty[(Seq[TriplePattern], Seq[FExpr])]
-    val filters = scala.collection.mutable.ArrayBuffer.empty[FExpr]
-    val binds = scala.collection.mutable.ArrayBuffer.empty[(String, FExpr)]
-    val values = scala.collection.mutable.ArrayBuffer.empty[Values]
-    val valueTables = scala.collection.mutable.ArrayBuffer.empty[ValuesTable]
-    val subqueries = scala.collection.mutable.ArrayBuffer.empty[String]
-
-    val groupKeywords = Seq("FILTER", "BIND", "VALUES", "OPTIONAL", "MINUS", "UNION")
-    def tripleList(): Seq[TriplePattern] = {
-      val acc = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
-      while (peek != "}") {
-        // a clause keyword here would otherwise be swallowed into a
-        // garbage TriplePattern and fail far away with the wrong message
-        require(!groupKeywords.exists(peek.equalsIgnoreCase),
-          s"$peek is not supported inside a nested group — only triples")
-        acc += TriplePattern(term(), predTerm(), term())
-        if (peek == ".") next()
-      }
-      acc.toSeq
     }
     // FILTER operands may be fractional numbers, which the tokenizer
     // splits at the '.' — re-fuse `<int> . <digits>` into one literal
@@ -472,155 +493,149 @@ object SparqlLite {
     }
     def fbool(): FExpr = forExpr()
 
-    val minuses = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
-    val exists =
-      scala.collection.mutable.ArrayBuffer.empty[(Seq[TriplePattern], Boolean)]
-    val unions = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[TriplePattern]]]
-    while (peek != "}") {
-      if (peek.equalsIgnoreCase("OPTIONAL")) {
-        // OPTIONAL { triples . (FILTER ( bool ))* } — a filter INSIDE the
-        // group applies to the group's frame BEFORE the left join
-        // (SPARQL group scope: it narrows what can match, it never
-        // removes a solution of the required graph)
-        next(); expect("{")
-        val g = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
-        val gf = scala.collection.mutable.ArrayBuffer.empty[FExpr]
-        while (peek != "}") {
-          if (peek.equalsIgnoreCase("FILTER")) {
-            next(); expect("(")
-            gf += fbool()
-            expect(")")
-          } else {
-            require(!groupKeywords.exists(peek.equalsIgnoreCase),
-              s"$peek is not supported inside OPTIONAL — only triples and FILTER")
-            g += TriplePattern(term(), predTerm(), term())
-          }
-          if (peek == ".") next()
-        }
-        require(g.nonEmpty, "empty OPTIONAL group")
-        expect("}")
-        // group scope: an inner filter may only reference the group's
-        // own variables (the frame it applies to)
-        val gVars = g.flatMap(_.vars).toSet
-        gf.foreach(e => fvars(e).foreach(v => require(gVars.contains(v),
-          s"OPTIONAL FILTER uses ?$v, which the group does not bind")))
-        optionals += ((g.toSeq, gf.toSeq))
-      } else if (peek.equalsIgnoreCase("MINUS")) {
-        next(); expect("{")
-        val g = tripleList()
-        require(g.nonEmpty, "empty MINUS group")
-        expect("}")
-        minuses += g
-      } else if (peek == "{" && i + 1 < ts.length &&
-          ts(i + 1).equalsIgnoreCase("SELECT")) {
-        // SPARQL 1.1 subquery: { SELECT ... } — collect the balanced
-        // token span, reassemble it as query text (re-quoting literal
-        // sentinels) and evaluate it RECURSIVELY at plan time; only its
-        // projected variables join the outer group. Validated eagerly
-        // below (the recursive parse), so malformed subqueries fail at
-        // the outer parse, not mid-plan.
-        next() // '{'
-        val sub = scala.collection.mutable.ArrayBuffer.empty[String]
-        var depth = 1
-        while (depth > 0) {
-          val t = next()
-          if (t == "{") depth += 1
-          else if (t == "}") depth -= 1
-          if (depth > 0) sub += t
-        }
-        // outer PREFIX declarations apply inside the subquery (SPARQL
-        // prologue scope): prepend them to the reassembled text
-        val prologue = prefixes.toSeq.sortBy(_._1)
-          .map { case (n, iri) => s"PREFIX $n: <$iri>" }.mkString(" ")
-        val body = sub.map(tok =>
-          if (tok.startsWith("'")) "'" + tok.substring(1) + "'" else tok)
-          .mkString(" ")
-        subqueries += (if (prologue.isEmpty) body else s"$prologue $body")
-      } else if (peek == "{") {
-        // { triples } UNION { triples } (UNION ...)*
-        val branches = scala.collection.mutable.ArrayBuffer.empty[Seq[TriplePattern]]
-        next()
-        branches += tripleList()
-        expect("}")
-        while (i < ts.length && peek.equalsIgnoreCase("UNION")) {
-          next(); expect("{")
-          branches += tripleList()
-          expect("}")
-        }
-        require(branches.length >= 2,
-          "a braced group must be a UNION of two or more branches")
-        branches.foreach(b => require(b.nonEmpty, "empty UNION branch"))
-        unions += branches.toSeq
-      } else if (peek.equalsIgnoreCase("FILTER")) {
-        next()
-        // FILTER EXISTS { ... } / FILTER NOT EXISTS { ... } — pattern
-        // tests compiled to semi/anti joins on the shared variables
-        // (the well-designed-pattern correlation, same domain rule as
-        // MINUS); otherwise an expression FILTER
-        val neg = peek.equalsIgnoreCase("NOT") && { next(); true }
-        if (neg || peek.equalsIgnoreCase("EXISTS")) {
-          expect("EXISTS"); expect("{")
-          val g = tripleList()
-          require(g.nonEmpty, "empty EXISTS group")
-          expect("}")
-          exists += ((g, !neg))
-        } else {
-          expect("(")
-          filters += fbool()
-          expect(")")
-        }
-      } else if (peek.equalsIgnoreCase("BIND")) {
-        next(); expect("(")
-        val e = fexpr()
-        expect("AS")
-        val v = next()
-        require(v.startsWith("?"), s"BIND takes AS ?var, got $v")
-        expect(")")
-        binds += ((v.stripPrefix("?"), e))
-      } else if (peek.equalsIgnoreCase("VALUES")) {
-        next()
-        if (peek == "(") {
-          // multi-variable form: VALUES (?a ?b) { (x y) (u v) ... } —
-          // an inline binding table joined on its variable columns
+    /** One `{ ... }` group graph pattern, RECURSIVELY (consumes the
+      * opening brace itself): any item may appear at any depth —
+      * OPTIONAL inside OPTIONAL, FILTERs inside UNION branches, paths
+      * inside MINUS bodies. Each nested clause body is a full GGroup.
+      */
+    def parseGroup(): GGroup = {
+      expect("{")
+      val patterns = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
+      val filters = scala.collection.mutable.ArrayBuffer.empty[FExpr]
+      val binds = scala.collection.mutable.ArrayBuffer.empty[(String, FExpr)]
+      val values = scala.collection.mutable.ArrayBuffer.empty[Values]
+      val valueTables = scala.collection.mutable.ArrayBuffer.empty[ValuesTable]
+      val optionals = scala.collection.mutable.ArrayBuffer.empty[GGroup]
+      val minuses = scala.collection.mutable.ArrayBuffer.empty[GGroup]
+      val unions = scala.collection.mutable.ArrayBuffer.empty[Seq[GGroup]]
+      val exists = scala.collection.mutable.ArrayBuffer.empty[(GGroup, Boolean)]
+      val subqueries =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+      while (peek != "}") {
+        if (peek.equalsIgnoreCase("OPTIONAL")) {
+          // the optional body is a full group: its own filters/binds/
+          // nested clauses compose BEFORE the left join (SPARQL group
+          // scope — they narrow what can match, never remove a solution
+          // of the required graph)
           next()
-          val vs = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (peek != ")") {
-            val v = next()
-            require(v.startsWith("?"), s"VALUES var list takes ?vars, got $v")
-            vs += v.stripPrefix("?")
+          optionals += parseGroup()
+        } else if (peek.equalsIgnoreCase("MINUS")) {
+          next()
+          minuses += parseGroup()
+        } else if (peek == "{" && i + 1 < ts.length &&
+            ts(i + 1).equalsIgnoreCase("SELECT")) {
+          // SPARQL 1.1 subquery: { SELECT ... } — collect the balanced
+          // token span, reassemble it as query text (re-quoting literal
+          // sentinels) and evaluate it RECURSIVELY at plan time; only
+          // its projected variables join the outer group. Parsed
+          // eagerly here, so malformed subqueries fail at the outer
+          // parse and the projection is known for scope checks.
+          next() // '{'
+          val sub = scala.collection.mutable.ArrayBuffer.empty[String]
+          var depth = 1
+          while (depth > 0) {
+            val t = next()
+            if (t == "{") depth += 1
+            else if (t == "}") depth -= 1
+            if (depth > 0) sub += t
           }
-          next() // ')'
-          require(vs.nonEmpty, "empty VALUES var list")
-          expect("{")
-          val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
-          while (peek != "}") {
+          // outer PREFIX declarations apply inside the subquery (SPARQL
+          // prologue scope): prepend them to the reassembled text
+          val prologue = prefixes.toSeq.sortBy(_._1)
+            .map { case (n, iri) => s"PREFIX $n: <$iri>" }.mkString(" ")
+          val body = sub.map(tok =>
+            if (tok.startsWith("'")) "'" + tok.substring(1) + "'" else tok)
+            .mkString(" ")
+          val text = if (prologue.isEmpty) body else s"$prologue $body"
+          val sq = parse(text)
+          require(sq.form == "SELECT", "subqueries must be SELECT queries")
+          subqueries += ((text, sq.select))
+        } else if (peek == "{") {
+          // { group } UNION { group } (UNION ...)* — each branch a full
+          // recursive group
+          val branches = scala.collection.mutable.ArrayBuffer(parseGroup())
+          while (i < ts.length && peek.equalsIgnoreCase("UNION")) {
+            next()
+            branches += parseGroup()
+          }
+          require(branches.length >= 2,
+            "a braced group must be a UNION of two or more branches")
+          unions += branches.toSeq
+        } else if (peek.equalsIgnoreCase("FILTER")) {
+          next()
+          // FILTER EXISTS { ... } / FILTER NOT EXISTS { ... } — pattern
+          // tests compiled to semi/anti joins on the shared variables
+          // (the well-designed-pattern correlation, same domain rule as
+          // MINUS); otherwise an expression FILTER
+          val neg = peek.equalsIgnoreCase("NOT") && { next(); true }
+          if (neg || peek.equalsIgnoreCase("EXISTS")) {
+            expect("EXISTS")
+            exists += ((parseGroup(), !neg))
+          } else {
             expect("(")
-            val row = scala.collection.mutable.ArrayBuffer.empty[String]
-            while (peek != ")") row += term()
-            next() // ')'
-            require(row.length == vs.length,
-              s"VALUES row (${row.mkString(" ")}) arity ${row.length} != ${vs.length}")
-            rows += row.toSeq
+            filters += fbool()
+            expect(")")
           }
-          expect("}")
-          require(rows.nonEmpty, "empty VALUES set")
-          valueTables += ValuesTable(vs.toSeq, rows.toSeq)
-        } else {
+        } else if (peek.equalsIgnoreCase("BIND")) {
+          next(); expect("(")
+          val e = fexpr()
+          expect("AS")
           val v = next()
-          require(v.startsWith("?"), s"VALUES takes a ?var, got $v")
-          expect("{")
-          val consts = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (peek != "}") consts += term()
-          expect("}")
-          require(consts.nonEmpty, "empty VALUES set")
-          values += Values(v.stripPrefix("?"), consts.toSeq)
+          require(v.startsWith("?"), s"BIND takes AS ?var, got $v")
+          expect(")")
+          binds += ((v.stripPrefix("?"), e))
+        } else if (peek.equalsIgnoreCase("VALUES")) {
+          next()
+          if (peek == "(") {
+            // multi-variable form: VALUES (?a ?b) { (x y) (u v) ... } —
+            // an inline binding table joined on its variable columns
+            next()
+            val vs = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (peek != ")") {
+              val v = next()
+              require(v.startsWith("?"), s"VALUES var list takes ?vars, got $v")
+              vs += v.stripPrefix("?")
+            }
+            next() // ')'
+            require(vs.nonEmpty, "empty VALUES var list")
+            expect("{")
+            val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+            while (peek != "}") {
+              expect("(")
+              val row = scala.collection.mutable.ArrayBuffer.empty[String]
+              while (peek != ")") row += term()
+              next() // ')'
+              require(row.length == vs.length,
+                s"VALUES row (${row.mkString(" ")}) arity ${row.length} != ${vs.length}")
+              rows += row.toSeq
+            }
+            expect("}")
+            require(rows.nonEmpty, "empty VALUES set")
+            valueTables += ValuesTable(vs.toSeq, rows.toSeq)
+          } else {
+            val v = next()
+            require(v.startsWith("?"), s"VALUES takes a ?var, got $v")
+            expect("{")
+            val consts = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (peek != "}") consts += term()
+            expect("}")
+            require(consts.nonEmpty, "empty VALUES set")
+            values += Values(v.stripPrefix("?"), consts.toSeq)
+          }
+        } else {
+          require(!peek.equalsIgnoreCase("UNION"),
+            "UNION must follow a braced group")
+          patterns += TriplePattern(term(), predTerm(), term())
         }
-      } else {
-        patterns += TriplePattern(term(), predTerm(), term())
+        if (peek == ".") next()
       }
-      if (peek == ".") next()
+      expect("}")
+      GGroup(patterns.toSeq, filters.toSeq, binds.toSeq, values.toSeq,
+        valueTables.toSeq, optionals.toSeq, minuses.toSeq, unions.toSeq,
+        exists.toSeq, subqueries.toSeq)
     }
-    expect("}")
+
+    val root = parseGroup()
     val groupBy = scala.collection.mutable.ArrayBuffer.empty[String]
     val havings = scala.collection.mutable.ArrayBuffer.empty[FExpr]
     if (i < ts.length && peek.equalsIgnoreCase("GROUP")) {
@@ -663,40 +678,64 @@ object SparqlLite {
       else { require(offset.isEmpty, "duplicate OFFSET"); offset = Some(n) }
     }
     require(i == ts.length, s"trailing tokens after query: ${ts.drop(i).mkString(" ")}")
-    require(patterns.nonEmpty || unions.nonEmpty || subqueries.nonEmpty,
-      "query has no required triple pattern")
+    require(root.hasFrame, "query has no required triple pattern")
     if (form == "ASK" || form == "DESCRIBE")
       require(limit.isEmpty && offset.isEmpty,
         s"$form does not take LIMIT/OFFSET")
-    unions.foreach { branches =>
-      val varSets = branches.map(_.flatMap(_.vars).toSet)
-      require(varSets.distinct.length == 1,
-        s"UNION branches must bind the same variables, got $varSets")
-    }
 
-    val subProjected = subqueries.flatMap { t =>
-      val sq = parse(t)
-      require(sq.form == "SELECT", "subqueries must be SELECT queries")
-      sq.select
+    // recursive scope validation, one group at a time: BINDs may use
+    // the group's frame vars and EARLIER binds and must be fresh
+    // (SPARQL forbids rebinding); FILTERs and VALUES see only what
+    // THEIR group binds — the SPARQL group-scope rule, which is exactly
+    // what makes an OPTIONAL-inner FILTER narrow the group rather than
+    // the solution; MINUS/EXISTS must share a variable with the
+    // enclosing FRAME (binds excluded: they run after those joins) to
+    // be correlated; UNION branches must bind identical variable sets
+    // (documented restriction — branches align by column for the union).
+    def validate(g: GGroup, where: String): Unit = {
+      require(g.hasFrame,
+        s"$where binds no frame — it needs a triple pattern, UNION or subquery")
+      val frame = g.frameVars
+      val names = scala.collection.mutable.ListBuffer.empty[String]
+      g.binds.foreach { case (v, e) =>
+        require(!frame.contains(v) && !names.contains(v),
+          s"BIND ?$v rebinds an already-bound variable")
+        fvars(e).foreach(u => require(frame.contains(u) || names.contains(u),
+          s"BIND expression uses unbound ?$u"))
+        names += v
+      }
+      val all = g.allVars
+      g.filters.foreach(f => fvars(f).foreach(u => require(all.contains(u),
+        s"FILTER uses ?$u, which $where does not bind")))
+      (g.values.map(_.v) ++ g.valueTables.flatMap(_.vars)).foreach(v =>
+        require(all.contains(v), s"VALUES ?$v is unbound in $where"))
+      g.minuses.foreach { m =>
+        require(m.allVars.intersect(frame).nonEmpty,
+          "MINUS group shares no variable with the enclosing graph " +
+            "(SPARQL would remove nothing; write the intended join)")
+        validate(m, "the MINUS group")
+      }
+      g.exists.foreach { case (eg, _) =>
+        require(eg.allVars.intersect(frame).nonEmpty,
+          "EXISTS group shares no variable with the enclosing graph " +
+            "(the test would be uncorrelated; write the intended join)")
+        validate(eg, "the EXISTS group")
+      }
+      g.optionals.foreach(validate(_, "the OPTIONAL group"))
+      g.unions.foreach { branches =>
+        branches.foreach(validate(_, "the UNION branch"))
+        val sets = branches.map(_.allVars.toSet)
+        require(sets.distinct.length == 1,
+          s"UNION branches must bind the same variables, got $sets")
+      }
     }
-    val bound = ((patterns ++ optionals.flatMap(_._1) ++ unions.flatten.flatten)
-      .flatMap(_.vars) ++ subProjected).distinct.toList
-    // BIND scope: an expression may use pattern vars and EARLIER binds;
-    // the bound name must be fresh (SPARQL forbids rebinding)
-    val bindNames = scala.collection.mutable.ListBuffer.empty[String]
-    binds.foreach { case (v, e) =>
-      require(!bound.contains(v) && !bindNames.contains(v),
-        s"BIND ?$v rebinds an already-bound variable")
-      fvars(e).foreach(u => require(bound.contains(u) || bindNames.contains(u),
-        s"BIND expression uses unbound ?$u"))
-      bindNames += v
-    }
-    val boundAll = bound ++ bindNames
-    filters.foreach(f => fvars(f).foreach(u =>
-      require(boundAll.contains(u), s"FILTER uses unbound ?$u")))
+    validate(root, "the query")
+
+    val bound = root.frameVars
+    val boundAll = root.allVars
     val sel =
       if (form == "DESCRIBE") select.toList
-      else if (star || form != "SELECT") boundAll
+      else if (star || form != "SELECT") boundAll.toList
       else select.toList
     require(sel.nonEmpty, "empty SELECT list")
     val aliases = aggs.map(_.alias)
@@ -719,26 +758,18 @@ object SparqlLite {
     require(!(star && aggs.nonEmpty), "SELECT * cannot mix with aggregates")
     template.flatMap(_.vars).distinct
       .foreach(v => require(bound.contains(v), s"CONSTRUCT ?$v is unbound"))
-    (values.map(_.v) ++ valueTables.flatMap(_.vars))
-      .foreach(v => require(boundAll.contains(v), s"VALUES ?$v is unbound"))
     orderBy.foreach { case (v, _) =>
       require(form == "SELECT", "ORDER BY requires SELECT")
-      require(sel.contains(v),
-        s"ORDER BY ?$v must appear in the SELECT list")
+      // a non-selected key is legal for a PLAIN select: the planner
+      // sorts before projecting. DISTINCT/aggregates collapse rows
+      // after projection, where an unselected key no longer exists.
+      require(sel.contains(v) ||
+        (aggs.isEmpty && !distinct && boundAll.contains(v)),
+        s"ORDER BY ?$v must be selected (or at least bound, for plain " +
+          "non-DISTINCT selects)")
     }
-    minuses.foreach(g => require(
-      g.flatMap(_.vars).intersect(bound).nonEmpty,
-      s"MINUS group $g shares no variable with the required graph " +
-        "(SPARQL would remove nothing; write the intended join)"))
-    exists.foreach { case (g, _) => require(
-      g.flatMap(_.vars).intersect(bound).nonEmpty,
-      s"EXISTS group $g shares no variable with the required graph " +
-        "(the test would be uncorrelated; write the intended join)") }
     Query(form, distinct, sel, aggs.toSeq, groupBy.toList, orderBy.toSeq,
-      template.toSeq, patterns.toSeq, optionals.toSeq,
-      minuses.map(_.toSeq).toSeq, unions.toSeq, filters.toSeq,
-      binds.toSeq, values.toSeq, valueTables.toSeq, havings.toSeq,
-      exists.toSeq, subqueries.toSeq, prefixes.toMap, limit, offset)
+      template.toSeq, root, havings.toSeq, prefixes.toMap, limit, offset)
   }
 
   // ---------------------------------------------------------------- paths
@@ -918,7 +949,6 @@ object SparqlLite {
     val q = parse(queryText)
     q.template.foreach(tp => require(!isPath(tp.p),
       s"property paths are not allowed in CONSTRUCT templates: $tp"))
-    val (pathPs, plainPs) = q.patterns.partition(tp => isPath(tp.p))
     // predicate statistics for BGP join ordering: caller-provided, else
     // session-cached, else computed at most ONCE per query (lazy —
     // single-pattern-only queries never pay the job) and shared by every
@@ -927,19 +957,6 @@ object SparqlLite {
     def matchBgp(ps: Seq[GraphQuery.TriplePattern]) =
       GraphQuery.bgpMatch(triples, ps,
         if (ps.lengthCompare(1) > 0) Some(bgpStats) else None)
-    // one group (a UNION branch, OPTIONAL/MINUS/EXISTS body) may mix
-    // plain patterns and property paths: compile each family and join
-    // the frames on shared variables — the same composition the
-    // top-level graph gets
-    def groupFrame(g: Seq[GraphQuery.TriplePattern]): DataFrame = {
-      val (gPath, gPlain) = g.partition(tp => isPath(tp.p))
-      val fs = (if (gPlain.nonEmpty) Seq(matchBgp(gPlain)) else Seq.empty) ++
-        gPath.map(pathFrame(triples, _, q.prefixes))
-      fs.reduce { (a, b) =>
-        val shared = a.columns.toSeq.intersect(b.columns.toSeq)
-        if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)
-      }
-    }
     // per-pattern cardinality estimate, path-aware: a path frame's cost
     // folds into frame ordering next to plain patterns (a constant
     // endpoint shrinks it by the term universe, mirroring
@@ -953,38 +970,17 @@ object SparqlLite {
           e /= math.max(1.0, bgpStats.totalObjects.toDouble)
         e
       } else bgpStats.estimate(tp)
-    val unionFrames = q.unions.map { branches =>
-      // branches bind identical var sets (parse-checked); align columns
-      // to the first branch's order before the bag union
-      val order = branches.head.flatMap(_.vars).distinct
-      val f = branches.map(b =>
-        groupFrame(b).select(order.map(col): _*))
-        .reduce(_ unionAll _)
-      // a union's size is the sum of its branches; a branch joins
-      // DOWN from its cheapest member
-      (f, () => branches.map(b => b.map(patternEst).min).sum)
-    }
-    val subFrames = q.subqueries.map { t =>
-      // thread the outer stats through — a subquery against the same
-      // table must never pay its own stats job
-      (sparql(triples, t, Some(bgpStats)),
-        () => bgpStats.totalTriples.toDouble)
-    }
-    val frames: Seq[(DataFrame, () => Double)] =
-      (if (plainPs.nonEmpty)
-         Seq((matchBgp(plainPs), () => plainPs.map(patternEst).min))
-       else Seq.empty) ++
-      pathPs.map(tp => (pathFrame(triples, tp, q.prefixes),
-        () => patternEst(tp))) ++
-      unionFrames ++ subFrames
+    def groupEst(g: GGroup): Double =
+      if (g.patterns.nonEmpty) g.patterns.map(patternEst).min
+      else bgpStats.totalTriples.toDouble
     // greedy frame order — cheapest first, then cheapest CONNECTED (the
     // same law orderPatterns applies inside the plain BGP), so a
     // selective path or union can anchor the join prefix and an
     // expensive closure defers to the end. Estimates are thunks: a
-    // single-frame query never forces the stats job. Inner equi-joins
+    // single-frame group never forces the stats job. Inner equi-joins
     // and cross joins commute, so this is semantics-preserving; the
     // final SELECT fixes the output column order either way.
-    var df =
+    def greedyJoin(frames: Seq[(DataFrame, () => Double)]): DataFrame =
       if (frames.lengthCompare(1) == 0) frames.head._1
       else {
         val est = frames.map(_._2())
@@ -1010,61 +1006,112 @@ object SparqlLite {
         }
         acc
       }
-    q.optionals.foreach { case (g, gf) =>
-      var f = groupFrame(g)
-      gf.foreach(e => f = f.where(boolCol(e)))
-      val shared = df.columns.toSeq.intersect(f.columns.toSeq)
-      require(shared.nonEmpty,
-        s"OPTIONAL group $g shares no variable with the preceding graph")
-      df = df.join(f, shared, "left")
+    // one group composed to its binding frame, RECURSIVELY — identical
+    // machinery at every depth: plain patterns via the stats-ordered
+    // BGP, paths via (possibly seeded) pair sets, UNION branches and
+    // subqueries as frames, all greedy-joined; then nested OPTIONALs
+    // left-join, EXISTS/MINUS semi/anti-join, BINDs compute, VALUES
+    // restrict, and the group's own FILTERs narrow the result — so an
+    // inner FILTER scopes to its group, never the enclosing solution
+    def groupEval(g: GGroup): DataFrame = {
+      val (pathPs, plainPs) = g.patterns.partition(tp => isPath(tp.p))
+      val unionFrames = g.unions.map { branches =>
+        // branches bind identical var sets (parse-checked); align
+        // columns to the first branch's order before the bag union
+        val order = branches.head.allVars
+        val f = branches.map(b => groupEval(b).select(order.map(col): _*))
+          .reduce(_ unionAll _)
+        // a union's size is the sum of its branches; a branch joins
+        // DOWN from its cheapest member
+        (f, () => branches.map(groupEst).sum)
+      }
+      val subFrames = g.subqueries.map { case (t, _) =>
+        // thread the outer stats through — a subquery against the same
+        // table must never pay its own stats job
+        (sparql(triples, t, Some(bgpStats)),
+          () => bgpStats.totalTriples.toDouble)
+      }
+      val frames: Seq[(DataFrame, () => Double)] =
+        (if (plainPs.nonEmpty)
+           Seq((matchBgp(plainPs), () => plainPs.map(patternEst).min))
+         else Seq.empty) ++
+        pathPs.map(tp => (pathFrame(triples, tp, q.prefixes),
+          () => patternEst(tp))) ++
+        unionFrames ++ subFrames
+      var df = greedyJoin(frames)
+      g.optionals.foreach { og =>
+        val f = groupEval(og)
+        val shared = df.columns.toSeq.intersect(f.columns.toSeq)
+        require(shared.nonEmpty,
+          "OPTIONAL group shares no variable with the preceding graph")
+        df = df.join(f, shared, "left")
+      }
+      g.exists.foreach { case (eg, positive) =>
+        val f = groupEval(eg)
+        val shared = df.columns.toSeq.intersect(f.columns.toSeq)
+        df = df.join(f.select(shared.map(col): _*), shared,
+          if (positive) "left_semi" else "left_anti")
+      }
+      g.minuses.foreach { mg =>
+        // SPARQL MINUS over patterns sharing variables = anti-join on
+        // the shared domain (the FILTER NOT EXISTS-coincident case;
+        // disjoint domains are rejected at parse time)
+        val f = groupEval(mg)
+        val shared = df.columns.toSeq.intersect(f.columns.toSeq)
+        require(shared.nonEmpty,
+          "MINUS group shares no variable with the preceding graph")
+        df = df.join(f.select(shared.map(col): _*), shared, "left_anti")
+      }
+      // BIND first: VALUES and FILTER may reference computed bindings
+      // (VALUES is a restriction/join — it commutes with the computation)
+      g.binds.foreach { case (v, e) => df = df.withColumn(v, valCol(e)) }
+      g.values.foreach { v =>
+        df = df.where(col(v.v).isInCollection(v.consts))
+      }
+      g.valueTables.foreach { vt =>
+        // inline data is tiny by construction: broadcast the tuple table
+        // and inner-join on the variable columns
+        val rows = vt.rows.map(r => org.apache.spark.sql.Row(r: _*))
+        val schema = org.apache.spark.sql.types.StructType(vt.vars.map(v =>
+          org.apache.spark.sql.types.StructField(v,
+            org.apache.spark.sql.types.StringType)))
+        val inline = triples.sparkSession.createDataFrame(
+          triples.sparkSession.sparkContext.parallelize(rows, 1), schema)
+        df = df.join(broadcast(inline), vt.vars)
+      }
+      g.filters.foreach(f => df = df.where(boolCol(f)))
+      df
     }
-    q.exists.foreach { case (g, positive) =>
-      val f = groupFrame(g)
-      val shared = df.columns.toSeq.intersect(f.columns.toSeq)
-      df = df.join(f.select(shared.map(col): _*), shared,
-        if (positive) "left_semi" else "left_anti")
-    }
-    q.minuses.foreach { g =>
-      // SPARQL MINUS over patterns sharing variables = anti-join on the
-      // shared domain (the FILTER NOT EXISTS-coincident case; disjoint
-      // domains are rejected at parse time)
-      val f = groupFrame(g)
-      val shared = df.columns.toSeq.intersect(f.columns.toSeq)
-      require(shared.nonEmpty,
-        s"MINUS group $g shares no variable with the preceding graph")
-      df = df.join(f.select(shared.map(col): _*), shared, "left_anti")
-    }
-    // BIND first: VALUES and FILTER may reference computed bindings
-    // (VALUES is a restriction/join — it commutes with the computation)
-    q.binds.foreach { case (v, e) => df = df.withColumn(v, valCol(e)) }
-    q.values.foreach { v =>
-      df = df.where(col(v.v).isInCollection(v.consts))
-    }
-    q.valueTables.foreach { vt =>
-      // inline data is tiny by construction: broadcast the tuple table
-      // and inner-join on the variable columns
-      val rows = vt.rows.map(r => org.apache.spark.sql.Row(r: _*))
-      val schema = org.apache.spark.sql.types.StructType(vt.vars.map(v =>
-        org.apache.spark.sql.types.StructField(v,
-          org.apache.spark.sql.types.StringType)))
-      val inline = triples.sparkSession.createDataFrame(
-        triples.sparkSession.sparkContext.parallelize(rows, 1), schema)
-      df = df.join(broadcast(inline), vt.vars)
-    }
-    q.filters.foreach(f => df = df.where(boolCol(f)))
+    var df = groupEval(q.root)
     q.form match {
       case "SELECT" =>
+        val sortCols = q.orderBy.map { case (v, asc) =>
+          if (asc) col(v).asc else col(v).desc
+        }
+        // an ORDER BY key outside the SELECT list (plain non-DISTINCT
+        // selects only, parse-validated): sort BEFORE projecting, while
+        // the key column still exists — Catalyst keeps the order through
+        // the project (TakeOrderedAndProject under a LIMIT)
+        val preSorted = q.aggs.isEmpty && q.orderBy.nonEmpty &&
+          q.orderBy.exists { case (v, _) => !q.select.contains(v) }
         var out =
-          if (q.aggs.isEmpty) df.select(q.select.map(col): _*)
-          else {
+          if (q.aggs.isEmpty) {
+            val base = if (preSorted) df.orderBy(sortCols: _*) else df
+            base.select(q.select.map(col): _*)
+          } else {
             // numeric aggregates cast bindings to double (triple objects
             // are strings); COUNT/MIN/MAX operate on the raw binding
             val aggCols = q.aggs.map { a =>
               val c = if (a.operand == "*") null
                 else col(a.operand.stripPrefix("?"))
               (a.fn match {
-                case "COUNT" => if (a.operand == "*") count(lit(1)) else count(c)
-                case "SUM"   => sum(c.cast("double"))
+                case "COUNT" =>
+                  if (a.operand == "*") count(lit(1))
+                  else if (a.distinct) count_distinct(c)
+                  else count(c)
+                case "SUM" =>
+                  if (a.distinct) sum_distinct(c.cast("double"))
+                  else sum(c.cast("double"))
                 case "AVG"   => avg(c.cast("double"))
                 case "MIN"   => min(c)
                 case "MAX"   => max(c)
@@ -1083,10 +1130,8 @@ object SparqlLite {
             agged.select(q.select.map(col): _*)
           }
         if (q.distinct) out = out.distinct()
-        if (q.orderBy.nonEmpty)
-          out = out.orderBy(q.orderBy.map { case (v, asc) =>
-            if (asc) col(v).asc else col(v).desc
-          }: _*)
+        if (q.orderBy.nonEmpty && !preSorted)
+          out = out.orderBy(sortCols: _*)
         q.offset.foreach(n => out = out.offset(n))
         q.limit.foreach(n => out = out.limit(n))
         out

@@ -545,15 +545,122 @@ class SparqlLiteSpec extends SparkSpec {
         |GROUP BY ?n HAVING ( ?ghost > 1 )""".stripMargin)       // unbound
   }
 
-  test("ORDER BY with LIMIT is deterministic top-k; unselected key rejected") {
+  test("ORDER BY with LIMIT is deterministic top-k; unselected keys sort plain selects") {
     val got = SparqlLite.sparql(tri,
       """SELECT ?c ?a WHERE { ?c age ?a }
         |ORDER BY DESC(?a) ?c LIMIT 2""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     // string ordering: '9' > '40' > '31' lexicographically
     assert(got === Seq(("c2", "9"), ("c3", "40")))
+    // a NON-selected key orders a plain select: the planner sorts
+    // before projecting (ages: c2=9 < c1=31 < c3=40 as strings '31'<'40'<'9')
+    val unsel = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a } ORDER BY ?a LIMIT 2")
+      .collect().map(_.getString(0)).toSeq
+    assert(unsel === Seq("c1", "c3"))
+    // DISTINCT and aggregates collapse rows after projection — an
+    // unselected key no longer exists there, still rejected
     intercept[IllegalArgumentException](SparqlLite.sparql(tri,
-      "SELECT ?c WHERE { ?c age ?a } ORDER BY ?a"))
+      "SELECT DISTINCT ?c WHERE { ?c age ?a } ORDER BY ?a"))
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri,
+      """SELECT ?c (COUNT(?a) AS ?n) WHERE { ?c age ?a }
+        |GROUP BY ?c ORDER BY ?a""".stripMargin))
+  }
+
+  test("COUNT/SUM DISTINCT aggregates; REGEX and STR in FILTER") {
+    val dup = tri.unionAll(Seq(("c9", "in_nation", "de"))
+      .toDF("subj", "pred", "obj"))
+    // 5 customers over 2 distinct nations
+    val cd = SparqlLite.sparql(dup,
+      """SELECT (COUNT(?n) AS ?rows) (COUNT(DISTINCT ?n) AS ?nations)
+        |WHERE { ?c in_nation ?n }""".stripMargin)
+    assert(rows(cd) === Set(Seq("5", "2")))
+    // SUM(DISTINCT): ages 31, 9, 40 plus a duplicated 31
+    val dupAge = tri.unionAll(Seq(("c4", "age", "31"))
+      .toDF("subj", "pred", "obj"))
+    val sd = SparqlLite.sparql(dupAge,
+      """SELECT (SUM(?a) AS ?all) (SUM(DISTINCT ?a) AS ?uniq)
+        |WHERE { ?c age ?a }""".stripMargin)
+    assert(rows(sd) === Set(Seq("111.0", "80.0")))
+    // REGEX: unanchored find semantics
+    val re = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { ?c age ?a . FILTER ( REGEX ( ?a , '^[34]' ) ) }")
+    assert(rows(re) === Set(Seq("c1"), Seq("c3")))
+    // STR lets a computed numeric binding feed string comparison
+    val str = SparqlLite.sparql(tri,
+      """SELECT ?c WHERE { ?c age ?a . BIND ( ?a + 1 AS ?b )
+        |FILTER ( STRSTARTS ( STR ( ?b ) , '32' ) ) }""".stripMargin)
+    assert(rows(str) === Set(Seq("c1")))
+    // DISTINCT only for COUNT and SUM
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri,
+      "SELECT (MIN(DISTINCT ?a) AS ?x) WHERE { ?c age ?a }"))
+  }
+
+  test("FILTER inside UNION branches and MINUS/EXISTS groups") {
+    // a FILTER scoped to ONE union branch narrows only that branch
+    val uf = SparqlLite.sparql(tri,
+      """SELECT ?x ?n WHERE {
+        |  { ?x in_nation ?n . FILTER ( ?n = 'de' ) }
+        |  UNION { ?n in_region ?x }
+        |}""".stripMargin)
+    assert(rows(uf) === Set(
+      Seq("c1", "de"), Seq("c2", "de"),
+      Seq("europe", "de"), Seq("europe", "fr")))
+    // MINUS body with an inner FILTER: remove only the de-customers
+    // that have orders
+    val mf = SparqlLite.sparql(tri,
+      """SELECT ?c WHERE { ?c in_nation ?n .
+        |  MINUS { ?o ordered_by ?c . FILTER ( STRSTARTS ( ?o , 'o' ) ) }
+        |}""".stripMargin)
+    assert(rows(mf) === Set(Seq("c2"), Seq("c3"), Seq("c4")))
+    // EXISTS group with an inner FILTER
+    val ef = SparqlLite.sparql(tri,
+      """SELECT ?c WHERE { ?c in_nation ?n .
+        |  FILTER EXISTS { ?o ordered_by ?c . FILTER ( ?o != 'o1' ) }
+        |}""".stripMargin)
+    assert(rows(ef) === Set(Seq("c1")))
+    val nef = SparqlLite.sparql(tri,
+      """SELECT ?c WHERE { ?c in_nation ?n .
+        |  FILTER NOT EXISTS { ?o ordered_by ?c . FILTER ( ?o = 'o1' ) }
+        |}""".stripMargin)
+    assert(rows(nef) === Set(Seq("c2"), Seq("c3"), Seq("c4")))
+    // a branch-inner FILTER over a var the branch does not bind: rejected
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri,
+      """SELECT ?x ?n WHERE {
+        |  { ?x in_nation ?n . FILTER ( ?ghost = 1 ) } UNION { ?n in_region ?x }
+        |}""".stripMargin))
+  }
+
+  test("nested groups: OPTIONAL inside OPTIONAL, UNION inside OPTIONAL, BIND inside group") {
+    val tri3 = tri.unionAll(Seq(("o1", "amount", "5"), ("c3", "vip", "yes"))
+      .toDF("subj", "pred", "obj"))
+    // OPTIONAL { ... OPTIONAL { ... } }: c1's orders optionally carry
+    // amounts; customers without orders keep both nulls
+    val nested = SparqlLite.sparql(tri3,
+      """SELECT ?c ?o ?amt WHERE { ?c in_nation ?n .
+        |  OPTIONAL { ?o ordered_by ?c . OPTIONAL { ?o amount ?amt } }
+        |}""".stripMargin)
+    assert(rows(nested) === Set(
+      Seq("c1", "o1", "5"), Seq("c1", "o2", null),
+      Seq("c2", null, null), Seq("c3", null, null), Seq("c4", null, null)))
+    // UNION inside OPTIONAL: a group matching either an order or a vip
+    // flag, left-joined
+    val uo = SparqlLite.sparql(tri3,
+      """SELECT ?c ?mark WHERE { ?c in_nation ?n .
+        |  OPTIONAL { { ?mark ordered_by ?c } UNION { ?c vip ?mark } }
+        |}""".stripMargin)
+    assert(rows(uo) === Set(
+      Seq("c1", "o1"), Seq("c1", "o2"), Seq("c3", "yes"),
+      Seq("c2", null), Seq("c4", null)))
+    // BIND inside an OPTIONAL group computes before the left join and
+    // its column survives outward
+    val bo = SparqlLite.sparql(tri3,
+      """SELECT ?c ?double WHERE { ?c in_nation ?n .
+        |  OPTIONAL { ?c age ?a . BIND ( ?a * 2 AS ?double ) }
+        |}""".stripMargin)
+    assert(rows(bo) === Set(
+      Seq("c1", "62.0"), Seq("c2", "18.0"), Seq("c3", "80.0"),
+      Seq("c4", null)))
   }
 
   test("MINUS anti-joins on shared variables; disjoint MINUS rejected") {
