@@ -2015,6 +2015,13 @@ object SparkEntry {
         f.tri(f.pairs.where(pmod(col("item_a"), lit(3)) === 0)),
         f.tri(f.pairs), entV, relV)
     }),
+    // q148: CONSTANT-ENDPOINT path point query — `<c1> (containment)+
+    // ?x` runs the SEEDED closure (frontier starts at c1, cost = its
+    // reachable cone); the twin's recursive CTE is seeded at the same
+    // constant, so the gate pins the seeded path end to end.
+    "q148_sparql_seeded_path" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        "SELECT ?x WHERE { c1 (cust_nation|in_region)+ ?x }")),
     // q109/q110: KG PROFILING — characteristic sets (Neumann & Moerkotte
     // SIGMOD'11; one row per entity SHAPE with its subject count — the
     // big-ticket order filter splits customers into {cust_nation} vs
@@ -3613,6 +3620,23 @@ object SparkEntry {
         |  (1 + sum(CASE WHEN cdist < tdist OR (cdist = tdist AND cand < t)
         |    THEN 1 ELSE 0 END))::BIGINT AS rank
         |FROM sc GROUP BY 1, 3""".stripMargin),
+    "q148_sparql_seeded_path" ->
+      """WITH tri AS (
+        |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL SELECT 's' || s_suppkey, 'supp_nation', 'n' || n_name
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |e AS (SELECT DISTINCT subj AS src, obj AS dst FROM tri
+        |      WHERE pred IN ('cust_nation', 'in_region'))
+        |SELECT DISTINCT dst AS x FROM (
+        |  WITH RECURSIVE c AS (
+        |    SELECT src, dst FROM e WHERE src = 'c1'
+        |    UNION
+        |    SELECT c.src, e.dst FROM c JOIN e ON e.src = c.dst)
+        |  SELECT * FROM c)""".stripMargin,
     "q109_characteristic_sets" ->
       (profilingTriplesSql +
       """,
