@@ -2003,15 +2003,17 @@ object SparkEntry {
     // promoted into the whole kernel); DuckDB replays the epoch.
     "q146_kge_transe_epoch" -> ((s, d) => kgeTrained(s, d).entUpd),
     // q147: filtered tail ranks computed from the TRAINED vectors —
-    // the epoch's output feeds the shared q112 rank kernel, so the
-    // protocol evaluates real trained embeddings; the twin replays
-    // epoch + ranking end to end.
+    // the epoch's output feeds the shared filtered-rank kernel under
+    // the FIXED-POINT scorer (trained vectors are 1e-10-quantized, so
+    // their distances can straddle decimal digit-10 boundaries where
+    // decimal casts diverge between engines — transEDistFp snaps at the
+    // integer boundary instead); the twin replays epoch + ranking.
     "q147_kge_trained_ranks" -> ((s, d) => {
       val f = kgeFixture(s, d)
       val trained = kgeTrained(s, d)
       val entV = KgeTrain.assembleVecs(trained.entUpd, "node")
       val relV = KgeTrain.assembleVecs(trained.relUpd, "rel")
-      KgeEval.tailRanks(
+      KgeEval.tailRanksFp(
         f.tri(f.pairs.where(pmod(col("item_a"), lit(3)) === 0)),
         f.tri(f.pairs), entV, relV)
     }),
@@ -3603,11 +3605,11 @@ object SparkEntry {
         |  FROM pairs),
         |sc AS (SELECT te.h, te.t, c.cand,
         |    list_sum(list_transform(range(1, 65), i ->
-        |      (((he.vec[i] + r.rv[i]) - ce.vec[i]) *
-        |       ((he.vec[i] + r.rv[i]) - ce.vec[i]))::DECIMAL(25,10))) AS cdist,
+        |      round((((he.vec[i] + r.rv[i]) - ce.vec[i]) *
+        |       ((he.vec[i] + r.rv[i]) - ce.vec[i])) * 1e10)::BIGINT)) AS cdist,
         |    list_sum(list_transform(range(1, 65), i ->
-        |      (((he.vec[i] + r.rv[i]) - tte.vec[i]) *
-        |       ((he.vec[i] + r.rv[i]) - tte.vec[i]))::DECIMAL(25,10))) AS tdist
+        |      round((((he.vec[i] + r.rv[i]) - tte.vec[i]) *
+        |       ((he.vec[i] + r.rv[i]) - tte.vec[i])) * 1e10)::BIGINT)) AS tdist
         |  FROM test te
         |  JOIN entv he ON he.node = te.h
         |  JOIN entv tte ON tte.node = te.t

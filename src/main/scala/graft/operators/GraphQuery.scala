@@ -188,6 +188,35 @@ object GraphQuery {
       * ONCE and pass it to every [[bgpMatch]] — at 100-TB scale these are
       * the numbers a store keeps precomputed next to the table.
       */
+    /** Persist the stats BESIDE the table (one parquet row per
+      * predicate) — the store-side artifact the sparql(…, stats)
+      * overload consumes, so a 100-TB deployment derives them once per
+      * table commit instead of once per session. Totals reconstruct as
+      * the per-predicate sums, exactly as [[compute]] builds them.
+      */
+    def save(stats: BgpStats, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+      import spark.implicits._
+      stats.byPred.toSeq.sortBy(_._1)
+        .map { case (p, s) => (p, s.nTriples, s.nSubjects, s.nObjects) }
+        .toDF("pred", "n_triples", "n_subjects", "n_objects")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+
+    def load(path: String, spark: org.apache.spark.sql.SparkSession): BgpStats = {
+      val rows = spark.read.parquet(path)
+        .select(col("pred"), col("n_triples"), col("n_subjects"),
+          col("n_objects"))
+        .collect()
+      val byPred = rows.map(r => r.getString(0) ->
+        PredStat(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      BgpStats(
+        byPred.valuesIterator.map(_.nTriples).sum,
+        byPred.valuesIterator.map(_.nSubjects).sum,
+        byPred.valuesIterator.map(_.nObjects).sum,
+        byPred)
+    }
+
     def compute(triples: DataFrame): BgpStats = {
       computeCount.incrementAndGet()
       val rows = triples.where(col("pred").isNotNull)

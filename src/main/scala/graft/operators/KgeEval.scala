@@ -43,6 +43,28 @@ object KgeEval {
       (acc, v) => (acc + v).cast("decimal(27,10)"))
   }
 
+  /** [[transEDist]] in scale-10 FIXED POINT: each squared difference is
+    * snapped to a long via `round(x²·1e10)` before the sum. This is the
+    * scorer for vectors that are THEMSELVES fixed-point quantized (the
+    * KgeTrain output): trained near-duplicates differ by single 1e-10
+    * gradient quanta, so their distances can land exactly on a decimal
+    * digit-10 boundary — where the double→DECIMAL(·,10) cast's halfway
+    * rounding diverges between engines (shortest-string vs binary, the
+    * q146 root cause) and would flip a strict rank comparison. Integer
+    * snapping at the INTEGER boundary is the conversion both engines
+    * answer identically, making ranks over trained vectors robust, not
+    * just empirically green.
+    */
+  def transEDistFp(h: Column, r: Column, t: Column): Column = {
+    val hd = h.cast("array<double>")
+    val rd = r.cast("array<double>")
+    val td = t.cast("array<double>")
+    val diff = zip_with(zip_with(hd, rd, _ + _), td, _ - _)
+    aggregate(
+      transform(diff, x => round((x * x) * lit(1e10)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+  }
+
   /** DistMult score Σᵢ hᵢ·rᵢ·tᵢ (Yang et al. 2015) — the trilinear dot
     * product, HIGHER is better. Same exactness scheme as [[transEDist]]:
     * per-element products in double ((h·r)·t, left-assoc — the twin must
@@ -119,6 +141,15 @@ object KgeEval {
       relEmb: DataFrame): DataFrame =
     filteredRanks(test, all, entEmb, relEmb, headSide = true,
       transEDist, higherIsBetter = false)
+
+  /** Filtered tail ranks under the FIXED-POINT scorer — the protocol
+    * instantiation for TRAINED (fixed-point-quantized) vectors; see
+    * [[transEDistFp]].
+    */
+  def tailRanksFp(test: DataFrame, all: DataFrame, entEmb: DataFrame,
+      relEmb: DataFrame): DataFrame =
+    filteredRanks(test, all, entEmb, relEmb, headSide = false,
+      transEDistFp, higherIsBetter = false)
 
   /** DistMult filtered ranks through the SAME protocol (similarity is
     * maximized where TransE distance is minimized).

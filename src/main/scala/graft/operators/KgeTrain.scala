@@ -62,11 +62,25 @@ object KgeTrain {
 
   def transEEpoch(pos: DataFrame, entEmb: DataFrame, relEmb: DataFrame,
       negSeed: Column, lr: Double = 0.01, margin: Double = 1.0): Trained = {
-    val vocab = entEmb.select(col("node")).distinct()
+    val vocab = denseRankVocab(entEmb)
+    epochImpl(pos, entEmb, relEmb, negSeed, lr, margin, vocab, vocab.count())
+  }
+
+  /** The negative-draw index: every entity at its dense rank in node
+    * order — ONE entity-scale global sort (the same class of cost as
+    * Negatives' vocabulary draws; a store keeps this precomputed).
+    * Epoch-invariant, so [[transETrain]] computes it once and threads
+    * it through every epoch.
+    */
+  private def denseRankVocab(entEmb: DataFrame): DataFrame =
+    entEmb.select(col("node")).distinct()
       .withColumn("nrank",
         row_number().over(Window.orderBy(col("node"))) - 1)
-    val vsize = vocab.count()
+      .localCheckpoint(true)
 
+  private def epochImpl(pos: DataFrame, entEmb: DataFrame, relEmb: DataFrame,
+      negSeed: Column, lr: Double, margin: Double,
+      vocab: DataFrame, vsize: Long): Trained = {
     val withNeg = pos.select(col("h"), col("r"), col("t"),
         pmod(negSeed, lit(vsize)).as("nrank"))
       .join(vocab.withColumnRenamed("node", "tneg"), Seq("nrank"))
@@ -128,6 +142,33 @@ object KgeTrain {
     Trained(
       applyGrad(entEmb, "node", entGrad),
       applyGrad(relEmb, "rel", relGrad))
+  }
+
+  /** `epochs` sequential full-batch epochs: each epoch's fixed-point
+    * output re-assembles into the next epoch's input embeddings
+    * (checkpointed per epoch — the superstep-lineage rule). `negSeed`
+    * maps the epoch number to the draw column so callers can vary the
+    * corruption per epoch (e.g. `e => col("seed") + lit(e * 7919L)`)
+    * or hold it fixed. Deterministic end to end: same inputs, same
+    * trained vectors, any cluster size.
+    */
+  def transETrain(pos: DataFrame, entEmb: DataFrame, relEmb: DataFrame,
+      negSeed: Int => Column, epochs: Int, lr: Double = 0.01,
+      margin: Double = 1.0): (DataFrame, DataFrame) = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    // the vocabulary (and so the draw index) is epoch-invariant —
+    // assembleVecs preserves keys — so the entity-scale sort and its
+    // count run ONCE, not per epoch
+    val vocab = denseRankVocab(entEmb)
+    val vsize = vocab.count()
+    var ent = entEmb
+    var rel = relEmb
+    (1 to epochs).foreach { e =>
+      val t = epochImpl(pos, ent, rel, negSeed(e), lr, margin, vocab, vsize)
+      ent = assembleVecs(t.entUpd, "node").localCheckpoint(true)
+      rel = assembleVecs(t.relUpd, "rel").localCheckpoint(true)
+    }
+    (ent, rel)
   }
 
   /** Re-assemble an exploded (key, idx, val_fp) frame into (key, vec)

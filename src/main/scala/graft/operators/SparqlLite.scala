@@ -522,45 +522,59 @@ object SparqlLite {
         } else if (peek.equalsIgnoreCase("MINUS")) {
           next()
           minuses += parseGroup()
-        } else if (peek == "{" && i + 1 < ts.length &&
-            ts(i + 1).equalsIgnoreCase("SELECT")) {
-          // SPARQL 1.1 subquery: { SELECT ... } — collect the balanced
-          // token span, reassemble it as query text (re-quoting literal
-          // sentinels) and evaluate it RECURSIVELY at plan time; only
-          // its projected variables join the outer group. Parsed
-          // eagerly here, so malformed subqueries fail at the outer
-          // parse and the projection is known for scope checks.
-          next() // '{'
-          val sub = scala.collection.mutable.ArrayBuffer.empty[String]
-          var depth = 1
-          while (depth > 0) {
-            val t = next()
-            if (t == "{") depth += 1
-            else if (t == "}") depth -= 1
-            if (depth > 0) sub += t
-          }
-          // outer PREFIX declarations apply inside the subquery (SPARQL
-          // prologue scope): prepend them to the reassembled text
-          val prologue = prefixes.toSeq.sortBy(_._1)
-            .map { case (n, iri) => s"PREFIX $n: <$iri>" }.mkString(" ")
-          val body = sub.map(tok =>
-            if (tok.startsWith("'")) "'" + tok.substring(1) + "'" else tok)
-            .mkString(" ")
-          val text = if (prologue.isEmpty) body else s"$prologue $body"
-          val sq = parse(text)
-          require(sq.form == "SELECT", "subqueries must be SELECT queries")
-          subqueries += ((text, sq.select))
         } else if (peek == "{") {
-          // { group } UNION { group } (UNION ...)* — each branch a full
-          // recursive group
-          val branches = scala.collection.mutable.ArrayBuffer(parseGroup())
-          while (i < ts.length && peek.equalsIgnoreCase("UNION")) {
-            next()
-            branches += parseGroup()
+          // a braced item: a SPARQL 1.1 subquery `{ SELECT ... }`, a
+          // UNION of branches, or a subquery AS a union branch (legal
+          // SPARQL — each branch parses as subquery-or-group)
+          def atSubquery: Boolean = peek == "{" && i + 1 < ts.length &&
+            ts(i + 1).equalsIgnoreCase("SELECT")
+          // collect the balanced token span, reassemble it as query
+          // text (re-quoting literal sentinels) and parse it EAGERLY —
+          // malformed subqueries fail at the outer parse and the
+          // projection is known for scope checks; it re-plans
+          // recursively at plan time, joining on its projected vars
+          def parseSubquery(): (String, Seq[String]) = {
+            next() // '{'
+            val sub = scala.collection.mutable.ArrayBuffer.empty[String]
+            var depth = 1
+            while (depth > 0) {
+              val t = next()
+              if (t == "{") depth += 1
+              else if (t == "}") depth -= 1
+              if (depth > 0) sub += t
+            }
+            // outer PREFIX declarations apply inside the subquery
+            // (SPARQL prologue scope): prepend them to the text
+            val prologue = prefixes.toSeq.sortBy(_._1)
+              .map { case (n, iri) => s"PREFIX $n: <$iri>" }.mkString(" ")
+            val body = sub.map(tok =>
+              if (tok.startsWith("'")) "'" + tok.substring(1) + "'" else tok)
+              .mkString(" ")
+            val text = if (prologue.isEmpty) body else s"$prologue $body"
+            val sq = parse(text)
+            require(sq.form == "SELECT", "subqueries must be SELECT queries")
+            (text, sq.select)
           }
-          require(branches.length >= 2,
-            "a braced group must be a UNION of two or more branches")
-          unions += branches.toSeq
+          def subqueryGroup(sq: (String, Seq[String])): GGroup =
+            GGroup(Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
+              Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq(sq))
+          def parseBranch(): GGroup =
+            if (atSubquery) subqueryGroup(parseSubquery()) else parseGroup()
+          val first: Either[(String, Seq[String]), GGroup] =
+            if (atSubquery) Left(parseSubquery()) else Right(parseGroup())
+          if (i < ts.length && peek.equalsIgnoreCase("UNION")) {
+            val branches = scala.collection.mutable.ArrayBuffer(
+              first.fold(subqueryGroup, identity))
+            while (i < ts.length && peek.equalsIgnoreCase("UNION")) {
+              next()
+              branches += parseBranch()
+            }
+            unions += branches.toSeq
+          } else first match {
+            case Left(sq) => subqueries += sq
+            case Right(_) => throw new IllegalArgumentException(
+              "a braced group must be a UNION of two or more branches")
+          }
         } else if (peek.equalsIgnoreCase("FILTER")) {
           next()
           // FILTER EXISTS { ... } / FILTER NOT EXISTS { ... } — pattern
@@ -875,9 +889,8 @@ object SparqlLite {
     * its constants (set semantics, as SPARQL paths are).
     */
   private def pathFrame(triples: DataFrame, tp: TriplePattern,
-      prefixes: Map[String, String] = Map.empty): DataFrame = {
+      expr: GraphQuery.PathExpr): DataFrame = {
     require(tp.vars.nonEmpty, s"path pattern $tp binds no variable")
-    val expr = parsePath(pathText(tp.p), prefixes)
     // constant-endpoint seeding: `<c> p+ ?x` starts the closure frontier
     // AT c (a bound object seeds the reversed path and swaps back)
     // instead of filtering the full-graph fixpoint afterwards — the cost
@@ -957,13 +970,21 @@ object SparqlLite {
     def matchBgp(ps: Seq[GraphQuery.TriplePattern]) =
       GraphQuery.bgpMatch(triples, ps,
         if (ps.lengthCompare(1) > 0) Some(bgpStats) else None)
+    // each distinct path text parses ONCE per query — the estimate
+    // thunks, union-branch estimates and frame construction all share
+    // the same PathExpr instead of re-parsing up to three times
+    val pathExprCache =
+      scala.collection.mutable.Map.empty[String, GraphQuery.PathExpr]
+    def pathExprOf(tp: TriplePattern): GraphQuery.PathExpr =
+      pathExprCache.getOrElseUpdate(tp.p,
+        parsePath(pathText(tp.p), q.prefixes))
     // per-pattern cardinality estimate, path-aware: a path frame's cost
     // folds into frame ordering next to plain patterns (a constant
     // endpoint shrinks it by the term universe, mirroring
     // BgpStats.estimate's constant-slot rule)
     def patternEst(tp: TriplePattern): Double =
       if (isPath(tp.p)) {
-        var e = bgpStats.estimatePath(parsePath(pathText(tp.p), q.prefixes))
+        var e = bgpStats.estimatePath(pathExprOf(tp))
         if (!tp.s.startsWith("?"))
           e /= math.max(1.0, bgpStats.totalSubjects.toDouble)
         if (!tp.o.startsWith("?"))
@@ -1035,7 +1056,7 @@ object SparqlLite {
         (if (plainPs.nonEmpty)
            Seq((matchBgp(plainPs), () => plainPs.map(patternEst).min))
          else Seq.empty) ++
-        pathPs.map(tp => (pathFrame(triples, tp, q.prefixes),
+        pathPs.map(tp => (pathFrame(triples, tp, pathExprOf(tp)),
           () => patternEst(tp))) ++
         unionFrames ++ subFrames
       var df = greedyJoin(frames)

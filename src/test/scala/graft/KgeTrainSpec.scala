@@ -147,5 +147,13 @@ class KgeTrainSpec extends SparkSpec {
     val ranks = KgeEval.tailRanks(posSeeded.select("h", "r", "t"),
       posSeeded.select("h", "r", "t"), ent1, rel1)
     assert(ranks.count() === posFix.length.toLong)
+    // multi-epoch driver: three epochs keep reducing the loss proxy,
+    // and epoch-varied seeds flow through the negSeed function
+    val (ent3, rel3) = KgeTrain.transETrain(posSeeded, ent, rel,
+      e => col("negseed") + lit(e.toLong * 7919L), epochs = 3, lr, margin)
+    val after3 = loss(ent3, rel3)
+    assert(after3 < before,
+      s"three epochs must reduce summed positive distance: $before -> $after3")
+    assert(ent3.count() === entFix.size.toLong)
   }
 }

@@ -234,6 +234,21 @@ class SparqlLiteSpec extends SparkSpec {
       "subqueries must reuse the enclosing query's stats")
   }
 
+  test("stats persist beside the table: save/load round-trips and feeds sparql") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    val st = GraphQuery.BgpStats.compute(tri)
+    GraphQuery.BgpStats.save(st, dir + "/stats", spark)
+    val loaded = GraphQuery.BgpStats.load(dir + "/stats", spark)
+    assert(loaded === st, "persisted stats must round-trip value-exact")
+    // the loaded artifact drives a query with ZERO stats jobs
+    val before = GraphQuery.BgpStats.computeCount.get()
+    val got = SparqlLite.sparql(tri,
+      "SELECT ?c ?n WHERE { ?c in_nation ?n . ?n in_region europe }",
+      Some(loaded))
+    assert(rows(got).size === 4)
+    assert(GraphQuery.BgpStats.computeCount.get() === before)
+  }
+
   test("greedy frame order: paths participate, bindings unchanged") {
     // expensive frame written FIRST (an unbounded closure), selective
     // plain pattern last — the planner may reorder, the rows may not
@@ -629,6 +644,28 @@ class SparqlLiteSpec extends SparkSpec {
       """SELECT ?x ?n WHERE {
         |  { ?x in_nation ?n . FILTER ( ?ghost = 1 ) } UNION { ?n in_region ?x }
         |}""".stripMargin))
+  }
+
+  test("subqueries as UNION branches, both positions") {
+    // first branch a subquery: customers of de, unioned with fr holders
+    val subFirst = SparqlLite.sparql(tri,
+      """SELECT ?c WHERE {
+        |  { SELECT ?c WHERE { ?c in_nation de } }
+        |  UNION { ?c in_nation fr }
+        |}""".stripMargin)
+    assert(rows(subFirst) ===
+      Set(Seq("c1"), Seq("c2"), Seq("c3"), Seq("c4")))
+    // later branch a subquery (with an inner aggregate-free projection)
+    val subLater = SparqlLite.sparql(tri,
+      """SELECT ?c WHERE {
+        |  { ?c in_nation fr }
+        |  UNION { SELECT ?c WHERE { ?o ordered_by ?c } }
+        |}""".stripMargin)
+    assert(rows(subLater) === Set(Seq("c3"), Seq("c4"), Seq("c1")))
+    // a lone subquery stays a plain subquery item (no union)
+    val lone = SparqlLite.sparql(tri,
+      "SELECT ?c WHERE { { SELECT ?c WHERE { ?c in_nation de } } . ?c age ?a }")
+    assert(rows(lone) === Set(Seq("c1"), Seq("c2")))
   }
 
   test("nested groups: OPTIONAL inside OPTIONAL, UNION inside OPTIONAL, BIND inside group") {
