@@ -2024,6 +2024,12 @@ object SparkEntry {
     "q148_sparql_seeded_path" -> ((s, d) =>
       SparqlLite.sparql(bgpTriples(s, d),
         "SELECT ?x WHERE { c1 (cust_nation|in_region)+ ?x }")),
+    // q149: GROUP_CONCAT with an explicit SEPARATOR clause — sorted
+    // members joined with ', ' per nation; string_agg ORDER BY twin.
+    "q149_sparql_group_concat_sep" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        """SELECT ?n (GROUP_CONCAT ( ?c ; SEPARATOR= ', ' ) AS ?members)
+          |WHERE { ?c cust_nation ?n } GROUP BY ?n""".stripMargin)),
     // q109/q110: KG PROFILING — characteristic sets (Neumann & Moerkotte
     // SIGMOD'11; one row per entity SHAPE with its subject count — the
     // big-ticket order filter splits customers into {cust_nation} vs
@@ -3622,6 +3628,12 @@ object SparkEntry {
         |  (1 + sum(CASE WHEN cdist < tdist OR (cdist = tdist AND cand < t)
         |    THEN 1 ELSE 0 END))::BIGINT AS rank
         |FROM sc GROUP BY 1, 3""".stripMargin),
+    "q149_sparql_group_concat_sep" ->
+      """SELECT 'n' || n_name AS n,
+        |  string_agg('c' || c_custkey, ', ' ORDER BY 'c' || c_custkey)
+        |    AS members
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
     "q148_sparql_seeded_path" ->
       """WITH tri AS (
         |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,

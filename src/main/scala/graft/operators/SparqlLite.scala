@@ -21,9 +21,10 @@ import graft.operators.GraphQuery.TriplePattern
   *         | CONSTRUCT { triple ('.' triple)* } WHERE group (LIMIT n)?
   *         | ASK group
   *         | DESCRIBE ?var+ WHERE group   -- outgoing triples of bindings
-  * sel    := ?var | ( agg ( ?var | * ) AS ?alias )
+  * sel    := ?var | ( agg ( DISTINCT? ?var | * ) AS ?alias )
   *           agg := COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE
-  *           (GROUP_CONCAT joins SORTED members with one space; SAMPLE
+  *           (DISTINCT for COUNT/SUM; GROUP_CONCAT joins SORTED members
+  *            with one space, or `( ?v ; SEPARATOR= 'sep' )`; SAMPLE
   *            picks the min binding — deterministic forms of SPARQL's
   *            order-free aggregates, so they stay cross-engine exact)
   * group  := { item ('.' item)* '.'? }
@@ -199,7 +200,7 @@ object SparqlLite {
     */
   private final case class ValuesTable(vars: Seq[String], rows: Seq[Seq[String]])
   private final case class Agg(fn: String, operand: String, alias: String,
-      distinct: Boolean)
+      distinct: Boolean, sep: String)
 
   /** One group graph pattern `{ ... }` — the RECURSIVE unit of the
     * grammar: triples and property paths, expression FILTERs, BINDs,
@@ -374,11 +375,29 @@ object SparqlLite {
             require(operand.startsWith("?") ||
               (operand == "*" && fn == "COUNT" && !dist),
               s"$fn takes a ?var${if (fn == "COUNT" && !dist) " or *" else ""}, got $operand")
+            // GROUP_CONCAT ( ?v ; SEPARATOR= 'sep' ) — tokens
+            // whitespace-separated per the grammar's global rule;
+            // `SEPARATOR =` (split) accepted too
+            var sep = " "
+            if (peek == ";") {
+              require(fn == "GROUP_CONCAT",
+                s"only GROUP_CONCAT takes a SEPARATOR, not $fn")
+              next()
+              val kw = next()
+              require(kw.equalsIgnoreCase("SEPARATOR=") ||
+                kw.equalsIgnoreCase("SEPARATOR"),
+                s"expected SEPARATOR= after ';', got $kw")
+              if (kw.equalsIgnoreCase("SEPARATOR")) expect("=")
+              val s = next()
+              require(s.startsWith("'"),
+                s"SEPARATOR takes a quoted string, got $s")
+              sep = s.substring(1)
+            }
             expect(")"); expect("AS")
             val alias = next()
             require(alias.startsWith("?"), s"AS takes a ?alias, got $alias")
             expect(")")
-            aggs += Agg(fn, operand, alias.stripPrefix("?"), dist)
+            aggs += Agg(fn, operand, alias.stripPrefix("?"), dist, sep)
             select += alias.stripPrefix("?")
           } else {
             require(t.startsWith("?"), s"SELECT list takes ?vars, aggregates or *, got $t")
@@ -1138,10 +1157,11 @@ object SparqlLite {
                 case "MAX"   => max(c)
                 // deterministic forms of SPARQL's order-free aggregates,
                 // so another engine can recompute them value-exact:
-                // GROUP_CONCAT emits members in sorted order (space-
-                // separated); SAMPLE picks the minimum binding
+                // GROUP_CONCAT emits members in sorted order (separator
+                // from the SEPARATOR clause, default one space); SAMPLE
+                // picks the minimum binding
                 case "GROUP_CONCAT" =>
-                  concat_ws(" ", sort_array(collect_list(c)))
+                  concat_ws(a.sep, sort_array(collect_list(c)))
                 case "SAMPLE" => min(c)
               }).as(a.alias)
             }

@@ -646,6 +646,21 @@ class SparqlLiteSpec extends SparkSpec {
         |}""".stripMargin))
   }
 
+  test("GROUP_CONCAT SEPARATOR clause; only GROUP_CONCAT takes one") {
+    val got = SparqlLite.sparql(tri,
+      """SELECT ?n (GROUP_CONCAT ( ?c ; SEPARATOR= ', ' ) AS ?cs)
+        |WHERE { ?c in_nation ?n } GROUP BY ?n""".stripMargin)
+    assert(rows(got) === Set(Seq("de", "c1, c2"), Seq("fr", "c3, c4")))
+    // split `SEPARATOR =` form and empty separator
+    val glued = SparqlLite.sparql(tri,
+      """SELECT ?n (GROUP_CONCAT ( ?c ; SEPARATOR = '' ) AS ?cs)
+        |WHERE { ?c in_nation ?n } GROUP BY ?n""".stripMargin)
+    assert(rows(glued) === Set(Seq("de", "c1c2"), Seq("fr", "c3c4")))
+    intercept[IllegalArgumentException](SparqlLite.sparql(tri,
+      """SELECT ?n (COUNT ( ?c ; SEPARATOR= ',' ) AS ?x)
+        |WHERE { ?c in_nation ?n } GROUP BY ?n""".stripMargin))
+  }
+
   test("subqueries as UNION branches, both positions") {
     // first branch a subquery: customers of de, unioned with fr holders
     val subFirst = SparqlLite.sparql(tri,
