@@ -2030,6 +2030,12 @@ object SparkEntry {
       SparqlLite.sparql(bgpTriples(s, d),
         """SELECT ?n (GROUP_CONCAT ( ?c ; SEPARATOR= ', ' ) AS ?members)
           |WHERE { ?c cust_nation ?n } GROUP BY ?n""".stripMargin)),
+    // q150: negated property set with INVERSE members (SPARQL 1.1
+    // §9.1) — the forward part excludes the nation predicates, the
+    // reversed part excludes in_region; union, set semantics.
+    "q150_sparql_negated_inverse" -> ((s, d) =>
+      SparqlLite.sparql(bgpTriples(s, d),
+        "SELECT ?x ?y WHERE { ?x !(cust_nation|supp_nation|^in_region) ?y }")),
     // q109/q110: KG PROFILING — characteristic sets (Neumann & Moerkotte
     // SIGMOD'11; one row per entity SHAPE with its subject count — the
     // big-ticket order filter splits customers into {cust_nation} vs
@@ -3628,6 +3634,20 @@ object SparkEntry {
         |  (1 + sum(CASE WHEN cdist < tdist OR (cdist = tdist AND cand < t)
         |    THEN 1 ELSE 0 END))::BIGINT AS rank
         |FROM sc GROUP BY 1, 3""".stripMargin),
+    "q150_sparql_negated_inverse" ->
+      """WITH tri AS (
+        |  SELECT 'c' || c_custkey AS subj, 'cust_nation' AS pred,
+        |      'n' || n_name AS obj
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 's' || s_suppkey, 'supp_nation', 'n' || n_name
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL SELECT 'n' || n_name, 'in_region', 'r' || r_name
+        |    FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |SELECT DISTINCT x, y FROM (
+        |  SELECT subj AS x, obj AS y FROM tri
+        |    WHERE pred NOT IN ('cust_nation', 'supp_nation')
+        |  UNION ALL
+        |  SELECT obj, subj FROM tri WHERE pred <> 'in_region')""".stripMargin,
     "q149_sparql_group_concat_sep" ->
       """SELECT 'n' || n_name AS n,
         |  string_agg('c' || c_custkey, ', ' ORDER BY 'c' || c_custkey)

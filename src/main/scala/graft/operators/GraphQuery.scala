@@ -163,8 +163,15 @@ object GraphQuery {
       e match {
         case Pred(p) => byPred.get(p).map(_.nTriples.toDouble).getOrElse(0.0)
         case Inv(x) => estimatePath(x)
-        case NegatedSet(ps) => math.max(0.0, totalTriples.toDouble -
-          ps.flatMap(byPred.get).map(_.nTriples.toDouble).sum)
+        case NegatedSet(fwd, bwd) =>
+          def part(ps: Seq[String]): Double =
+            if (ps.isEmpty) 0.0
+            else math.max(0.0, totalTriples.toDouble -
+              ps.flatMap(byPred.get).map(_.nTriples.toDouble).sum)
+          // a pure-forward set contributes its forward part only; the
+          // inverse side mirrors; a mixed set sums both unions
+          (if (fwd.nonEmpty) part(fwd) else 0.0) +
+            (if (bwd.nonEmpty) part(bwd) else 0.0)
         case Chain(a, b) =>
           estimatePath(a) * estimatePath(b) / math.max(1.0, totalSubjects.toDouble)
         case Alt(a, b) => estimatePath(a) + estimatePath(b)
@@ -376,12 +383,17 @@ object GraphQuery {
       * [[Star]], plus e's OWN pairs (no closure).
       */
     final case class Opt(e: PathExpr) extends PathExpr
-    /** `!p` / `!(p1|...|pn)` — SPARQL 1.1 negated property set (forward
-      * links only): every (subj, obj) pair whose predicate is NOT in the
-      * set. One constant-filtered scan, exactly like [[Pred]] with the
-      * filter inverted.
+    /** `!p` / `!(p1|...|^q1|...)` — SPARQL 1.1 negated property set.
+      * Forward members exclude predicates on FORWARD links (subj→obj
+      * pairs whose predicate is not in `preds`); inverse members (`^q`)
+      * exclude predicates on REVERSED links (obj→subj pairs whose
+      * predicate is not in `inv`); a mixed set is the union of both
+      * parts (SPARQL 1.1 §9.1 splits exactly this way). A side with no
+      * members contributes nothing. Each part is one constant-filtered
+      * scan, exactly like [[Pred]] with the filter inverted.
       */
-    final case class NegatedSet(preds: Seq[String]) extends PathExpr
+    final case class NegatedSet(preds: Seq[String],
+        inv: Seq[String] = Seq.empty) extends PathExpr
   }
 
   /** Compile a path expression against a triple table to its (src, dst)
@@ -416,10 +428,8 @@ object GraphQuery {
         graphIdentity(triples)
           .unionAll(pathPairs(triples, e))
           .distinct()
-      case NegatedSet(preds) =>
-        triples.where(col("pred").isNotNull &&
-            !col("pred").isInCollection(preds))
-          .select(col("subj").as("src"), col("obj").as("dst")).distinct()
+      case NegatedSet(fwd, bwd) =>
+        negatedParts(triples, fwd, bwd).reduce(_ unionAll _).distinct()
     }
   }
 
@@ -433,7 +443,7 @@ object GraphQuery {
     import PathExpr._
     e match {
       case p @ Pred(_)       => Inv(p)
-      case n @ NegatedSet(_) => Inv(n)
+      case n @ NegatedSet(_, _) => Inv(n)
       case Inv(x)            => x
       case Chain(a, b)       => Chain(reverse(b), reverse(a))
       case Alt(a, b)         => Alt(reverse(a), reverse(b))
@@ -452,7 +462,7 @@ object GraphQuery {
     import PathExpr._
     e match {
       case Inv(p @ Pred(_))       => Inv(p)
-      case Inv(n @ NegatedSet(_)) => Inv(n)
+      case Inv(n @ NegatedSet(_, _)) => Inv(n)
       case Inv(x)                 => normalizeInv(reverse(x))
       case Chain(a, b)            => Chain(normalizeInv(a), normalizeInv(b))
       case Alt(a, b)              => Alt(normalizeInv(a), normalizeInv(b))
@@ -488,14 +498,15 @@ object GraphQuery {
       case Inv(Pred(p)) => triples.where(col("pred") === lit(p))
         .select(col("obj").as("src"), col("subj").as("dst"))
         .join(s, Seq("src"), "left_semi").distinct()
-      case NegatedSet(ps) => triples.where(col("pred").isNotNull &&
-          !col("pred").isInCollection(ps))
-        .select(col("subj").as("src"), col("obj").as("dst"))
-        .join(s, Seq("src"), "left_semi").distinct()
-      case Inv(NegatedSet(ps)) => triples.where(col("pred").isNotNull &&
-          !col("pred").isInCollection(ps))
-        .select(col("obj").as("src"), col("subj").as("dst"))
-        .join(s, Seq("src"), "left_semi").distinct()
+      case NegatedSet(fwd, bwd) =>
+        negatedParts(triples, fwd, bwd)
+          .map(_.join(s, Seq("src"), "left_semi"))
+          .reduce(_ unionAll _).distinct()
+      case Inv(NegatedSet(fwd, bwd)) =>
+        negatedParts(triples, fwd, bwd)
+          .map(p => p.select(col("dst").as("src"), col("src").as("dst"))
+            .join(s, Seq("src"), "left_semi"))
+          .reduce(_ unionAll _).distinct()
       case Inv(x) => go(normalizeInv(reverse(x)), s)
       case Chain(a, b) =>
         val left = go(a, s)
@@ -516,6 +527,26 @@ object GraphQuery {
         ident(s).unionAll(go(x, s)).distinct()
     }
     go(normalizeInv(expr), seed0)
+  }
+
+  /** The one or two constant-filtered scans of a negated property set:
+    * a forward part (subj→obj, pred ∉ fwd) when forward members exist,
+    * a reversed part (obj→subj, pred ∉ bwd) when inverse members do.
+    */
+  private def negatedParts(triples: DataFrame, fwd: Seq[String],
+      bwd: Seq[String]): Seq[DataFrame] = {
+    require(fwd.nonEmpty || bwd.nonEmpty, "empty negated property set")
+    val f = if (fwd.nonEmpty)
+      Seq(triples.where(col("pred").isNotNull &&
+          !col("pred").isInCollection(fwd))
+        .select(col("subj").as("src"), col("obj").as("dst")))
+    else Seq.empty
+    val b = if (bwd.nonEmpty)
+      Seq(triples.where(col("pred").isNotNull &&
+          !col("pred").isInCollection(bwd))
+        .select(col("obj").as("src"), col("subj").as("dst")))
+    else Seq.empty
+    f ++ b
   }
 
   /** The SPARQL zero-length path: every term of the graph paired with

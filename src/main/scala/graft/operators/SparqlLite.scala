@@ -862,14 +862,21 @@ object SparqlLite {
         require(i > j0, s"empty negated-set member at offset $j0 in $s")
         expandPrefixed(s.substring(j0, i), prefixes)
       }
+      // a member may be `p` (excludes p on FORWARD links) or `^q`
+      // (excludes q on REVERSED links) — SPARQL 1.1 §9.1 splits the
+      // set into a forward and an inverse part
+      val fwd = scala.collection.mutable.ArrayBuffer.empty[String]
+      val bwd = scala.collection.mutable.ArrayBuffer.empty[String]
+      def member(): Unit =
+        if (peekc == '^') { i += 1; bwd += name() } else fwd += name()
       if (peekc == '(') {
         i += 1
-        val names = scala.collection.mutable.ArrayBuffer(name())
-        while (peekc == '|') { i += 1; names += name() }
+        member()
+        while (peekc == '|') { i += 1; member() }
         require(peekc == ')', s"unbalanced parens in negated set of $s")
         i += 1
-        NegatedSet(names.toSeq)
-      } else NegatedSet(Seq(name()))
+      } else member()
+      NegatedSet(fwd.toSeq, bwd.toSeq)
     }
     def primary(): GraphQuery.PathExpr =
       if (peekc == '(') {

@@ -200,6 +200,9 @@ class GraphQuerySpec extends SparkSpec {
       Inv(Pred("placed_by")),
       NegatedSet(Seq("placed_by")),
       Inv(NegatedSet(Seq("in", "part_of"))),
+      NegatedSet(Seq("placed_by"), Seq("in")),   // mixed fwd+inv members
+      NegatedSet(Seq.empty, Seq("part_of")),     // inverse-only set
+      Inv(NegatedSet(Seq("in"), Seq("part_of"))),
       Chain(Pred("in"), Pred("part_of")),
       Alt(Pred("in"), Pred("part_of")),
       Plus(Pred("part_of"), 3),
@@ -228,7 +231,8 @@ class GraphQuerySpec extends SparkSpec {
     val exprs = Seq[GraphQuery.PathExpr](
       Pred("p"), Inv(Pred("q")), Chain(Pred("p"), Pred("q")),
       Alt(Pred("p"), Pred("r")), Plus(Pred("p"), 3), PlusAll(Pred("p")),
-      Star(Pred("q")), Opt(Pred("r")), NegatedSet(Seq("q")))
+      Star(Pred("q")), Opt(Pred("r")), NegatedSet(Seq("q")),
+      NegatedSet(Seq("p"), Seq("q")), NegatedSet(Seq.empty, Seq("r")))
     exprs.foreach { e =>
       val fwd = GraphQuery.pathPairs(tri, e)
         .as[(String, String)].collect().toSet

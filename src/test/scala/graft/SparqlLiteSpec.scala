@@ -198,6 +198,19 @@ class SparqlLiteSpec extends SparkSpec {
     val set = SparqlLite.sparql(tri,
       "SELECT ?a ?b WHERE { ?a !(in_nation|age|ordered_by) ?b }")
     assert(rows(set) === Set(Seq("de", "europe"), Seq("fr", "europe")))
+    // inverse members (SPARQL 1.1 §9.1): a mixed set unions the
+    // forward part (pred ∉ forward members) with the REVERSED part
+    // (pred ∉ inverse members); here seeded at the constant europe —
+    // no forward edges leave europe, the reversed in_region pair
+    // survives the ^ordered_by exclusion
+    val mixed = SparqlLite.sparql(tri,
+      "SELECT ?x WHERE { europe !(in_nation|^ordered_by) ?x }")
+    assert(rows(mixed) === Set(Seq("de"), Seq("fr")))
+    // inverse-only set: reversed links not labeled in_region — c1's
+    // incoming ordered_by edges, reversed
+    val invOnly = SparqlLite.sparql(tri,
+      "SELECT ?x WHERE { c1 !^in_region ?x }")
+    assert(rows(invOnly) === Set(Seq("o1"), Seq("o2")))
     // composes: anything-but-age, then a region hop
     val chained = SparqlLite.sparql(tri,
       "SELECT ?a WHERE { ?a !(age|ordered_by)/in_region ?r }")
