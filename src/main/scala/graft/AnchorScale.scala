@@ -2,10 +2,8 @@ package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 import graft.ml.SectionTagger
-import graft.operators._
 import graft.sources.TranscriptGen
 
 /** The 100x scale anchor (VERDICT r4 item 8): ONE recorded end-to-end
@@ -13,13 +11,17 @@ import graft.sources.TranscriptGen
   * 12.6M-turn round-3 best — with per-stage wall seconds and shuffle
   * bytes, proving the stage shapes (clustered conv aggregation, banded
   * dedup, broadcast dims) hold as data grows, not just that sf0.1
-  * finishes. A SparkListener folds every completed stage's shuffle
+  * finishes. The stage decomposition IS [[Bench.kgStages]] (eager-
+  * unpersist mode) — one canonical S1-S6 loop serves both the driver
+  * bench and this anchor, so the two artifacts can never measure
+  * different pipelines. A SparkListener registered AFTER generation
+  * and tagger training folds only the PIPELINE stages' shuffle
   * read/write into totals and a peak, so the artifact shows where the
   * exchange pressure actually lands.
   *
   * Run via direct java with a large heap (the turn set no longer fits
   * an 8g bench heap; stage caches spill via MEMORY_AND_DISK):
-  * `SPARK_GRAFT_CONVS=6400000 java -Xmx96g ... graft.AnchorScale`.
+  * `SPARK_GRAFT_CONVS=6400000 java -Xmx90g ... graft.AnchorScale`.
   */
 object AnchorScale {
 
@@ -36,7 +38,11 @@ object AnchorScale {
         readTotal += m.shuffleReadMetrics.totalBytesRead
         if (w > writePeak) {
           writePeak = w
-          peakStage = s"${sc.stageInfo.stageId}:${sc.stageInfo.name.takeWhile(_ != '\n').take(60)}"
+          // keep the fragment JSON-safe: stage names embed plan text
+          // that may carry quotes/backslashes
+          peakStage = s"${sc.stageInfo.stageId}:${sc.stageInfo.name}"
+            .takeWhile(_ != '\n').take(64)
+            .map(c => if (c == '"' || c == '\\') '_' else c)
         }
       }
     }
@@ -48,19 +54,10 @@ object AnchorScale {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.local(cpus, appName = "graft-anchor-scale")
     spark.sparkContext.setLogLevel("WARN")
-    val tally = new ShuffleTally
-    spark.sparkContext.addSparkListener(tally)
+    implicit val s: SparkSession = spark
 
     val tagger = SectionTagger.train(
       KgPipeline.taggerTrainingFrame(spark, nConvs = 200))
-    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    def phase[A](name: String)(f: => A): A = {
-      val (r, sec) = Bench.time(f)
-      stages += (name -> sec)
-      r
-    }
-    implicit val s: SparkSession = spark
-
     // generation is outside the pipeline account but timed for context;
     // the turn set is PERSISTED before the timed region (as in
     // Bench.kgPipeline) so s1_clean measures cleaning, not a second
@@ -70,45 +67,19 @@ object AnchorScale {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (nTurns, genSec) = Bench.time(turns.count())
 
-    val t0 = System.nanoTime()
-    val cleaned = KgPipeline.cleanTurns(turns).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    phase("s1_clean")(cleaned.count())
+    // the tally sees ONLY the pipeline stages: generation, persist and
+    // tagger training have all completed before it registers (the
+    // listener bus is drained by the preceding count's job end)
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    val ((stages, nTriples), totalSec) =
+      Bench.time(Bench.kgStages(spark, tagger, turns, unpersistEagerly = true))
     turns.unpersist()
-    val tagged = SectionTagger.predict(tagger, cleaned).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    phase("s2_tag")(tagged.count())
-    cleaned.unpersist()
-    val extracted = TurnExtract.extract(tagged).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    phase("s3_extract")(extracted.count())
-    tagged.unpersist()
-    val convs = ConvFinalize.runClustered(extracted).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    phase("s4_conv")(convs.count())
-    extracted.unpersist()
-    val convSkills = convs.select(col("conv_id"), explode(col("skills")).as("skill"))
-    val si = Scoring.sectorAndIsco(convSkills).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    phase("s5_scoring")(si.count())
-    val canon = phase("s5_linking") {
-      val c = Linking.canonicalize(
-        convs.toDF().select(explode(col("orgs")).as("surface")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      c.count(); c
-    }
-    val estimates = Scoring.estimates(si.select("conv_id", "isco3"),
-      convs.toDF().select(col("conv_id"), col("location"))
-        .filter(col("location").isNotNull))
-    val nTriples = phase("s6_emit")(
-      TripleEmit.run(convs, si.select("conv_id", "sector"), estimates, canon)
-        .count())
-    val totalSec = (System.nanoTime() - t0) / 1e9
 
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"anchor_100x","convs":$nConvs,"turns":$nTurns,"triples":$nTriples,"gen_sec":$genSec%.1f,"pipeline_sec":$totalSec%.1f,"turns_per_sec":${nTurns / totalSec}%.1f,"stages":${jmap(stages.toSeq)},"shuffle_write_gb":${tally.writeTotal / 1e9}%.2f,"shuffle_read_gb":${tally.readTotal / 1e9}%.2f,"peak_stage_write_gb":${tally.writePeak / 1e9}%.2f,"peak_stage":"${tally.peakStage}","cores":$cpus}""")
+      f"""{"metric":"anchor_100x","convs":$nConvs,"turns":$nTurns,"triples":$nTriples,"gen_sec":$genSec%.1f,"pipeline_sec":$totalSec%.1f,"turns_per_sec":${nTurns / totalSec}%.1f,"stages":${jmap(stages)},"shuffle_write_gb":${tally.writeTotal / 1e9}%.2f,"shuffle_read_gb":${tally.readTotal / 1e9}%.2f,"peak_stage_write_gb":${tally.writePeak / 1e9}%.2f,"peak_stage":"${tally.peakStage}","cores":$cpus}""")
     spark.stop()
   }
 }

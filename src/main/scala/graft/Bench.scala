@@ -73,10 +73,17 @@ object Bench {
     * materialized (cache + count) so the deltas isolate one operator. The
     * sum slightly exceeds a fused end-to-end run (caching overhead), which
     * is why the headline `kg_pipeline` number comes from the un-instrumented
-    * runs instead.
+    * runs instead. `unpersistEagerly` drops each upstream cache as soon as
+    * its consumer materializes — the memory policy the 100M-turn
+    * AnchorScale leg needs; the default keeps the round-4 behavior (all
+    * unpersisted at the end). Returns (per-stage seconds, triple count) —
+    * ONE canonical S1-S6 decomposition serving both the driver bench and
+    * the scale anchor, so the two artifacts can never measure different
+    * pipelines.
     */
   def kgStages(spark: SparkSession, tagger: SectionTagger.Trained,
-      turns: org.apache.spark.sql.Dataset[graft.model.Turn]): Seq[(String, Double)] = {
+      turns: org.apache.spark.sql.Dataset[graft.model.Turn],
+      unpersistEagerly: Boolean = false): (Seq[(String, Double)], Long) = {
     implicit val s: SparkSession = spark
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def phase[A](name: String)(f: => A): A = {
@@ -88,10 +95,13 @@ object Bench {
     phase("s1_clean")(cleaned.count())
     val tagged = SectionTagger.predict(tagger, cleaned).cache()
     phase("s2_tag")(tagged.count())
+    if (unpersistEagerly) cleaned.unpersist()
     val extracted = TurnExtract.extract(tagged).cache()
     phase("s3_extract")(extracted.count())
+    if (unpersistEagerly) tagged.unpersist()
     val convs = ConvFinalize.runClustered(extracted).cache()
     phase("s4_conv")(convs.count())
+    if (unpersistEagerly) extracted.unpersist()
     val convSkills = convs.select(col("conv_id"), explode(col("skills")).as("skill"))
     val si = Scoring.sectorAndIsco(convSkills).cache()
     phase("s5_scoring")(si.count())
@@ -102,11 +112,11 @@ object Bench {
     }
     val estimates = Scoring.estimates(si.select("conv_id", "isco3"),
       convs.toDF().select(col("conv_id"), col("location")).filter(col("location").isNotNull))
-    phase("s6_emit")(
+    val nTriples = phase("s6_emit")(
       TripleEmit.run(convs, si.select("conv_id", "sector"), estimates, canon).count())
-    Seq(cleaned, tagged, extracted).foreach(_.unpersist())
+    if (!unpersistEagerly) Seq(cleaned, tagged, extracted).foreach(_.unpersist())
     Seq(convs.toDF(), si, canon).foreach(_.unpersist())
-    out.toSeq
+    (out.toSeq, nTriples)
   }
 
   final case class KgResult(nTurns: Long, nTriples: Long, runs: Seq[Measured],
@@ -170,7 +180,7 @@ object Bench {
       val (_, m) = measure(KgPipeline.computeTriples(turns, tagger).count())
       runs += m
     }
-    val stages = kgStages(spark, tagger, turns)
+    val stages = kgStages(spark, tagger, turns)._1
     turns.unpersist()
     KgResult(nTurns, nTriples, runs.toSeq, stages, anomaly = anomalous, cpuFloor = kgCpuFloor)
   }

@@ -27,15 +27,18 @@ import graft.operators.GraphQuery.TriplePattern
   *            with one space, or `( ?v ; SEPARATOR= 'sep' )`; SAMPLE
   *            picks the min binding — deterministic forms of SPARQL's
   *            order-free aggregates, so they stay cross-engine exact)
-  * group  := { item ('.' item)* '.'? }
+  * group  := { item ('.' item)* '.'? }            -- RECURSIVE: any item
+  *                                                   at any depth
   * item   := term (pred | path) term              -- a triple pattern
-  *         | OPTIONAL { (triple | FILTER ( bool )) ('.' ...)* }
-  *                        -- one left-joined group; an inner FILTER
-  *                           narrows the group before the join
-  *         | MINUS { triple ('.' triple)* }       -- anti-join on shared vars
-  *         | FILTER EXISTS { triple+ }            -- semi-join pattern test
-  *         | FILTER NOT EXISTS { triple+ }        -- anti-join pattern test
-  *         | { triple+ } UNION { triple+ } ...    -- same-var-set branches
+  *         | OPTIONAL group    -- left-joined full group (may itself
+  *                                hold OPTIONAL/UNION/FILTER/BIND; its
+  *                                inner FILTERs narrow the group before
+  *                                the join, never the solution)
+  *         | MINUS group                          -- anti-join on shared vars
+  *         | FILTER EXISTS group                  -- semi-join pattern test
+  *         | FILTER NOT EXISTS group              -- anti-join pattern test
+  *         | branch UNION branch (UNION branch)*  -- same-var-set branches;
+  *                        branch := group | { SELECT ... } (a subquery)
   *         | FILTER ( bool )   -- bool: comparison | boolean fn | ! bool
   *                             | bool && bool | bool || bool | ( bool ) ;
   *                                comparison: expr (op expr)? with op in
@@ -57,19 +60,23 @@ import graft.operators.GraphQuery.TriplePattern
   * path   := SPARQL 1.1 property paths in the predicate position, written
   *           without internal spaces: `a|b`, `a/b`, `^a`, `(e)`, `e+`
   *           (UNBOUNDED closure — semi-naive to fixpoint), `e+N`
-  *           (closure bounded at N hops), `!p` / `!(p1|..|pn)` (negated
-  *           property set, forward links), `e*` (reflexive closure:
+  *           (closure bounded at N hops), `!p` / `!(p1|..|^q1|..)`
+  *           (negated property set: forward members exclude predicates
+  *           on forward links, ^-members on REVERSED links — SPARQL 1.1
+  *           §9.1 split), `e*` (reflexive closure:
   *           zero-length rows over every graph term, then `e+`) or `e?`
   *           (zero-or-one: the same identity, plus e's own pairs);
   *           evaluated via GraphQuery.pathPairs with SET semantics
   * }}}
   *
-  * Documented restrictions vs full SPARQL: FILTERs apply to the complete
-  * binding frame (top-level scope only), OPTIONAL groups contain only
-  * triples, numeric comparison is used when the literal side parses as a
-  * number (bindings cast to double), string comparison otherwise, and
-  * `a`/prefixed-name sugar is not expanded — terms match the triple
-  * table's values verbatim.
+  * Documented restrictions vs full SPARQL: every FILTER sees exactly
+  * its OWN group's bindings (the SPARQL group-scope rule; no cross-
+  * group variable capture), UNION branches must bind identical variable
+  * sets, numeric comparison is used when the literal side parses as a
+  * number (bindings cast to double), string comparison otherwise,
+  * declared PREFIX names expand everywhere but the `a` keyword does not
+  * — undeclared terms match the triple table's values verbatim, and
+  * property paths are rejected in CONSTRUCT templates.
   */
 object SparqlLite {
 
