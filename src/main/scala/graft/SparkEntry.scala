@@ -21,8 +21,66 @@ import graft.sources.TranscriptGen
   */
 object SparkEntry {
 
+  // parquet layout metadata per path (bytes, row groups) — footer-only
+  // reads, cached like Spark's own file-listing cache (metadata, never
+  // results; keyed by path within this JVM session)
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+
+  private def parquetLayout(s: SparkSession, path: String): (Long, Int) =
+    layoutCache.computeIfAbsent(path, { _ =>
+      val conf = s.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+         else Seq(fs.getFileStatus(p)))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      var bytes = 0L
+      var rgs = 0
+      files.foreach { st =>
+        bytes += st.getLen
+        val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try rgs += in.getRowGroups.size() finally in.close()
+      }
+      (bytes, rgs)
+    })
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Scan-fanout loader (optimization guide §2.5, "input skew: one huge
+    * unsplittable file"): parquet can only split at ROW-GROUP boundaries,
+    * so a table written as a handful of large row groups serializes its
+    * scan stage — and every operator fused into it — onto that many tasks
+    * no matter how many splits Spark plans (the driver's testdata tables
+    * are single-row-group files: measured with a stage listener, q04 spent
+    * 940 ms of its 1.3 s in ONE task — decode 600k rows ≈ 100 ms, the
+    * rest a serial sort). Callers that hang heavy per-row work off the
+    * scan pass the downstream partitioning `key`; the hash repartition
+    * then (a) parallelizes that work and (b) already satisfies the
+    * window/groupBy/join distribution on `key`, so no second exchange
+    * appears. HASH, never round-robin: `repartition(n)` pays a local sort
+    * of the serialized scan output (sortBeforeRepartition) — the blanket
+    * round-robin variant measured 5.5 s SLOWER across the headline set.
+    *
+    * Scale-adaptive, not a local[32] constant: partition count comes from
+    * AQE (repartition-by-column with no explicit N), the guard is a no-op
+    * on a properly laid-out table (row groups >= half the session cores),
+    * and tables above SPARK_GRAFT_FANOUT_MAX_MB (default 2048) never pay
+    * the extra exchange — at warehouse scale the fix belongs at the
+    * writer, exactly as the guide says.
+    */
+  private def tf(s: SparkSession, dir: String, name: String, key: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = s.read.parquet(path)
+    val cores = s.sparkContext.defaultParallelism
+    val (bytes, rgs) = parquetLayout(s, path)
+    val maxBytes = sys.env.getOrElse("SPARK_GRAFT_FANOUT_MAX_MB", "2048").toLong << 20
+    if (cores > 1 && rgs < cores / 2 && bytes <= maxBytes) df.repartition(col(key))
+    else df
+  }
 
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
@@ -69,7 +127,9 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
     }),
     "q02_revenue_by_nation" -> ((s, d) => {
-      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      // fanout: the 4-way broadcast-join probe chain runs fused into the
+      // scan stage; on a single-row-group lineitem that is one core
+      val li = tf(s, d, "lineitem", "l_orderkey"); val o = t(s, d, "orders")
       val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
@@ -80,7 +140,10 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
     }),
     "q03_top_orders" -> ((s, d) => {
-      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      // fanout on the groupBy key: the hash exchange both parallelizes the
+      // decimal partial aggregation (measured 885 ms serial) and already
+      // satisfies the aggregation's required distribution
+      val li = tf(s, d, "lineitem", "l_orderkey"); val o = t(s, d, "orders")
       li.groupBy("l_orderkey")
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
@@ -91,7 +154,10 @@ object SparkEntry {
     "q04_supplier_first_shipments" -> ((s, d) => {
       val w = Window.partitionBy("l_suppkey")
         .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"))
-      t(s, d, "lineitem").withColumn("rn", row_number().over(w))
+      // fanout on the window key: moves the WindowGroupLimit sort (measured
+      // 940 ms as ONE task on the single-row-group scan) behind a hash
+      // exchange that the window requires anyway, so it runs per-partition
+      tf(s, d, "lineitem", "l_suppkey").withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .groupBy("l_suppkey")
         .agg(sum(col("l_quantity")).cast("bigint").as("first3_qty"), count(lit(1)).as("cnt"))
@@ -124,7 +190,7 @@ object SparkEntry {
       val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
       // ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast matches
       // DuckDB's epoch_us on the naive timestamp
-      t(s, d, "events")
+      tf(s, d, "events", "user_id")
         .withColumn("us", unix_micros(col("ts").cast("timestamp")))
         .withColumn("prev_us", lag(col("us"), 1).over(w))
         .withColumn("new_session",

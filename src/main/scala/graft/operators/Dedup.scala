@@ -173,22 +173,29 @@ object Dedup {
       implicit spark: SparkSession): DataFrame = {
     // each stage materialized exactly once (localCheckpoint = executor-side
     // blocks, no driver roundtrip): fingerprints feed the exact collapse
-    // AND the final compose; reps feed LSH, the CC vertex set, and verify
+    // AND the final compose; reps feed LSH, the CC vertex set, and verify.
+    // The rep row is ONE min(struct) aggregation — rep_id and its text in
+    // the same shuffle (ids are unique, so the struct min is the min-id row
+    // verbatim) — instead of the r5 shape's groupBy(min) + join-back +
+    // filter(id == rep_id), which paid a second fact-scale shuffle and an
+    // extra checkpoint for the same rows (guide §2.3/§2.4)
     val withFp = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       .localCheckpoint()
-    val exactRep = withFp.groupBy("fp").agg(min("id").as("rep_id")).localCheckpoint()
-    val reps = withFp.join(exactRep, "fp")
-      .filter(col("id") === col("rep_id"))
-      .select(col("id"), col("text"))
+    val exactRep = withFp.groupBy("fp")
+      .agg(min(struct(col("id"), col("text"))).as("m"))
+      .select(col("fp"), col("m.id").as("rep_id"), col("m.text").as("text"))
       .localCheckpoint()
+    val reps = exactRep.select(col("rep_id").as("id"), col("text"))
     val edges = minHashCandidates(reps, "id", "text", shingleK, maxDistance = maxDistance)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val repComp = ConnectedComponents.run(reps.select("id"), edges)
     // id -> exact rep -> near-dup component
-    withFp.join(exactRep, "fp")
+    val idFp = withFp.select(col("id"), col("fp"))
+    idFp
+      .join(exactRep.select(col("fp"), col("rep_id")), "fp")
       .join(repComp, col("rep_id") === repComp("id"))
-      .select(withFp("id"), col("component").as("keep_id"))
+      .select(idFp("id"), col("component").as("keep_id"))
   }
 
   // ------------------------------------------------------------------

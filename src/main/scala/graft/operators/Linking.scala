@@ -22,12 +22,29 @@ object ConnectedComponents {
     */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50,
       localThreshold: Long = 500000L)(implicit spark: SparkSession): DataFrame = {
-    // materialize edges once: the size gate counts them, then whichever
-    // path wins consumes them without recomputing the candidate join
-    val e = edges.localCheckpoint()
-    if (choosesLocal(vertices.count(), e.count(), localThreshold)) runLocal(vertices, e)
-    else runDistributed(vertices, e, maxIter)
+    import spark.implicits._
+    // LAZY checkpoint: materialized only if the distributed path (which
+    // consumes edges repeatedly) actually runs; the local path reads the
+    // edge list exactly once below. The size gate is folded into the
+    // collects themselves — limit(budget + 1) bounds what can ever reach
+    // the driver, and overflowing the budget falls through to the
+    // distributed path — so the r5 shape's separate count() jobs (two
+    // full passes before any data moved) are gone (guide §1.2: remove
+    // passes first).
+    val e = edges.localCheckpoint(false)
+    val vs = vertices.select(col("id")).limit(saturating(localThreshold) + 1)
+      .as[Long].collect()
+    if (vs.length <= localThreshold) {
+      val eBudget = saturating(localThreshold - vs.length)
+      val es = e.select(col("src"), col("dst")).limit(eBudget + 1)
+        .as[(Long, Long)].collect()
+      if (choosesLocal(vs.length, es.length, localThreshold)) return runLocal(vs, es)
+    }
+    runDistributed(vertices, e, maxIter)
   }
+
+  private def saturating(l: Long): Int =
+    math.min(l, Int.MaxValue - 1).toInt
 
   /** The gate, separated for direct testing: local only when the TOTAL
     * driver-collected row count (vertices + edges) fits the budget.
@@ -35,11 +52,9 @@ object ConnectedComponents {
   private[operators] def choosesLocal(vCount: Long, eCount: Long, localThreshold: Long): Boolean =
     vCount + eCount <= localThreshold
 
-  private def runLocal(vertices: DataFrame, edges: DataFrame)(
+  private def runLocal(vs: Array[Long], es: Array[(Long, Long)])(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val vs = vertices.select(col("id")).as[Long].collect()
-    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap(vs.map(v => v -> v): _*)
     def find(x: Long): Long = {
       var r = x
@@ -142,9 +157,14 @@ object Linking {
       implicit spark: SparkSession): (DataFrame, DataFrame) = {
     import spark.implicits._
     val counts = mentions.groupBy("surface").agg(count(lit(1)).as("freq")).cache()
-    val n = counts.count()
+    // size gate folded into the collect (limit bounds driver exposure;
+    // overflow falls through to LSH) — one job where the r5 shape paid a
+    // count() pass and then re-collected the same rows
+    val budget = math.min(localThreshold, Int.MaxValue - 1L).toInt
+    val rows = counts.select(col("surface"), col("freq"))
+      .limit(budget + 1).as[(String, Long)].collect()
     val local =
-      if (n <= localThreshold) canonicalizeLocal(counts, jaccardDistance)
+      if (rows.length <= localThreshold) canonicalizeLocal(rows, jaccardDistance)
       else None
     local match {
       case Some(df) => (df, Seq(("path_local", 1L)).toDF("metric", "value"))
@@ -155,13 +175,13 @@ object Linking {
   }
 
   /** Driver-side path for entity vocabularies that fit in memory after the
-    * distinct-surface collapse (one collect; shingle inverted index bounds
-    * the candidate pairs, then union-find + frequency-mode canonical).
+    * distinct-surface collapse (rows already collected by the gate; shingle
+    * inverted index bounds the candidate pairs, then union-find +
+    * frequency-mode canonical).
     */
-  private def canonicalizeLocal(counts: DataFrame, jaccardDistance: Double)(
+  private def canonicalizeLocal(rows: Array[(String, Long)], jaccardDistance: Double)(
       implicit spark: SparkSession): Option[DataFrame] = {
     import spark.implicits._
-    val rows = counts.select(col("surface"), col("freq")).as[(String, Long)].collect()
     def sh(s: String): Set[String] = {
       val l = s.toLowerCase
       if (l.length < 3) Set(l) else (0 to l.length - 3).map(i => l.substring(i, i + 3)).toSet
