@@ -157,14 +157,16 @@ object Linking {
       implicit spark: SparkSession): (DataFrame, DataFrame) = {
     import spark.implicits._
     val counts = mentions.groupBy("surface").agg(count(lit(1)).as("freq")).cache()
-    // size gate folded into the collect (limit bounds driver exposure;
-    // overflow falls through to LSH) — one job where the r5 shape paid a
-    // count() pass and then re-collected the same rows
-    val budget = math.min(localThreshold, Int.MaxValue - 1L).toInt
-    val rows = counts.select(col("surface"), col("freq"))
-      .limit(budget + 1).as[(String, Long)].collect()
+    // count() materializes the cache in one parallel job, so the gated
+    // collect below reads cached blocks (a limit()-based gate measured
+    // WORSE here: CollectLimit's incremental take re-ran the aggregation
+    // across its scale-up jobs — KgProf stages 254-259, ~0.4 s)
+    val n = counts.count()
     val local =
-      if (rows.length <= localThreshold) canonicalizeLocal(rows, jaccardDistance)
+      if (n <= localThreshold)
+        canonicalizeLocal(
+          counts.select(col("surface"), col("freq")).as[(String, Long)].collect(),
+          jaccardDistance)
       else None
     local match {
       case Some(df) => (df, Seq(("path_local", 1L)).toDF("metric", "value"))
