@@ -42,6 +42,15 @@ object KgProf {
       }
     }
 
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      val df = KgPipeline.computeTriples(turns, tagger).toDF()
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_PLANS", "plans/r06") + "/kg_pipeline_" +
+          sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before") + ".txt"),
+        df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+          .getBytes("UTF-8"))
+    }
+
     (1 to reps).foreach { i =>
       if (i == reps) {
         Thread.sleep(500)

@@ -47,11 +47,25 @@ object Sessions {
       // in this engine is < 8 MB by construction; fact-fact joins must
       // never be broadcast accidentally.
       .config("spark.sql.autoBroadcastJoinThreshold", (8L * 1024 * 1024).toString)
+      // joins (guide §3.1): allow shuffled-hash where its size conditions
+      // hold and let AQE rewrite SMJ -> SHJ when every post-shuffle build
+      // partition is provably under 64 MB — both size-guarded, so the
+      // spill-safe sort-merge still wins whenever a partition could be
+      // large (the kg emit stage's conv-keyed LeftOuter joins are SMJ only
+      // because mapGroups output has no size stats; AQE sees the real
+      // sizes at runtime)
+      .config("spark.sql.join.preferSortMergeJoin", preferSmj)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", shjThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     localDir.foreach(b.config("spark.local.dir", _))
     b.getOrCreate()
   }
+
+  // parameterised for A/B runs and cluster overrides (SPARK_GRAFT_PREFER_SMJ,
+  // SPARK_GRAFT_SHJ_THRESHOLD); local defaults = the measured-best values
+  private def preferSmj: String = sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false")
+  private def shjThreshold: String = sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m")
 
   /** REAL multi-executor session: `local-cluster[n, cores, memMb]` spawns
     * one separate executor JVM per `n` on this host — own heap, GC and
@@ -77,7 +91,7 @@ object Sessions {
       "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
       "sun.security.action", "sun.util.calendar")
       .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED").mkString(" ")
-    SparkSession.builder()
+    val c = SparkSession.builder()
       .master(s"local-cluster[$executors,$coresPerExec,$memMb]")
       .appName(appName)
       .withExtensions(new graft.plans.GraftExtensions)
@@ -97,8 +111,13 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.autoBroadcastJoinThreshold", (8L * 1024 * 1024).toString)
+      // same join-strategy policy and scratch-dir default as [[local]]
+      // (spark.local.dir propagates to the executor JVMs via SparkConf)
+      .config("spark.sql.join.preferSortMergeJoin", preferSmj)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", shjThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    localDir.foreach(c.config("spark.local.dir", _))
+    c.getOrCreate()
   }
 }

@@ -39,28 +39,75 @@ final class CompiledTagger(
   private val k = intercept.length
   private val n = v1Size + v2Size + extraSel.length
 
+  // serve-path layout folded once per JVM (all @transient lazy — rebuilt on
+  // executors, never serialized with the expression):
+  //  - coefT: index-major transpose of `coef`, so each active feature reads
+  //    its k class weights contiguously instead of k strided loads;
+  //  - vocab2Nested: bigram vocab as tok1 -> (tok2 -> idx), killing the
+  //    per-bigram "tok1 tok2" concat+hash (NGram separator is a single
+  //    space and letter-run tokens cannot contain one, so the nested
+  //    lookup accepts exactly the pairs the flat key accepted);
+  //  - scratch: per-thread dense (values, touched) arrays replacing the
+  //    boxed TreeMap (profiling: TreeMap.getEntry was the hottest tag
+  //    frame). Ascending-index accumulation order — and therefore the
+  //    float result — is preserved by sorting the touched list, and counts
+  //    are exact small integers so gather order cannot change them.
+  @transient private lazy val coefT: Array[Double] = {
+    val t = new Array[Double](n * k)
+    var c = 0
+    while (c < k) {
+      var j = 0
+      while (j < n) { t(j * k + c) = coef(c * n + j); j += 1 }
+      c += 1
+    }
+    t
+  }
+  @transient private lazy val vocab2Nested:
+      java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    val it = vocab2.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val key = e.getKey
+      val sp = key.indexOf(' ')
+      if (sp > 0) {
+        val first = key.substring(0, sp)
+        val second = key.substring(sp + 1)
+        var inner = m.get(first)
+        if (inner == null) { inner = new java.util.HashMap[String, Integer](); m.put(first, inner) }
+        inner.put(second, e.getValue)
+      }
+    }
+    m
+  }
+  @transient private lazy val scratch: ThreadLocal[(Array[Double], Array[Int])] =
+    ThreadLocal.withInitial(() => (new Array[Double](n), new Array[Int](n)))
+
   def predict(text: String): String = {
-    val toks = TokenizeEvals.letterRunsStr(text)
-    // sparse feature map; TreeMap keeps active indices ascending so the
-    // margin accumulation order matches MLlib's sparse gemv exactly
-    val feats = new java.util.TreeMap[Integer, Double]()
-    var i = 0
+    val (vals, touched) = scratch.get()
+    var m = 0
+    try {
+      val toks = TokenizeEvals.letterRunsStr(text)
+      var i = 0
     while (i < toks.length) {
       val idx = vocab1.get(toks(i))
       if (idx != null) {
-        val key: Integer = idx
-        val cur = feats.get(key)
-        feats.put(key, if (cur == null) 1.0 else cur + 1.0)
+        val j = idx.intValue()
+        if (vals(j) == 0.0) { touched(m) = j; m += 1 }
+        vals(j) += 1.0
       }
       i += 1
     }
     i = 0
     while (i < toks.length - 1) {
-      val idx = vocab2.get(toks(i) + " " + toks(i + 1))
-      if (idx != null) {
-        val key: Integer = idx + v1Size
-        val cur = feats.get(key)
-        feats.put(key, if (cur == null) 1.0 else cur + 1.0)
+      val inner = vocab2Nested.get(toks(i))
+      if (inner != null) {
+        val idx = inner.get(toks(i + 1))
+        if (idx != null) {
+          val j = idx.intValue() + v1Size
+          if (vals(j) == 0.0) { touched(m) = j; m += 1 }
+          vals(j) += 1.0
+        }
       }
       i += 1
     }
@@ -69,22 +116,29 @@ final class CompiledTagger(
       var e = 0
       while (e < extraSel.length) {
         val v = extras(extraSel(e))
-        if (v != 0.0) feats.put(v1Size + v2Size + e, v)
+        if (v != 0.0) {
+          val j = v1Size + v2Size + e
+          touched(m) = j; m += 1 // extra indices are distinct and unseen
+          vals(j) = v
+        }
         e += 1
       }
     }
     // margins = intercept + W * x (per class: intercept first, ascending idx)
+    java.util.Arrays.sort(touched, 0, m)
     val margins = java.util.Arrays.copyOf(intercept, k)
-    val it = feats.entrySet().iterator()
-    while (it.hasNext) {
-      val ent = it.next()
-      val idx = ent.getKey.intValue()
-      val v = ent.getValue.doubleValue()
+    var t = 0
+    while (t < m) {
+      val idx = touched(t)
+      val v = vals(idx)
+      vals(idx) = 0.0 // reset for the thread's next call
+      val base = idx * k
       var c = 0
       while (c < k) {
-        margins(c) += coef(c * n + idx) * v
+        margins(c) += coefT(base + c) * v
         c += 1
       }
+      t += 1
     }
     val cls =
       if (binomial) { if (margins(0) > 0.0) 1 else 0 }
@@ -98,6 +152,12 @@ final class CompiledTagger(
         best
       }
     labels(cls)
+    } catch {
+      case e: Throwable => // never leak scratch residue into the next call
+        var x = 0
+        while (x < m) { vals(touched(x)) = 0.0; x += 1 }
+        throw e
+    }
   }
 }
 
