@@ -62,15 +62,23 @@ object KgPipeline {
 
     val convSkills = convs.select(col("conv_id"), explode(col("skills")).as("skill"))
     val si = Scoring.sectorAndIsco(convSkills).cache()
-    val sectors = si.select("conv_id", "sector")
     val convLoc = convs.toDF().select(col("conv_id"), col("location"))
       .filter(col("location").isNotNull)
-    val estimates = Scoring.estimates(si.select("conv_id", "isco3"), convLoc)
+    // sector + salary estimate resolved against si in ONE conv-scale join
+    // chain (si ⟕ convLoc ⟕ broadcast dim) instead of two separate frames
+    // each re-joined to convs — TripleEmit.runEnriched then pays a single
+    // conv-scale left join (2 conv joins total where round 5 paid 3; the
+    // left joins preserve exactly the inner-join estimate rows because a
+    // missed location or dim key just leaves estimated_salary null)
+    val enriched = si.select(col("conv_id"), col("sector"), col("isco3"))
+      .join(convLoc, Seq("conv_id"), "left")
+      .join(broadcast(Scoring.estimateDim), Seq("location", "isco3"), "left")
+      .select(col("conv_id"), col("sector"), col("estimated_salary"))
 
     val orgMentions = convs.toDF().select(explode(col("orgs")).as("surface"))
     val orgCanonical = Linking.canonicalize(orgMentions)
 
-    TripleEmit.run(convs, sectors, estimates, orgCanonical)
+    TripleEmit.runEnriched(convs, enriched, orgCanonical)
   }
 
   def computeTriples(turns: Dataset[Turn], tagger: SectionTagger.Trained,
