@@ -68,8 +68,11 @@ object AnchorScale {
     val (nTurns, genSec) = Bench.time(turns.count())
 
     // the tally sees ONLY the pipeline stages: generation, persist and
-    // tagger training have all completed before it registers (the
-    // listener bus is drained by the preceding count's job end)
+    // tagger training have all completed before it registers. The
+    // listener bus is ASYNC (ADVICE r5) — give queued generation-stage
+    // events time to drain before the tally registers, so they cannot be
+    // misattributed to the pipeline account
+    Thread.sleep(2000)
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
     val ((stages, nTriples), totalSec) =

@@ -74,6 +74,16 @@ object PathSeedScale {
       maxSteal = math.max(maxSteal,
         math.max(m1.stealPct, math.max(m2.stealPct, m3.stealPct)))
     }
+    // SET equality once, untimed (ADVICE r5: the per-rep count equality is
+    // weaker than the doc's "identical pair sets" claim) — exceptAll both
+    // ways must be empty on the 1x graph
+    val seededPairs = GraphQuery.pathPairsFrom(t1, expr, seedDf(spark))
+      .select("src", "dst")
+    val fullPairs = GraphQuery.pathPairs(t1, Plus(Pred("next"), compSize.toInt + 4))
+      .where(col("src") === seed).select("src", "dst")
+    require(seededPairs.exceptAll(fullPairs).isEmpty &&
+        fullPairs.exceptAll(seededPairs).isEmpty,
+      "seeded vs full-then-filter pair SETS differ")
     spark.stop()
     val (f, a, b) = (full.min, s1.min, s4.min)
     println(

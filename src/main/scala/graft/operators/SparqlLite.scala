@@ -963,19 +963,31 @@ object SparqlLite {
     * rewrite of the underlying table).
     */
   private val statsCacheMax = 32
-  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-    GraphQuery.BgpStats]()
+  // access-ordered LRU (r6, ADVICE r5): the r5 cache (a) keyed by the
+  // canonicalized LogicalPlan itself, pinning plan trees and their RDD
+  // references for the JVM lifetime, and (b) evicted by wholesale
+  // clear() at 32 entries, re-paying EVERY table's stats job after the
+  // 33rd distinct table. An Int semanticHash key cannot pin plans, and
+  // LRU eviction drops exactly the coldest table. A hash collision can
+  // only swap in another table's stats, which — like the documented
+  // staleness — costs join-ORDER quality, never correctness.
+  private val statsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Integer, GraphQuery.BgpStats](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Integer, GraphQuery.BgpStats]): Boolean =
+        size() > statsCacheMax
+    })
 
   def clearStatsCache(): Unit = statsCache.clear()
 
-  private def cachedStats(triples: DataFrame): GraphQuery.BgpStats = {
-    val key = triples.queryExecution.analyzed.canonicalized
+  private[graft] def statsCacheSize: Int = statsCache.size()
+
+  private[graft] def cachedStats(triples: DataFrame): GraphQuery.BgpStats = {
+    val key: Integer = triples.queryExecution.analyzed.canonicalized.semanticHash()
     val hit = statsCache.get(key)
     if (hit != null) hit
     else {
       val s = GraphQuery.BgpStats.compute(triples)
-      if (statsCache.size >= statsCacheMax) statsCache.clear()
       statsCache.put(key, s)
       s
     }

@@ -247,6 +247,37 @@ class SparqlLiteSpec extends SparkSpec {
       "subqueries must reuse the enclosing query's stats")
   }
 
+  test("stats cache: LRU eviction drops only the coldest table (r6)") {
+    import spark.implicits._
+    SparqlLite.clearStatsCache()
+    // 33 distinct tiny tables -> cache holds the 32 most recent
+    val frames = (0 to 32).map { i =>
+      Seq((s"s$i", "p", s"o$i"), (s"s$i", "q", "x"))
+        .toDF("subj", "pred", "obj").localCheckpoint()
+    }
+    frames.foreach(SparqlLite.cachedStats(_))
+    assert(SparqlLite.statsCacheSize === 32, "cache must stay bounded at 32")
+    var before = GraphQuery.BgpStats.computeCount.get()
+    SparqlLite.cachedStats(frames(1)) // touch: now the most-recently-used
+    assert(GraphQuery.BgpStats.computeCount.get() === before,
+      "frame 1 must still be cached (only frame 0 was evicted)")
+    before = GraphQuery.BgpStats.computeCount.get()
+    SparqlLite.cachedStats(frames(0)) // was evicted as the eldest
+    assert(GraphQuery.BgpStats.computeCount.get() - before === 1L,
+      "frame 0 must have been the one evicted")
+    // the re-insert of frame 0 evicts frame 2 (frame 1 was just touched,
+    // so access order - not insertion order - decides the victim)
+    before = GraphQuery.BgpStats.computeCount.get()
+    SparqlLite.cachedStats(frames(1))
+    assert(GraphQuery.BgpStats.computeCount.get() === before,
+      "LRU must evict by access order: the touched frame 1 survives")
+    before = GraphQuery.BgpStats.computeCount.get()
+    SparqlLite.cachedStats(frames(2))
+    assert(GraphQuery.BgpStats.computeCount.get() - before === 1L,
+      "frame 2 (coldest) must have been evicted instead")
+    SparqlLite.clearStatsCache()
+  }
+
   test("stats persist beside the table: save/load round-trips and feeds sparql") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stats").toString
     val st = GraphQuery.BgpStats.compute(tri)
