@@ -57,9 +57,19 @@ object Rules {
     * [[cleanStringRegex]] by CleanScanSpec and to CPython by the RulesSpec
     * cases.
     */
+  @inline private def isAsciiOnly(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) >= 0x80) return false; i += 1 }
+    true
+  }
+
   def cleanString(s: String): String = {
     if (s == null) return ""
-    var d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
+    // NFKD is the identity on pure-ASCII strings (no ASCII char has a
+    // compatibility decomposition), so skip the normalizer's copy for the
+    // common case — one allocation-free scan instead (r6)
+    var d = if (isAsciiOnly(s)) s
+            else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
     d = d.trim
     d = CleanScan.stripNewlines(d)
     d = d.toLowerCase
@@ -383,16 +393,50 @@ object Rules {
     -1
   }
 
+  // one-pass gazetteer automaton (r6): the prior shape ran indexOfBounded
+  // once PER surface — ~70 full passes over every turn's text, on BOTH
+  // the NER-proxy (tagger feature) and extract paths. One Aho-Corasick
+  // scan + per-match \b checks computes the identical per-surface
+  // first-bounded-occurrence.
+  private val gazSurfaces: Array[String] = gazetteerSorted.map(_._1).toArray
+  private val gazCountries: Array[String] = gazetteerSorted.map(_._2).toArray
+  private val gazIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    gazSurfaces.zipWithIndex.foreach { case (s, i) => m.put(s, i) }
+    m
+  }
+  private val gazFirstW: Array[Boolean] = gazSurfaces.map(s => isBoundWordCh(s.charAt(0)))
+  private val gazLastW: Array[Boolean] =
+    gazSurfaces.map(s => isBoundWordCh(s.charAt(s.length - 1)))
+  private val gazAc = new graft.rules.AhoCorasick(gazSurfaces.toIndexedSeq)
+
   /** country display names mentioned in a cleaned chunk, first-occurrence
-    * position order (the reference appends in entity order). Regex-free
-    * scanner (gazetteer regexes ran per turn); pinned to
-    * [[extractLocationsRegex]] by CleanScanSpec.
+    * position order (the reference appends in entity order). Single
+    * Aho-Corasick pass; per surface the first \b-bounded occurrence, so
+    * the result is identical to the per-surface indexOfBounded loop —
+    * pinned to [[extractLocationsRegex]] by CleanScanSpec.
     */
   def extractLocations(cleaned: String): Seq[String] = {
+    val best = new Array[Int](gazSurfaces.length)
+    java.util.Arrays.fill(best, Int.MaxValue)
+    gazAc.scan(cleaned).foreach { case (end, pat) =>
+      val k = gazIdx.get(pat).intValue()
+      val start = end - gazSurfaces(k).length + 1
+      if (start < best(k)) { // per-pattern ends ascend: first bounded wins
+        val beforeOk =
+          if (start == 0) gazFirstW(k)
+          else isBoundWordCh(cleaned.charAt(start - 1)) != gazFirstW(k)
+        val afterOk =
+          if (end + 1 == cleaned.length) gazLastW(k)
+          else isBoundWordCh(cleaned.charAt(end + 1)) != gazLastW(k)
+        if (beforeOk && afterOk) best(k) = start
+      }
+    }
     val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    gazetteerSorted.foreach { case (surface, country) =>
-      val i = indexOfBounded(cleaned, surface)
-      if (i >= 0) hits += ((i, country))
+    var k = 0
+    while (k < best.length) {
+      if (best(k) != Int.MaxValue) hits += ((best(k), gazCountries(k)))
+      k += 1
     }
     hits.sortBy(_._1).map(_._2).distinct.toSeq
   }
