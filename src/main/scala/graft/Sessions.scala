@@ -56,6 +56,14 @@ object Sessions {
       // sizes at runtime)
       .config("spark.sql.join.preferSortMergeJoin", preferSmj)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", shjThreshold)
+      // bypass-merge shuffle writes ONE FILE PER REDUCE PARTITION per map
+      // task and then NIO-merges them (mmap/unmap per file): thread-dump
+      // sampling showed that merge at 13% of active executor samples at
+      // R=32. Production jobs run R >> 200 where the bypass path never
+      // fires, so disabling it is scale-neutral; locally the serialized
+      // sort writer produces one spill file per map task instead.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     localDir.foreach(b.config("spark.local.dir", _))
