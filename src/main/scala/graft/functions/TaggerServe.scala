@@ -39,8 +39,18 @@ final class CompiledTagger(
   private val k = intercept.length
   private val n = v1Size + v2Size + extraSel.length
 
-  // serve-path layout folded once per JVM (all @transient lazy — rebuilt on
-  // executors, never serialized with the expression):
+  /** Stable identity across task deserializations: codegen references are
+    * re-deserialized PER TASK (each of the tag stage's tasks got its own
+    * CompiledTagger copy, so the instance-local lazy folds re-ran 32× per
+    * stage — coefT$lzycompute showed up in kg thread-dump samples). All
+    * copies of one compiled model now share one per-JVM folded layout via
+    * [[CompiledTagger.foldedFor]]. A Java-serialized field survives the
+    * round trip (the constructor is not re-run on deserialization).
+    */
+  val uid: String = java.util.UUID.randomUUID().toString
+
+  // serve-path layout folded once per JVM per model (shared through the
+  // companion's uid-keyed cache, never serialized with the expression):
   //  - coefT: index-major transpose of `coef`, so each active feature reads
   //    its k class weights contiguously instead of k strided loads;
   //  - vocab2Nested: bigram vocab as tok1 -> (tok2 -> idx), killing the
@@ -52,7 +62,7 @@ final class CompiledTagger(
   //    frame). Ascending-index accumulation order — and therefore the
   //    float result — is preserved by sorting the touched list, and counts
   //    are exact small integers so gather order cannot change them.
-  @transient private lazy val coefT: Array[Double] = {
+  private[functions] def buildFolded(): CompiledTagger.Folded = {
     val t = new Array[Double](n * k)
     var c = 0
     while (c < k) {
@@ -60,10 +70,6 @@ final class CompiledTagger(
       while (j < n) { t(j * k + c) = coef(c * n + j); j += 1 }
       c += 1
     }
-    t
-  }
-  @transient private lazy val vocab2Nested:
-      java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
     val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
     val it = vocab2.entrySet().iterator()
     while (it.hasNext) {
@@ -78,13 +84,18 @@ final class CompiledTagger(
         inner.put(second, e.getValue)
       }
     }
-    m
+    CompiledTagger.Folded(t, m,
+      ThreadLocal.withInitial(() => (new Array[Double](n), new Array[Int](n))))
   }
-  @transient private lazy val scratch: ThreadLocal[(Array[Double], Array[Int])] =
-    ThreadLocal.withInitial(() => (new Array[Double](n), new Array[Int](n)))
+
+  @transient private lazy val folded: CompiledTagger.Folded =
+    CompiledTagger.foldedFor(this)
 
   def predict(text: String): String = {
-    val (vals, touched) = scratch.get()
+    val fd = folded
+    val coefT = fd.coefT
+    val vocab2Nested = fd.vocab2Nested
+    val (vals, touched) = fd.scratch.get()
     var m = 0
     try {
       val toks = TokenizeEvals.letterRunsStr(text)
@@ -162,6 +173,30 @@ final class CompiledTagger(
 }
 
 object CompiledTagger {
+
+  /** Per-JVM folded serve layout shared by every deserialized copy of one
+    * compiled model (keyed by [[CompiledTagger.uid]]). Arrays and maps are
+    * write-once before publication and read-only after, so cross-task
+    * sharing is safe; access-ordered LRU bounded at 32 models (a dropped
+    * entry only costs a rebuild, never correctness).
+    */
+  private[functions] final case class Folded(
+      coefT: Array[Double],
+      vocab2Nested: java.util.HashMap[String, java.util.HashMap[String, Integer]],
+      scratch: ThreadLocal[(Array[Double], Array[Int])])
+
+  private val foldCacheMax = 32
+  private val foldCache = new java.util.LinkedHashMap[String, Folded](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Folded]): Boolean =
+      size() > foldCacheMax
+  }
+
+  private[functions] def foldedFor(t: CompiledTagger): Folded = foldCache.synchronized {
+    val f = foldCache.get(t.uid)
+    if (f != null) f
+    else { val nf = t.buildFolded(); foldCache.put(t.uid, nf); nf }
+  }
+
   import org.apache.spark.ml.PipelineModel
   import org.apache.spark.ml.classification.LogisticRegressionModel
   import org.apache.spark.ml.feature.{CountVectorizerModel, VectorAssembler}

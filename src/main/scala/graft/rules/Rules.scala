@@ -561,15 +561,81 @@ object Rules {
   private lazy val degreeTokenSeqs: Seq[(String, Seq[String])] =
     Dims.allDegreePhrases.map(p => p -> alphaTokens(p).filterNot(Dims.stopwords))
 
-  private def containsSubseq(hay: Seq[String], needle: Seq[String]): Boolean =
+  private[graft] def containsSubseq(hay: Seq[String], needle: Seq[String]): Boolean =
     needle.nonEmpty && hay.sliding(needle.length).exists(_ == needle)
+
+  // one-pass degree-phrase scan (r6): the containsSubseq shape allocated a
+  // sliding-window Seq per token position per phrase on EVERY turn (it runs
+  // on both the NER-proxy tagger-feature path and the extract path — 8% of
+  // kg executor samples). First-token index over the phrase token arrays:
+  // hit(p) is set iff phrase p's tokens occur consecutively in toks —
+  // containsSubseq's exact predicate — and hits are emitted in
+  // degreeTokenSeqs order, so the result is identical.
+  private lazy val degreePhraseArr: Array[String] = degreeTokenSeqs.map(_._1).toArray
+  private lazy val degreeTokArrays: Array[Array[String]] =
+    degreeTokenSeqs.map(_._2.toArray).toArray
+  private lazy val degreeByFirstTok: java.util.HashMap[String, Array[Int]] = {
+    val acc = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    var p = 0
+    while (p < degreeTokArrays.length) {
+      val seq = degreeTokArrays(p)
+      if (seq.nonEmpty) { // empty needle: containsSubseq is false, never indexed
+        var b = acc.get(seq(0))
+        if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty[Int]; acc.put(seq(0), b) }
+        b += p
+      }
+      p += 1
+    }
+    val out = new java.util.HashMap[String, Array[Int]]()
+    acc.forEach((k, v) => out.put(k, v.toArray))
+    out
+  }
 
   /** phrases hit in the chunk (CountVectorizer n-gram semantics: alphabetic
     * tokens, sklearn-english stopwords removed before n-gram formation),
     * then getTopEduReq's top-5-by-key-length (ExtractInfo.py:644-648 — the
     * "top 3" that returns 5; ties alphabetical like sklearn's sorted vocab).
+    * Pinned to the [[containsSubseq]] shape by RulesSpec.
     */
   def extractEducation(cleaned: String): Seq[String] = {
+    val toks = alphaTokens(cleaned).filterNot(Dims.stopwords).toArray
+    var hit: Array[Boolean] = null
+    var i = 0
+    while (i < toks.length) {
+      val cands = degreeByFirstTok.get(toks(i))
+      if (cands != null) {
+        var c = 0
+        while (c < cands.length) {
+          val p = cands(c)
+          if (hit == null || !hit(p)) {
+            val seq = degreeTokArrays(p)
+            if (i + seq.length <= toks.length) {
+              var j = 1 // seq(0) == toks(i) by index construction
+              while (j < seq.length && toks(i + j) == seq(j)) j += 1
+              if (j == seq.length) {
+                if (hit == null) hit = new Array[Boolean](degreeTokArrays.length)
+                hit(p) = true
+              }
+            }
+          }
+          c += 1
+        }
+      }
+      i += 1
+    }
+    if (hit == null) Nil
+    else {
+      val hits = scala.collection.mutable.ArrayBuffer.empty[String]
+      var p = 0
+      while (p < hit.length) { if (hit(p)) hits += degreePhraseArr(p); p += 1 }
+      hits.sortBy(p => (-p.length, p)).take(5).toSeq
+    }
+  }
+
+  /** containsSubseq-shape twin of [[extractEducation]] (differential pin
+    * only — RulesSpec fuzzes the two against each other).
+    */
+  private[graft] def extractEducationSubseq(cleaned: String): Seq[String] = {
     val toks = alphaTokens(cleaned).filterNot(Dims.stopwords)
     val hits = degreeTokenSeqs.collect { case (p, seq) if containsSubseq(toks, seq) => p }
     hits.sortBy(p => (-p.length, p)).take(5)

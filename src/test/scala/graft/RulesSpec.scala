@@ -90,6 +90,32 @@ class RulesSpec extends AnyFunSuite {
     assert(Rules.extractEducation("need bachelor of degree").toSet == Set("bachelor degree"))
   }
 
+  test("education one-pass scan == containsSubseq twin (fuzz incl. boundary straddles)") {
+    // r6: extractEducation's first-token-indexed scan must agree with the
+    // sliding-window containsSubseq shape on adversarial compositions —
+    // full phrases, prefixes that dangle, phrases split by non-stopwords,
+    // phrases re-joined by stopword removal, repeats, and phrase tokens
+    // at string edges.
+    val frags = Seq(
+      "bachelor degree", "bachelor", "degree", "master", "science",
+      "master business administration", "business administration master",
+      "phd", "doctorate", "high school diploma", "school", "high",
+      "secondary school certificate", "secondary", "certificate",
+      "bachelor of degree", "bachelor the science", "graduate", "degree graduate",
+      "vocational diploma engineering", "primary education", "elementary",
+      "xyzzy", "und", "the of a", "")
+    val rnd = new scala.util.Random(20260822L)
+    (1 to 400).foreach { _ =>
+      val s = Seq.fill(1 + rnd.nextInt(8))(frags(rnd.nextInt(frags.length))).mkString(" ")
+      assert(Rules.extractEducation(s) == Rules.extractEducationSubseq(s), s"input: '$s'")
+    }
+    // deterministic edge pins
+    Seq("", "phd", "phd phd phd", "doctoral degree doctorate phd bachelor degree master degree graduate degree",
+        "high school diploma secondary school certificate vocational diploma").foreach { s =>
+      assert(Rules.extractEducation(s) == Rules.extractEducationSubseq(s), s"input: '$s'")
+    }
+  }
+
   test("work hours: spans, am/pm ranges, intervals, defaults, lexicographic quirk") {
     val doc = "working time is 40 hour per week."
     assert(Rules.extractWorkHourSpans(doc) == Seq("40 hour"))

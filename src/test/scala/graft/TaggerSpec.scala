@@ -173,6 +173,31 @@ class TaggerSpec extends SparkSpec {
     assert(ml.SectionTagger.predict(nb, cleaned).filter(col("category").isNull).count() == 0)
   }
 
+  test("deserialized CompiledTagger copies share one folded layout and predict identically") {
+    // r6: codegen references deserialize per task, so the folded serve
+    // layout is shared per-JVM through a uid-keyed cache — two independent
+    // Java-serialization round trips must preserve the uid (the cache key)
+    // and predict bit-identically to the original instance.
+    val tagger = ml.SectionTagger.train(
+      KgPipeline.taggerTrainingFrame(spark, nConvs = 120))
+    val ct = graft.functions.CompiledTagger.compile(tagger.model, tagger.labels)
+      .getOrElse(fail("LR pipeline must compile"))
+    def roundTrip(t: graft.functions.CompiledTagger): graft.functions.CompiledTagger = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(t); oos.close()
+      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+      ois.readObject().asInstanceOf[graft.functions.CompiledTagger]
+    }
+    val c1 = roundTrip(ct); val c2 = roundTrip(ct)
+    assert(c1.uid == ct.uid && c2.uid == ct.uid, "uid must survive serialization")
+    val texts = graft.sources.TranscriptGen.dataset(spark, 40, 11L, 1, 50)
+      .collect().map(t => graft.rules.Rules.cleanString(t.text)) :+ ""
+    texts.foreach { s =>
+      val p = ct.predict(s)
+      assert(c1.predict(s) == p && c2.predict(s) == p, s"divergent prediction on '$s'")
+    }
+  }
+
   test("per-class report (M12) matches hand-computed precision/recall") {
     import spark.implicits._
     // a: 2 true, 1 predicted-as-a correct; b: 1 true predicted b; one a→b error
